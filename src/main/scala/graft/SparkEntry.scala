@@ -1,13 +1,170 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{K, Kernel}
+import graft.operators._
+import graft.backend.{BackendEmbedder, HashingBackend}
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked query is written so Spark and DuckDB perform
+  * bit-identical arithmetic (see [[graft.oracle.OracleSql]] — integer
+  * pooling, ordered folds, no transcendental functions). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Pooling._
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** Dense pipeline → exploded (doc_id, dim, val). */
+  private def denseExploded(s: SparkSession, dir: String, pooling: Pooling): DataFrame =
+    TextEmbedder(dim = K.Dim, pooling = pooling)
+      .embed(docs(s, dir), "text", "emb")
+      .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+
+  /** Flagship: embed the sf0.001 corpus, rank it against the first doc's
+    * embedding — source → projection → inference → top-k in one plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val d = TextEmbedder().embed(docs(spark, dir), "text", "emb")
+    val q = d.filter(col("doc_id") === 0).select(col("emb")).head().getSeq[Double](0)
+    Similarity.topK(d, "emb", "doc_id", q, 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_dense_embed" -> ((s, dir) => denseExploded(s, dir, Mean)),
+    "q02_cls_embed" -> ((s, dir) => denseExploded(s, dir, Cls)),
+    "q03_last_embed" -> ((s, dir) => denseExploded(s, dir, Last)),
+
+    "q04_sparse_embed" -> ((s, dir) =>
+      SparseEmbedder.sparseExploded(docs(s, dir), "doc_id", "text")),
+
+    // reference-shaped struct output (non-SQL-expressible → rows-only check)
+    "q05_sparse_struct" -> ((s, dir) =>
+      SparseEmbedder.sparseStruct(docs(s, dir), "doc_id", "text")),
+
+    "q06_colbert" -> ((s, dir) =>
+      ColbertEmbedder
+        .colbertExploded(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text", dim = 16)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          posexplode(col("vec")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("pos"), col("dim").cast("long").as("dim"), col("val"))),
+
+    "q07_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).map(_.toDouble)
+      e.withColumn("score", Kernel.cosine(col("embedding"), lit(q.toArray)))
+        .select(col("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    "q08_knn_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    "q09_rerank" -> ((s, dir) =>
+      Reranker.rerank(s, docs(s, dir), "doc_id", "text", "spark hash join query plan")),
+
+    "q10_pair_scores" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          Kernel.dot(col("ea"), col("eb")).as("dot"),
+          Kernel.cosine(col("ea"), col("eb")).as("cosine"))
+    }),
+
+    "q11_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "q12_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(Dedup.shingleSet(docs(s, dir), "doc_id", "text"), "doc_id")),
+
+    "q13_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35)),
+
+    "q14_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+
+    "q15_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(Dedup.simhash(docs(s, dir), "doc_id", "text"), "doc_id")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
+    "q16_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 0.5)),
+
+    "q17_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.annLshJoin(q, "qid", "qv", e, "vec_id", "embedding", K.Dim, 8, 5)
+        .select(col("qid"), col("vec_id"), col("bucket"),
+          col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+    "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
+    "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+    "q21_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    // mapPartitions backend path — must be bit-identical to q01
+    "q22_backend_embed" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text")))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids", HashingBackend(K.Dim))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
+    // multimodal binary plumbing (stub decode) — rows-only check
+    "q23_image_embed" -> ((s, dir) =>
+      ImagePipeline.embedImages(
+        docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("img")),
+        "doc_id", "img", dim = 16)),
+
+    "q24_lineitem_agg" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val d182 = DecimalType(18, 2)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d182)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d182)).cast("double").as("sum_base"),
+          sum(col("l_extendedprice").cast(d182) *
+            (lit(1).cast(d182) - col("l_discount").cast(d182))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q25_segment_sales" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+    }),
+
+    "q26_events_stats" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")))
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -11,6 +11,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate copies the full (expensive) generator
+      // child expression into a Filter — for embedding pipelines that
+      // doubles the per-row work for no benefit.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // events.parquet carries ns timestamps; read them as long (the ts
+      // column is not part of any checked output)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

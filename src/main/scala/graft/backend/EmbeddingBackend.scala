@@ -1,0 +1,97 @@
+package graft.backend
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.functions.K
+
+/** Pluggable per-executor inference backend — the Spark analogue of the
+  * reference's ONNX `Session` held behind `&mut self`
+  * (/root/reference/src/text_embedding/impl.rs:69-111, 392-410).
+  *
+  * Contract: given a micro-batch of token-id sequences, produce one dense
+  * vector per sequence. Implementations must be:
+  *   - deterministic (reference test: 100 identical calls,
+  *     tests/text-embeddings.rs:605-622)
+  *   - batch-size invariant (tests/text-embeddings.rs:494-523): results
+  *     must not depend on how the iterator was chunked — which is exactly
+  *     Spark's partitioning-invariance requirement.
+  */
+trait EmbeddingBackend extends Serializable {
+  def dim: Int
+  /** Embed one micro-batch. Must not retain state across calls that
+    * affects results. */
+  def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]]
+}
+
+/** The default deterministic backend: the same feature-hashing projector
+  * as the SQL pipeline ([[graft.functions.Kernel]]), computed in plain
+  * Scala with identical IEEE-754 operation order — so its output is
+  * bit-identical to the Catalyst-expression path and shares its DuckDB
+  * oracle. Stands in for an ONNX session in this zero-egress environment;
+  * a real ONNX backend plugs in behind the same trait. */
+final case class HashingBackend(dim: Int = K.Dim) extends EmbeddingBackend {
+  def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = batch.map { tids =>
+    val n = tids.length
+    val out = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += (tids(i) * K.A + d.toLong * K.B + K.C) % K.M
+        i += 1
+      }
+      // mirror Kernel.meanScaled: (s / n / M) * 2 - 1
+      out(d) = (s.toDouble / n.toDouble / K.M.toDouble) * 2.0 - 1.0
+      d += 1
+    }
+    // mirror Kernel.l2normalize: left-fold sum of squares, + eps
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += out(j) * out(j); j += 1 }
+    val norm = math.sqrt(ss) + K.Eps
+    var k = 0
+    while (k < dim) { out(k) = out(k) / norm; k += 1 }
+    out
+  }
+}
+
+/** Per-executor backend registry: one lazily-created backend instance per
+  * executor JVM (not per task), the analogue of the reference's
+  * once-per-process session init. Thread-safe via ConcurrentHashMap —
+  * multiple task threads share the instance (HashingBackend is
+  * stateless; a real ONNX session would synchronize or pool here). */
+object BackendRegistry {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, EmbeddingBackend]()
+  def getOrCreate(key: String, create: () => EmbeddingBackend): EmbeddingBackend =
+    cache.computeIfAbsent(key, _ => create())
+}
+
+/** The mapPartitions inference operator (I1 analogue,
+  * /root/reference/src/text_embedding/impl.rs:352-416): iterate a
+  * partition in micro-batches of `batchSize` (reference default 256,
+  * src/text_embedding/mod.rs:5), run the per-executor backend once per
+  * micro-batch, emit (id, embedding) rows. Narrow — no shuffle; the
+  * partition iterator never materializes more than one micro-batch. */
+object BackendEmbedder {
+  def embed(df: DataFrame, idCol: String, tidsCol: String,
+            backend: EmbeddingBackend, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(tidsCol)
+    val bKey = backend.toString
+    val rows = df.rdd.mapPartitions { it =>
+      val be = BackendRegistry.getOrCreate(bKey, () => backend)
+      it.grouped(batchSize).flatMap { group =>
+        val ids = group.map(_.getLong(idIdx))
+        val tids = group.map(r => r.getSeq[Long](tIdx).toArray)
+        val embs = be.embedBatch(tids)
+        ids.zip(embs).map { case (id, e) => Row(id, e.toSeq) }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

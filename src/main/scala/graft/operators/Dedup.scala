@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+
+/** Deduplication family for training-data pipelines. Detectors at distinct
+  * cost/recall points, all shuffle-minimal by design:
+  *
+  *  - exact: hash-groupBy on normalized text (one shuffle on a 16-byte key)
+  *  - minhashLsh: shingle → minhash → band → bucket join (shuffles only
+  *    band signatures; candidate verification touches only bucket
+  *    collisions — the classic MMDS construction)
+  *  - simhash: 32-bit signature + banded hamming join (pigeonhole)
+  *  - ngramJaccard: exact token-set Jaccard — the exact baseline
+  *  - embedding-cosine near-dup lives in Similarity.annLshJoin
+  *
+  * Every reduction is MIN/MAX/COUNT over exact integers, so results are
+  * independent of partitioning and match the DuckDB oracle bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: md5 group key (Spark and DuckDB both
+    * implement standard MD5 over UTF-8). One row per distinct text with
+    * the surviving (minimum) id and the duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = concat_ws(" ", Kernel.tokens(col(textCol)))
+    df.withColumn("__h", md5(norm))
+      .groupBy(col("__h").as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Word `n`-gram shingle ids: fold of the n token ids mod M. */
+  def shingles(tids: Column, n: Int): Column = {
+    val idx = sequence(lit(0), size(tids) - lit(n))
+    transform(idx, p =>
+      aggregate(slice(tids, p + 1, lit(n)), lit(0L), (a, t) => (a * lit(31L) + t) % lit(K.M)))
+  }
+
+  /** (id, shingle) exploded, distinct. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                 maxLength: Int = K.MaxLength): DataFrame =
+    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) >= n)
+      .select(col(idCol), explode(shingles(col("__tids"), n)).as("shingle"))
+      .distinct()
+
+  /** Universal-hash family for minhash: h_i(x) = (x*a_i + b_i) % P32. */
+  def minhashPerm(i: Int): (Long, Long) =
+    (((2L * i + 1L) * K.B) % K.P32, (i.toLong * K.C) % K.P32)
+
+  /** MinHash signatures: `numHashes` mins per id over the shingle set
+    * (map-side partial min → tiny shuffle). Output: (id, m0..m{n-1}). */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = minhashPerm(i)
+      min((col("shingle") * lit(a) + lit(b)) % lit(K.P32)).as(s"m$i")
+    }
+    shingleDf.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` minhashes; a pair is a candidate iff some band key
+    * agrees exactly. Band key folds that band's minhashes into one bigint.
+    * Self-join is on (band, key) — only bucket collisions are compared. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandKey: Int => Column = b =>
+      (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"m$i"))
+        .foldLeft(lit(0L): Column)((a, m) => (a * lit(1000003L) + m) % lit(911382323007L))
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash+LSH near-dup pairs with exact-Jaccard verification:
+    * (id_a, id_b, jaccard) for pairs whose shingle-set Jaccard ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val sigs = minhashSignatures(sh, idCol, numHashes)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    jaccardOnPairs(cands, sh, idCol, threshold)
+  }
+
+  /** Exact Jaccard over (id, shingle) sets for given candidate pairs. */
+  def jaccardOnPairs(candidates: DataFrame, shingleDf: DataFrame,
+                     idCol: String, threshold: Double): DataFrame = {
+    val setCol = shingleDf.columns.filter(_ != idCol).head
+    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = shingleDf.select(col(idCol).as("id_a"), col(setCol))
+    val sb = shingleDf.select(col(idCol).as("id_b"), col(setCol))
+    val interCnt = candidates.join(sa, "id_a").join(sb, Seq("id_b", setCol))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    interCnt
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-(token, bit) pseudo-random ±1 vote. */
+  private def voteBit(t: Column, b: Column): Column =
+    when(((t * lit(K.A2) + b * lit(K.B2) + lit(K.C2)) % lit(K.M)) % lit(2L) === lit(1L),
+      lit(1L)).otherwise(lit(-1L))
+
+  /** 32-bit SimHash signature per doc: bit b set iff Σ_tokens vote > 0.
+    * One fold over tokens accumulating all 32 bit-votes (tokens-outer so
+    * the tokenizer chain evaluates once — see Kernel.pooledSums), then an
+    * acc*2 + bit fold assembles the signature (plain integer arithmetic —
+    * no shift-by-column needed, mirrors DuckDB; votes are exact integer
+    * sums, so the result is partition- and order-invariant). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32, maxLength: Int = K.MaxLength): DataFrame = {
+    val votes = aggregate(
+      col("__tids"),
+      array_repeat(lit(0L), bits),
+      (acc, t) => zip_with(acc, sequence(lit(0L), lit(bits - 1L)), (v, b) => v + voteBit(t, b)))
+    // fold over reverse(votes) — NOT an index loop referencing __votes
+    // inside the lambda, which Catalyst would inline and re-evaluate per bit
+    val sig = aggregate(
+      reverse(col("__votes")),
+      lit(0L),
+      (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
+    df.withColumn("__tids", Kernel.tokenIds(col(textCol), maxLength))
+      .filter(size(col("__tids")) > 0)
+      .withColumn("__votes", votes)
+      .withColumn("simhash", sig)
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Near-dup pairs by hamming distance ≤ maxDist over 4 banded 8-bit
+    * chunks (pigeonhole: dist ≤ 3 ⇒ at least one of 4 bands equal). */
+  def simhashNearDups(sigs: DataFrame, idCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        (shiftrightunsigned(col("simhash"), b * 8) % lit(256L)).as("key")))
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact token-set Jaccard near-dups over all pairs — quadratic; callers
+    * restrict the id range (the exact baseline for the detectors above). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(Kernel.tokenIds(col(textCol)))).as("tok"))
+    val allPairs = toks.select(col(idCol).as("id_a"), col("tok")).as("a")
+      .join(toks.select(col(idCol).as("id_b"), col("tok")).as("b"), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardOnPairs(allPairs, toks, idCol, threshold)
+  }
+}

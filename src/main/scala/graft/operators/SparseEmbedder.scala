@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+
+/** Sparse (lexical) embedding extraction — the Spark re-expression of the
+  * reference's two sparse paths:
+  *
+  *  - SPLADE: per-position vocab scores, relu'd, max over the sequence
+  *    axis, keep strictly-positive dims
+  *    (/root/reference/src/sparse_text_embedding/impl.rs:225-254)
+  *  - BGE-M3: per-token weight, skip special ids, merge duplicate token
+  *    ids by max, indices sorted ascending
+  *    (/root/reference/src/sparse_text_embedding/impl.rs:256-304)
+  *
+  * Both are relational aggregations: explode (doc, pos, token_id) →
+  * score → groupBy(doc, token_id).agg(max) → filter(>0). MAX over doubles
+  * is comparison-based, so it is exact and order-independent — safe to
+  * shuffle arbitrarily, and a map-side partial max runs before the
+  * exchange (hash aggregate), so at 100 TB the shuffle carries at most
+  * |vocab| rows per doc, not |tokens|.
+  */
+object SparseEmbedder {
+
+  /** Per-occurrence score in (-1, 1): pseudo-random in (token, position),
+    * mirroring "logit at position p for vocab dim t". */
+  def occurrenceScore(tid: Column, pos: Column): Column =
+    (((tid * lit(K.A2) + pos * lit(K.B2) + lit(K.C2)) % lit(K.M)).cast("double") /
+      lit(K.M.toDouble)) * lit(2.0) - lit(1.0)
+
+  /** Exploded sparse representation: (idCol, token_id, weight) rows with
+    * weight = max over positions of relu(score) kept strictly positive.
+    * `skipSpecial` drops token ids 0..3 (BGE-M3 semantics,
+    * impl.rs:276-277). */
+  def sparseExploded(df: DataFrame, idCol: String, textCol: String,
+                     maxLength: Int = K.MaxLength,
+                     skipSpecial: Boolean = false): DataFrame = {
+    val base = df
+      .select(col(idCol), posexplode(Kernel.tokenIds(col(textCol), maxLength)).as(Seq("pos", "token_id")))
+    val filtered = if (skipSpecial) base.filter(col("token_id") > 3) else base
+    filtered
+      .withColumn("s", occurrenceScore(col("token_id"), col("pos")))
+      .filter(col("s") > 0) // relu + strictly-positive keep
+      .groupBy(col(idCol), col("token_id"))
+      .agg(max(col("s")).as("weight"))
+  }
+
+  /** Reference-shaped output: one row per doc with
+    * struct(indices: array<bigint> sorted asc, values: array<double>)
+    * parallel arrays (src/common.rs:18-22; sort asc impl.rs:296-301). */
+  def sparseStruct(df: DataFrame, idCol: String, textCol: String,
+                   maxLength: Int = K.MaxLength): DataFrame = {
+    val exploded = sparseExploded(df, idCol, textCol, maxLength)
+    exploded
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("token_id"), col("weight")))).as("pairs"))
+      .select(
+        col(idCol),
+        struct(
+          transform(col("pairs"), p => p("token_id")).as("indices"),
+          transform(col("pairs"), p => p("weight")).as("values")
+        ).as("sparse"))
+  }
+}

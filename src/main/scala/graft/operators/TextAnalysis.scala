@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All narrow
+  * per-row column expressions (no shuffle except the final fingerprint
+  * distinct), all integer/exact-division math → oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Tiny marker lexicons (common function words). Deterministic heuristic:
+    * language with the highest marker-hit count wins; ties break by
+    * language code ascending. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "est", "un"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "he"))
+
+  /** Count of tokens that appear in `words` (multiset count — repeated
+    * occurrences each count, so longer docs score higher). */
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** (id, lang_pred, lang_score): argmax over marker-hit counts. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Kernel.tokens(col(textCol))
+    val withScores = df.withColumn("__toks", toks)
+    // fold over languages in code order; strict > keeps the earliest max
+    val (bestLang, bestScore) = markers.foldLeft((lit(""), lit(-1L).cast("long"))) {
+      case ((bl, bs), (lang, words)) =>
+        val s = hitCount(col("__toks"), words).cast("long")
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    withScores
+      .withColumn("lang_pred", bestLang)
+      .withColumn("lang_score", bestScore)
+      .select(col(idCol), col("lang_pred"), col("lang_score"))
+  }
+
+  /** English stopwords for the quality ratio. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "is", "are", "to", "in", "on", "at")
+
+  /** Quality metrics per doc: n_chars, n_words, avg word length,
+    * punctuation ratio, stopword ratio, and a composite score. Ratios are
+    * single exact divisions of integers; the composite is a fixed linear
+    * combination — both mirrored in the oracle. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Kernel.tokens(col(textCol))
+    df.withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).cast("long"))
+      .withColumn("avg_word_len",
+        col("alpha_chars").cast("double") / col("n_words").cast("double"))
+      .withColumn("punct_ratio",
+        (col("n_chars") - col("alpha_chars")).cast("double") / col("n_chars").cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(col("__toks"), t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("quality_score",
+        col("stop_ratio") * lit(0.5) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
+          when(col("n_words") >= 20 && col("n_words") <= 1000, lit(0.2)).otherwise(lit(0.0)))
+      .select(col(idCol), col("n_chars"), col("n_words"), col("avg_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens, alphanumeric regex tokens (a
+    * BPE-ish `[a-z0-9]+` segmentation), and a 4-chars-per-token heuristic
+    * estimate. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("ws_tokens",
+        size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long"))
+      .withColumn("alnum_tokens",
+        size(filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9]", " "), "\\s+"),
+          t => t =!= "")).cast("long"))
+      .withColumn("est_bpe_tokens",
+        ceil(length(col(textCol)).cast("double") / lit(4.0)).cast("long"))
+      .select(col(idCol), col("ws_tokens"), col("alnum_tokens"), col("est_bpe_tokens"))
+
+  /** Winnowing-style document fingerprints: k-gram shingle hashes → MIN
+    * over each sliding window of `w` → distinct fingerprints. Output
+    * (id, n_fingerprints, min_fp, full_hash) where full_hash is the
+    * rolling polynomial hash of the whole normalized token stream. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4): DataFrame = {
+    val tids = Kernel.tokenIds(col(textCol))
+    val base = df.withColumn("__tids", tids).filter(size(col("__tids")) >= k + w - 1)
+    val sh = Dedup.shingles(col("__tids"), k) // array of kgram hashes
+    val windows = transform(
+      sequence(lit(0), size(col("__sh")) - lit(w)),
+      p => array_min(slice(col("__sh"), p + 1, lit(w))))
+    base
+      .withColumn("__sh", sh)
+      .withColumn("__fps", array_distinct(windows))
+      .withColumn("full_hash",
+        aggregate(col("__tids"), lit(0L), (a, t) => (a * lit(1000003L) + t) % lit(911382323007L)))
+      .select(col(idCol),
+        size(col("__fps")).cast("long").as("n_fingerprints"),
+        array_min(col("__fps")).as("min_fp"),
+        col("full_hash"))
+  }
+}

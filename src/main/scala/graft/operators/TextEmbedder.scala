@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+
+/** Pooling strategies of the reference (/root/reference/src/pooling.rs:9-16):
+  * Cls = token 0, Mean = masked mean over sequence, Last = last token
+  * (/root/reference/src/models/qwen3.rs:158-174). On the hashing projector
+  * all three reduce to "integer-mean over a token subset", which keeps the
+  * math exact and order-independent. */
+sealed trait Pooling
+object Pooling {
+  case object Cls extends Pooling
+  case object Mean extends Pooling
+  case object Last extends Pooling
+}
+
+/** Dense text embedding pipeline (the flagship path of the reference,
+  * /root/reference/src/text_embedding/impl.rs:322-449):
+  * tokenize → truncate → project → pool → L2-normalize.
+  *
+  * Expressed entirely as Catalyst column expressions (no UDF): narrow,
+  * shuffle-free, whole-stage-codegen'd, and therefore embarrassingly
+  * parallel at any scale — each row embeds independently, so on a 1000-
+  * executor cluster the operator scales linearly with input splits and
+  * the parquet scan prunes to just (id, text) columns.
+  */
+case class TextEmbedder(
+    dim: Int = K.Dim,
+    maxLength: Int = K.MaxLength,
+    pooling: Pooling = Pooling.Mean) {
+
+  /** Token subset the pooling sees (Cls = first token, Last = last). */
+  private def pooledTokens(tids: Column): Column = pooling match {
+    case Pooling.Mean => tids
+    case Pooling.Cls  => slice(tids, 1, 1)
+    case Pooling.Last => slice(tids, -1, 1)
+  }
+
+  /** Adds `outCol: array<double>` (unit-norm, length `dim`) computed from
+    * `textCol`. Rows whose text has no tokens are dropped (the reference
+    * cannot embed an empty encoding either). */
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tids = "__graft_tids"
+    val sums = "__graft_sums"
+    val mean = "__graft_mean"
+    val nrm = "__graft_norm"
+    df.withColumn(tids, pooledTokens(Kernel.tokenIds(col(textCol), maxLength)))
+      .filter(size(col(tids)) > 0)
+      .withColumn(sums, Kernel.pooledSums(col(tids), dim))
+      .withColumn(mean, Kernel.meanScaled(col(sums), size(col(tids))))
+      .withColumn(nrm, Kernel.l2norm(col(mean)))
+      .withColumn(outCol, transform(col(mean), x => x / (col(nrm) + lit(K.Eps))))
+      .drop(tids, sums, mean, nrm)
+  }
+}

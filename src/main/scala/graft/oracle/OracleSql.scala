@@ -1,0 +1,312 @@
+package graft.oracle
+
+import graft.functions.K
+import graft.operators.{Dedup, TextAnalysis}
+
+/** DuckDB oracle SQL, built from the same constants ([[graft.functions.K]])
+  * and the same arithmetic trees as the Spark kernel so both engines do
+  * bit-identical IEEE-754 work:
+  *
+  *  - per-doc reductions are left-folds over lists — Spark `aggregate` and
+  *    DuckDB `list_reduce` both fold in element order. DuckDB's
+  *    `list_reduce` has no init value and seeds from the first element;
+  *    that equals Spark's fold from 0 for every fold used here
+  *    (addition: 0+x = x; the (a*k+x)%M fold: (0*k+x0)%M = x0 since
+  *    x0 < M; least: identity).
+  *  - cross-row aggregation (GROUP BY) only ever sees integers, decimals,
+  *    or comparison-based MIN/MAX — all order-independent.
+  *  - division/sqrt appear in identical expression trees on both sides.
+  */
+object OracleSql {
+  import K._
+
+  private val b2m: Long = B2 % M // colbert position offset multiplier
+
+  /** Normalized token list of a text expression. */
+  def toks(text: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'), w -> w != '')"
+
+  /** Polynomial rolling hash of a token string expression → [0, M). */
+  def polyhash(v: String): String =
+    s"list_reduce(list_transform(string_split($v, ''), c -> ascii(c)::BIGINT), (a,c) -> (a*31 + c) % $M)"
+
+  /** Token-id list (truncated). */
+  def tids(text: String, maxLen: Int = MaxLength): String =
+    s"list_transform(list_slice(${toks(text)}, 1, $maxLen), w -> ${polyhash("w")})"
+
+  /** Dense pipeline CTEs over `documents`. `subset` selects the pooled
+    * token subset as an expression over `tids0`. Emits CTEs ending in
+    * `emb(doc_id, emb)`. */
+  private def denseCtes(subset: String, dim: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids0 FROM documents),
+sel AS (SELECT doc_id, $subset AS tids FROM tok),
+sel2 AS (SELECT doc_id, tids FROM sel WHERE len(tids) > 0),
+m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(tids, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(tids)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM sel2),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)"""
+
+  private def denseSelect(subset: String, dim: Int): String =
+    denseCtes(subset, dim) +
+      "\nSELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"
+
+  val q01_dense_embed: String = denseSelect("tids0", Dim)
+  val q02_cls_embed: String = denseSelect("list_slice(tids0, 1, 1)", Dim)
+  val q03_last_embed: String = denseSelect("list_slice(tids0, len(tids0), len(tids0))", Dim)
+
+  /** Sparse extraction: max-over-positions relu'd occurrence score. */
+  val q04_sparse_embed: String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tok),
+s AS (SELECT doc_id, token_id, ((token_id*$A2 + pos*$B2 + $C2) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 AS s FROM e)
+SELECT doc_id, token_id, max(s) AS weight FROM s WHERE s > 0 GROUP BY doc_id, token_id"""
+
+  /** ColBERT: unit vector per (token, pos ≥ 1), dim 16, doc_id < 100. */
+  def q06_colbert(dim: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents WHERE doc_id < 100),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tok),
+k AS (SELECT doc_id, pos, token_id + pos*$b2m AS tk FROM e WHERE pos >= 1),
+raw AS (SELECT doc_id, pos, list_transform(range(0, $dim), d -> ((tk*$A + d*$B + $C) % $M)::DOUBLE / $M.0 * 2.0 - 1.0) AS rv FROM k),
+nv AS (SELECT doc_id, pos, rv, sqrt(list_reduce(list_transform(rv, y -> y*y), (a,b) -> a+b)) AS nrm FROM raw),
+v AS (SELECT doc_id, pos, list_transform(rv, x -> x / (nrm + 1e-12)) AS vec FROM nv)
+SELECT doc_id, pos, CAST(generate_subscripts(vec, 1) - 1 AS BIGINT) AS dim, unnest(vec) AS val FROM v"""
+
+  /** Cosine between two float-list expressions (both widened per element),
+    * with the reference's zero-norm guard. */
+  def cosineSql(a: String, b: String): String = {
+    def norm(v: String) =
+      s"sqrt(list_reduce(list_transform(list_transform($v, x -> x::DOUBLE), y -> y*y), (a,b) -> a+b))"
+    val dot =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (a,b) -> a+b)"
+    s"CASE WHEN ${norm(a)} = 0.0 OR ${norm(b)} = 0.0 THEN 0.0 ELSE $dot / (${norm(a)} * ${norm(b)}) END"
+  }
+
+  val q07_topk: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ${cosineSql("c.embedding", "q.qv")} AS score
+FROM embeddings c, q ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+  val q08_knn_join: String =
+    s"""SELECT qid, vec_id, rnk, score FROM (
+SELECT q.vec_id AS qid, c.vec_id AS vec_id, ${cosineSql("c.embedding", "q.embedding")} AS score,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosineSql("c.embedding", "q.embedding")} DESC, c.vec_id ASC) AS rnk
+FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+WHERE rnk <= 5"""
+
+  /** Rerank: token-set Jaccard of each document against the fixed query. */
+  def q09_rerank(query: String): String = {
+    val qlit = s"'${query.replace("'", "''")}'"
+    s"""WITH qt AS (SELECT list_distinct(${tids(qlit)}) AS q),
+d AS (SELECT doc_id, text, list_distinct(${tids("text")}) AS dt FROM documents),
+s AS (SELECT doc_id, text,
+  len(list_filter(dt, t -> list_contains(q, t)))::BIGINT AS i,
+  (len(dt) + len(q) - len(list_filter(dt, t -> list_contains(q, t))))::BIGINT AS u
+  FROM d, qt)
+SELECT doc_id AS "index", CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u::DOUBLE END AS score, text AS document
+FROM s ORDER BY score DESC, "index" ASC"""
+  }
+
+  val q10_pair_scores: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+list_reduce(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y) AS dot,
+${cosineSql("a.embedding", "b.embedding")} AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1"""
+
+  val q11_dedup_exact: String =
+    s"""SELECT md5(array_to_string(${toks("text")}, ' ')) AS text_hash,
+min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1"""
+
+  /** Shingle list (word n-grams folded mod M) over a tids expression. */
+  def shingleList(tidsExpr: String, n: Int): String =
+    s"list_transform(range(0, len($tidsExpr) - ${n - 1}), p -> list_reduce(list_slice($tidsExpr, p + 1, p + $n), (a,t) -> (a*31 + t) % $M))"
+
+  private def shingleCtes(n: Int, where: String = ""): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents$where),
+sh AS (SELECT DISTINCT doc_id, unnest(${shingleList("tids", n)}) AS shingle FROM tok WHERE len(tids) >= $n)"""
+
+  private def minhashCols(numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      val (a, b) = Dedup.minhashPerm(i)
+      s"min((shingle*$a + $b) % $P32) AS m$i"
+    }.mkString(", ")
+
+  def q12_minhash_sigs(numHashes: Int): String =
+    shingleCtes(3) +
+      s"\nSELECT doc_id, ${minhashCols(numHashes)} FROM sh GROUP BY doc_id"
+
+  private def bandKeySql(b: Int, rowsPerBand: Int): String =
+    (b * rowsPerBand until (b + 1) * rowsPerBand)
+      .map(i => s"m$i")
+      .foldLeft("0")((acc, m) => s"(($acc) * 1000003 + $m) % 911382323007")
+
+  def q13_minhash_neardups(threshold: Double, numHashes: Int, bands: Int): String = {
+    val rpb = numHashes / bands
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rpb)} AS key FROM sig")
+      .mkString(" UNION ALL ")
+    shingleCtes(3) + s""",
+sig AS (SELECT doc_id, ${minhashCols(numHashes)} FROM sh GROUP BY doc_id),
+band AS ($bandSelects),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle GROUP BY c.id_a, c.id_b)
+SELECT inter.id_a, inter.id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
+  }
+
+  /** SimHash signature fold: acc*2 + bit over bits high→low; the list is
+    * seeded with 0 so DuckDB's init-less reduce starts the fold at 0. */
+  private def simhashSig(bits: Int): String = {
+    val vote =
+      s"list_reduce(list_transform(tids, t -> CASE WHEN ((t*$A2 + b*$B2 + $C2) % $M) % 2 = 1 THEN 1 ELSE -1 END), (x,y) -> x+y)"
+    s"list_reduce(list_concat([0::BIGINT], range(${bits - 1}, -1, -1)), (acc, b) -> acc*2 + CASE WHEN $vote > 0 THEN 1 ELSE 0 END)"
+  }
+
+  def q14_simhash(bits: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0)
+SELECT doc_id, ${simhashSig(bits)} AS simhash FROM t2"""
+
+  def q15_simhash_neardups(bits: Int, maxDist: Int): String = {
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) % 256 AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
+sig AS (SELECT doc_id, ${simhashSig(bits)} AS simhash FROM t2),
+band AS ($bandSelects),
+pair AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pair WHERE hamming <= $maxDist"""
+  }
+
+  def q16_ngram_jaccard(maxId: Long, threshold: Double): String =
+    s"""WITH tok AS (SELECT doc_id, list_distinct(${tids("text")}) AS tids FROM documents WHERE doc_id < $maxId),
+tk AS (SELECT DISTINCT doc_id, unnest(tids) AS tok FROM tok),
+sz AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c JOIN tk x ON x.doc_id = c.id_a JOIN tk y ON y.doc_id = c.id_b AND y.tok = x.tok GROUP BY c.id_a, c.id_b)
+SELECT inter.id_a, inter.id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
+
+  /** Sign-LSH bucket over nPlanes pseudo-random hyperplanes. */
+  def lshBucketSql(vecExpr: String, dim: Int, nPlanes: Int): String = {
+    def planeDot(p: Int): String =
+      s"list_reduce(list_transform(range(1, $dim + 1), i -> $vecExpr[i]::DOUBLE * ((((${p + 7}::BIGINT*$A + (i-1)*$B + $C) % $M)::DOUBLE / $M.0) * 2.0 - 1.0)), (a,b) -> a+b)"
+    (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${planeDot(p)} > 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+  }
+
+  def q17_ann_lsh(dim: Int, nPlanes: Int, k: Int): String =
+    s"""WITH cb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM cb WHERE vec_id < 8),
+j AS (SELECT qb.qid, cb.vec_id, cb.bucket, ${cosineSql("cb.embedding", "qb.qv")} AS score,
+  row_number() OVER (PARTITION BY qb.qid ORDER BY ${cosineSql("cb.embedding", "qb.qv")} DESC, cb.vec_id ASC) AS rnk
+  FROM cb JOIN qb ON cb.bucket = qb.bucket)
+SELECT qid, vec_id, bucket, rnk, score FROM j WHERE rnk <= $k"""
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val q18_lang_id: String = {
+    val scores = TextAnalysis.markers
+      .map { case (lang, words) =>
+        s"len(list_filter(tk, t -> t IN ${inList(words)}))::BIGINT AS s_$lang"
+      }
+      .mkString(", ")
+    val langs = TextAnalysis.markers.map(_._1)
+    // earliest-max: lang i wins iff its score ≥ every later score and it
+    // beat every earlier one (strict >) — equivalent to the Spark fold.
+    val caseArms = langs.zipWithIndex.dropRight(1).map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }.mkString(" ")
+    val greatest = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+sc AS (SELECT doc_id, $scores FROM tok)
+SELECT doc_id, CASE $caseArms ELSE '${langs.last}' END AS lang_pred, $greatest AS lang_score FROM sc"""
+  }
+
+  val q19_quality: String = {
+    val stop = inList(TextAnalysis.stopwords)
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk FROM documents),
+t2 AS (SELECT * FROM t WHERE len(tk) > 0),
+b AS (SELECT doc_id, length(text)::BIGINT AS n_chars, len(tk)::BIGINT AS n_words,
+  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alpha_chars,
+  len(list_filter(tk, t -> t IN $stop))::BIGINT AS stops FROM t2)
+SELECT doc_id, n_chars, n_words,
+  alpha_chars::DOUBLE / n_words::DOUBLE AS avg_word_len,
+  (n_chars - alpha_chars)::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+  stops::DOUBLE / n_words::DOUBLE AS stop_ratio,
+  (stops::DOUBLE / n_words::DOUBLE) * 0.5 + (1.0 - (n_chars - alpha_chars)::DOUBLE / n_chars::DOUBLE) * 0.3 + (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 0.2 ELSE 0.0 END) AS quality_score
+FROM b"""
+  }
+
+  val q20_token_count: String =
+    s"""SELECT doc_id,
+len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::BIGINT AS ws_tokens,
+len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+'), t -> t != ''))::BIGINT AS alnum_tokens,
+CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents"""
+
+  def q21_fingerprint(k: Int, w: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) >= ${k + w - 1}),
+s AS (SELECT doc_id, tids, ${shingleList("tids", k)} AS sh FROM t2),
+wins AS (SELECT doc_id, tids, list_distinct(list_transform(range(0, len(sh) - ${w - 1}), p -> list_reduce(list_slice(sh, p + 1, p + $w), (a,b) -> least(a, b)))) AS fps FROM s)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+  list_reduce(fps, (a,b) -> least(a, b)) AS min_fp,
+  list_reduce(list_concat([0::BIGINT], tids), (a,t) -> (a*1000003 + t) % 911382323007) AS full_hash
+FROM wins"""
+
+  val q24_lineitem_agg: String =
+    s"""SELECT l_returnflag, l_linestatus,
+sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base,
+sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  val q25_segment_sales: String =
+    s"""SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders,
+sum(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_mktsegment, n.n_name"""
+
+  val q26_events_stats: String =
+    s"""SELECT user_id, event_type, count(*) AS n_events,
+min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id, event_type"""
+
+  /** The full oracle map (queries without a SQL-expressible oracle are
+    * intentionally absent → driver falls back to rows-only checks). */
+  def all: Map[String, String] = Map(
+    "q01_dense_embed" -> q01_dense_embed,
+    "q02_cls_embed" -> q02_cls_embed,
+    "q03_last_embed" -> q03_last_embed,
+    "q04_sparse_embed" -> q04_sparse_embed,
+    "q06_colbert" -> q06_colbert(16),
+    "q07_topk" -> q07_topk,
+    "q08_knn_join" -> q08_knn_join,
+    "q09_rerank" -> q09_rerank("spark hash join query plan"),
+    "q10_pair_scores" -> q10_pair_scores,
+    "q11_dedup_exact" -> q11_dedup_exact,
+    "q12_minhash_sigs" -> q12_minhash_sigs(16),
+    "q13_minhash_neardups" -> q13_minhash_neardups(0.35, 16, 4),
+    "q14_simhash" -> q14_simhash(32),
+    "q15_simhash_neardups" -> q15_simhash_neardups(32, 3),
+    "q16_ngram_jaccard" -> q16_ngram_jaccard(150L, 0.5),
+    "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
+    "q18_lang_id" -> q18_lang_id,
+    "q19_quality" -> q19_quality,
+    "q20_token_count" -> q20_token_count,
+    "q21_fingerprint" -> q21_fingerprint(3, 4),
+    "q22_backend_embed" -> q01_dense_embed,
+    "q24_lineitem_agg" -> q24_lineitem_agg,
+    "q25_segment_sales" -> q25_segment_sales,
+    "q26_events_stats" -> q26_events_stats
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` constructor; the sanctioned
+  * conversion lives in `org.apache.spark.sql.classic.ExpressionUtils`, which
+  * is `private[sql]`. This bridge (in an org.apache.spark.sql subpackage,
+  * the usual pattern for Spark extension libraries) re-exports the two
+  * conversions the graft kernel needs to register custom Catalyst
+  * expressions as Columns. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

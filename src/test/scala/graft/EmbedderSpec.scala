@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+import graft.operators.{Pooling, TextEmbedder}
+import graft.backend.{BackendEmbedder, HashingBackend}
+
+/** Metamorphic + structural properties of the dense pipeline, mirroring
+  * the reference's invariance tests (FIXTURES.md §7):
+  * determinism (tests/text-embeddings.rs:605-622), batch-size invariance
+  * (tests/text-embeddings.rs:494-523) ≙ repartition invariance here. */
+class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "Hello, World!"),
+    (1L, "This is an example passage."),
+    (2L, "fastembed-rs is licensed under Apache-2.0"),
+    (3L, "Some other short text here blah blah blah")).toDF("doc_id", "text")
+
+  private def embAsMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+
+  test("dense embedding: dim, unit norm, determinism") {
+    val e = TextEmbedder().embed(docs, "text", "emb").select($"doc_id", $"emb")
+    val m1 = embAsMap(e)
+    val m2 = embAsMap(e) // re-run the same plan
+    assert(m1.keySet == Set(0L, 1L, 2L, 3L))
+    assert(m1.values.forall(_.length == K.Dim))
+    m1.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    assert(m1 == m2)
+  }
+
+  test("repartition invariance (batch-size invariance analogue)") {
+    val e1 = embAsMap(TextEmbedder().embed(docs.repartition(1), "text", "emb").select($"doc_id", $"emb"))
+    val e8 = embAsMap(TextEmbedder().embed(docs.repartition(8), "text", "emb").select($"doc_id", $"emb"))
+    assert(e1 == e8)
+  }
+
+  test("pooling variants differ and all normalize") {
+    val mean = embAsMap(TextEmbedder(pooling = Pooling.Mean).embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    val cls = embAsMap(TextEmbedder(pooling = Pooling.Cls).embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    val last = embAsMap(TextEmbedder(pooling = Pooling.Last).embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    assert(mean(3L) != cls(3L))
+    assert(cls(3L) != last(3L)) // first token != last token for doc 3
+  }
+
+  test("truncation: maxLength=2 uses only the first two tokens") {
+    val full = embAsMap(TextEmbedder(maxLength = 2).embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    val manual = embAsMap(
+      TextEmbedder().embed(
+        Seq((3L, "some other")).toDF("doc_id", "text"), "text", "emb").select($"doc_id", $"emb"))
+    assert(full(3L) == manual(3L))
+  }
+
+  test("mapPartitions backend path is bit-identical to the SQL path") {
+    val sql = embAsMap(TextEmbedder().embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    val withTids = docs
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+      .select(col("doc_id"), col("tids"))
+    val be = embAsMap(
+      BackendEmbedder.embed(withTids, "doc_id", "tids", HashingBackend(K.Dim))
+        .select(col("doc_id"), col("embedding")))
+    assert(sql == be)
+  }
+
+  test("backend batch-size invariance (Q6)") {
+    val withTids = docs.withColumn("tids", Kernel.tokenIds(col("text")))
+      .select(col("doc_id"), col("tids"))
+    val b1 = embAsMap(BackendEmbedder.embed(withTids, "doc_id", "tids", HashingBackend(), 1)
+      .select(col("doc_id"), col("embedding")))
+    val b256 = embAsMap(BackendEmbedder.embed(withTids, "doc_id", "tids", HashingBackend(), 256)
+      .select(col("doc_id"), col("embedding")))
+    assert(b1 == b256)
+  }
+}

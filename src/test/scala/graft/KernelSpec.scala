@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+
+/** Similarity-kernel fixtures from the reference's inline unit tests
+  * (/root/reference/src/similarity.rs:42-72, mirrored in FIXTURES.md §9). */
+class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("dot: q·[2,3,4] == 2.0 for q=[1,0,0]") {
+    assert(eval1(Kernel.dot(lit(Array(1.0, 0.0, 0.0)), lit(Array(2.0, 3.0, 4.0)))) == 2.0)
+  }
+
+  test("cosine fixtures incl. zero-vector guard") {
+    val q = lit(Array(1.0, 0.0, 0.0))
+    assert(eval1(Kernel.cosine(q, lit(Array(1.0, 0.0, 0.0)))) == 1.0)
+    assert(eval1(Kernel.cosine(q, lit(Array(-1.0, 0.0, 0.0)))) == -1.0)
+    assert(eval1(Kernel.cosine(q, lit(Array(0.0, 1.0, 0.0)))) == 0.0)
+    // zero-vector guard: 0.0, not NaN (src/similarity.rs:19-26)
+    assert(eval1(Kernel.cosine(q, lit(Array(0.0, 0.0, 0.0)))) == 0.0)
+  }
+
+  test("top_k fixture: best-first with scores") {
+    val corpus = Seq(
+      (0L, Array(0.0, 1.0, 0.0)),
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.7, 0.7, 0.0))).toDF("doc_id", "vec")
+    val top = graft.operators.Similarity
+      .topK(corpus, "vec", "doc_id", Seq(1.0, 0.0, 0.0), 2)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top(0).getDouble(1) == 1.0)
+    assert(math.abs(top(1).getDouble(1) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("polyHash matches the DuckDB formula on 'hello'") {
+    // independently computed: fold (a*31+ascii(c)) % 1000003 over h,e,l,l,o
+    val expected = "hello".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % K.M)
+    assert(eval1(Kernel.polyHash(lit("hello"))) == expected)
+    assert(expected == 162025L) // cross-checked against DuckDB 1.0
+  }
+
+  test("tokens: lowercase, punctuation stripped, empties dropped") {
+    val got = eval1(Kernel.tokens(lit("  Hello, World!  spark-SQL 42 ")))
+      .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(got == List("hello", "world", "spark", "sql", "42"))
+  }
+
+  test("tokenIds truncates at maxLength (P3 semantics)") {
+    val got = eval1(Kernel.tokenIds(lit("a b c d e f"), maxLen = 3))
+      .asInstanceOf[scala.collection.Seq[Long]].toList
+    assert(got.length == 3)
+  }
+
+  test("native TokenIds expression == HOF formulation on real corpus + edge cases") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "   "), (9003L, "...!!!"),
+        (9004L, "MiXeD CaSe-42 und Öäü"), (9005L, "a"),
+        (9006L, "x " * 600) // > maxLength tokens
+      ).toDF("doc_id", "text"))
+    val cmp = docs
+      .withColumn("fast", Kernel.tokenIds(col("text")))
+      .withColumn("hof", Kernel.tokenIdsHof(col("text")))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+    // truncation agreement at a small cap
+    val cmp2 = docs
+      .withColumn("fast", Kernel.tokenIds(col("text"), 3))
+      .withColumn("hof", Kernel.tokenIdsHof(col("text"), 3))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp2.count() == 0)
+  }
+
+  test("l2normalize yields unit norm with 1e-12 epsilon") {
+    val n = eval1(Kernel.l2norm(Kernel.l2normalize(lit(Array(3.0, 4.0)))))
+      .asInstanceOf[Double]
+    assert(math.abs(n - 1.0) < 1e-9)
+  }
+}

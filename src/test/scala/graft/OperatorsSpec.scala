@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Sparse/ColBERT structural invariants (FIXTURES.md §5-6) and the rerank
+  * semantic-ranking fixture (FIXTURES.md §2). */
+class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "Hello, World!"),
+    (1L, "This is an example passage."),
+    (2L, "fastembed-rs is licensed under Apache-2.0"),
+    (3L, "Some other short text here blah blah blah")).toDF("doc_id", "text")
+
+  test("sparse struct: parallel arrays, sorted ascending indices, values > 0") {
+    val rows = SparseEmbedder.sparseStruct(docs, "doc_id", "text").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getStruct(r.fieldIndex("sparse"))
+      val idx = s.getSeq[Long](0)
+      val vals = s.getSeq[Double](1)
+      assert(idx.length == vals.length)
+      assert(idx == idx.sorted)
+      assert(idx.distinct.length == idx.length)
+      assert(vals.forall(_ > 0.0))
+      assert(idx.length < 100) // short-text invariant (tests/text-embeddings.rs:201)
+    }
+  }
+
+  test("colbert: truncation to max_length=5 yields exactly 4 token vectors") {
+    // reference: colbert_shape[1] == seq_len-1 (tests/bgem3.rs:221-236)
+    val one = Seq((0L, "one two three four five six seven")).toDF("doc_id", "text")
+    val rows = ColbertEmbedder.colbert(one, "doc_id", "text", dim = 8, maxLength = 5).collect()
+    assert(rows.length == 1)
+    val vecs = rows(0).getSeq[scala.collection.Seq[Double]](1)
+    assert(vecs.length == 4)
+    vecs.foreach { v =>
+      assert(v.length == 8)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
+  test("rerank: panda fixture — overlapping passages rank first") {
+    val panda = Seq(
+      (0L, "hi"),
+      (1L, "The giant panda, sometimes called a panda bear or simply panda, is a bear species endemic to China."),
+      (2L, "panda is an animal"),
+      (3L, "i dont know"),
+      (4L, "kind of mammal")).toDF("doc_id", "text")
+    val out = Reranker.rerank(spark, panda, "doc_id", "text", "what is panda?").collect()
+    assert(out.length == 5)
+    val top2 = out.take(2).map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 2L))
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("dedup exact: duplicate texts collapse to min id") {
+    val d = Seq((0L, "same text here"), (1L, "Same  TEXT here!"), (2L, "different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // min doc_id survives
+  }
+
+  test("simhash: identical texts get identical signatures, near texts close") {
+    val d = Seq((0L, "spark query engine fast"), (1L, "spark query engine fast"),
+      (2L, "completely unrelated words banana apple")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("minhash near-dups finds a true near-duplicate pair") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "completely different content about database query optimization plans")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+  }
+
+  test("langId and quality are deterministic and complete") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val q = TextAnalysis.quality(docs, "doc_id", "text").collect()
+    assert(q.forall(r => r.getDouble(r.fieldIndex("punct_ratio")) >= 0.0))
+  }
+
+  test("image pipeline: stub decode preserves row count, unit embeddings, batch invariance") {
+    val bin = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("img"))
+    val out1 = ImagePipeline.embedImages(bin, "doc_id", "img", dim = 8, batchSize = 1).collect()
+    val out2 = ImagePipeline.embedImages(bin, "doc_id", "img", dim = 8, batchSize = 256).collect()
+    assert(out1.length == 4 && out2.length == 4)
+    val m1 = out1.map(r => r.getLong(0) -> r.getSeq[Double](4)).toMap
+    val m2 = out2.map(r => r.getLong(0) -> r.getSeq[Double](4)).toMap
+    assert(m1 == m2)
+    m1.values.foreach(v => assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
+  }
+}
