@@ -80,6 +80,8 @@ object Kernel {
   def tokenIdsHof(text: Column, maxLen: Int = MaxLength): Column =
     transform(slice(tokens(text), 1, maxLen), t => polyHash(t))
 
+  import org.apache.spark.sql.graftbridge.Bridge
+
   /** Pseudo-random projector cell: dim `d` of token id `t`, an integer in
     * [0, M). Kept in the integer domain so pooled sums are exact. */
   def cell(t: Column, d: Column): Column =
@@ -97,6 +99,11 @@ object Kernel {
     * would re-evaluate the whole tokenizer chain once per dim — measured
     * 64× slowdown. The tokens-outer fold evaluates `tids` exactly once. */
   def pooledSums(tids: Column, dim: Int = Dim): Column =
+    Bridge.column(PooledSums(Bridge.expression(tids), dim))
+
+  /** Reference HOF formulation of [[pooledSums]] (same exact integer sums;
+    * kept for cross-validation against the native expression). */
+  def pooledSumsHof(tids: Column, dim: Int = Dim): Column =
     aggregate(
       tids,
       array_repeat(lit(0L), dim),
@@ -115,13 +122,14 @@ object Kernel {
   /** L2 norm. */
   def l2norm(v: Column): Column = sqrt(sumSquares(v))
 
-  /** v / (‖v‖ + 1e-12), reference src/common.rs:159-165. NOTE: evaluates
-    * the norm fold once per element — callers on a hot path should
-    * materialize `l2norm` in a column first (TextEmbedder does). */
-  def l2normalize(v: Column): Column = {
-    val n = l2norm(v)
-    transform(v, x => x / (n + lit(Eps)))
-  }
+  /** v / (‖v‖ + 1e-12), reference src/common.rs:159-165.
+    *
+    * Shaped as zip_with(v, array_repeat(norm, size(v))) rather than
+    * transform(v, x => x / norm): an expression referenced inside a
+    * lambda body is re-evaluated per element (the norm fold would run
+    * size(v) times), while arguments evaluate once per row. */
+  def l2normalize(v: Column): Column =
+    zip_with(v, array_repeat(l2norm(v) + lit(Eps), size(v)), (x, n) => x / n)
 
   /** Dot product as a left-fold over zipped arrays (src/similarity.rs:14-16).
     * Inputs are cast to double element-wise before multiplying so float
@@ -133,8 +141,14 @@ object Kernel {
       (acc, x) => acc + x)
 
   /** Cosine similarity with the reference's zero-vector guard: returns 0.0
-    * if either norm is 0 (src/similarity.rs:19-26). */
-  def cosine(a: Column, b: Column): Column = {
+    * if either norm is 0 (src/similarity.rs:19-26). Native expression —
+    * bit-identical to [[cosineHof]] (spec-asserted). */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Reference HOF formulation of [[cosine]] — what the DuckDB oracle
+    * mirrors; kept for cross-validation. */
+  def cosineHof(a: Column, b: Column): Column = {
     val na = l2norm(transform(a, x => x.cast("double")))
     val nb = l2norm(transform(b, x => x.cast("double")))
     when(na === lit(0.0) || nb === lit(0.0), lit(0.0))

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native integer-pooled projection (the inner loop of the hashing
+  * projector): for each dim d, Σ_tokens (t*A + d*B + C) % M — identical
+  * exact integer sums as the HOF formulation in [[Kernel.pooledSums]]
+  * (addition commutes, so iteration order is irrelevant), but as two
+  * tight JVM loops instead of ~dim×tokens interpreted lambda calls. */
+case class PooledSums(child: Expression, dim: Int) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val tids = input.asInstanceOf[ArrayData]
+    val n = tids.numElements()
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val t = tids.getLong(i)
+      val base = t * K.A + K.C
+      var d = 0
+      while (d < dim) {
+        out(d) += (base + d.toLong * K.B) % K.M
+        d += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PooledSums =
+    copy(child = newChild)
+}
+
+/** Native SimHash signature: bit b of the result is set iff
+  * Σ_tokens (±1 by the low bit of (t*A2 + b*B2 + C2) % M) > 0, assembled
+  * high-bit-first as acc*2 + bit. Exact integer votes (order-free) —
+  * identical to the HOF formulation in [[graft.operators.Dedup.simhashSigHof]]
+  * and the DuckDB oracle. */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val tids = input.asInstanceOf[ArrayData]
+    val n = tids.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val t = tids.getLong(i)
+      val base = t * K.A2 + K.C2
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((base + b.toLong * K.B2) % K.M) % 2L == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      sig = sig * 2L + (if (votes(b) > 0L) 1L else 0L)
+      b -= 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+/** Native cosine similarity with the reference's zero-vector guard
+  * (/root/reference/src/similarity.rs:19-26). Bit-identical to the HOF
+  * formulation in [[Kernel.cosineHof]]: elements widen to double, the
+  * dot and both norm folds run left-to-right in array order, norms via
+  * IEEE sqrt, guard returns exactly 0.0. Dot stops at the shorter array
+  * (src/similarity.rs:14-16); norms run over each full array. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // lazy: dataType is unresolved while the expression tree is being built
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
+
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var sa = 0.0
+    var i = 0
+    while (i < na) { val x = get(a, i, leftFloat); sa += x * x; i += 1 }
+    var sb = 0.0
+    i = 0
+    while (i < nb) { val y = get(b, i, rightFloat); sb += y * y; i += 1 }
+    val normA = math.sqrt(sa)
+    val normB = math.sqrt(sb)
+    if (normA == 0.0 || normB == 0.0) 0.0
+    else {
+      val n = math.min(na, nb)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += get(a, i, leftFloat) * get(b, i, rightFloat); i += 1 }
+      dot / (normA * normB)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}

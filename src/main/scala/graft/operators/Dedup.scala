@@ -116,29 +116,35 @@ object Dedup {
     when(((t * lit(K.A2) + b * lit(K.B2) + lit(K.C2)) % lit(K.M)) % lit(2L) === lit(1L),
       lit(1L)).otherwise(lit(-1L))
 
-  /** 32-bit SimHash signature per doc: bit b set iff Σ_tokens vote > 0.
-    * One fold over tokens accumulating all 32 bit-votes (tokens-outer so
-    * the tokenizer chain evaluates once — see Kernel.pooledSums), then an
-    * acc*2 + bit fold assembles the signature (plain integer arithmetic —
-    * no shift-by-column needed, mirrors DuckDB; votes are exact integer
-    * sums, so the result is partition- and order-invariant). */
+  /** 32-bit SimHash signature per doc: bit b set iff Σ_tokens vote > 0,
+    * assembled acc*2 + bit over bits high→low. Native expression on the
+    * hot path; [[simhashSigHof]] is the HOF formulation the oracle mirrors
+    * (identical exact integer votes — spec-asserted). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32, maxLength: Int = K.MaxLength): DataFrame = {
-    val votes = aggregate(
-      col("__tids"),
-      array_repeat(lit(0L), bits),
-      (acc, t) => zip_with(acc, sequence(lit(0L), lit(bits - 1L)), (v, b) => v + voteBit(t, b)))
-    // fold over reverse(votes) — NOT an index loop referencing __votes
-    // inside the lambda, which Catalyst would inline and re-evaluate per bit
-    val sig = aggregate(
-      reverse(col("__votes")),
-      lit(0L),
-      (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
+              bits: Int = 32, maxLength: Int = K.MaxLength): DataFrame =
     df.withColumn("__tids", Kernel.tokenIds(col(textCol), maxLength))
       .filter(size(col("__tids")) > 0)
-      .withColumn("__votes", votes)
-      .withColumn("simhash", sig)
+      .withColumn("simhash",
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.SimhashSig(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("__tids")), bits)))
       .select(col(idCol), col("simhash"))
+
+  /** HOF formulation of the SimHash signature over a token-id array
+    * column: one fold over tokens accumulating all bit-votes (tokens-outer
+    * so upstream expressions evaluate once), then a fold over
+    * reverse(votes) assembles the signature — NOT an index loop
+    * referencing the votes column inside a lambda, which Catalyst would
+    * inline and re-evaluate per bit. */
+  def simhashSigHof(tids: Column, bits: Int = 32): Column = {
+    val votes = aggregate(
+      tids,
+      array_repeat(lit(0L), bits),
+      (acc, t) => zip_with(acc, sequence(lit(0L), lit(bits - 1L)), (v, b) => v + voteBit(t, b)))
+    aggregate(
+      reverse(votes),
+      lit(0L),
+      (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
   }
 
   /** Near-dup pairs by hamming distance ≤ maxDist over 4 banded 8-bit

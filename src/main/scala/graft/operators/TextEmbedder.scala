@@ -51,7 +51,10 @@ case class TextEmbedder(
       .withColumn(sums, Kernel.pooledSums(col(tids), dim))
       .withColumn(mean, Kernel.meanScaled(col(sums), size(col(tids))))
       .withColumn(nrm, Kernel.l2norm(col(mean)))
-      .withColumn(outCol, transform(col(mean), x => x / (col(nrm) + lit(K.Eps))))
+      // zip_with + array_repeat: the norm evaluates once per row; a
+      // transform lambda referencing it would re-fold it per element
+      .withColumn(outCol,
+        zip_with(col(mean), array_repeat(col(nrm) + lit(K.Eps), lit(dim)), (x, n) => x / n))
       .drop(tids, sums, mean, nrm)
   }
 }

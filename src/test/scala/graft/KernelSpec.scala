@@ -78,6 +78,41 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp2.count() == 0)
   }
 
+  test("native PooledSums == HOF formulation on real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+    val cmp = docs
+      .withColumn("fast", Kernel.pooledSums(col("tids"), 64))
+      .withColumn("hof", Kernel.pooledSumsHof(col("tids"), 64))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+  }
+
+  test("native SimhashSig == HOF formulation on real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val cmp = docs
+      .withColumn("fast", bridge.column(
+        graft.functions.SimhashSig(bridge.expression(col("tids")), 32)))
+      .withColumn("hof", graft.operators.Dedup.simhashSigHof(col("tids"), 32))
+      .filter(col("fast") =!= col("hof"))
+    assert(cmp.count() == 0)
+  }
+
+  test("native CosineSim == HOF formulation on real float embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val cmp = a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("fast", Kernel.cosine(col("ea"), col("eb")))
+      .withColumn("hof", Kernel.cosineHof(col("ea"), col("eb")))
+      .filter(not(col("fast") === col("hof"))) // bitwise: NaN-safe not needed, no NaNs
+    assert(cmp.count() == 0)
+  }
+
   test("l2normalize yields unit norm with 1e-12 epsilon") {
     val n = eval1(Kernel.l2norm(Kernel.l2normalize(lit(Array(3.0, 4.0)))))
       .asInstanceOf[Double]
