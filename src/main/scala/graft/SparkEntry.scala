@@ -47,9 +47,15 @@ object SparkEntry {
     "q04_sparse_embed" -> ((s, dir) =>
       SparseEmbedder.sparseExploded(docs(s, dir), "doc_id", "text")),
 
-    // reference-shaped struct output (non-SQL-expressible → rows-only check)
+    // reference-shaped struct output, checked via its flat projection
+    // (nested struct/array columns crash the driver's pandas comparator)
     "q05_sparse_struct" -> ((s, dir) =>
-      SparseEmbedder.sparseStruct(docs(s, dir), "doc_id", "text")),
+      SparseEmbedder.sparseStruct(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), posexplode(
+          arrays_zip(col("sparse.indices").as("token_id"),
+            col("sparse.values").as("weight"))).as(Seq("idx", "z")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("z.token_id").as("token_id"), col("z.weight").as("weight"))),
 
     "q06_colbert" -> ((s, dir) =>
       ColbertEmbedder
@@ -129,11 +135,14 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
-    // multimodal binary plumbing (stub decode) — rows-only check
+    // multimodal binary plumbing (raw-byte codec, double-exact math) —
+    // checked dim-exploded like q22 against the pixel-projection oracle
     "q23_image_embed" -> ((s, dir) =>
       ImagePipeline.embedImages(
         docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("img")),
-        "doc_id", "img", dim = 16)),
+        "doc_id", "img", dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")

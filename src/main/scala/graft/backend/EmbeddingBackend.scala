@@ -33,6 +33,14 @@ final case class HashingBackend(dim: Int = K.Dim) extends EmbeddingBackend {
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = batch.map { tids =>
     val n = tids.length
     val out = new Array[Double](dim)
+    // empty encoding → zero vector (never NaN from 0/0; the SQL path
+    // filters size > 0, and the reference cannot embed an empty encoding)
+    if (n == 0) out
+    else embedOne(tids, out)
+  }
+
+  private def embedOne(tids: Array[Long], out: Array[Double]): Array[Double] = {
+    val n = tids.length
     var d = 0
     while (d < dim) {
       var s = 0L

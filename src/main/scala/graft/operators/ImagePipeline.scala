@@ -11,52 +11,86 @@ import graft.functions.K
   * (/root/reference/src/image_embedding/impl.rs:119-269):
   * decode → Compose(resize → center-crop → rescale → normalize) → embed.
   *
-  * The image codec libraries are not in this container, so `decodeStub`
-  * is a clearly-marked deterministic fake (it derives a pixel grid from
-  * the bytes). Everything around it — schema, micro-batch shape,
-  * per-executor state, partition invariance — is real and tested, and a
-  * javax.imageio decoder can replace the stub without touching the
-  * operator.
+  * Two decode routes:
+  *  - [[decodeImage]]: REAL decode via javax.imageio (PNG/BMP/GIF ship in
+  *    the JDK; JPEG depends on the JRE build) → RGB HWC→CHW int pixels —
+  *    the analogue of `DynamicImage::into_rgb8` + tensorize
+  *    (/root/reference/src/image_embedding/utils.rs:33-41, 101-121).
+  *  - [[decodeRaw]]: deterministic raw-byte tiling (a headerless "raw RGB"
+  *    codec) used by the oracle-checked query, since the DuckDB oracle can
+  *    reproduce it from the source bytes exactly.
+  *
+  * All preprocessing math is double-precision with a fixed operation
+  * order, mirrored term-for-term in the DuckDB oracle
+  * ([[graft.oracle.OracleSql.q23_image_embed]]).
   */
 object ImagePipeline {
 
-  /** Decoded-image schema (the `DynamicImage` analogue). */
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("pixels", ArrayType(FloatType, containsNull = false), nullable = false)))
+  /** CLIP preprocessing constants
+    * (/root/reference/src/image_embedding/utils.rs:350-374 dialect), as
+    * double literals shared with the oracle SQL. */
+  val ClipMean: Array[Double] = Array(0.48145466, 0.4578275, 0.40821073)
+  val ClipStd: Array[Double] = Array(0.26862954, 0.26130258, 0.27577711)
+  /** Rescale factor 1/255 (utils.rs:123-133, default scale). */
+  val Rescale: Double = 1.0 / 255.0
 
-  /** STUB decode: a real implementation would call an image codec
-    * (javax.imageio / a JNI codec). This deterministic fake tiles the
-    * byte stream into an 8×8×3 CHW pixel grid in [0,1) so the downstream
-    * preprocessing math is exercised for real. */
-  def decodeStub(bytes: Array[Byte], side: Int = 8): (Int, Int, Int, Array[Float]) = {
+  /** Raw-byte "decode": tiles the byte stream into a side×side×3 CHW
+    * integer pixel grid (values 0..255). Deterministic and exactly
+    * reproducible in SQL from the source bytes — the checked stand-in for
+    * a real codec. Empty input → all-zero pixels (one empty image must
+    * not crash the task). */
+  def decodeRaw(bytes: Array[Byte], side: Int = 8): (Int, Int, Int, Array[Int]) = {
     val n = side * side * 3
-    val px = new Array[Float](n)
-    var i = 0
-    while (i < n) {
-      val b = bytes(i % math.max(bytes.length, 1)) & 0xff
-      px(i) = b.toFloat / 256.0f
-      i += 1
+    val px = new Array[Int](n)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < n) {
+        px(i) = bytes(i % bytes.length) & 0xff
+        i += 1
+      }
     }
     (side, side, 3, px)
   }
 
-  /** Compose chain (P10 rescale + P11 channel-normalize,
-    * /root/reference/src/image_embedding/utils.rs:123-167): CHW pixels →
-    * (x*scale - mean[c]) / std[c]. CLIP constants. */
-  val clipMean: Array[Float] = Array(0.48145467f, 0.4578275f, 0.40821073f)
-  val clipStd: Array[Float] = Array(0.26862955f, 0.2613026f, 0.2757771f)
+  /** REAL image decode via javax.imageio: bytes → RGB → CHW int pixels
+    * (P6 Image→RGB + P9 tensorize). Returns None for undecodable bytes. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](3 * h * w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB packed int
+        val i = y * w + x
+        px(i) = (rgb >> 16) & 0xff // R plane
+        px(h * w + i) = (rgb >> 8) & 0xff // G plane
+        px(2 * h * w + i) = rgb & 0xff // B plane
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, 3, px))
+  }
 
-  def normalizeChw(px: Array[Float], channels: Int): Array[Float] = {
+  /** Compose chain P10+P11 on CHW int pixels, double math:
+    * x = px * (1/255); out = (x - mean[c]) / std[c]
+    * (/root/reference/src/image_embedding/utils.rs:123-167). */
+  def rescaleNormalize(px: Array[Int], channels: Int,
+                       mean: Array[Double] = ClipMean,
+                       std: Array[Double] = ClipStd): Array[Double] = {
     val per = px.length / channels
-    val out = new Array[Float](px.length)
+    val out = new Array[Double](px.length)
     var c = 0
     while (c < channels) {
       var i = 0
       while (i < per) {
-        out(c * per + i) = (px(c * per + i) - clipMean(c)) / clipStd(c)
+        val x = px(c * per + i).toDouble * Rescale
+        out(c * per + i) = (x - mean(c)) / std(c)
         i += 1
       }
       c += 1
@@ -64,11 +98,48 @@ object ImagePipeline {
     out
   }
 
-  /** Embed a binary column: decode → normalize → hash-project pixels to a
-    * unit `dim`-vector. Micro-batched mapPartitions like the text
-    * backend; output (idCol, width, height, channels, embedding). */
+  /** Integer quantization of a normalized pixel — keeps the projection in
+    * the exact-integer domain: q = floor(v*1000 + 0.5) + 2000 (strictly
+    * positive for any CLIP-normalized value). */
+  @inline def quantize(v: Double): Long = math.floor(v * 1000.0 + 0.5).toLong + 2000L
+
+  /** Hash-project quantized pixels to a unit `dim`-vector — same integer
+    * projector + mean-scale + L2 chain as the text path ([[graft.functions.Kernel]]). */
+  def projectPixels(qs: Array[Long], dim: Int): Array[Double] = {
+    val n = qs.length
+    val out = new Array[Double](dim)
+    if (n == 0) return out
+    var d = 0
+    while (d < dim) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += (qs(i) * K.A + d.toLong * K.B + K.C) % K.M
+        i += 1
+      }
+      out(d) = (s.toDouble / n.toDouble / K.M.toDouble) * 2.0 - 1.0
+      d += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += out(j) * out(j); j += 1 }
+    val nv = math.sqrt(ss) + K.Eps
+    var kk = 0
+    while (kk < dim) { out(kk) = out(kk) / nv; kk += 1 }
+    out
+  }
+
+  /** Embed a binary column: decode → rescale+normalize → quantize →
+    * hash-project to a unit `dim`-vector. Micro-batched mapPartitions like
+    * the text backend; narrow (no shuffle); output
+    * (idCol, width, height, channels, embedding).
+    *
+    * `real=true` routes through javax.imageio ([[decodeImage]]; rows whose
+    * bytes don't decode are dropped, matching the reference's per-image
+    * decode error surface); `real=false` uses the raw-byte codec. */
   def embedImages(df: DataFrame, idCol: String, bytesCol: String,
-                  dim: Int = K.Dim, batchSize: Int = 256): DataFrame = {
+                  dim: Int = K.Dim, batchSize: Int = 256,
+                  real: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
     val bIdx = df.schema.fieldIndex(bytesCol)
@@ -80,32 +151,31 @@ object ImagePipeline {
       StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
     val rows = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { group =>
-        group.map { r =>
-          val (w, h, c, px) = decodeStub(r.getAs[Array[Byte]](bIdx))
-          val norm = normalizeChw(px, c)
-          // integer-quantized pixel hash-projection (deterministic)
-          val out = new Array[Double](dim)
-          var d = 0
-          while (d < dim) {
-            var s = 0L
+        group.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](bIdx)
+          val decoded =
+            if (real) decodeImage(bytes) else Some(decodeRaw(bytes))
+          decoded.map { case (w, h, c, px) =>
+            val norm = rescaleNormalize(px, c)
+            val qs = new Array[Long](norm.length)
             var i = 0
-            while (i < norm.length) {
-              val q = math.round(norm(i) * 1000.0f).toLong + 2000L // positive
-              s += (q * K.A + d.toLong * K.B + K.C) % K.M
-              i += 1
-            }
-            out(d) = (s.toDouble / norm.length.toDouble / K.M.toDouble) * 2.0 - 1.0
-            d += 1
+            while (i < norm.length) { qs(i) = quantize(norm(i)); i += 1 }
+            Row(r.getLong(idIdx), w, h, c, projectPixels(qs, dim).toSeq)
           }
-          var ss = 0.0; var j = 0
-          while (j < dim) { ss += out(j) * out(j); j += 1 }
-          val nv = math.sqrt(ss) + K.Eps
-          var kk = 0
-          while (kk < dim) { out(kk) = out(kk) / nv; kk += 1 }
-          Row(r.getLong(idIdx), w, h, c, out.toSeq)
         }
       }
     }
     spark.createDataFrame(rows, outSchema)
   }
+
+  /** Image-path ingest (S2,
+    * /root/reference/src/image_embedding/impl.rs:155-186): directory of
+    * image files → (path, bytes) via Spark's binaryFile source. Pushed
+    * filters prune by path glob/size before bytes are read. */
+  def readImages(spark: org.apache.spark.sql.SparkSession, path: String,
+                 glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("content"))
 }

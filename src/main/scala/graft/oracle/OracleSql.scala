@@ -60,6 +60,31 @@ e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, un
 s AS (SELECT doc_id, token_id, ((token_id*$A2 + pos*$B2 + $C2) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 AS s FROM e)
 SELECT doc_id, token_id, max(s) AS weight FROM s WHERE s > 0 GROUP BY doc_id, token_id"""
 
+  /** q05: the struct assembly of q04, checked flat — ordinal within the
+    * token_id-ascending parallel arrays + the (token_id, weight) pairs. */
+  val q05_sparse_struct: String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tok),
+s AS (SELECT doc_id, token_id, ((token_id*$A2 + pos*$B2 + $C2) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 AS s FROM e),
+w AS (SELECT doc_id, token_id, max(s) AS weight FROM s WHERE s > 0 GROUP BY doc_id, token_id)
+SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY token_id) - 1 AS BIGINT) AS idx,
+  token_id, weight FROM w"""
+
+  /** q23: raw-byte image codec → CLIP rescale+normalize (double) →
+    * integer quantize → hash projection (dim 16, 8×8×3 CHW = 192 px).
+    * Term-for-term mirror of [[graft.operators.ImagePipeline]]: byte i of
+    * the UTF-8 text tiles into pixel i; x = b*(1/255);
+    * v = (x - mean[c])/std[c]; q = floor(v*1000 + 0.5) + 2000. */
+  def q23_image_embed(dim: Int): String =
+    s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
+b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+qz AS (SELECT doc_id, list_transform(range(0, 192), i ->
+  CAST(floor(((bs[(i % len(bs)) + 1]::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[(i // 64) + 1]::DOUBLE) / sd[(i // 64) + 1]::DOUBLE) * 1000.0 + 0.5) AS BIGINT) + 2000) AS qs FROM b, cst),
+m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(qs, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / 192.0 / $M.0) * 2.0 - 1.0) AS mnv FROM qz),
+nr AS (SELECT doc_id, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+
   /** ColBERT: unit vector per (token, pos ≥ 1), dim 16, doc_id < 100. */
   def q06_colbert(dim: Int): String =
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents WHERE doc_id < 100),
@@ -288,6 +313,7 @@ FROM events GROUP BY user_id, event_type"""
     "q02_cls_embed" -> q02_cls_embed,
     "q03_last_embed" -> q03_last_embed,
     "q04_sparse_embed" -> q04_sparse_embed,
+    "q05_sparse_struct" -> q05_sparse_struct,
     "q06_colbert" -> q06_colbert(16),
     "q07_topk" -> q07_topk,
     "q08_knn_join" -> q08_knn_join,
@@ -305,6 +331,7 @@ FROM events GROUP BY user_id, event_type"""
     "q20_token_count" -> q20_token_count,
     "q21_fingerprint" -> q21_fingerprint(3, 4),
     "q22_backend_embed" -> q01_dense_embed,
+    "q23_image_embed" -> q23_image_embed(16),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

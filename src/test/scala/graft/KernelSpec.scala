@@ -63,7 +63,10 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .unionByName(Seq(
         (9001L, ""), (9002L, "   "), (9003L, "...!!!"),
         (9004L, "MiXeD CaSe-42 und Öäü"), (9005L, "a"),
-        (9006L, "x " * 600) // > maxLength tokens
+        (9006L, "x " * 600), // > maxLength tokens
+        // Unicode chars whose lowercase lands in [a-z0-9]: Kelvin sign
+        // U+212A → 'k'; dotted capital I U+0130 → "i" + combining dot
+        (9007L, "worKd İstanbul AKB İİ")
       ).toDF("doc_id", "text"))
     val cmp = docs
       .withColumn("fast", Kernel.tokenIds(col("text")))
