@@ -144,6 +144,29 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // BGE-M3 joint output (dense+sparse+colbert in ONE narrow pass) —
+    // checked via three flat projections of the same plan; dense shares
+    // q01's oracle, sparse/colbert mirror q05/q06 semantics
+    "q27_bgem3_dense" -> ((s, dir) =>
+      Bgem3Embedder.embed(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), posexplode(col("bgem3.dense")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
+
+    "q28_bgem3_sparse" -> ((s, dir) =>
+      Bgem3Embedder.embed(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), posexplode(
+          arrays_zip(col("bgem3.sparse.indices").as("token_id"),
+            col("bgem3.sparse.values").as("weight"))).as(Seq("idx", "z")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("z.token_id").as("token_id"), col("z.weight").as("weight"))),
+
+    "q29_bgem3_colbert" -> ((s, dir) =>
+      Bgem3Embedder.embed(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
+        .select(col("doc_id"), posexplode(col("bgem3.colbert")).as(Seq("i", "vec")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
+          posexplode(col("vec")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("pos"), col("dim").cast("long").as("dim"), col("val"))),
+
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val d182 = DecimalType(18, 2)

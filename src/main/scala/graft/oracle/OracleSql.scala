@@ -70,6 +70,16 @@ w AS (SELECT doc_id, token_id, max(s) AS weight FROM s WHERE s > 0 GROUP BY doc_
 SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY token_id) - 1 AS BIGINT) AS idx,
   token_id, weight FROM w"""
 
+  /** q28: BGE-M3 sparse = q05 with special token ids {0,1,2,3} skipped
+    * (/root/reference/src/bgem3_embedding/impl.rs:245-246). */
+  val q28_bgem3_sparse: String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tok),
+s AS (SELECT doc_id, token_id, ((token_id*$A2 + pos*$B2 + $C2) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 AS s FROM e WHERE token_id > 3),
+w AS (SELECT doc_id, token_id, max(s) AS weight FROM s WHERE s > 0 GROUP BY doc_id, token_id)
+SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY token_id) - 1 AS BIGINT) AS idx,
+  token_id, weight FROM w"""
+
   /** q23: raw-byte image codec → CLIP rescale+normalize (double) →
     * integer quantize → hash projection (dim 16, 8×8×3 CHW = 192 px).
     * Term-for-term mirror of [[graft.operators.ImagePipeline]]: byte i of
@@ -332,6 +342,9 @@ FROM events GROUP BY user_id, event_type"""
     "q21_fingerprint" -> q21_fingerprint(3, 4),
     "q22_backend_embed" -> q01_dense_embed,
     "q23_image_embed" -> q23_image_embed(16),
+    "q27_bgem3_dense" -> q01_dense_embed,
+    "q28_bgem3_sparse" -> q28_bgem3_sparse,
+    "q29_bgem3_colbert" -> q06_colbert(16),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
