@@ -108,6 +108,13 @@ object SparkEntry {
       Dedup.simhashNearDups(Dedup.simhash(docs(s, dir), "doc_id", "text"), "doc_id")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
+    // scale path: 60-bit signature, 4×15-bit bands (131k buckets/band
+    // instead of 256 — bucket occupancy shrinks with corpus growth)
+    "q15b_simhash60" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+        Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 60), "doc_id", bits = 60)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
     "q16_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 0.5)),
 

@@ -147,13 +147,21 @@ object Dedup {
       (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
   }
 
-  /** Near-dup pairs by hamming distance ≤ maxDist over 4 banded 8-bit
-    * chunks (pigeonhole: dist ≤ 3 ⇒ at least one of 4 bands equal). */
+  /** Near-dup pairs by hamming distance ≤ maxDist over `bands` banded
+    * chunks of a `bits`-wide signature (pigeonhole: dist ≤ bands-1 ⇒ at
+    * least one band equal). Scale note: the bucket count is
+    * bands·2^(bits/bands) and the within-bucket self-join is quadratic in
+    * bucket size — 32/4 (8-bit keys, 1,024 buckets) is only safe for
+    * small corpora; use 60/4 (15-bit keys, 131k buckets; 60 keeps the
+    * acc*2+bit signature fold inside positive signed-64 range for the
+    * SQL oracle) so bucket occupancy scales down with corpus size. */
   def simhashNearDups(sigs: DataFrame, idCol: String,
-                      maxDist: Int = 3): DataFrame = {
-    val bandCols = (0 until 4).map(b =>
+                      maxDist: Int = 3, bits: Int = 32,
+                      bands: Int = 4): DataFrame = {
+    val bandBits = bits / bands
+    val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        (shiftrightunsigned(col("simhash"), b * 8) % lit(256L)).as("key")))
+        (shiftrightunsigned(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("key")))
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))

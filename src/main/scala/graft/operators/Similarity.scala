@@ -26,23 +26,25 @@ object Similarity {
   }
 
   /** k-NN join: for each row of `queries` (small side — broadcast), the top
-    * k corpus rows by cosine. The corpus is never shuffled; the per-query
-    * ranking is a window over the joined result partitioned by query id.
-    * At 100 TB the corpus side streams partition-local through the
-    * broadcast nested-loop join, so cost is one corpus scan total. */
+    * k corpus rows by cosine. Scale shape: the corpus streams
+    * partition-local through the broadcast nested-loop join (one scan, no
+    * corpus shuffle), and the per-query ranking is a PARTIAL top-k
+    * aggregate ([[graft.functions.TopKAgg]]) — each map task keeps a
+    * k-bounded heap per query and emits ≤ k rows per query before the
+    * exchange, so the shuffle carries k·numPartitions·numQueries rows
+    * total, never the scored corpus×queries product (the row_number
+    * window it replaces exchanged everything and funneled each query's
+    * whole scored corpus through a single reducer). */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
-              k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = corpus.crossJoin(broadcast(queries))
+              k: Int): DataFrame =
+    corpus.crossJoin(broadcast(queries))
       .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(cIdCol).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(cIdCol), col("rank"), col("score"))
-  }
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
 
   /** Deterministic sign-LSH bucket id over `nPlanes` pseudo-random
     * hyperplanes: bit p = (v · plane_p > 0). Plane p dim d weight =
@@ -68,15 +70,17 @@ object Similarity {
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qb = queries.withColumn("bucket", lshBucket(col(qVecCol), dim, nPlanes))
     val cb = corpus.withColumn("bucket", lshBucket(col(cVecCol), dim, nPlanes))
-    val joined = cb.join(broadcast(qb), Seq("bucket"))
+    // the equality join means every candidate row shares its query's
+    // bucket, so grouping by (qid, bucket) still yields one group per
+    // query; ranking is the same partial top-k aggregate as knnJoin
+    cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(cIdCol).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(cIdCol), col("bucket"), col("rank"), col("score"))
+      .groupBy(col(qIdCol), col("bucket"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), col("bucket"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol), col("bucket"),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 }

@@ -202,9 +202,10 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
 t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0)
 SELECT doc_id, ${simhashSig(bits)} AS simhash FROM t2"""
 
-  def q15_simhash_neardups(bits: Int, maxDist: Int): String = {
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) % 256 AS key FROM sig")
+  def q15_simhash_neardups(bits: Int, maxDist: Int, bands: Int = 4): String = {
+    val bandBits = bits / bands
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * bandBits}) % ${1L << bandBits} AS key FROM sig")
       .mkString(" UNION ALL ")
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
 t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
@@ -334,6 +335,7 @@ FROM events GROUP BY user_id, event_type"""
     "q13_minhash_neardups" -> q13_minhash_neardups(0.35, 16, 4),
     "q14_simhash" -> q14_simhash(32),
     "q15_simhash_neardups" -> q15_simhash_neardups(32, 3),
+    "q15b_simhash60" -> q15_simhash_neardups(60, 3),
     "q16_ngram_jaccard" -> q16_ngram_jaccard(150L, 0.5),
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q18_lang_id" -> q18_lang_id,

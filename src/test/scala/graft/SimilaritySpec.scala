@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{K, Kernel, TopKAgg}
+import graft.operators.Similarity
+
+/** TopKAgg vs the window formulation it replaced, plus the plan-shape
+  * guarantees (partial aggregation, no Window/full-product exchange). */
+class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("knnJoin == row_number window formulation on real embeddings") {
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val fast = Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    val joined = e.crossJoin(broadcast(q))
+      .withColumn("score", Kernel.cosine(col("embedding"), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    val slow = joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("rank"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fast == slow)
+  }
+
+  test("knnJoin plan: partial top-k aggregation, no Window operator") {
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val plan = Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window must be gone:\n$plan")
+    assert(plan.contains("partial_topkagg"), s"expected map-side partial top-k:\n$plan")
+  }
+
+  test("topK aggregate: ties break by smaller id, best-first order") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
+      .toDF("id", "score")
+    val got = df.agg(TopKAgg.topK(col("score"), col("id"), 3).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.id"), col("e.score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got == List((2L, 0.9), (3L, 0.9), (1L, 0.5)))
+  }
+
+  test("topK aggregate survives repartitioning (partial/merge path)") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i % 7, i, ((i * 37) % 101).toDouble))
+    val df = rows.toDF("g", "id", "score")
+    def run(parts: Int) =
+      df.repartition(parts).groupBy(col("g"))
+        .agg(TopKAgg.topK(col("score"), col("id"), 4).as("t"))
+        .select(col("g"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getDouble(1))).toList).toMap
+    assert(run(1) == run(13))
+  }
+}
