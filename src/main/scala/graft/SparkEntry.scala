@@ -174,6 +174,23 @@ object SparkEntry {
           posexplode(col("vec")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("pos"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // registry-driven construction (S5/A4 wiring): model name → dim/
+    // pooling/maxLength/quantization; cls model shares q02's oracle
+    "q30_registry_embed" -> ((s, dir) =>
+      TextEmbedder.fromModel("graft-hash-64-cls")
+        .embed(docs(s, dir), "text", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
+
+    // multi-query rerank: first 4 docs as queries against the whole
+    // corpus — one broadcast, one corpus scan, no shuffle
+    "q31_rerank_multi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Reranker.rerankAll(
+        d.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", d, "doc_id", "text")
+    }),
+
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val d182 = DecimalType(18, 2)

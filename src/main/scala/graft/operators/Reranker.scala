@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Kernel
 
@@ -21,6 +21,53 @@ import graft.functions.Kernel
   * is applied — identical topology to `Similarity.topK`.
   */
 object Reranker {
+  import graft.functions.K
+
+  /** Pair encoding (P2, /root/reference/src/reranking/impl.rs:123-148):
+    * the (query, document) pair as ONE sequence with segment ids — query
+    * segment 0, document segment 1 — under a shared truncation budget of
+    * `maxLen` total tokens (the query keeps its tokens, the document
+    * fills the remainder: the "only_second" truncation dialect). Returns
+    * struct(input_ids: array<bigint>, token_type_ids: array<bigint>)
+    * parallel arrays — the cross-encoder input shape a real ONNX backend
+    * consumes. */
+  def pairEncode(query: Column, doc: Column, maxLen: Int = K.MaxLength): Column = {
+    val qt = Kernel.tokenIds(query, maxLen)
+    val dt = Kernel.tokenIds(doc, maxLen)
+    struct(
+      slice(concat(qt, dt), 1, maxLen).as("input_ids"),
+      // segment ids built per-array (0s like qt, 1s like dt) then
+      // truncated identically — no index lambda, so the tokenizer chain
+      // is never inlined into a per-element lambda body
+      slice(concat(transform(qt, _ => lit(0L)), transform(dt, _ => lit(1L))),
+        1, maxLen).as("token_type_ids"))
+  }
+
+  /** Multi-query rerank — the natural Spark generalization of the
+    * reference's one-query `rerank` (its tests rerank batches of docs per
+    * query): every (query, document) pair scored in one plan. The query
+    * side broadcasts (small), the doc corpus streams partition-local —
+    * one corpus scan for ALL queries, no shuffle. Output:
+    * (qIdCol, index = original doc id, score); order within a query is
+    * recovered by `ORDER BY score DESC, index ASC`. */
+  def rerankAll(queries: DataFrame, qIdCol: String, qTextCol: String,
+                docs: DataFrame, idCol: String, textCol: String,
+                returnDocuments: Boolean = false): DataFrame = {
+    val scored = docs
+      .withColumn("__dt", array_distinct(Kernel.tokenIds(col(textCol))))
+      .crossJoin(broadcast(
+        queries.select(col(qIdCol),
+          array_distinct(Kernel.tokenIds(col(qTextCol))).as("__qt"))))
+      .withColumn("__inter", size(array_intersect(col("__dt"), col("__qt"))))
+      .withColumn("__union", size(array_union(col("__dt"), col("__qt"))))
+      .withColumn("score",
+        when(col("__union") === 0, lit(0.0))
+          .otherwise(col("__inter").cast("double") / col("__union").cast("double")))
+    val base = scored.select(
+      (col(qIdCol) +: col(idCol).as("index") +: col("score") +:
+        (if (returnDocuments) Seq(col(textCol).as("document")) else Nil)): _*)
+    base
+  }
 
   /** Rerank `docs` against a single query string. Output columns:
     * (index = original id, score double, document string) ordered

@@ -29,7 +29,8 @@ object Pooling {
 case class TextEmbedder(
     dim: Int = K.Dim,
     maxLength: Int = K.MaxLength,
-    pooling: Pooling = Pooling.Mean) {
+    pooling: Pooling = Pooling.Mean,
+    quantization: graft.model.Quantization = graft.model.Quantization.None) {
 
   /** Token subset the pooling sees (Cls = first token, Last = last). */
   private def pooledTokens(tids: Column): Column = pooling match {
@@ -40,13 +41,24 @@ case class TextEmbedder(
 
   /** Adds `outCol: array<double>` (unit-norm, length `dim`) computed from
     * `textCol`. Rows whose text has no tokens are dropped (the reference
-    * cannot embed an empty encoding either). */
+    * cannot embed an empty encoding either).
+    *
+    * Dynamic quantization fits activation ranges over the WHOLE input
+    * batch (/root/reference/src/text_embedding/impl.rs:330-347 errors if
+    * the user batch splits the input) — the Spark analogue of that
+    * semantic constraint is single-partition execution, so the operator
+    * coalesces to 1 partition first. Anti-parallel by nature; surfaced
+    * here rather than silently violated. */
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val tids = "__graft_tids"
     val sums = "__graft_sums"
     val mean = "__graft_mean"
     val nrm = "__graft_norm"
-    df.withColumn(tids, pooledTokens(Kernel.tokenIds(col(textCol), maxLength)))
+    val in = quantization match {
+      case graft.model.Quantization.Dynamic => df.coalesce(1)
+      case _ => df
+    }
+    in.withColumn(tids, pooledTokens(Kernel.tokenIds(col(textCol), maxLength)))
       .filter(size(col(tids)) > 0)
       .withColumn(sums, Kernel.pooledSums(col(tids), dim))
       .withColumn(mean, Kernel.meanScaled(col(sums), size(col(tids))))
@@ -56,5 +68,17 @@ case class TextEmbedder(
       .withColumn(outCol,
         zip_with(col(mean), array_repeat(col(nrm) + lit(K.Eps), lit(dim)), (x, n) => x / n))
       .drop(tids, sums, mean, nrm)
+  }
+}
+
+object TextEmbedder {
+  /** Build the pipeline from a registry entry — the analogue of
+    * `TextEmbedding::try_new(InitOptions { model_name, .. })` resolving
+    * ModelInfo → dim/pooling/quantization/max_length
+    * (/root/reference/src/text_embedding/impl.rs:36-80). */
+  def fromModel(name: String = graft.model.ModelRegistry.DefaultModel): TextEmbedder = {
+    val m = graft.model.ModelRegistry(name)
+    TextEmbedder(dim = m.dim, maxLength = m.maxLength, pooling = m.pooling,
+      quantization = m.quantization)
   }
 }

@@ -140,6 +140,17 @@ SELECT doc_id AS "index", CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u::DOUBLE EN
 FROM s ORDER BY score DESC, "index" ASC"""
   }
 
+  /** Multi-query rerank: token-set Jaccard of every document against each
+    * of the first 4 documents' texts as queries. */
+  val q31_rerank_multi: String =
+    s"""WITH q AS (SELECT doc_id AS qid, list_distinct(${tids("text")}) AS qt FROM documents WHERE doc_id < 4),
+d AS (SELECT doc_id, list_distinct(${tids("text")}) AS dt FROM documents),
+s AS (SELECT qid, doc_id,
+  len(list_filter(dt, t -> list_contains(qt, t)))::BIGINT AS i,
+  (len(dt) + len(qt) - len(list_filter(dt, t -> list_contains(qt, t))))::BIGINT AS u
+  FROM d, q)
+SELECT qid, doc_id AS "index", CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u::DOUBLE END AS score FROM s"""
+
   val q10_pair_scores: String =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 list_reduce(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y) AS dot,
@@ -347,6 +358,8 @@ FROM events GROUP BY user_id, event_type"""
     "q27_bgem3_dense" -> q01_dense_embed,
     "q28_bgem3_sparse" -> q28_bgem3_sparse,
     "q29_bgem3_colbert" -> q06_colbert(16),
+    "q30_registry_embed" -> q02_cls_embed,
+    "q31_rerank_multi" -> q31_rerank_multi,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -69,6 +69,26 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sql == be)
   }
 
+  test("fromModel wires registry dim/pooling; unknown model throws") {
+    val cls = embAsMap(TextEmbedder.fromModel("graft-hash-64-cls")
+      .embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    val direct = embAsMap(TextEmbedder(pooling = Pooling.Cls)
+      .embed(docs, "text", "emb").select($"doc_id", $"emb"))
+    assert(cls == direct)
+    val wide = TextEmbedder.fromModel("graft-hash-128-mean")
+    assert(wide.dim == 128)
+    intercept[NoSuchElementException](TextEmbedder.fromModel("nope"))
+  }
+
+  test("Dynamic quantization forces single-partition execution, same results") {
+    val dyn = TextEmbedder.fromModel("graft-hash-64-mean-dynq")
+    assert(dyn.quantization == graft.model.Quantization.Dynamic)
+    val out = dyn.embed(docs.repartition(8), "text", "emb")
+    assert(out.rdd.getNumPartitions == 1) // whole-input-batch rule
+    assert(embAsMap(out.select($"doc_id", $"emb")) ==
+      embAsMap(TextEmbedder().embed(docs, "text", "emb").select($"doc_id", $"emb")))
+  }
+
   test("backend batch-size invariance (Q6)") {
     val withTids = docs.withColumn("tids", Kernel.tokenIds(col("text")))
       .select(col("doc_id"), col("tids"))

@@ -58,6 +58,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("pairEncode: segment ids and shared truncation budget (P2)") {
+    val df = Seq(("alpha beta gamma delta", "one two three four five")).toDF("q", "d")
+    val r = df.select(Reranker.pairEncode(col("q"), col("d"), maxLen = 6).as("p"))
+      .select(col("p.input_ids").as("ids"), col("p.token_type_ids").as("tt"))
+      .head()
+    val ids = r.getSeq[Long](0)
+    val tt = r.getSeq[Long](1)
+    assert(ids.length == 6) // 4 query + 5 doc tokens truncated to 6 total
+    assert(tt == Seq(0L, 0L, 0L, 0L, 1L, 1L)) // query segment 0, doc segment 1
+    // query tokens survive whole; doc fills the remainder
+    val qt = df.select(graft.functions.Kernel.tokenIds(col("q")).as("t")).head().getSeq[Long](0)
+    assert(ids.take(4) == qt)
+  }
+
+  test("rerankAll: per-query ranking matches single-query rerank") {
+    val queries = Seq((100L, "what is panda?"), (101L, "spark hash join")).toDF("qid", "qtext")
+    val out = Reranker.rerankAll(queries, "qid", "qtext", docs, "doc_id", "text")
+    assert(out.count() == 8) // 2 queries × 4 docs
+    val single = Reranker.rerank(spark, docs, "doc_id", "text", "what is panda?")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = out.filter(col("qid") === 100L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(single == multi)
+  }
+
   test("dedup exact: duplicate texts collapse to min id") {
     val d = Seq((0L, "same text here"), (1L, "Same  TEXT here!"), (2L, "different"))
       .toDF("doc_id", "text")
