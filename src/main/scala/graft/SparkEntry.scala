@@ -159,17 +159,22 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("bgem3.dense")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // single-reference extraction of the sub-struct first: CollapseProject
+    // inlines it, SimplifyExtractValueOps prunes the struct, and the
+    // dense/colbert branches vanish from this plan entirely
     "q28_bgem3_sparse" -> ((s, dir) =>
       Bgem3Embedder.embed(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("bgem3.sparse").as("sp"))
         .select(col("doc_id"), posexplode(
-          arrays_zip(col("bgem3.sparse.indices").as("token_id"),
-            col("bgem3.sparse.values").as("weight"))).as(Seq("idx", "z")))
+          arrays_zip(col("sp.indices").as("token_id"),
+            col("sp.values").as("weight"))).as(Seq("idx", "z")))
         .select(col("doc_id"), col("idx").cast("long").as("idx"),
           col("z.token_id").as("token_id"), col("z.weight").as("weight"))),
 
     "q29_bgem3_colbert" -> ((s, dir) =>
       Bgem3Embedder.embed(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
-        .select(col("doc_id"), posexplode(col("bgem3.colbert")).as(Seq("i", "vec")))
+        .select(col("doc_id"), col("bgem3.colbert").as("cb"))
+        .select(col("doc_id"), posexplode(col("cb")).as(Seq("i", "vec")))
         .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
           posexplode(col("vec")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("pos"), col("dim").cast("long").as("dim"), col("val"))),

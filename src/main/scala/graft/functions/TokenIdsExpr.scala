@@ -1,36 +1,18 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native tokenize + polynomial-hash expression — the hot inner loop of
-  * every text operator, as one imperative pass over the string instead of
-  * the interpreted HOF chain (split → per-char ascii → fold), which
-  * profiled ~100× slower per row.
-  *
-  * Semantics are EXACTLY
-  * `transform(slice(filter(split(regexp_replace(lower(text),'[^a-z0-9 ]',' '),'\\s+'), t -> t != ''), 1, maxLen), polyHash)`
-  * for any input: a char survives iff its (string) lowercase lands in
-  * [a-z0-9]; everything else acts as a separator. For non-ASCII chars
-  * that means `Character.toLowerCase` (e.g. Kelvin U+212A → 'k' joins
-  * the token), with the single one-to-many lowercase mapping U+0130
-  * ('İ' → "i" + combining dot) special-cased: it contributes 'i' and the
-  * combining dot then terminates the token, exactly as lower()+regexp
-  * does. Each token folds (acc*31 + char) % M over its chars. The HOF
-  * formulation stays in [[Kernel.tokenIdsHof]] and a spec asserts
-  * bit-equality between the two, including on non-ASCII fixtures.
-  */
-case class TokenIds(child: Expression, maxLen: Int) extends UnaryExpression
-    with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+/** The tokenize+hash inner loop as a plain static method so both the
+  * interpreted path and generated Java call the same JIT-friendly code
+  * (Scala objects emit static forwarders, so generated code can call
+  * `graft.functions.TokenIdsKernel.eval(...)` directly). */
+object TokenIdsKernel {
+  def eval(input: UTF8String, maxLen: Int): ArrayData = {
+    val s = input.toString
     val n = s.length
     val out = new Array[Long](math.min(maxLen, n / 2 + 1))
     var count = 0
@@ -70,6 +52,33 @@ case class TokenIds(child: Expression, maxLen: Int) extends UnaryExpression
     System.arraycopy(out, 0, trimmed, 0, count)
     new GenericArrayData(trimmed)
   }
+}
+
+/** Native tokenize + polynomial-hash expression — the hot inner loop of
+  * every text operator, as one imperative pass over the string instead of
+  * the interpreted HOF chain (split → per-char ascii → fold), which
+  * profiled ~100× slower per row.
+  *
+  * Semantics are EXACTLY
+  * `transform(slice(filter(split(regexp_replace(lower(text),'[^a-z0-9 ]',' '),'\\s+'), t -> t != ''), 1, maxLen), polyHash)`
+  * for any input: a char survives iff its (string) lowercase lands in
+  * [a-z0-9]; everything else acts as a separator (see
+  * [[TokenIdsKernel.eval]] for the U+212A/U+0130 Unicode notes). The HOF
+  * formulation stays in [[Kernel.tokenIdsHof]] and a spec asserts
+  * bit-equality between the two, including on non-ASCII fixtures.
+  *
+  * Generates code (no CodegenFallback): the call site stays inside its
+  * WholeStageCodegen region instead of forcing interpreted evaluation of
+  * the enclosing subtree. */
+case class TokenIds(child: Expression, maxLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenIdsKernel.eval(input.asInstanceOf[UTF8String], maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenIdsKernel.eval($c, $maxLen)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenIds =
     copy(child = newChild)

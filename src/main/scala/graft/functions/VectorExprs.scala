@@ -1,21 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Native integer-pooled projection (the inner loop of the hashing
-  * projector): for each dim d, Σ_tokens (t*A + d*B + C) % M — identical
-  * exact integer sums as the HOF formulation in [[Kernel.pooledSums]]
-  * (addition commutes, so iteration order is irrelevant), but as two
-  * tight JVM loops instead of ~dim×tokens interpreted lambda calls. */
-case class PooledSums(child: Expression, dim: Int) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+/** Static kernels for the native vector expressions — plain methods the
+  * generated Java calls directly (Scala objects emit static forwarders),
+  * so the expressions participate in whole-stage codegen instead of
+  * breaking their region with CodegenFallback. */
+object VectorKernels {
 
-  override def nullSafeEval(input: Any): Any = {
-    val tids = input.asInstanceOf[ArrayData]
+  def pooledSums(tids: ArrayData, dim: Int): ArrayData = {
     val n = tids.numElements()
     val out = new Array[Long](dim)
     var i = 0
@@ -32,21 +28,7 @@ case class PooledSums(child: Expression, dim: Int) extends UnaryExpression
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PooledSums =
-    copy(child = newChild)
-}
-
-/** Native SimHash signature: bit b of the result is set iff
-  * Σ_tokens (±1 by the low bit of (t*A2 + b*B2 + C2) % M) > 0, assembled
-  * high-bit-first as acc*2 + bit. Exact integer votes (order-free) —
-  * identical to the HOF formulation in [[graft.operators.Dedup.simhashSigHof]]
-  * and the DuckDB oracle. */
-case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val tids = input.asInstanceOf[ArrayData]
+  def simhashSig(tids: ArrayData, bits: Int): Long = {
     val n = tids.numElements()
     val votes = new Array[Long](bits)
     var i = 0
@@ -69,33 +51,9 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
-    copy(child = newChild)
-}
-
-/** Native cosine similarity with the reference's zero-vector guard
-  * (/root/reference/src/similarity.rs:19-26). Bit-identical to the HOF
-  * formulation in [[Kernel.cosineHof]]: elements widen to double, the
-  * dot and both norm folds run left-to-right in array order, norms via
-  * IEEE sqrt, guard returns exactly 0.0. Dot stops at the shorter array
-  * (src/similarity.rs:14-16); norms run over each full array. */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  // lazy: dataType is unresolved while the expression tree is being built
-  private lazy val leftFloat = elemIsFloat(left)
-  private lazy val rightFloat = elemIsFloat(right)
-
-  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
+    @inline def get(x: ArrayData, i: Int, isFloat: Boolean): Double =
+      if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
     val na = a.numElements()
     val nb = b.numElements()
     var sa = 0.0
@@ -115,6 +73,67 @@ case class CosineSim(left: Expression, right: Expression)
       dot / (normA * normB)
     }
   }
+}
+
+/** Native integer-pooled projection (the inner loop of the hashing
+  * projector): for each dim d, Σ_tokens (t*A + d*B + C) % M — identical
+  * exact integer sums as the HOF formulation in [[Kernel.pooledSums]]
+  * (addition commutes, so iteration order is irrelevant), but as two
+  * tight JVM loops instead of ~dim×tokens interpreted lambda calls. */
+case class PooledSums(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pooledSums(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.pooledSums($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): PooledSums =
+    copy(child = newChild)
+}
+
+/** Native SimHash signature: bit b of the result is set iff
+  * Σ_tokens (±1 by the low bit of (t*A2 + b*B2 + C2) % M) > 0, assembled
+  * high-bit-first as acc*2 + bit. Exact integer votes (order-free) —
+  * identical to the HOF formulation in [[graft.operators.Dedup.simhashSigHof]]
+  * and the DuckDB oracle. */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.simhashSig(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.simhashSig($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+/** Native cosine similarity with the reference's zero-vector guard
+  * (/root/reference/src/similarity.rs:19-26). Bit-identical to the HOF
+  * formulation in [[Kernel.cosineHof]]: elements widen to double, the
+  * dot and both norm folds run left-to-right in array order, norms via
+  * IEEE sqrt, guard returns exactly 0.0. Dot stops at the shorter array
+  * (src/similarity.rs:14-16); norms run over each full array. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // lazy: dataType is unresolved while the expression tree is being built
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosine($a, $b, $leftFloat, $rightFloat)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)

@@ -29,8 +29,17 @@ object Bgem3Embedder {
 
   /** Sorted (token_id, s) pairs with special ids skipped and duplicate
     * tokens max-merged — the reference's HashMap + sort_unstable
-    * (impl.rs:250-267) as a per-row fold. */
+    * (impl.rs:250-267) as one native JVM pass
+    * ([[graft.functions.SparsePairs]]); [[sparsePairsHof]] keeps the HOF
+    * formulation for cross-validation. */
   def sparsePairs(tids: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.SparsePairs(bridge.expression(tids)))
+  }
+
+  /** HOF formulation of [[sparsePairs]] (sort + fold with an array
+    * accumulator — correct but interpreted and quadratic per row). */
+  def sparsePairsHof(tids: Column): Column = {
     val scored = filter(
       transform(tids, (t, p) =>
         struct(t.as("token_id"), SparseEmbedder.occurrenceScore(t, p).as("s"))),

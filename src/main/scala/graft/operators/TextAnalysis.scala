@@ -26,8 +26,21 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
-  /** (id, lang_pred, lang_score): argmax over marker-hit counts. */
+  /** (id, lang_pred, lang_score): argmax over marker-hit counts — one
+    * native pass over the text ([[graft.functions.LangId]]); the HOF
+    * formulation stays in [[langIdHof]] for cross-validation (the oracle
+    * mirrors that form). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn("__r",
+        bridge.column(graft.functions.LangId(bridge.expression(col(textCol)), markers)))
+      .select(col(idCol), col("__r.lang_pred").as("lang_pred"),
+        col("__r.lang_score").as("lang_score"))
+  }
+
+  /** HOF formulation of [[langId]] (5 langs × 7 markers of interpreted
+    * `isin` filters — correct but ~35 comparisons per token). */
+  def langIdHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Kernel.tokens(col(textCol))
     val withScores = df.withColumn("__toks", toks)
     // fold over languages in code order; strict > keeps the earliest max

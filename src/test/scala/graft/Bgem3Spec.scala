@@ -35,6 +35,16 @@ class Bgem3Spec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(jp == sp)
   }
 
+  test("native sparsePairs == HOF formulation on real corpus") {
+    val tids = docs.withColumn("tids", graft.functions.Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+    val cmp = tids
+      .withColumn("fast", Bgem3Embedder.sparsePairs(col("tids")))
+      .withColumn("hof", Bgem3Embedder.sparsePairsHof(col("tids")))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+  }
+
   test("joint sparse: indices sorted asc, distinct, values > 0, specials absent") {
     joint.select(col("bgem3.sparse.indices"), col("bgem3.sparse.values")).collect().foreach { r =>
       val idx = r.getSeq[Long](0)

@@ -116,6 +116,21 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp.count() == 0)
   }
 
+  test("native LangId == HOF formulation on real corpus + edge cases") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "der die und le la de de de"),
+        (9003L, "THE QUICK BROWN FOX el la de y que en un"),
+        (9004L, "zh-ish de shi bu le wo you he 标记")
+      ).toDF("doc_id", "text"))
+    val fast = graft.operators.TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val hof = graft.operators.TextAnalysis.langIdHof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fast == hof)
+  }
+
   test("l2normalize yields unit norm with 1e-12 epsilon") {
     val n = eval1(Kernel.l2norm(Kernel.l2normalize(lit(Array(3.0, 4.0)))))
       .asInstanceOf[Double]
