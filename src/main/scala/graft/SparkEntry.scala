@@ -196,6 +196,14 @@ object SparkEntry {
         "qid", "qtext", d, "doc_id", "text")
     }),
 
+    // "query: " prefix templating (P5) feeding the dense pipeline
+    "q32_prefixed_embed" -> ((s, dir) =>
+      TextEmbedder()
+        .embed(docs(s, dir).withColumn("text", Templating.asQuery(col("text"))),
+          "text", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
+
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val d182 = DecimalType(18, 2)

@@ -168,6 +168,40 @@ object ImagePipeline {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Real-codec embedding with a config-driven preprocessing chain
+    * (S8/P6-P12): javax.imageio decode → [[Preprocess.Compose]]
+    * (resize → center-crop → rescale → normalize per the
+    * preprocessor_config.json dialect) → quantize → hash-project.
+    * Undecodable rows are dropped. Narrow, micro-batched like every
+    * inference path. */
+  def embedImagesCompose(df: DataFrame, idCol: String, bytesCol: String,
+                         compose: Preprocess.Compose,
+                         dim: Int = K.Dim, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { group =>
+        group.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](bIdx)).map { case (w, h, _, px) =>
+            val (img, norm) = compose(Preprocess.Img(w, h, px))
+            val qs = new Array[Long](norm.length)
+            var i = 0
+            while (i < norm.length) { qs(i) = quantize(norm(i)); i += 1 }
+            Row(r.getLong(idIdx), img.w, img.h, 3, projectPixels(qs, dim).toSeq)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Image-path ingest (S2,
     * /root/reference/src/image_embedding/impl.rs:155-186): directory of
     * image files → (path, bytes) via Spark's binaryFile source. Pushed

@@ -37,19 +37,22 @@ object OracleSql {
   /** Dense pipeline CTEs over `documents`. `subset` selects the pooled
     * token subset as an expression over `tids0`. Emits CTEs ending in
     * `emb(doc_id, emb)`. */
-  private def denseCtes(subset: String, dim: Int): String =
-    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids0 FROM documents),
+  private def denseCtes(subset: String, dim: Int, textExpr: String = "text"): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids(textExpr)} AS tids0 FROM documents),
 sel AS (SELECT doc_id, $subset AS tids FROM tok),
 sel2 AS (SELECT doc_id, tids FROM sel WHERE len(tids) > 0),
 m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(tids, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(tids)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM sel2),
 nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
 emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)"""
 
-  private def denseSelect(subset: String, dim: Int): String =
-    denseCtes(subset, dim) +
+  private def denseSelect(subset: String, dim: Int, textExpr: String = "text"): String =
+    denseCtes(subset, dim, textExpr) +
       "\nSELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"
 
   val q01_dense_embed: String = denseSelect("tids0", Dim)
+
+  /** q32: the "query: " prefix convention folded into the dense pipeline. */
+  val q32_prefixed_embed: String = denseSelect("tids0", Dim, "'query: ' || text")
   val q02_cls_embed: String = denseSelect("list_slice(tids0, 1, 1)", Dim)
   val q03_last_embed: String = denseSelect("list_slice(tids0, len(tids0), len(tids0))", Dim)
 
@@ -360,6 +363,7 @@ FROM events GROUP BY user_id, event_type"""
     "q29_bgem3_colbert" -> q06_colbert(16),
     "q30_registry_embed" -> q02_cls_embed,
     "q31_rerank_multi" -> q31_rerank_multi,
+    "q32_prefixed_embed" -> q32_prefixed_embed,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -89,6 +89,37 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
       embAsMap(TextEmbedder().embed(docs, "text", "emb").select($"doc_id", $"emb")))
   }
 
+  test("output-key precedence: OnlyOne → by-name → by-order, override first") {
+    import graft.backend.OutputPrecedence.select
+    assert(select(Seq("whatever")) == "whatever") // OnlyOne
+    assert(select(Seq("last_hidden_state", "text_embeds")) == "text_embeds")
+    assert(select(Seq("logits", "last_hidden_state")) == "last_hidden_state")
+    assert(select(Seq("a", "b")) == "a") // by-order fallback
+    assert(select(Seq("last_hidden_state", "sentence_embedding"),
+      overrideKey = Some("sentence_embedding")) == "sentence_embedding") // Gemma-style
+    assert(select(Seq("x", "y"), overrideKey = Some("missing")) == "x")
+  }
+
+  test("raw-backend transform hook: pooled route bit-equal, token route shaped") {
+    import graft.backend.{HashingBackend, HashingRawBackend, RawBackendEmbedder}
+    val withTids = docs
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+      .select(col("doc_id"), col("tids"))
+    // text_embeds route + identity transform == the plain backend path
+    val viaRaw = embAsMap(RawBackendEmbedder.embedWith(
+      withTids, "doc_id", "tids", HashingRawBackend(K.Dim),
+      transform = m => m(0), outputKey = Some("text_embeds")))
+    val plain = embAsMap(BackendEmbedder.embed(withTids, "doc_id", "tids", HashingBackend(K.Dim))
+      .select(col("doc_id"), col("embedding")))
+    assert(viaRaw == plain)
+    // last_hidden_state route: user closure sees [tokens × dim]
+    val firstTok = RawBackendEmbedder.embedWith(
+      withTids, "doc_id", "tids", HashingRawBackend(K.Dim),
+      transform = m => m.head, outputKey = Some("last_hidden_state"))
+    assert(firstTok.collect().forall(_.getSeq[Double](1).length == K.Dim))
+  }
+
   test("backend batch-size invariance (Q6)") {
     val withTids = docs.withColumn("tids", Kernel.tokenIds(col("text")))
       .select(col("doc_id"), col("tids"))

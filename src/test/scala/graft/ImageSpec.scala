@@ -1,0 +1,140 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{ImagePipeline, Preprocess}
+import graft.operators.Preprocess._
+
+/** Real image path: PNG decode via javax.imageio, Catmull-Rom resize,
+  * center-crop (incl. the zero-pad branch), config-dialect parsing, and
+  * the end-to-end Compose embed over binaryFile ingest. */
+class ImageSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  /** Deterministic RGB gradient PNG. */
+  private def pngBytes(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def solid(rgb: Int)(x: Int, y: Int): Int = rgb
+
+  test("decodeImage: PNG bytes → CHW planes with exact pixel values") {
+    val bytes = pngBytes(4, 2, (x, y) => (x << 16) | (y << 8) | 0x7f)
+    val Some((w, h, c, px)) = ImagePipeline.decodeImage(bytes)
+    assert((w, h, c) == (4, 2, 3))
+    val img = Img(w, h, px)
+    assert(img(0, 1, 3) == 3) // R plane = x
+    assert(img(1, 1, 3) == 1) // G plane = y
+    assert(img(2, 0, 0) == 0x7f) // B plane constant
+    assert(ImagePipeline.decodeImage(Array[Byte](1, 2, 3)).isEmpty) // junk bytes
+    assert(ImagePipeline.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("resizeExact: constant image stays constant at any size") {
+    val img = Img(10, 6, Array.fill(180)(137))
+    val out = resizeExact(img, 4, 8)
+    assert(out.w == 4 && out.h == 8)
+    assert(out.px.forall(_ == 137)) // Catmull-Rom weights sum to 1
+  }
+
+  test("resizeExact: 2x upscale of a step edge keeps the edge ordering") {
+    // left half 0, right half 200
+    val img = Img(8, 4, Array.tabulate(3 * 4 * 8)(i => if (i % 8 < 4) 0 else 200))
+    val out = resizeExact(img, 16, 8)
+    // monotone non-decreasing along each row (Catmull-Rom can overshoot
+    // at the edge but ordering of far-left vs far-right must hold)
+    assert(out(0, 0, 0) <= 10 && out(0, 0, 15) >= 190)
+  }
+
+  test("centerCrop: picks the center window; pad branch zero-fills") {
+    val img = Img(6, 6, Array.tabulate(108) { i => i % 36 }) // value = y*6+x per channel
+    val c = centerCrop(img, 2, 2)
+    assert(c.w == 2 && c.h == 2)
+    assert(c(0, 0, 0) == 2 * 6 + 2) // window starts at (2,2)
+    // pad branch: 2×2 image into 4×4 canvas → zeros around, image centered
+    val small = Img(2, 2, Array.fill(12)(9))
+    val p = centerCrop(small, 4, 4)
+    assert(p(0, 0, 0) == 0 && p(0, 1, 1) == 9 && p(0, 2, 2) == 9 && p(0, 3, 3) == 0)
+    // mixed branch: wider than crop, shorter than crop
+    val wide = Img(6, 2, Array.fill(36)(5))
+    val m = centerCrop(wide, 4, 4)
+    assert(m.w == 4 && m.h == 4)
+    assert(m(0, 0, 0) == 0 && m(0, 1, 0) == 5) // row 0 padded, row 1 image
+  }
+
+  test("Compose.fromJson: CLIP dialect with shortest_edge + int crop") {
+    val c = Compose.fromJson(
+      """{"image_processor_type": "CLIPImageProcessor", "do_resize": true,
+         "size": {"shortest_edge": 16}, "do_center_crop": true, "crop_size": 8,
+         "do_rescale": true, "rescale_factor": 0.00392156862745098,
+         "do_normalize": true,
+         "image_mean": [0.48145466, 0.4578275, 0.40821073],
+         "image_std": [0.26862954, 0.26130258, 0.27577711]}""")
+    assert(c.steps == Seq(Resize(16, 16), CenterCrop(8, 8),
+      Rescale(0.00392156862745098),
+      Normalize(ImagePipeline.ClipMean, ImagePipeline.ClipStd)) ||
+      c.steps.length == 4) // array equality is reference-based; check shape
+    assert(c.steps(0) == Resize(16, 16))
+    assert(c.steps(1) == CenterCrop(8, 8))
+    val (img, norm) = c(Img(20, 12, Array.fill(720)(128)))
+    assert(img.w == 8 && img.h == 8 && norm.length == 192)
+    // constant 128 → (128/255 - mean)/std per channel
+    val expected0 = (128.0 * 0.00392156862745098 - 0.48145466) / 0.26862954
+    assert(math.abs(norm(0) - expected0) < 1e-12)
+  }
+
+  test("Compose.fromJson: ConvNext dialect (<384 → resize(edge/pct) + crop)") {
+    val c = Compose.fromJson(
+      """{"image_processor_type": "ConvNextFeatureExtractor",
+         "size": {"shortest_edge": 224}, "crop_pct": 0.875}""")
+    assert(c.steps(0) == Resize(256, 256)) // 224/0.875 = 256
+    assert(c.steps(1) == CenterCrop(224, 224))
+    assert(c.steps(2) == Rescale(1.0 / 255.0)) // do_rescale defaults true
+    val big = Compose.fromJson(
+      """{"image_processor_type": "ConvNextFeatureExtractor",
+         "size": {"shortest_edge": 384}}""")
+    assert(big.steps(0) == Resize(384, 384))
+    assert(!big.steps.exists(_.isInstanceOf[CenterCrop]))
+    intercept[IllegalArgumentException](Compose.fromJson("""{"image_processor_type": "Nope"}"""))
+  }
+
+  test("embedImagesCompose over binaryFile ingest: end-to-end real path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgs").toFile
+    try {
+      (0 until 5).foreach { i =>
+        val bytes = pngBytes(12 + i, 10, (x, y) => ((x * 17 + i) % 256 << 16) | (y * 11 % 256 << 8) | (i * 40 % 256))
+        java.nio.file.Files.write(new java.io.File(dir, s"img_$i.png").toPath, bytes)
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "junk.png").toPath, Array[Byte](1, 2, 3))
+      val raw = ImagePipeline.readImages(spark, dir.getAbsolutePath, "*.png")
+        .withColumn("id", monotonically_increasing_id())
+      val compose = Compose.fromJson(
+        """{"do_resize": true, "size": {"shortest_edge": 8},
+           "do_center_crop": true, "crop_size": 8, "do_normalize": true,
+           "image_mean": [0.48145466, 0.4578275, 0.40821073],
+           "image_std": [0.26862954, 0.26130258, 0.27577711]}""")
+      val out = ImagePipeline.embedImagesCompose(raw, "id", "content", compose, dim = 16)
+        .collect()
+      assert(out.length == 5) // junk row dropped, not crashed
+      out.foreach { r =>
+        assert(r.getInt(1) == 8 && r.getInt(2) == 8)
+        val v = r.getSeq[Double](4)
+        assert(v.length == 16)
+        assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+      }
+      // determinism across runs
+      val again = ImagePipeline.embedImagesCompose(raw, "id", "content", compose, dim = 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](4)).toMap
+      assert(out.map(r => r.getLong(0) -> r.getSeq[Double](4)).toMap == again)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
