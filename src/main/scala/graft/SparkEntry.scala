@@ -126,6 +126,15 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // 16 planes (65k buckets — the scale lever) + 1-flip multi-probe
+    // recovering the recall a single-bucket lookup loses
+    "q17b_ann_multiprobe" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.annLshMultiProbe(q, "qid", "qv", e, "vec_id", "embedding", K.Dim, 16, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

@@ -80,26 +80,26 @@ object BackendRegistry {
   * partition in micro-batches of `batchSize` (reference default 256,
   * src/text_embedding/mod.rs:5), run the per-executor backend once per
   * micro-batch, emit (id, embedding) rows. Narrow — no shuffle; the
-  * partition iterator never materializes more than one micro-batch. */
+  * partition iterator never materializes more than one micro-batch.
+  * Implemented as typed `Dataset.mapPartitions` (not `df.rdd`): rows
+  * stay in Tungsten encoding, and the operator applies unchanged to
+  * Structured Streaming DataFrames. */
 object BackendEmbedder {
   def embed(df: DataFrame, idCol: String, tidsCol: String,
             backend: EmbeddingBackend, batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val tIdx = df.schema.fieldIndex(tidsCol)
+    import spark.implicits._
     val bKey = backend.toString
-    val rows = df.rdd.mapPartitions { it =>
-      val be = BackendRegistry.getOrCreate(bKey, () => backend)
-      it.grouped(batchSize).flatMap { group =>
-        val ids = group.map(_.getLong(idIdx))
-        val tids = group.map(r => r.getSeq[Long](tIdx).toArray)
-        val embs = be.embedBatch(tids)
-        ids.zip(embs).map { case (id, e) => Row(id, e.toSeq) }
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(tidsCol))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val be = BackendRegistry.getOrCreate(bKey, () => backend)
+        it.grouped(batchSize).flatMap { group =>
+          val embs = be.embedBatch(group.map(_._2))
+          group.map(_._1).zip(embs)
+        }
       }
-    }
-    spark.createDataFrame(rows, outSchema)
+      .toDF(idCol, "embedding")
   }
 }

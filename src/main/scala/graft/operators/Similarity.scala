@@ -67,6 +67,33 @@ object Similarity {
     * ~2^nPlanes-fold; bucket join is a hash join on the bucket id instead
     * of a cross join). Recall is traded for throughput; the brute-force
     * `knnJoin` stays the exact baseline. */
+  /** Multi-probe sign-LSH ANN: with more hyperplanes the bucket space
+    * grows (2^nPlanes — the scale lever: bucket occupancy shrinks as
+    * planes are added) but a single-bucket lookup loses recall; each
+    * query therefore also probes the nPlanes buckets at Hamming
+    * distance 1 from its own (one sign flip — the planes most likely to
+    * have flipped for a true neighbor). A corpus row lives in exactly one
+    * bucket, so a (query, corpus) pair joins at most once — no dedup
+    * needed. Ranking is the same partial top-k aggregate over ALL probed
+    * buckets per query. */
+  def annLshMultiProbe(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       corpus: DataFrame, cIdCol: String, cVecCol: String,
+                       dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val qb = queries.withColumn("__qbucket", lshBucket(col(qVecCol), dim, nPlanes))
+      .withColumn("bucket", explode(array(
+        (col("__qbucket") +: (0 until nPlanes)
+          .map(p => col("__qbucket").bitwiseXOR(lit(1L << p)))): _*)))
+      .drop("__qbucket")
+    val cb = corpus.withColumn("bucket", lshBucket(col(cVecCol), dim, nPlanes))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+  }
+
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {

@@ -257,6 +257,21 @@ j AS (SELECT qb.qid, cb.vec_id, cb.bucket, ${cosineSql("cb.embedding", "qb.qv")}
   FROM cb JOIN qb ON cb.bucket = qb.bucket)
 SELECT qid, vec_id, bucket, rnk, score FROM j WHERE rnk <= $k"""
 
+  /** Multi-probe ANN: each query probes its own bucket plus the nPlanes
+    * one-bit-flip neighbors; rank over all probed candidates. */
+  def q17b_ann_multiprobe(dim: Int, nPlanes: Int, k: Int): String = {
+    val probes = (0 until nPlanes)
+      .map(p => s"SELECT qid, qv, xor(bucket, ${1L << p}) AS bucket FROM qb0")
+      .mkString(" UNION ALL ")
+    s"""WITH cb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+qb0 AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM cb WHERE vec_id < 8),
+probe AS (SELECT qid, qv, bucket FROM qb0 UNION ALL $probes),
+j AS (SELECT qb.qid, cb.vec_id, ${cosineSql("cb.embedding", "qb.qv")} AS score,
+  row_number() OVER (PARTITION BY qb.qid ORDER BY ${cosineSql("cb.embedding", "qb.qv")} DESC, cb.vec_id ASC) AS rnk
+  FROM cb JOIN probe qb ON cb.bucket = qb.bucket)
+SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -352,6 +367,7 @@ FROM events GROUP BY user_id, event_type"""
     "q15b_simhash60" -> q15_simhash_neardups(60, 3),
     "q16_ngram_jaccard" -> q16_ngram_jaccard(150L, 0.5),
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
+    "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

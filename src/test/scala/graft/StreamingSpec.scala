@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.TextEmbedder
+import graft.streaming.StreamingOps
+
+/** Structured Streaming surface: streaming results must equal the batch
+  * plan on the same rows (the operators are narrow/stateless), and the
+  * stateful dedup keeps first occurrences with watermark-bounded state. */
+class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("embedStream micro-batches == batch embedding bit-for-bit") {
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingOps.embedStream(
+      ms.toDF().toDF("doc_id", "text"), "text", "emb")
+      .select($"doc_id", $"emb")
+    val q = out.writeStream.format("memory").queryName("graft_embs")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L, "spark query engine"), (1L, "hash join plan"))
+      q.processAllAvailable()
+      ms.addData((2L, "broadcast the small side"))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_embs").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      val batch = TextEmbedder().embed(
+        Seq((0L, "spark query engine"), (1L, "hash join plan"),
+          (2L, "broadcast the small side")).toDF("doc_id", "text"), "text", "emb")
+        .select($"doc_id", $"emb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("dedupExactStream keeps first occurrence across micro-batches") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.dedupExactStream(
+      ms.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("graft_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      ms.addData((0L, "same text here", t0), (1L, "Same  TEXT here!", t0))
+      q.processAllAvailable()
+      ms.addData((2L, "same text here", Timestamp.valueOf("2026-01-01 10:01:00")),
+        (3L, "fresh content", Timestamp.valueOf("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("graft_dedup").select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L))
+      assert(ids.intersect(Set(0L, 1L)).size == 1) // one survivor of the dup pair
+      assert(!ids.contains(2L)) // cross-batch duplicate suppressed by state
+    } finally q.stop()
+  }
+
+  test("qualityStatsStream windows finalize with correct aggregates") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.qualityStatsStream(
+      ms.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 minute", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("graft_stats")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (0L, "one two three", Timestamp.valueOf("2026-01-01 10:01:00")),
+        (1L, "four five", Timestamp.valueOf("2026-01-01 10:02:00")),
+        (2L, "six", Timestamp.valueOf("2026-01-01 10:07:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_stats")
+        .select($"n_docs", $"total_words", $"min_words", $"max_words")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set((2L, 5L, 2L, 3L), (1L, 1L, 1L, 1L)))
+    } finally q.stop()
+  }
+}
