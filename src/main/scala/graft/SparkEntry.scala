@@ -135,6 +135,11 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // embedding-space near-dup: LSH bucket self-join + exact cosine gate
+    "q33_embedding_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        K.Dim, 8, 0.4)),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

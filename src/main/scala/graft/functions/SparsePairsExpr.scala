@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
 
 object SparsePairsKernel {
   /** token ids → sorted (token_id, score) pairs: score the occurrence at
-    * each position, keep strictly-positive scores of non-special tokens
-    * (ids > 3), merge duplicate tokens by MAX, indices ascending. Same
-    * double arithmetic term-for-term as
+    * each position, keep strictly-positive scores of tokens with
+    * id > minIdExclusive (3 = BGE-M3 special-id skip; -1 = keep all),
+    * merge duplicate tokens by MAX, indices ascending. Same double
+    * arithmetic term-for-term as
     * [[graft.operators.SparseEmbedder.occurrenceScore]]:
     * ((t*A2 + p*B2 + C2) % M) / M * 2 - 1. */
-  def eval(tids: ArrayData): ArrayData = {
+  def eval(tids: ArrayData, minIdExclusive: Long): ArrayData = {
     val n = tids.numElements()
     // (token, score) candidates
     val toks = new Array[Long](n)
@@ -22,7 +23,7 @@ object SparsePairsKernel {
     var p = 0
     while (p < n) {
       val t = tids.getLong(p)
-      if (t > 3L) {
+      if (t > minIdExclusive) {
         val s = ((t * K.A2 + p.toLong * K.B2 + K.C2) % K.M).toDouble / K.M.toDouble * 2.0 - 1.0
         if (s > 0.0) { toks(m) = t; scores(m) = s; m += 1 }
       }
@@ -58,7 +59,7 @@ object SparsePairsKernel {
   * [[graft.operators.Bgem3Embedder.sparsePairsHof]] and to the
   * relational explode→groupBy→max path (spec-asserted — all three share
   * the q28 oracle). */
-case class SparsePairs(child: Expression) extends UnaryExpression {
+case class SparsePairs(child: Expression, minIdExclusive: Long = 3L) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("token_id", LongType, nullable = false),
@@ -66,10 +67,10 @@ case class SparsePairs(child: Expression) extends UnaryExpression {
     containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    SparsePairsKernel.eval(input.asInstanceOf[ArrayData])
+    SparsePairsKernel.eval(input.asInstanceOf[ArrayData], minIdExclusive)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SparsePairsKernel.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SparsePairsKernel.eval($c, ${minIdExclusive}L)")
 
   override protected def withNewChildInternal(newChild: Expression): SparsePairs =
     copy(child = newChild)

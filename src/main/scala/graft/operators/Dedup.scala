@@ -175,6 +175,24 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket self-join (only
+    * same-bucket pairs are scored — the candidate set shrinks
+    * ~2^nPlanes-fold) → exact cosine ≥ threshold. The embedding-space
+    * member of the dedup family; the bucket count is the scale lever,
+    * like [[Similarity.annLshMultiProbe]]. */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    val b = vecs.withColumn("__bucket",
+      Similarity.lshBucket(col(vecCol), dim, nPlanes))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
+    l.join(r, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Kernel.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact token-set Jaccard near-dups over all pairs — quadratic; callers
     * restrict the id range (the exact baseline for the detectors above). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -29,13 +29,37 @@ object SparseEmbedder {
     (((tid * lit(K.A2) + pos * lit(K.B2) + lit(K.C2)) % lit(K.M)).cast("double") /
       lit(K.M.toDouble)) * lit(2.0) - lit(1.0)
 
+  /** Per-row sorted (token_id, s) pairs via the native kernel
+    * ([[graft.functions.SparsePairs]]). */
+  private def pairsCol(tids: Column, skipSpecial: Boolean): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.SparsePairs(bridge.expression(tids),
+      if (skipSpecial) 3L else -1L))
+  }
+
   /** Exploded sparse representation: (idCol, token_id, weight) rows with
     * weight = max over positions of relu(score) kept strictly positive.
     * `skipSpecial` drops token ids 0..3 (BGE-M3 semantics,
-    * impl.rs:276-277). */
+    * impl.rs:276-277).
+    *
+    * NARROW: the per-doc max-merge happens inside the per-row native
+    * kernel, so there is no explode→groupBy exchange at all — at 100 TB
+    * the operator scales with input splits like the dense path. The
+    * relational formulation (what the DuckDB oracle mirrors, and the
+    * shape you'd use if weights came from a rank-3 tensor column) stays
+    * in [[sparseExplodedRelational]], spec-asserted equal. */
   def sparseExploded(df: DataFrame, idCol: String, textCol: String,
                      maxLength: Int = K.MaxLength,
-                     skipSpecial: Boolean = false): DataFrame = {
+                     skipSpecial: Boolean = false): DataFrame =
+    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .select(col(idCol), explode(pairsCol(col("__tids"), skipSpecial)).as("p"))
+      .select(col(idCol), col("p.token_id").as("token_id"), col("p.s").as("weight"))
+
+  /** The explode → groupBy(doc, token).max relational formulation of
+    * [[sparseExploded]] — one shuffle, map-side partial max. */
+  def sparseExplodedRelational(df: DataFrame, idCol: String, textCol: String,
+                               maxLength: Int = K.MaxLength,
+                               skipSpecial: Boolean = false): DataFrame = {
     val base = df
       .select(col(idCol), posexplode(Kernel.tokenIds(col(textCol), maxLength)).as(Seq("pos", "token_id")))
     val filtered = if (skipSpecial) base.filter(col("token_id") > 3) else base
@@ -48,18 +72,18 @@ object SparseEmbedder {
 
   /** Reference-shaped output: one row per doc with
     * struct(indices: array<bigint> sorted asc, values: array<double>)
-    * parallel arrays (src/common.rs:18-22; sort asc impl.rs:296-301). */
+    * parallel arrays (src/common.rs:18-22; sort asc impl.rs:296-301).
+    * Narrow — built per-row from the native pairs, no shuffle. */
   def sparseStruct(df: DataFrame, idCol: String, textCol: String,
-                   maxLength: Int = K.MaxLength): DataFrame = {
-    val exploded = sparseExploded(df, idCol, textCol, maxLength)
-    exploded
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("token_id"), col("weight")))).as("pairs"))
+                   maxLength: Int = K.MaxLength): DataFrame =
+    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) > 0)
+      .select(col(idCol), pairsCol(col("__tids"), skipSpecial = false).as("pairs"))
+      .filter(size(col("pairs")) > 0)
       .select(
         col(idCol),
         struct(
           transform(col("pairs"), p => p("token_id")).as("indices"),
-          transform(col("pairs"), p => p("weight")).as("values")
+          transform(col("pairs"), p => p("s")).as("values")
         ).as("sparse"))
-  }
 }

@@ -272,6 +272,13 @@ j AS (SELECT qb.qid, cb.vec_id, ${cosineSql("cb.embedding", "qb.qv")} AS score,
 SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
   }
 
+  /** Embedding-cosine near-dups: same-bucket self-join + cosine gate. */
+  def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosineSql("a.embedding", "c.embedding")} AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ${cosineSql("a.embedding", "c.embedding")} >= $threshold"""
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -368,6 +375,7 @@ FROM events GROUP BY user_id, event_type"""
     "q16_ngram_jaccard" -> q16_ngram_jaccard(150L, 0.5),
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),
+    "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 8, 0.4),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

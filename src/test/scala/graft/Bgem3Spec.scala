@@ -30,7 +30,7 @@ class Bgem3Spec extends AnyFunSuite with SparkSessionTestWrapper {
         arrays_zip(col("bgem3.sparse.indices").as("t"), col("bgem3.sparse.values").as("w"))).as("z"))
       .select(col("doc_id"), col("z.t"), col("z.w"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val sp = SparseEmbedder.sparseExploded(docs, "doc_id", "text", skipSpecial = true)
+    val sp = SparseEmbedder.sparseExplodedRelational(docs, "doc_id", "text", skipSpecial = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(jp == sp)
   }

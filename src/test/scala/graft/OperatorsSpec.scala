@@ -30,6 +30,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("narrow sparseExploded == relational explode/groupBy formulation") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(SparseEmbedder.sparseExploded(real, "doc_id", "text")) ==
+      asSet(SparseEmbedder.sparseExplodedRelational(real, "doc_id", "text")))
+    assert(asSet(SparseEmbedder.sparseExploded(real, "doc_id", "text", skipSpecial = true)) ==
+      asSet(SparseEmbedder.sparseExplodedRelational(real, "doc_id", "text", skipSpecial = true)))
+    // and the narrow plan really is narrow
+    val plan = SparseEmbedder.sparseExploded(real, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow sparse must not shuffle:\n$plan")
+  }
+
   test("colbert: truncation to max_length=5 yields exactly 4 token vectors") {
     // reference: colbert_shape[1] == seq_len-1 (tests/bgem3.rs:221-236)
     val one = Seq((0L, "one two three four five six seven")).toDF("doc_id", "text")
