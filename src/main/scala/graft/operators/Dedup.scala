@@ -22,8 +22,20 @@ object Dedup {
 
   /** Exact dedup on normalized text: md5 group key (Spark and DuckDB both
     * implement standard MD5 over UTF-8). One row per distinct text with
-    * the surviving (minimum) id and the duplicate count. */
+    * the surviving (minimum) id and the duplicate count. Normalization is
+    * the one-pass native [[graft.functions.TextNorm]]; [[exactHof]] keeps
+    * the HOF formulation the oracle mirrors. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val norm = bridge.column(
+      graft.functions.TextNorm(bridge.expression(col(textCol)), Nil))("norm")
+    df.withColumn("__h", md5(norm))
+      .groupBy(col("__h").as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** HOF formulation of [[exact]] (interpreted regexp+split chain). */
+  def exactHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = concat_ws(" ", Kernel.tokens(col(textCol)))
     df.withColumn("__h", md5(norm))
       .groupBy(col("__h").as("text_hash"))

@@ -62,8 +62,33 @@ object TextAnalysis {
   /** Quality metrics per doc: n_chars, n_words, avg word length,
     * punctuation ratio, stopword ratio, and a composite score. Ratios are
     * single exact divisions of integers; the composite is a fixed linear
-    * combination — both mirrored in the oracle. */
+    * combination — both mirrored in the oracle. Word/char/stop counts come
+    * from the one-pass native [[graft.functions.TextNorm]];
+    * [[qualityHof]] keeps the HOF formulation. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn("__tn",
+        bridge.column(graft.functions.TextNorm(bridge.expression(col(textCol)), stopwords)))
+      .filter(col("__tn.n_words") > 0)
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_words", col("__tn.n_words"))
+      .withColumn("alpha_chars", col("__tn.alpha_chars"))
+      .withColumn("avg_word_len",
+        col("alpha_chars").cast("double") / col("n_words").cast("double"))
+      .withColumn("punct_ratio",
+        (col("n_chars") - col("alpha_chars")).cast("double") / col("n_chars").cast("double"))
+      .withColumn("stop_ratio",
+        col("__tn.stops").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality_score",
+        col("stop_ratio") * lit(0.5) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
+          when(col("n_words") >= 20 && col("n_words") <= 1000, lit(0.2)).otherwise(lit(0.0)))
+      .select(col(idCol), col("n_chars"), col("n_words"), col("avg_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+  }
+
+  /** HOF formulation of [[quality]] (three interpreted regexp/HOF chains
+    * per row), kept for cross-validation. */
+  def qualityHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Kernel.tokens(col(textCol))
     df.withColumn("__toks", toks)
       .filter(size(col("__toks")) > 0)

@@ -131,6 +131,23 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fast == hof)
   }
 
+  test("native TextNorm paths (exact dedup, quality) == HOF formulations") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, " A!  b? "), (9003L, "The of and IS in... on at"),
+        (9004L, "Öäü xy 42")
+      ).toDF("doc_id", "text"))
+    val ops = graft.operators.Dedup
+    def dSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dSet(ops.exact(docs, "doc_id", "text")) == dSet(ops.exactHof(docs, "doc_id", "text")))
+    val ta = graft.operators.TextAnalysis
+    def qMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(qMap(ta.quality(docs, "doc_id", "text")) == qMap(ta.qualityHof(docs, "doc_id", "text")))
+  }
+
   test("l2normalize yields unit norm with 1e-12 epsilon") {
     val n = eval1(Kernel.l2norm(Kernel.l2normalize(lit(Array(3.0, 4.0)))))
       .asInstanceOf[Double]
