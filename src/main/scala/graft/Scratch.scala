@@ -7,6 +7,11 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // keep configs aligned with Verify/Bench so audited plans are the
+      // plans that actually run
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -18,6 +23,11 @@ object Scratch {
       return
     }
     val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    if (sys.env.get("PLAN_MODE").contains("formatted")) {
+      df.explain("formatted")
+      spark.stop()
+      return
+    }
     val plan = df.queryExecution.optimizedPlan.toString
     println("=== occurrences of tokenizer chain (regexp_replace): " +
       "regexp_replace".r.findAllIn(plan).length)
