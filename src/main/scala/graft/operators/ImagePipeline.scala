@@ -141,31 +141,25 @@ object ImagePipeline {
                   dim: Int = K.Dim, batchSize: Int = 256,
                   real: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val idIdx = df.schema.fieldIndex(idCol)
-    val bIdx = df.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("channels", IntegerType, nullable = false),
-      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val rows = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { group =>
-        group.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](bIdx)
-          val decoded =
-            if (real) decodeImage(bytes) else Some(decodeRaw(bytes))
-          decoded.map { case (w, h, c, px) =>
-            val norm = rescaleNormalize(px, c)
-            val qs = new Array[Long](norm.length)
-            var i = 0
-            while (i < norm.length) { qs(i) = quantize(norm(i)); i += 1 }
-            Row(r.getLong(idIdx), w, h, c, projectPixels(qs, dim).toSeq)
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { group =>
+          group.flatMap { case (id, bytes) =>
+            val decoded =
+              if (real) decodeImage(bytes) else Some(decodeRaw(bytes))
+            decoded.map { case (w, h, c, px) =>
+              val norm = rescaleNormalize(px, c)
+              val qs = new Array[Long](norm.length)
+              var i = 0
+              while (i < norm.length) { qs(i) = quantize(norm(i)); i += 1 }
+              (id, w, h, c, projectPixels(qs, dim))
+            }
           }
         }
       }
-    }
-    spark.createDataFrame(rows, outSchema)
+      .toDF(idCol, "width", "height", "channels", "embedding")
   }
 
   /** Real-codec embedding with a config-driven preprocessing chain
@@ -178,28 +172,23 @@ object ImagePipeline {
                          compose: Preprocess.Compose,
                          dim: Int = K.Dim, batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
-    val idIdx = df.schema.fieldIndex(idCol)
-    val bIdx = df.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("channels", IntegerType, nullable = false),
-      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val rows = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { group =>
-        group.flatMap { r =>
-          decodeImage(r.getAs[Array[Byte]](bIdx)).map { case (w, h, _, px) =>
-            val (img, norm) = compose(Preprocess.Img(w, h, px))
-            val qs = new Array[Long](norm.length)
-            var i = 0
-            while (i < norm.length) { qs(i) = quantize(norm(i)); i += 1 }
-            Row(r.getLong(idIdx), img.w, img.h, 3, projectPixels(qs, dim).toSeq)
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { group =>
+          group.flatMap { case (id, bytes) =>
+            decodeImage(bytes).map { case (w, h, _, px) =>
+              val (img, norm) = compose(Preprocess.Img(w, h, px))
+              val qs = new Array[Long](norm.length)
+              var i = 0
+              while (i < norm.length) { qs(i) = quantize(norm(i)); i += 1 }
+              (id, img.w, img.h, 3, projectPixels(qs, dim))
+            }
           }
         }
       }
-    }
-    spark.createDataFrame(rows, outSchema)
+      .toDF(idCol, "width", "height", "channels", "embedding")
   }
 
   /** Image-path ingest (S2,
