@@ -51,6 +51,26 @@ object VectorKernels {
     sig
   }
 
+  /** Word n-gram shingle ids: for each window start p, fold
+    * (a*31 + tid) % M over the n tids — identical arithmetic to the HOF
+    * in [[graft.operators.Dedup.shinglesHof]]. Empty when fewer than n
+    * tokens. */
+  def shingles(tids: ArrayData, n: Int): ArrayData = {
+    val len = tids.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var a = 0L
+      var i = 0
+      while (i < n) { a = (a * 31L + tids.getLong(p + i)) % K.M; i += 1 }
+      out(p) = a
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
     @inline def get(x: ArrayData, i: Int, isFloat: Boolean): Double =
       if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
@@ -108,6 +128,21 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.simhashSig($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+/** Native shingle expression over a token-id array — one rolling JVM
+  * pass instead of an interpreted fold per window position. */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
 

@@ -42,8 +42,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
-  /** Word `n`-gram shingle ids: fold of the n token ids mod M. */
+  /** Word `n`-gram shingle ids: fold of the n token ids mod M — one
+    * native rolling pass ([[graft.functions.Shingles]]); [[shinglesHof]]
+    * keeps the HOF formulation the oracle mirrors. Callers must filter
+    * size ≥ n (both forms; the HOF misbehaves below that via descending
+    * `sequence`). */
   def shingles(tids: Column, n: Int): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.Shingles(bridge.expression(tids), n))
+  }
+
+  /** HOF formulation of [[shingles]] (interpreted fold per window). */
+  def shinglesHof(tids: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(tids) - lit(n))
     transform(idx, p =>
       aggregate(slice(tids, p + 1, lit(n)), lit(0L), (a, t) => (a * lit(31L) + t) % lit(K.M)))

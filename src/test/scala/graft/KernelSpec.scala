@@ -116,6 +116,17 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp.count() == 0)
   }
 
+  test("native Shingles == HOF formulation on real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) >= 3)
+    val cmp = docs
+      .withColumn("fast", graft.operators.Dedup.shingles(col("tids"), 3))
+      .withColumn("hof", graft.operators.Dedup.shinglesHof(col("tids"), 3))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+  }
+
   test("native LangId == HOF formulation on real corpus + edge cases") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
