@@ -140,6 +140,14 @@ object SparkEntry {
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         K.Dim, 8, 0.4)),
 
+    // the full curation composition: near-dup pairs → deduplicated corpus
+    "q34_dedup_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.removeNearDups(d, "doc_id",
+        Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.35))
+        .select(col("doc_id"))
+    }),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

@@ -197,6 +197,14 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Corpus-level dedup — the step a training pipeline actually runs:
+    * given near-dup pairs (id_a < id_b), drop every id_b via a left-anti
+    * join, keeping the smallest id of each duplicate group that any pair
+    * names. One shuffle-side anti join; the pairs side is tiny relative
+    * to the corpus, so AQE broadcasts it. */
+  def removeNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucket self-join (only
     * same-bucket pairs are scored — the candidate set shrinks
     * ~2^nPlanes-fold) → exact cosine ≥ threshold. The embedding-space

@@ -203,6 +203,11 @@ FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.
 WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
   }
 
+  /** Deduplicated corpus: drop id_b of every near-dup pair. */
+  def q34_dedup_corpus(threshold: Double, numHashes: Int, bands: Int): String =
+    s"""SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN
+(SELECT id_b FROM (${q13_minhash_neardups(threshold, numHashes, bands)}) p)"""
+
   /** SimHash signature fold: acc*2 + bit over bits high→low; the list is
     * seeded with 0 so DuckDB's init-less reduce starts the fold at 0. */
   private def simhashSig(bits: Int): String = {
@@ -376,6 +381,7 @@ FROM events GROUP BY user_id, event_type"""
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 8, 0.4),
+    "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

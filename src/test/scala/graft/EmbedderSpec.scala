@@ -89,6 +89,20 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
       embAsMap(TextEmbedder().embed(docs, "text", "emb").select($"doc_id", $"emb")))
   }
 
+  test("tokenizer config: min(user, model) truncation, sentinel max, pad fields") {
+    import graft.model.TokenizerConfig
+    val cfg = TokenizerConfig.fromJson(
+      """{"model_max_length": 128, "pad_token": "<pad>", "pad_token_id": 1}""")
+    assert(cfg.modelMaxLength == 128L && cfg.padToken == "<pad>" && cfg.padTokenId == 1L)
+    assert(cfg.effectiveMaxLength(512) == 128) // model caps user
+    assert(cfg.effectiveMaxLength(64) == 64) // user caps model
+    // BGEBaseSmall-style sentinel: 1000000000000000019884624838656
+    val big = TokenizerConfig.fromJson(
+      """{"model_max_length": 1000000000000000019884624838656}""")
+    assert(big.effectiveMaxLength(512) == 512)
+    intercept[IllegalArgumentException](TokenizerConfig.fromJson("{}"))
+  }
+
   test("output-key precedence: OnlyOne → by-name → by-order, override first") {
     import graft.backend.OutputPrecedence.select
     assert(select(Seq("whatever")) == "whatever") // OnlyOne
