@@ -34,6 +34,54 @@ object StreamingOps {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming SimHash near-dup detection — the custom-state shape
+    * (`flatMapGroupsWithState`): per LSH band bucket, each arriving
+    * document's signature is compared against the signatures already
+    * seen in that bucket's state; pairs within `maxDist` hamming are
+    * emitted as (id_a, id_b, hamming) with id_a the earlier-seen doc.
+    * A pair can surface from more than one band — dedupe downstream if
+    * exact-once pairs matter. State per bucket is the bucket's (id, sig)
+    * list; at scale, band keys spread state across the store and a
+    * processing-time timeout (here: none, caller can add) or TTL policy
+    * bounds it. */
+  def simhashNearDupStream(stream: DataFrame, idCol: String, textCol: String,
+                           bits: Int = 60, bands: Int = 4,
+                           maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bandBits = bits / bands
+    val sigs = graft.operators.Dedup.simhash(stream, idCol, textCol, bits)
+    val banded = sigs.select(col(idCol).cast("long"), col("simhash"),
+        explode(org.apache.spark.sql.functions.array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[(Long, Long, Int, Long)]
+    banded
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+          rows.foreach { case (id, sig, _, _) =>
+            seen.foreach { case (seenId, seenSig) =>
+              if (seenId != id) {
+                val ham = java.lang.Long.bitCount(sig ^ seenSig).toLong
+                if (ham <= maxDist)
+                  out += ((math.min(seenId, id), math.max(seenId, id), ham))
+              }
+            }
+            seen = (id, sig) :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+
   /** Windowed quality/volume stats over a document stream — watermarked
     * tumbling-window aggregation (late data beyond the watermark is
     * dropped, windows finalize incrementally). */

@@ -58,6 +58,28 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("simhashNearDupStream flags near-dups across micro-batches via state") {
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingOps.simhashNearDupStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("graft_neardups")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "completely different content about query optimization"))
+      q.processAllAvailable()
+      assert(spark.table("graft_neardups").count() == 0)
+      // an exact duplicate of doc 0 arrives in a LATER micro-batch —
+      // only bucket state can link them
+      ms.addData((2L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val pairs = spark.table("graft_neardups")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pairs.contains((0L, 2L, 0L)))
+      assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L))
+    } finally q.stop()
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
