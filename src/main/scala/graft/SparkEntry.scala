@@ -135,6 +135,14 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // IVF-Flat: deterministic coarse quantizer (16 cells), 4-cell probe
+    "q17c_ivf_flat" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfFlat(q, "qid", "qv", e, "vec_id", "embedding", 16, 4, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // embedding-space near-dup: LSH bucket self-join + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",

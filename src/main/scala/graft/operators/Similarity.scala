@@ -67,6 +67,70 @@ object Similarity {
     * ~2^nPlanes-fold; bucket join is a hash join on the bucket id instead
     * of a cross join). Recall is traded for throughput; the brute-force
     * `knnJoin` stays the exact baseline. */
+  /** Squared L2 distance between two vector columns (elements widened to
+    * double; the (x-y)² tree is mirrored in the SQL oracle). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (s, v) => s + v)
+
+  /** IVF-Flat ANN — the inverted-file scale path: corpus rows are
+    * assigned to their nearest coarse-quantizer centroid in ONE narrow
+    * pass (centroids ride into the plan as a literal array — no join, no
+    * shuffle of the corpus), queries probe their `nProbe` nearest cells,
+    * and ranking touches only the probed cells' members via a broadcast
+    * join + partial top-k aggregate. Search cost drops by ~nCells/nProbe
+    * versus brute force; recall is the probe-count dial.
+    *
+    * The coarse quantizer here is deterministic — the corpus rows with
+    * the `nCells` smallest ids — so the whole operator is oracle-able;
+    * a k-means trainer slots into the same (cellId, centroid) contract.
+    * Ties break toward the lower cell id on both assignment and probe
+    * order. */
+  def ivfFlat(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = corpus
+      .filter(col(cIdCol) < nCells)
+      .select(col(cIdCol).cast("long"), col(cVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+    val centLit = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cell"), lit(v).as("cvec"))
+    }: _*)
+
+    // per-row argmin over the literal centroid array (strict < keeps the
+    // earliest = lowest cell id on ties)
+    def nearestCell(vec: Column): Column =
+      aggregate(centLit,
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cell")),
+        (acc, c) => {
+          val d = l2sq(vec, c("cvec"))
+          when(d < acc("d"), struct(d.as("d"), c("cell").as("cell"))).otherwise(acc)
+        })("cell")
+
+    val assigned = corpus.withColumn("__cell", nearestCell(col(cVecCol)))
+    val probes = queries.withColumn("__probe",
+        explode(slice(array_sort(
+          transform(centLit, c =>
+            struct(l2sq(col(qVecCol), c("cvec")).as("d"), c("cell").as("cell")))),
+          1, nProbe)))
+      .select(col(qIdCol), col(qVecCol), col("__probe.cell").as("__cell"))
+
+    assigned.join(broadcast(probes), Seq("__cell"))
+      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+  }
+
   /** Multi-probe sign-LSH ANN: with more hyperplanes the bucket space
     * grows (2^nPlanes — the scale lever: bucket occupancy shrinks as
     * planes are added) but a single-bucket lookup loses recall; each

@@ -277,6 +277,28 @@ j AS (SELECT qb.qid, cb.vec_id, ${cosineSql("cb.embedding", "qb.qv")} AS score,
 SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
   }
 
+  /** Squared L2 between two list expressions, (a[i]-b[i])² fold. */
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x,y) -> x+y)"
+
+  /** IVF-Flat: assign each row to nearest of the first nCells vectors
+    * (ties → lower cell), probe nProbe nearest cells per query, rank
+    * probed members only. */
+  def q17c_ivf_flat(nCells: Int, nProbe: Int, k: Int): String =
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, embedding, cell FROM (
+  SELECT e.vec_id, e.embedding, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.vec_id AS qid, q.embedding AS qv, c.cell,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${l2sqSql("q.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) t WHERE rn <= $nProbe),
+j AS (SELECT qp.qid, a.vec_id, ${cosineSql("a.embedding", "qp.qv")} AS score,
+  row_number() OVER (PARTITION BY qp.qid ORDER BY ${cosineSql("a.embedding", "qp.qv")} DESC, a.vec_id ASC) AS rnk
+  FROM assign a JOIN qprobe qp ON a.cell = qp.cell)
+SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
+
   /** Embedding-cosine near-dups: same-bucket self-join + cosine gate. */
   def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double): String =
     s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings)
@@ -380,6 +402,7 @@ FROM events GROUP BY user_id, event_type"""
     "q16_ngram_jaccard" -> q16_ngram_jaccard(150L, 0.5),
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),
+    "q17c_ivf_flat" -> q17c_ivf_flat(16, 4, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 8, 0.4),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q18_lang_id" -> q18_lang_id,

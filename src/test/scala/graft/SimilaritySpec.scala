@@ -37,6 +37,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("partial_topkagg"), s"expected map-side partial top-k:\n$plan")
   }
 
+  test("ivfFlat: sane ranks, corpus-narrow assignment, probe recall vs brute force") {
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ivf = Similarity.ivfFlat(q, "qid", "qv", e, "vec_id", "embedding", 16, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    // per query: ranks are 1..n contiguous, scores non-increasing
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length).toSeq)
+      assert(sorted.map(_._4).toSeq.reverse == sorted.map(_._4).toSeq.reverse.sorted)
+    }
+    // probing ALL cells must recover exact brute-force top-k
+    val all = Similarity.ivfFlat(q, "qid", "qv", e, "vec_id", "embedding", 16, 16, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val brute = Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(all == brute)
+  }
+
   test("topK aggregate: ties break by smaller id, best-first order") {
     import spark.implicits._
     val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
