@@ -16,17 +16,33 @@ object Quantization {
   case object Dynamic extends Quantization
 }
 
+/** The reference keeps a registry per modality (text_embedding.rs,
+  * sparse.rs, bgem3.rs, reranking.rs, image_embedding.rs under
+  * /root/reference/src/models/); here one catalog with a `kind`
+  * discriminator serves the same five surfaces. */
+sealed trait ModelKind
+object ModelKind {
+  case object Dense extends ModelKind
+  case object Sparse extends ModelKind
+  case object Bgem3 extends ModelKind
+  case object Rerank extends ModelKind
+  case object Image extends ModelKind
+}
+
 /** Model descriptor — the analogue of the reference's `ModelInfo`
   * (/root/reference/src/models/model_info.rs:4-14): name, dim,
   * description, pooling default (src/text_embedding/impl.rs:158-218),
-  * quantization, and truncation cap. */
+  * quantization, truncation cap, kind, and output-key override
+  * (src/models/text_embedding.rs:423 `sentence_embedding` for Gemma). */
 final case class ModelInfo(
     name: String,
     dim: Int,
     description: String,
     pooling: Pooling,
     quantization: Quantization = Quantization.None,
-    maxLength: Int = K.MaxLength)
+    maxLength: Int = K.MaxLength,
+    kind: ModelKind = ModelKind.Dense,
+    outputKey: Option[String] = None)
 
 /** Static in-memory registry, the analogue of the reference's
   * `OnceLock<HashMap<Model, ModelInfo>>`
@@ -45,7 +61,17 @@ object ModelRegistry {
     ModelInfo("graft-hash-128-mean", 128, "128-d hashing projector, mean pooling", Pooling.Mean),
     ModelInfo("graft-hash-384-mean", 384, "384-d hashing projector, mean pooling (BGE-small shape)", Pooling.Mean),
     ModelInfo("graft-hash-64-mean-dynq", 64, "64-d projector, dynamic quantization (single-batch rule)",
-      Pooling.Mean, Quantization.Dynamic)
+      Pooling.Mean, Quantization.Dynamic),
+    ModelInfo("graft-sparse-64", 64, "occurrence-score sparse extractor (SPLADE role)",
+      Pooling.Mean, kind = ModelKind.Sparse),
+    ModelInfo("graft-bgem3-64", 64, "joint dense+sparse+colbert (BGE-M3 role)",
+      Pooling.Mean, kind = ModelKind.Bgem3),
+    ModelInfo("graft-rerank-jaccard", 1, "token-set Jaccard cross-encoder role",
+      Pooling.Mean, kind = ModelKind.Rerank),
+    ModelInfo("graft-image-16", 16, "pixel hash projector, CLIP preprocessing",
+      Pooling.Mean, kind = ModelKind.Image),
+    ModelInfo("graft-hash-64-sentemb", 64, "pooled-output model (sentence_embedding key, Gemma role)",
+      Pooling.Mean, outputKey = Some("sentence_embedding"))
   ).map(m => m.name -> m).toMap
 
   @volatile private var userModels: Map[String, ModelInfo] = Map.empty
@@ -58,4 +84,9 @@ object ModelRegistry {
     get(name).getOrElse(throw new NoSuchElementException(s"unknown model: $name"))
   def listSupportedModels(): Seq[ModelInfo] =
     (builtin ++ userModels).values.toSeq.sortBy(_.name)
+
+  /** Per-modality listing — the analogue of each reference registry's
+    * own `list_supported_models`. */
+  def listSupportedModels(kind: ModelKind): Seq[ModelInfo] =
+    listSupportedModels().filter(_.kind == kind)
 }

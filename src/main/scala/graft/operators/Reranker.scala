@@ -69,6 +69,22 @@ object Reranker {
     base
   }
 
+  /** Scale path of [[rerankAll]]: keep only each query's top-k docs via
+    * the partial top-k aggregate — ≤ k rows per query per map task reach
+    * the exchange, so reranking a 100 TB corpus against a query batch
+    * never sorts or shuffles the scored product (the full-ordering
+    * variant is a global sort by construction). Output:
+    * (qIdCol, index, rank, score). */
+  def rerankTopK(queries: DataFrame, qIdCol: String, qTextCol: String,
+                 docs: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame =
+    rerankAll(queries, qIdCol, qTextCol, docs, idCol, textCol)
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("index"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as("index"),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+
   /** Rerank `docs` against a single query string. Output columns:
     * (index = original id, score double, document string) ordered
     * score desc, index asc. `returnDocuments=false` drops the text column

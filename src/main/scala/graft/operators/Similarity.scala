@@ -131,6 +131,37 @@ object Similarity {
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 
+  /** Persist an LSH-bucketed corpus as a BUCKETED table (hash-bucketed
+    * and sorted on the LSH bucket id): the index-build step that
+    * amortizes across query batches. Joins and self-joins on `bucket`
+    * against this table read pre-shuffled data — Spark's bucketed
+    * sort-merge join elides the exchange on every bucketed side, which
+    * at 100 TB means the corpus is shuffled ONCE at build time and never
+    * again. */
+  def writeLshIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                    dim: Int, nPlanes: Int, table: String,
+                    numBuckets: Int = 32): Unit =
+    corpus.withColumn("bucket", lshBucket(col(cVecCol), dim, nPlanes))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "bucket").sortBy("bucket")
+      .saveAsTable(table)
+
+  /** ANN lookup against a prebuilt [[writeLshIndex]] table. */
+  def annLshJoinIndexed(spark: SparkSession, queries: DataFrame,
+                        qIdCol: String, qVecCol: String,
+                        table: String, cIdCol: String, cVecCol: String,
+                        dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val cb = spark.table(table)
+    val qb = queries.withColumn("bucket", lshBucket(col(qVecCol), dim, nPlanes))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .groupBy(col(qIdCol), col("bucket"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), col("bucket"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol), col("bucket"),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+  }
+
   /** Multi-probe sign-LSH ANN: with more hyperplanes the bucket space
     * grows (2^nPlanes — the scale lever: bucket occupancy shrinks as
     * planes are added) but a single-bucket lookup loses recall; each

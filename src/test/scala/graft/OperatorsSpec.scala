@@ -98,6 +98,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(single == multi)
   }
 
+  test("rerankTopK: top-k of rerankAll per query, partial-agg plan") {
+    val queries = Seq((100L, "what is panda?"), (101L, "other short text")).toDF("qid", "qtext")
+    val top = Reranker.rerankTopK(queries, "qid", "qtext", docs, "doc_id", "text", 2)
+    val rows = top.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.count(_._1 == 100L) == 2 && rows.count(_._1 == 101L) == 2)
+    val all = Reranker.rerankAll(queries, "qid", "qtext", docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (qid, idx, rank, score) =>
+      val expected = all.filter(_._1 == qid).sortBy(t => (-t._3, t._2)).apply(rank - 1)
+      assert((expected._2, expected._3) == (idx, score))
+    }
+    assert(top.queryExecution.executedPlan.toString.contains("partial_topkagg"))
+  }
+
+  test("model registry kinds cover all five reference registries") {
+    import graft.model.{ModelKind, ModelRegistry}
+    Seq(ModelKind.Dense, ModelKind.Sparse, ModelKind.Bgem3, ModelKind.Rerank, ModelKind.Image)
+      .foreach(k => assert(ModelRegistry.listSupportedModels(k).nonEmpty, s"no models of kind $k"))
+    assert(ModelRegistry("graft-hash-64-sentemb").outputKey.contains("sentence_embedding"))
+  }
+
   test("dedup exact: duplicate texts collapse to min id") {
     val d = Seq((0L, "same text here"), (1L, "Same  TEXT here!"), (2L, "different"))
       .toDF("doc_id", "text")
