@@ -234,6 +234,17 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // the SQL function surface end-to-end: same simhash semantics as
+    // q14, expressed in pure SQL via the registered graft_* functions
+    "q35_sql_simhash" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT doc_id, graft_simhash(graft_token_ids(text)) AS simhash
+           FROM graft_documents
+           WHERE size(graft_token_ids(text)) > 0""")
+    }),
+
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val d182 = DecimalType(18, 2)

@@ -102,4 +102,18 @@ object BackendEmbedder {
       }
       .toDF(idCol, "embedding")
   }
+
+  /** Padding-minimization variant (SURVEY §4 "sort-by-length within
+    * partition"): rows sort by token count inside each partition before
+    * micro-batching, so every batch a real padded-tensor backend sees is
+    * near-uniform in length — batch-longest padding waste collapses.
+    * A narrow, shuffle-free transformation; results are identical for
+    * any contract-abiding backend (batch-size invariance, spec-checked
+    * here via the hashing backend). */
+  def embedLengthBucketed(df: DataFrame, idCol: String, tidsCol: String,
+                          backend: EmbeddingBackend, batchSize: Int = 256): DataFrame =
+    embed(
+      df.sortWithinPartitions(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(tidsCol))),
+      idCol, tidsCol, backend, batchSize)
 }

@@ -87,7 +87,8 @@ object Dedup {
     * agrees exactly. Band key folds that band's minhashes into one bigint.
     * Self-join is on (band, key) — only bucket collisions are compared. */
   def lshCandidates(sigs: DataFrame, idCol: String,
-                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                    bands: Int = 4, rowsPerBand: Int = 4,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandKey: Int => Column = b =>
       (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"m$i"))
@@ -95,8 +96,23 @@ object Dedup {
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    // skew guard: a band bucket holding > maxBucketSize docs is
+    // non-discriminative (a hub signature) and would self-join
+    // quadratically — at scale, cap it. The true near-dup pairs such a
+    // bucket would find almost always recur in a smaller bucket of
+    // another band (the standard MinHash hub-shingle mitigation).
+    // Default = uncapped, preserving exact MMDS semantics.
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val sizes = banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("band"), col("key"))
+        banded.join(sizes, Seq("band", "key"))
+      }
+    val l = guarded.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val r = guarded.select(col(idCol).as("id_b"), col("band"), col("key"))
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -405,6 +405,7 @@ FROM events GROUP BY user_id, event_type"""
     "q17c_ivf_flat" -> q17c_ivf_flat(16, 4, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 8, 0.4),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
+    "q35_sql_simhash" -> q14_simhash(32),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

@@ -134,6 +134,19 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(firstTok.collect().forall(_.getSeq[Double](1).length == K.Dim))
   }
 
+  test("length-bucketed backend path: identical results, sorted micro-batches") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+      .select(col("doc_id"), col("tids"))
+    val plain = embAsMap(BackendEmbedder.embed(real, "doc_id", "tids", HashingBackend())
+      .select(col("doc_id"), col("embedding")))
+    val bucketed = embAsMap(
+      BackendEmbedder.embedLengthBucketed(real, "doc_id", "tids", HashingBackend())
+        .select(col("doc_id"), col("embedding")))
+    assert(plain == bucketed)
+  }
+
   test("backend batch-size invariance (Q6)") {
     val withTids = docs.withColumn("tids", Kernel.tokenIds(col("text")))
       .select(col("doc_id"), col("tids"))

@@ -137,6 +137,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sigs(0L) != sigs(2L))
   }
 
+  test("lshCandidates hot-bucket cap drops hub buckets, keeps true dups") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh = Dedup.shingleSet(real, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh, "doc_id")
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // the verified true near-dups must all survive the cap
+    val trueDups = Dedup.jaccardOnPairs(
+      Dedup.lshCandidates(sigs, "doc_id"), sh, "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.subsetOf(capped))
+  }
+
   test("minhash near-dups finds a true near-duplicate pair") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
