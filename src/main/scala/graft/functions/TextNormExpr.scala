@@ -16,6 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - alpha_chars: total chars across tokens
   *    (== length(regexp_replace(lower(text), "[^a-z0-9]", "")))
   *  - stops: multiset count of tokens in the stopword set
+  *  - ws_tokens: count of maximal non-whitespace runs
+  *    (== size(filter(split(text, "\\s+"), t -> t != '')))
   *
   * Replaces 3-4 interpreted regexp/HOF chains per row; the HOF
   * formulations remain in the operators' *Hof variants and the SQL
@@ -27,7 +29,8 @@ case class TextNorm(child: Expression, stopwords: Seq[String])
     StructField("norm", StringType, nullable = false),
     StructField("n_words", LongType, nullable = false),
     StructField("alpha_chars", LongType, nullable = false),
-    StructField("stops", LongType, nullable = false)))
+    StructField("stops", LongType, nullable = false),
+    StructField("ws_tokens", LongType, nullable = false)))
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -46,6 +49,8 @@ case class TextNorm(child: Expression, stopwords: Seq[String])
     var nWords = 0L
     var alphaChars = 0L
     var stops = 0L
+    var wsTokens = 0L
+    var inWsRun = false // inside a maximal non-whitespace run
     var tokStart = -1 // start of current token in `out`, -1 = none
 
     def endToken(): Unit = {
@@ -61,6 +66,10 @@ case class TextNorm(child: Expression, stopwords: Seq[String])
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
+      // Java regex \s = [ \t\n\x0B\f\r]
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isWs) inWsRun = false
+      else if (!inWsRun) { wsTokens += 1; inWsRun = true }
       val lc: Int =
         if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c.toInt
         else if (c >= 'A' && c <= 'Z') c.toInt + 32
@@ -87,7 +96,7 @@ case class TextNorm(child: Expression, stopwords: Seq[String])
       i += 1
     }
     endToken()
-    InternalRow(UTF8String.fromString(out.toString), nWords, alphaChars, stops)
+    InternalRow(UTF8String.fromString(out.toString), nWords, alphaChars, stops, wsTokens)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

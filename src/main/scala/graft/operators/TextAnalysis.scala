@@ -112,8 +112,20 @@ object TextAnalysis {
 
   /** Token counting: whitespace tokens, alphanumeric regex tokens (a
     * BPE-ish `[a-z0-9]+` segmentation), and a 4-chars-per-token heuristic
-    * estimate. */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * estimate — all from the one-pass native [[graft.functions.TextNorm]]
+    * ([[tokenCountsHof]] keeps the regex formulation the oracle mirrors). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn("__tn",
+        bridge.column(graft.functions.TextNorm(bridge.expression(col(textCol)), Nil)))
+      .select(col(idCol),
+        col("__tn.ws_tokens").as("ws_tokens"),
+        col("__tn.n_words").as("alnum_tokens"),
+        ceil(length(col(textCol)).cast("double") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** HOF/regex formulation of [[tokenCounts]]. */
+  def tokenCountsHof(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("ws_tokens",
         size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long"))
       .withColumn("alnum_tokens",
