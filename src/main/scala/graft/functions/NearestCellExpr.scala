@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Coarse-quantizer assignment: the id of the centroid with minimal
+  * squared-L2 distance to the input vector (strict < keeps the earliest
+  * = lowest cell id on ties — identical semantics to the HOF fold it
+  * replaces in [[graft.operators.Similarity.ivfFlat]] and to the oracle's
+  * `ORDER BY dist, cell LIMIT 1`). One tight JVM loop per row — the
+  * per-row hot path of an IVF index build over a 100 TB corpus. */
+case class NearestCell(child: Expression, cells: Array[Long],
+                       centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    evalVec(input.asInstanceOf[ArrayData])
+
+  def evalVec(v: ArrayData): Long = {
+    val n = v.numElements()
+    var best = -1L
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val x = (if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cent(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = cells(c) }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCell", this, classOf[NearestCell].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalVec($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}

@@ -104,17 +104,12 @@ object Similarity {
       struct(lit(id).as("cell"), lit(v).as("cvec"))
     }: _*)
 
-    // per-row argmin over the literal centroid array (strict < keeps the
-    // earliest = lowest cell id on ties)
-    def nearestCell(vec: Column): Column =
-      aggregate(centLit,
-        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cell")),
-        (acc, c) => {
-          val d = l2sq(vec, c("cvec"))
-          when(d < acc("d"), struct(d.as("d"), c("cell").as("cell"))).otherwise(acc)
-        })("cell")
-
-    val assigned = corpus.withColumn("__cell", nearestCell(col(cVecCol)))
+    // per-row argmin as a native expression (strict < keeps the earliest
+    // = lowest cell id on ties; same fold order as the SQL oracle)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val assigned = corpus.withColumn("__cell", bridge.column(
+      graft.functions.NearestCell(bridge.expression(col(cVecCol)),
+        cents.map(_._1), cents.map(_._2))))
     val probes = queries.withColumn("__probe",
         explode(slice(array_sort(
           transform(centLit, c =>
