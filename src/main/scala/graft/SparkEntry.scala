@@ -245,6 +245,17 @@ object SparkEntry {
            WHERE size(graft_token_ids(text)) > 0""")
     }),
 
+    // audio multimodal plumbing: raw PCM16 codec (oracle-reproducible),
+    // frame energy features → projection — checked like q23
+    "q36_audio_embed" -> ((s, dir) =>
+      AudioPipeline.embedPcm(
+        docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")),
+        "doc_id", "pcm", frameLen = 16, dim = 16)
+        .select(col("doc_id"), col("n_frames"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("n_frames"),
+          col("dim").cast("long").as("dim"), col("val"))),
+
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val d182 = DecimalType(18, 2)

@@ -98,6 +98,21 @@ nr AS (SELECT doc_id, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b)
 emb AS (SELECT doc_id, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
 
+  /** q36: raw PCM16 audio codec — UTF-8 text bytes as little-endian
+    * sample pairs, non-overlapping frames of 16, per-frame energy Σs²
+    * mod M, then the shared projector. Mirrors
+    * [[graft.operators.AudioPipeline]] term-for-term. */
+  def q36_audio_embed(frameLen: Int, dim: Int): String =
+    s"""WITH b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+sm AS (SELECT doc_id, list_transform(range(0, len(bs) // 2), j -> ((bs[2*j + 1] + 256 * bs[2*j + 2] + 32768) % 65536) - 32768) AS s FROM b),
+fe AS (SELECT doc_id, list_transform(range(0, len(s) // $frameLen), f ->
+  list_reduce(list_transform(range(1, ${frameLen + 1}), i -> s[f*$frameLen + i] * s[f*$frameLen + i]), (a,b) -> a+b) % $M) AS qs FROM sm),
+f2 AS (SELECT doc_id, qs FROM fe WHERE len(qs) > 0),
+m AS (SELECT doc_id, len(qs)::BIGINT AS n_frames, list_transform(range(0, $dim), d -> (list_reduce(list_transform(qs, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(qs)::DOUBLE / $M.0) * 2.0 - 1.0) AS mnv FROM f2),
+nr AS (SELECT doc_id, n_frames, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, n_frames, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, n_frames, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+
   /** ColBERT: unit vector per (token, pos ≥ 1), dim 16, doc_id < 100. */
   def q06_colbert(dim: Int): String =
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents WHERE doc_id < 100),
@@ -406,6 +421,7 @@ FROM events GROUP BY user_id, event_type"""
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 8, 0.4),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(32),
+    "q36_audio_embed" -> q36_audio_embed(16, 16),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,
