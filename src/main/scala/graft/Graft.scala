@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.K
+import graft.model.{ModelKind, ModelRegistry}
+import graft.operators._
+
+/** Init options — the analogue of the reference's `InitOptions` /
+  * `InitOptionsWithLength` (/root/reference/src/init.rs:11-21). Fields
+  * that govern a local ONNX runtime (execution providers, cache dir,
+  * download progress, intra-op threads) have no meaning on a cluster —
+  * executor parallelism replaces them — and are intentionally absent. */
+final case class InitOptions(
+    modelName: String = ModelRegistry.DefaultModel,
+    maxLength: Option[Int] = None,
+    batchSize: Int = 256)
+
+/** The reference-shaped facade: one constructor per fastembed-rs entry
+  * point, returning the Spark-native operator configured from the model
+  * registry. The mapping for a migrating user:
+  *
+  * | fastembed-rs | graft |
+  * |---|---|
+  * | `TextEmbedding::try_new(opts)` then `.embed(texts, bs)` | `Graft.textEmbedding(opts).embed(df, "text", "emb")` |
+  * | `SparseTextEmbedding` → `Vec<SparseEmbedding>` | `Graft.sparseTextEmbedding(...)` → `(id, sparse struct)` rows |
+  * | `Bgem3Embedding` → dense+sparse+colbert | `Graft.bgem3Embedding(...)` → `(id, bgem3 struct)` rows |
+  * | `TextRerank::rerank(query, docs, ret, bs)` | `Graft.textRerank(spark, docs, …, query)` |
+  * | `ImageEmbedding::embed(paths/bytes)` | `Graft.imageEmbedding(...)` over a binary column / `ImagePipeline.readImages` |
+  * | `cosine_similarity` / `top_k` | `Kernel.cosine` / `Similarity.topK` |
+  *
+  * Each row's `doc_id` plays the role of the reference's positional
+  * index (Spark rows are unordered; order is recovered with ORDER BY). */
+object Graft {
+
+  private def resolved(opts: InitOptions) = {
+    val m = ModelRegistry(opts.modelName)
+    (m, opts.maxLength.getOrElse(m.maxLength))
+  }
+
+  /** `TextEmbedding::try_new` analogue. */
+  def textEmbedding(opts: InitOptions = InitOptions()): TextEmbedder = {
+    val (m, maxLen) = resolved(opts)
+    TextEmbedder(dim = m.dim, maxLength = maxLen, pooling = m.pooling,
+      quantization = m.quantization)
+  }
+
+  /** `SparseTextEmbedding` analogue: (idCol, sparse struct(indices,
+    * values)) — SPLADE-style max-over-positions extraction. */
+  def sparseTextEmbedding(df: DataFrame, idCol: String, textCol: String,
+                          opts: InitOptions = InitOptions(modelName = "graft-sparse-64"))
+      : DataFrame = {
+    val (_, maxLen) = resolved(opts)
+    SparseEmbedder.sparseStruct(df, idCol, textCol, maxLen)
+  }
+
+  /** `Bgem3Embedding` analogue: one narrow pass to
+    * struct(dense, sparse, colbert). */
+  def bgem3Embedding(df: DataFrame, idCol: String, textCol: String,
+                     opts: InitOptions = InitOptions(modelName = "graft-bgem3-64"),
+                     colbertDim: Int = 16): DataFrame = {
+    val (m, maxLen) = resolved(opts)
+    Bgem3Embedder.embed(df, idCol, textCol,
+      denseDim = m.dim, colbertDim = colbertDim, maxLength = maxLen)
+  }
+
+  /** `TextRerank::rerank` analogue (single query, score-desc order with
+    * the original index carried through). */
+  def textRerank(spark: SparkSession, docs: DataFrame, idCol: String,
+                 textCol: String, query: String,
+                 returnDocuments: Boolean = true): DataFrame =
+    Reranker.rerank(spark, docs, idCol, textCol, query, returnDocuments)
+
+  /** `ImageEmbedding::embed` analogue over a binary column; pair with
+    * [[ImagePipeline.readImages]] for the path-based entry. */
+  def imageEmbedding(df: DataFrame, idCol: String, bytesCol: String,
+                     preprocessor: Preprocess.Compose = Preprocess.Compose.clipDefault,
+                     dim: Int = K.Dim): DataFrame =
+    ImagePipeline.embedImagesCompose(df, idCol, bytesCol, preprocessor, dim)
+
+  /** `TextEmbedding::list_supported_models` analogue (and per-kind
+    * variants, matching the reference's five registries). */
+  def listSupportedModels(kind: ModelKind = ModelKind.Dense): Seq[graft.model.ModelInfo] =
+    ModelRegistry.listSupportedModels(kind)
+}

@@ -112,6 +112,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top.queryExecution.executedPlan.toString.contains("partial_topkagg"))
   }
 
+  test("Graft facade routes to the same operators (reference API shape)") {
+    val viaFacade = Graft.textEmbedding(InitOptions(maxLength = Some(8)))
+    assert(viaFacade == TextEmbedder(maxLength = 8))
+    val sparse = Graft.sparseTextEmbedding(docs, "doc_id", "text")
+    assert(sparse.columns.toSeq == Seq("doc_id", "sparse"))
+    val joint = Graft.bgem3Embedding(docs, "doc_id", "text")
+    assert(joint.select(col("bgem3.dense")).head().getSeq[Double](0).length == 64)
+    val rr = Graft.textRerank(spark, docs, "doc_id", "text", "example passage")
+    assert(rr.columns.toSeq == Seq("index", "score", "document"))
+    assert(Graft.listSupportedModels().nonEmpty)
+  }
+
   test("model registry kinds cover all five reference registries") {
     import graft.model.{ModelKind, ModelRegistry}
     Seq(ModelKind.Dense, ModelKind.Sparse, ModelKind.Bgem3, ModelKind.Rerank, ModelKind.Image)
