@@ -10,11 +10,13 @@ import graft.operators._
   * `InitOptionsWithLength` (/root/reference/src/init.rs:11-21). Fields
   * that govern a local ONNX runtime (execution providers, cache dir,
   * download progress, intra-op threads) have no meaning on a cluster —
-  * executor parallelism replaces them — and are intentionally absent. */
+  * executor parallelism replaces them — and are intentionally absent.
+  * Batch size is likewise not an init option here or in the reference
+  * (it's an `embed(texts, batch_size)` call argument; the
+  * mapPartitions operators take it the same way). */
 final case class InitOptions(
     modelName: String = ModelRegistry.DefaultModel,
-    maxLength: Option[Int] = None,
-    batchSize: Int = 256)
+    maxLength: Option[Int] = None)
 
 /** The reference-shaped facade: one constructor per fastembed-rs entry
   * point, returning the Spark-native operator configured from the model

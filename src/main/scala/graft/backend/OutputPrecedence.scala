@@ -27,10 +27,12 @@ object OutputPrecedence {
 /** Backend returning NAMED raw token-level outputs — the analogue of the
   * reference's `ort::Value` map keyed by output name
   * (/root/reference/src/output/embedding_output.rs:12-15). Each output:
-  * per row, a [tokens × dim] matrix. */
+  * per row, a [tokens × dim] matrix. Outputs are a Seq IN DECLARATION
+  * ORDER — the by-position precedence fallback needs the model's output
+  * order, which a Map would destroy. */
 trait RawBackend extends Serializable {
   def dim: Int
-  def forwardBatch(batch: Seq[Array[Long]]): Map[String, Seq[Array[Array[Double]]]]
+  def forwardBatch(batch: Seq[Array[Long]]): Seq[(String, Seq[Array[Array[Double]]])]
 }
 
 /** Raw hashing backend: emits `last_hidden_state` (one projector vector
@@ -51,12 +53,12 @@ final case class HashingRawBackend(dim: Int = graft.functions.K.Dim) extends Raw
     out
   }
 
-  def forwardBatch(batch: Seq[Array[Long]]): Map[String, Seq[Array[Array[Double]]]] = {
+  def forwardBatch(batch: Seq[Array[Long]]): Seq[(String, Seq[Array[Array[Double]]])] = {
     val hidden = batch.map { tids =>
       Array.tabulate(tids.length)(p => tokenVec(tids(p), p))
     }
     val pooled = HashingBackend(dim).embedBatch(batch).map(v => Array(v))
-    Map("last_hidden_state" -> hidden, "text_embeds" -> pooled)
+    Seq("last_hidden_state" -> hidden, "text_embeds" -> pooled)
   }
 }
 
@@ -83,8 +85,11 @@ object RawBackendEmbedder {
         val ids = group.map(_.getLong(idIdx))
         val tids = group.map(r => r.getSeq[Long](tIdx).toArray)
         val outputs = backend.forwardBatch(tids)
-        val key = OutputPrecedence.select(outputs.keys.toSeq.sorted, outputKey)
-        ids.zip(outputs(key)).map { case (id, m) => Row(id, transform(m).toSeq) }
+        // declaration order preserved → the by-position fallback really
+        // is "first declared output", matching the reference
+        val key = OutputPrecedence.select(outputs.map(_._1), outputKey)
+        val selected = outputs.find(_._1 == key).get._2
+        ids.zip(selected).map { case (id, m) => Row(id, transform(m).toSeq) }
       }
     }
     spark.createDataFrame(rows, outSchema)

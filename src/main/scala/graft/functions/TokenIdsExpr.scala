@@ -14,7 +14,9 @@ object TokenIdsKernel {
   def eval(input: UTF8String, maxLen: Int): ArrayData = {
     val s = input.toString
     val n = s.length
-    val out = new Array[Long](math.min(maxLen, n / 2 + 1))
+    // capacity n, not n/2+1: the U+0130 branch emits a token per CHAR
+    // with no separator, so token count can reach the char count
+    val out = new Array[Long](math.min(maxLen, n))
     var count = 0
     var acc = 0L
     var inTok = false

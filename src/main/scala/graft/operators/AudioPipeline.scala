@@ -53,7 +53,9 @@ object AudioPipeline {
       val id = tag(pos)
       val len = u32(pos + 4).toInt
       val body = pos + 8
-      if (body + len > bytes.length) return None
+      // negative len (u32 high bit) would stall or reverse the chunk
+      // walk — malformed, refuse
+      if (len < 0 || body + len > bytes.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

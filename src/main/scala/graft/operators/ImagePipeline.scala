@@ -42,7 +42,7 @@ object ImagePipeline {
   def decodeRaw(bytes: Array[Byte], side: Int = 8): (Int, Int, Int, Array[Int]) = {
     val n = side * side * 3
     val px = new Array[Int](n)
-    if (bytes.nonEmpty) {
+    if (bytes != null && bytes.nonEmpty) {
       var i = 0
       while (i < n) {
         px(i) = bytes(i % bytes.length) & 0xff

@@ -20,6 +20,12 @@ class AudioVideoSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // malformed inputs refuse cleanly
     assert(AudioPipeline.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
     assert(AudioPipeline.decodeWav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    // adversarial chunk length with the u32 high bit set (0xFFFFFFF8):
+    // must return None, not loop forever or throw (regression)
+    val evil = AudioPipeline.toWav(Array.fill(32)(5), 8000)
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12 + 4, 0xFFFFFFF8) // fmt chunk length field
+    assert(AudioPipeline.decodeWav(evil).isEmpty)
   }
 
   test("decodeWav skips unknown chunks (LIST before data)") {

@@ -134,6 +134,23 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(firstTok.collect().forall(_.getSeq[Double](1).length == K.Dim))
   }
 
+  test("by-position precedence fallback uses DECLARATION order, not name order") {
+    import graft.backend.{RawBackend, RawBackendEmbedder}
+    // neither name is in the precedence list; "zzz_first" is declared
+    // first and must win despite sorting last alphabetically
+    val be = new RawBackend {
+      val dim = 2
+      def forwardBatch(batch: Seq[Array[Long]]) = Seq(
+        "zzz_first" -> batch.map(_ => Array(Array(1.0, 1.0))),
+        "aaa_second" -> batch.map(_ => Array(Array(2.0, 2.0))))
+    }
+    val df = docs.withColumn("tids", Kernel.tokenIds(col("text")))
+      .select(col("doc_id"), col("tids"))
+    val out = RawBackendEmbedder.embedWith(df, "doc_id", "tids", be, m => m.head)
+      .collect()
+    assert(out.forall(_.getSeq[Double](1) == Seq(1.0, 1.0)))
+  }
+
   test("length-bucketed backend path: identical results, sorted micro-batches") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("tids", Kernel.tokenIds(col("text")))

@@ -35,6 +35,10 @@ class ImageSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(img(2, 0, 0) == 0x7f) // B plane constant
     assert(ImagePipeline.decodeImage(Array[Byte](1, 2, 3)).isEmpty) // junk bytes
     assert(ImagePipeline.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(ImagePipeline.decodeImage(null).isEmpty)
+    // raw codec: null/empty must yield the zero grid, not crash
+    assert(ImagePipeline.decodeRaw(null)._4.forall(_ == 0))
+    assert(ImagePipeline.decodeRaw(Array.emptyByteArray)._4.forall(_ == 0))
   }
 
   test("resizeExact: constant image stays constant at any size") {

@@ -66,6 +66,9 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
         (9006L, "x " * 600), // > maxLength tokens
         // Unicode chars whose lowercase lands in [a-z0-9]: Kelvin sign
         // U+212A → 'k'; dotted capital I U+0130 → "i" + combining dot
+        // token-dense U+0130 runs: each char emits a token with no
+        // separator (regression: output buffer must size to char count)
+        (9008L, "İİİ"), (9009L, "İ" * 40),
         (9007L, "worKd İstanbul AKB İİ")
       ).toDF("doc_id", "text"))
     val cmp = docs

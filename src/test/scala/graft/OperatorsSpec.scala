@@ -131,6 +131,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ModelRegistry("graft-hash-64-sentemb").outputKey.contains("sentence_embedding"))
   }
 
+  test("documents fixture is non-empty ASCII (q23/q36 oracle precondition)") {
+    val bad = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(length(col("text")) === 0 || col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(bad == 0, "byte-tiling oracles require a non-empty ASCII corpus")
+  }
+
   test("dedup exact: duplicate texts collapse to min id") {
     val d = Seq((0L, "same text here"), (1L, "Same  TEXT here!"), (2L, "different"))
       .toDF("doc_id", "text")
