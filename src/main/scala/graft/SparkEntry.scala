@@ -156,6 +156,15 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // vocabulary/IDF-table statistics: per-token tf + df
+    "q37_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(docs(s, dir), "doc_id", "text")),
+
+    // duplicate clusters over the minhash near-dup graph
+    "q38_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35))),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

@@ -213,6 +213,38 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Duplicate-cluster labeling: connected components of the near-dup
+    * pair graph by min-label propagation — every doc in a duplicate
+    * group gets the group's smallest id as `cluster`. Runs EXACTLY
+    * `iterations` rounds (not to convergence) so the result is a pure
+    * function of the input — deterministic and oracle-able; `iterations`
+    * bounds the component diameter it can close (near-dup components
+    * are short chains in practice; raise it for pathological graphs).
+    * Each round is one self-join + min-aggregate over the PAIR GRAPH
+    * (tiny relative to the corpus), never over the corpus itself. */
+  def duplicateClusters(pairs: DataFrame, iterations: Int = 8): DataFrame = {
+    // localCheckpoint per round: labels and edges are each referenced
+    // twice per round, so without a LINEAGE cut every round doubles the
+    // logical plan — 2^iterations copies of the pair-graph computation
+    // (a cache alone still carries the exponential logical tree and can
+    // OOM the driver during analysis). The checkpoint materializes each
+    // round's tiny label table and restarts the plan from it — the
+    // standard Spark shape for iterative graph algorithms.
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbors = edges.join(labels, edges("s") === labels("id"))
+        .select(col("d").as("id"), col("cluster"))
+      labels = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Corpus-level dedup — the step a training pipeline actually runs:
     * given near-dup pairs (id_a < id_b), drop every id_b via a left-anti
     * join, keeping the smallest id of each duplicate group that any pair

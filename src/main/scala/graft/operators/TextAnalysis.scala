@@ -135,6 +135,19 @@ object TextAnalysis {
         ceil(length(col(textCol)).cast("double") / lit(4.0)).cast("long"))
       .select(col(idCol), col("ws_tokens"), col("alnum_tokens"), col("est_bpe_tokens"))
 
+  /** Corpus term statistics — the vocabulary/IDF-table builder of a
+    * training pipeline: per token id, total occurrences (tf) and
+    * document frequency (df). One exact two-key aggregation; both
+    * reductions are counts → partial-aggregated map-side, safe at any
+    * scale (the shuffle carries one row per distinct (doc, token) then
+    * one per token). No transcendental idf here — ln() is not
+    * cross-engine exact; consumers derive idf from df downstream. */
+  def termStats(df: DataFrame, idCol: String, textCol: String,
+                maxLength: Int = K.MaxLength): DataFrame =
+    df.select(col(idCol), explode(Kernel.tokenIds(col(textCol), maxLength)).as("token_id"))
+      .groupBy(col("token_id"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+
   /** Winnowing-style document fingerprints: k-gram shingle hashes → MIN
     * over each sliding window of `w` → distinct fingerprints. Output
     * (id, n_fingerprints, min_fp, full_hash) where full_hash is the

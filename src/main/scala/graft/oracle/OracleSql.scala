@@ -230,6 +230,34 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
     s"""SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN
 (SELECT id_b FROM (${q13_minhash_neardups(threshold, numHashes, bands)}) p)"""
 
+  /** Per-token corpus stats: total occurrences + document frequency. */
+  val q37_term_stats: String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT doc_id, unnest(tids) AS token_id FROM tok)
+SELECT token_id, count(*) AS tf, count(DISTINCT doc_id) AS df FROM e GROUP BY token_id"""
+
+  /** Duplicate clusters: `iterations` unrolled rounds of min-label
+    * propagation over the near-dup pair graph (mirrors
+    * Dedup.duplicateClusters round for round). */
+  def q38_dup_clusters(threshold: Double, numHashes: Int, bands: Int,
+                       iterations: Int): String = {
+    // MATERIALIZED: every lI is referenced twice by round I+1 — without
+    // it the planner may inline CTEs and blow the tree up 2^iterations
+    val rounds = (1 to iterations).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT id, min(cluster) AS cluster FROM (
+  SELECT id, cluster FROM l${i - 1}
+  UNION ALL
+  SELECT e.d AS id, l.cluster FROM edges e JOIN l${i - 1} l ON l.id = e.s) u GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (
+${q13_minhash_neardups(threshold, numHashes, bands)}
+),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b AS s, id_a AS d FROM pr),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS cluster FROM edges),
+$rounds
+SELECT id, cluster FROM l$iterations"""
+  }
+
   /** SimHash signature fold: acc*2 + bit over bits high→low; the list is
     * seeded with 0 so DuckDB's init-less reduce starts the fold at 0. */
   private def simhashSig(bits: Int): String = {
@@ -429,6 +457,8 @@ FROM events GROUP BY user_id, event_type"""
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(32),
     "q36_audio_embed" -> q36_audio_embed(16, 16),
+    "q37_term_stats" -> q37_term_stats,
+    "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 8),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

@@ -173,6 +173,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(trueDups.subsetOf(capped))
   }
 
+  test("duplicateClusters: transitive chains collapse to the min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (transitive) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash near-dups finds a true near-duplicate pair") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
