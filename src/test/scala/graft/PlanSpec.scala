@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Kernel
+import graft.operators._
+
+/** Plan-shape assertions for the scale-critical claims: column pruning
+  * reaches the scan, small dimensions broadcast, aggregates are partial
+  * before the exchange, top-k plans as TakeOrderedAndProject. These are
+  * the properties that decide 100 TB behavior — locked in as tests so a
+  * refactor can't silently regress them. */
+class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dense embed: scan prunes to (doc_id, text) out of 5 columns") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.schema.fields.length == 5)
+    val plan = TextEmbedder().embed(docs.select(col("doc_id"), col("text")), "text", "emb")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned scan:\n$plan")
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("dimension joins broadcast the small side") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val plan = planOf(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count())
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("aggregations are partial (map-side combine) before the exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = planOf(li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))))
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // physical plan prints top-down: final agg, exchange, partial agg —
+    // a partial HashAggregate must appear BELOW (after) the exchange
+    assert(plan.indexOf("HashAggregate", exchange) > exchange,
+      s"expected partial aggregate below the exchange:\n$plan")
+  }
+
+  test("single-query top-k plans as TakeOrderedAndProject (no full sort)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Seq.fill(64)(0.1)
+    val plan = planOf(Similarity.topK(e, "embedding", "vec_id", q, 10))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("joint BGE-M3 sub-struct projection prunes sibling branches") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sparseOnly = Bgem3Embedder.embed(docs, "doc_id", "text")
+      .select(col("doc_id"), col("bgem3.sparse").as("sp"))
+    val plan = sparseOnly.queryExecution.optimizedPlan.toString
+    assert(plan.contains("sparsepairs"), s"sparse branch must remain:\n$plan")
+    assert(!plan.contains("pooledsums"), s"dense branch must be pruned:\n$plan")
+  }
+
+  test("filters push down to the parquet scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = planOf(li.filter(col("l_quantity") > 30.0).select(col("l_orderkey")))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"expected pushed filter:\n$plan")
+  }
+}
