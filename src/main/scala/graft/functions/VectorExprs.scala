@@ -146,6 +146,57 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native sign-LSH bucket id: bit p set iff the vector's dot product
+  * with pseudo-random hyperplane p is > 0. Plane weights come from the
+  * same integer cell stream as the HOF formulation in
+  * [[graft.operators.Similarity.lshBucketHof]] —
+  * w(p,d) = (((p+7)*A + d*B + C) % M) / M * 2 - 1 — and the dot
+  * accumulates in dimension order, so results are bit-identical
+  * (spec-asserted) and the SQL oracle needs no change. */
+case class LshBucket(child: Expression, dim: Int, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // plane weight table, built once per expression instance
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      (((p.toLong + 7L) * K.A + d.toLong * K.B + K.C) % K.M).toDouble / K.M.toDouble * 2.0 - 1.0
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    evalVec(input.asInstanceOf[ArrayData])
+
+  def evalVec(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val w = weights(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (elemIsFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        s += x * w(d)
+        d += 1
+      }
+      if (s > 0.0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucket", this, classOf[LshBucket].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalVec($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Native cosine similarity with the reference's zero-vector guard
   * (/root/reference/src/similarity.rs:19-26). Bit-identical to the HOF
   * formulation in [[Kernel.cosineHof]]: elements widen to double, the

@@ -49,8 +49,16 @@ object Similarity {
   /** Deterministic sign-LSH bucket id over `nPlanes` pseudo-random
     * hyperplanes: bit p = (v · plane_p > 0). Plane p dim d weight =
     * cell-hash scaled to (-1,1) — same integer-arithmetic stream as the
-    * projector, so the oracle reproduces it exactly. */
+    * projector, so the oracle reproduces it exactly. Native one-pass
+    * kernel ([[graft.functions.LshBucket]]); [[lshBucketHof]] keeps the
+    * HOF formulation the oracle mirrors (bit-identical, spec-asserted). */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.LshBucket(bridge.expression(vec), dim, nPlanes))
+  }
+
+  /** HOF formulation of [[lshBucket]]. */
+  def lshBucketHof(vec: Column, dim: Int, nPlanes: Int): Column = {
     // dot(v, plane_p) as a fold over dims (order fixed → deterministic)
     def planeDot(p: Int): Column =
       aggregate(

@@ -57,6 +57,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(all == brute)
   }
 
+  test("native LshBucket == HOF formulation on real embeddings") {
+    val cmp = e
+      .withColumn("fast", Similarity.lshBucket(col("embedding"), K.Dim, 8))
+      .withColumn("hof", Similarity.lshBucketHof(col("embedding"), K.Dim, 8))
+      .filter(col("fast") =!= col("hof"))
+    assert(cmp.count() == 0)
+    val cmp16 = e
+      .withColumn("fast", Similarity.lshBucket(col("embedding"), K.Dim, 16))
+      .withColumn("hof", Similarity.lshBucketHof(col("embedding"), K.Dim, 16))
+      .filter(col("fast") =!= col("hof"))
+    assert(cmp16.count() == 0)
+  }
+
   test("topK aggregate: ties break by smaller id, best-first order") {
     import spark.implicits._
     val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
