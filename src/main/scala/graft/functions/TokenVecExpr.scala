@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+object TokenVecKernel {
+  /** Unit-norm projector vector of (token id, position): identical
+    * arithmetic term-for-term to the HOF formulation in
+    * [[graft.operators.ColbertEmbedder.tokenVectorHof]] — key
+    * tk = t + pos*(B2 % M); raw_d = ((tk*A + d*B + C) % M)/M*2-1;
+    * out = raw / (sqrt(Σ raw², in d order) + eps). */
+  def eval(t: Long, pos: Long, dim: Int): ArrayData = {
+    val b2m = K.B2 % K.M
+    val tk = t + pos * b2m
+    val raw = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      raw(d) = ((tk * K.A + d.toLong * K.B + K.C) % K.M).toDouble / K.M.toDouble * 2.0 - 1.0
+      d += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += raw(i) * raw(i); i += 1 }
+    val nv = math.sqrt(ss) + K.Eps
+    var j = 0
+    while (j < dim) { raw(j) = raw(j) / nv; j += 1 }
+    new GenericArrayData(raw)
+  }
+
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[Long]()
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { sa.add(a.getLong(i)); i += 1 }
+    val sb = new java.util.HashSet[Long]()
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) { sb.add(b.getLong(i)); i += 1 }
+    var inter = 0L
+    val it = sa.iterator()
+    while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+    val union = sa.size.toLong + sb.size.toLong - inter
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+}
+
+/** Native ColBERT token vector — one JVM pass instead of the interpreted
+  * transform + l2normalize chain (which re-evaluates the raw-vector
+  * expression for the norm and the division). */
+case class TokenVec(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(t: Any, pos: Any): Any = {
+    val p = pos match {
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+    TokenVecKernel.eval(t.asInstanceOf[Long], p, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.TokenVecKernel.eval($t, (long) $p, $dim)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenVec =
+    copy(left = l, right = r)
+}
+
+/** Native token-set Jaccard |A∩B| / |A∪B| over two token-id arrays
+  * (duplicates collapse; empty-union → 0.0) — the rerank scorer's hot
+  * loop as hash-set counting instead of array_distinct +
+  * array_intersect + array_union per row. Exact integer set sizes, so
+  * it is bit-identical to the HOF/SQL formulation by construction. */
+case class TokenSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenVecKernel.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TokenVecKernel.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenSetJaccard =
+    copy(left = l, right = r)
+}

@@ -19,8 +19,18 @@ import graft.functions.{K, Kernel}
 object ColbertEmbedder {
 
   /** Unit-norm `dim`-vector for one (token id, position). Integer cell
-    * stream offset by position so the same token at two positions differs. */
+    * stream offset by position so the same token at two positions differs.
+    * Native kernel ([[graft.functions.TokenVec]]); [[tokenVectorHof]]
+    * keeps the HOF formulation the oracle mirrors (bit-identical,
+    * spec-asserted). */
   def tokenVector(tid: Column, pos: Column, dim: Int): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.TokenVec(
+      bridge.expression(tid), bridge.expression(pos.cast("long")), dim))
+  }
+
+  /** HOF formulation of [[tokenVector]]. */
+  def tokenVectorHof(tid: Column, pos: Column, dim: Int): Column = {
     val raw = transform(
       sequence(lit(0L), lit(dim - 1L)),
       d => (Kernel.cell(tid + pos * lit(K.B2 % K.M), d).cast("double") /

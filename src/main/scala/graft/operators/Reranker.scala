@@ -50,19 +50,23 @@ object Reranker {
     * one corpus scan for ALL queries, no shuffle. Output:
     * (qIdCol, index = original doc id, score); order within a query is
     * recovered by `ORDER BY score DESC, index ASC`. */
+  /** Token-set Jaccard scorer as one native pass
+    * ([[graft.functions.TokenSetJaccard]]) — exact integer set sizes,
+    * bit-identical to the distinct/intersect/union HOF chain. */
+  private def jaccardScore(aTids: Column, bTids: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.TokenSetJaccard(
+      bridge.expression(aTids), bridge.expression(bTids)))
+  }
+
   def rerankAll(queries: DataFrame, qIdCol: String, qTextCol: String,
                 docs: DataFrame, idCol: String, textCol: String,
                 returnDocuments: Boolean = false): DataFrame = {
     val scored = docs
-      .withColumn("__dt", array_distinct(Kernel.tokenIds(col(textCol))))
+      .withColumn("__dt", Kernel.tokenIds(col(textCol)))
       .crossJoin(broadcast(
-        queries.select(col(qIdCol),
-          array_distinct(Kernel.tokenIds(col(qTextCol))).as("__qt"))))
-      .withColumn("__inter", size(array_intersect(col("__dt"), col("__qt"))))
-      .withColumn("__union", size(array_union(col("__dt"), col("__qt"))))
-      .withColumn("score",
-        when(col("__union") === 0, lit(0.0))
-          .otherwise(col("__inter").cast("double") / col("__union").cast("double")))
+        queries.select(col(qIdCol), Kernel.tokenIds(col(qTextCol)).as("__qt"))))
+      .withColumn("score", jaccardScore(col("__dt"), col("__qt")))
     val base = scored.select(
       (col(qIdCol) +: col(idCol).as("index") +: col("score") +:
         (if (returnDocuments) Seq(col(textCol).as("document")) else Nil)): _*)
@@ -92,14 +96,9 @@ object Reranker {
   def rerank(spark: SparkSession, docs: DataFrame, idCol: String,
              textCol: String, query: String,
              returnDocuments: Boolean = true): DataFrame = {
-    val qTokens = array_distinct(Kernel.tokenIds(lit(query)))
     val scored = docs
-      .withColumn("__dt", array_distinct(Kernel.tokenIds(col(textCol))))
-      .withColumn("__inter", size(array_intersect(col("__dt"), qTokens)))
-      .withColumn("__union", size(array_union(col("__dt"), qTokens)))
       .withColumn("score",
-        when(col("__union") === 0, lit(0.0))
-          .otherwise(col("__inter").cast("double") / col("__union").cast("double")))
+        jaccardScore(Kernel.tokenIds(col(textCol)), Kernel.tokenIds(lit(query))))
     val base = scored
       .select(col(idCol).as("index"), col("score"), col(textCol).as("document"))
       .orderBy(col("score").desc, col("index").asc)

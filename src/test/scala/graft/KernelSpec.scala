@@ -130,6 +130,36 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp.count() == 0)
   }
 
+  test("native TokenVec == HOF formulation on real corpus") {
+    val ce = graft.operators.ColbertEmbedder
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), posexplode(Kernel.tokenIds(col("text"))).as(Seq("pos", "tid")))
+      .filter(col("pos") >= 1)
+    val cmp = docs
+      .withColumn("fast", ce.tokenVector(col("tid"), col("pos"), 16))
+      .withColumn("hof", ce.tokenVectorHof(col("tid"), col("pos"), 16))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+  }
+
+  test("native TokenSetJaccard == distinct/intersect/union HOF chain") {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("a", Kernel.tokenIds(col("text")))
+      .withColumn("b", Kernel.tokenIds(reverse(col("text"))))
+    val hof = {
+      val inter = size(array_intersect(array_distinct(col("a")), array_distinct(col("b"))))
+      val union = size(array_union(array_distinct(col("a")), array_distinct(col("b"))))
+      when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+    }
+    val cmp = docs
+      .withColumn("fast", bridge.column(graft.functions.TokenSetJaccard(
+        bridge.expression(col("a")), bridge.expression(col("b")))))
+      .withColumn("hof", hof)
+      .filter(col("fast") =!= col("hof"))
+    assert(cmp.count() == 0)
+  }
+
   test("native LangId == HOF formulation on real corpus + edge cases") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
