@@ -265,6 +265,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_frames"),
           col("dim").cast("long").as("dim"), col("val"))),
 
+    // ColBERT late interaction: doc 0's token vectors as the query,
+    // MaxSim against every doc's multi-vector set (doc_id < 100) — the
+    // multi-vector retrieval scorer over the q06/q29 vectors
+    "q39_colbert_maxsim" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 100)
+      val withCb = d
+        .withColumn("__tids", Kernel.tokenIds(col("text")))
+        .filter(size(col("__tids")) > 1)
+        .withColumn("__cb", Bgem3Embedder.colbertVectors(col("__tids"), 16))
+      val qv = withCb.filter(col("doc_id") === 0).select(col("__cb")).head()
+        .getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+      withCb
+        .withColumn("score", Similarity.maxSim(typedlit(qv), col("__cb")))
+        .select(col("doc_id"), col("score"))
+    }),
+
     "q24_lineitem_agg" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val d182 = DecimalType(18, 2)

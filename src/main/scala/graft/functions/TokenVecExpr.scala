@@ -69,6 +69,53 @@ case class TokenVec(left: Expression, right: Expression, dim: Int)
     copy(left = l, right = r)
 }
 
+/** Native ColBERT MaxSim (late interaction): score(Q, D) =
+  * Σ_{q∈Q} max_{d∈D} q·d over two `array<array<double>>` multi-vector
+  * columns — the standard scoring for ColBERT-style token vectors
+  * (public late-interaction retrieval construction). Outer sum runs in
+  * Q order, inner max is comparison-exact, dot folds in dimension
+  * order — all mirrored in the SQL oracle. Empty D → 0.0. */
+case class MaxSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    score(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def score(qs: ArrayData, ds: ArrayData): Double = {
+    val nq = qs.numElements()
+    val nd = ds.numElements()
+    if (nd == 0) return 0.0
+    var score = 0.0
+    var qi = 0
+    while (qi < nq) {
+      val q = qs.getArray(qi)
+      val dim = q.numElements()
+      var best = Double.NegativeInfinity
+      var di = 0
+      while (di < nd) {
+        val d = ds.getArray(di)
+        val m = math.min(dim, d.numElements())
+        var dot = 0.0
+        var i = 0
+        while (i < m) { dot += q.getDouble(i) * d.getDouble(i); i += 1 }
+        if (dot > best) best = dot
+        di += 1
+      }
+      score += best
+      qi += 1
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxSim", this, classOf[MaxSim].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.score($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSim =
+    copy(left = l, right = r)
+}
+
 /** Native token-set Jaccard |A∩B| / |A∪B| over two token-id arrays
   * (duplicates collapse; empty-union → 0.0) — the rerank scorer's hot
   * loop as hash-set counting instead of array_distinct +

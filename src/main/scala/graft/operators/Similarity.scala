@@ -75,6 +75,16 @@ object Similarity {
     * ~2^nPlanes-fold; bucket join is a hash join on the bucket id instead
     * of a cross join). Recall is traded for throughput; the brute-force
     * `knnJoin` stays the exact baseline. */
+  /** ColBERT MaxSim late-interaction score between two multi-vector
+    * columns: Σ_q max_d q·d ([[graft.functions.MaxSim]]) — ranking over
+    * per-token vectors without pooling them away. Per-row and narrow;
+    * pair it with a broadcast query set exactly like [[knnJoin]]. */
+  def maxSim(queryVecs: Column, docVecs: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.MaxSim(
+      bridge.expression(queryVecs), bridge.expression(docVecs)))
+  }
+
   /** Squared L2 distance between two vector columns (elements widened to
     * double; the (x-y)² tree is mirrored in the SQL oracle). */
   def l2sq(a: Column, b: Column): Column =

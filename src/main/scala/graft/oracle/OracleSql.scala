@@ -130,6 +130,25 @@ nv AS (SELECT doc_id, pos, rv, sqrt(list_reduce(list_transform(rv, y -> y*y), (a
 v AS (SELECT doc_id, pos, list_transform(rv, x -> x / (nrm + 1e-12)) AS vec FROM nv)
 SELECT doc_id, pos, CAST(generate_subscripts(vec, 1) - 1 AS BIGINT) AS dim, unnest(vec) AS val FROM v"""
 
+  /** q39: ColBERT MaxSim — per-doc token-vector lists (q06 construction,
+    * collected in position order), doc 0's list as the query, score =
+    * Σ over query vectors of max over doc vectors of the dot product. */
+  def q39_colbert_maxsim(dim: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents WHERE doc_id < 100),
+tk AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 1),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tk),
+k AS (SELECT doc_id, pos, token_id + pos*$b2m AS tk FROM e WHERE pos >= 1),
+raw AS (SELECT doc_id, pos, list_transform(range(0, $dim), d -> ((tk*$A + d*$B + $C) % $M)::DOUBLE / $M.0 * 2.0 - 1.0) AS rv FROM k),
+nv AS (SELECT doc_id, pos, rv, sqrt(list_reduce(list_transform(rv, y -> y*y), (a,b) -> a+b)) AS nrm FROM raw),
+v AS (SELECT doc_id, pos, list_transform(rv, x -> x / (nrm + 1e-12)) AS vec FROM nv),
+qrows AS (SELECT pos AS qi, vec AS qq FROM v WHERE doc_id = 0),
+dots AS (SELECT d.doc_id, q.qi,
+  list_reduce(list_transform(range(1, $dim + 1), i -> q.qq[i] * d.vec[i]), (a,b) -> a+b) AS dot
+  FROM v d, qrows q),
+best AS (SELECT doc_id, qi, max(dot) AS b FROM dots GROUP BY doc_id, qi),
+bl AS (SELECT doc_id, list(b ORDER BY qi) AS bs FROM best GROUP BY doc_id)
+SELECT doc_id, list_reduce(bs, (a,b) -> a+b) AS score FROM bl"""
+
   /** Cosine between two float-list expressions (both widened per element),
     * with the reference's zero-norm guard. */
   def cosineSql(a: String, b: String): String = {
@@ -459,6 +478,7 @@ FROM events GROUP BY user_id, event_type"""
     "q36_audio_embed" -> q36_audio_embed(16, 16),
     "q37_term_stats" -> q37_term_stats,
     "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 8),
+    "q39_colbert_maxsim" -> q39_colbert_maxsim(16),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

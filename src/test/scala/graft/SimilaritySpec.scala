@@ -70,6 +70,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp16.count() == 0)
   }
 
+  test("maxSim: late-interaction fixture + empty-doc guard") {
+    import spark.implicits._
+    val q = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val docs = Seq(
+      (0L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))), // perfect: 1 + 1
+      (1L, Seq(Seq(0.5, 0.5))), // 0.5 + 0.5
+      (2L, Seq.empty[Seq[Double]])) // empty → 0.0
+      .toDF("id", "vecs")
+    val got = docs.withColumn("s", Similarity.maxSim(typedlit(q), col("vecs")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(0L -> 2.0, 1L -> 1.0, 2L -> 0.0))
+  }
+
   test("topK aggregate: ties break by smaller id, best-first order") {
     import spark.implicits._
     val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
