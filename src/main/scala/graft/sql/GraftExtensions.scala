@@ -62,6 +62,14 @@ object GraftFunctions {
       case Seq(tids, m) => SparsePairs(tids, intArg(m, "min_id_exclusive").toLong)
       case _ => throw new IllegalArgumentException("graft_sparse_pairs(tids[, min_id_exclusive])")
     },
+    "graft_maxsim" -> {
+      case Seq(q, d) => MaxSim(q, d)
+      case _ => throw new IllegalArgumentException("graft_maxsim(query_vecs, doc_vecs)")
+    },
+    "graft_jaccard" -> {
+      case Seq(a, b) => TokenSetJaccard(a, b)
+      case _ => throw new IllegalArgumentException("graft_jaccard(tids_a, tids_b)")
+    },
     "graft_lang_id" -> {
       case Seq(text) => LangId(text, TextAnalysis.markers)
       case _ => throw new IllegalArgumentException("graft_lang_id(text)")

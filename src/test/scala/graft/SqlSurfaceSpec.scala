@@ -62,7 +62,12 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // builder constructs a working expression
     assert(graft.sql.GraftFunctions.all.map(_._1).toSet == Set(
       "graft_token_ids", "graft_cosine", "graft_pooled_sums", "graft_simhash",
-      "graft_shingles", "graft_sparse_pairs", "graft_lang_id", "graft_text_norm"))
+      "graft_shingles", "graft_sparse_pairs", "graft_lang_id", "graft_text_norm",
+      "graft_maxsim", "graft_jaccard"))
+    val ms = spark.sql(
+      """SELECT graft_maxsim(array(array(1.0D, 0.0D)), array(array(0.5D, 0.5D))) AS m,
+                graft_jaccard(array(1L, 2L, 2L), array(2L, 3L)) AS j""").head()
+    assert(ms.getDouble(0) == 0.5 && ms.getDouble(1) == 1.0 / 3.0)
     val ext = new graft.sql.GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(e) // must not throw
