@@ -274,11 +274,16 @@ object SparkEntry {
         .withColumn("__tids", Kernel.tokenIds(col("text")))
         .filter(size(col("__tids")) > 1)
         .withColumn("__cb", Bgem3Embedder.colbertVectors(col("__tids"), 16))
-      val qv = withCb.filter(col("doc_id") === 0).select(col("__cb")).head()
-        .getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
-      withCb
-        .withColumn("score", Similarity.maxSim(typedlit(qv), col("__cb")))
-        .select(col("doc_id"), col("score"))
+      // take(1): a corpus without doc 0 yields an empty result (matching
+      // the oracle's empty qrows CTE) instead of crashing head()
+      val qRow = withCb.filter(col("doc_id") === 0).select(col("__cb")).take(1)
+      if (qRow.isEmpty) withCb.filter(lit(false)).select(col("doc_id"), lit(0.0).as("score"))
+      else {
+        val qv = qRow(0).getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+        withCb
+          .withColumn("score", Similarity.maxSim(typedlit(qv), col("__cb")))
+          .select(col("doc_id"), col("score"))
+      }
     }),
 
     "q24_lineitem_agg" -> ((s, dir) => {

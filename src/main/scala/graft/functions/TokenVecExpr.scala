@@ -29,15 +29,17 @@ object TokenVecKernel {
     new GenericArrayData(raw)
   }
 
-  def jaccard(a: ArrayData, b: ArrayData): Double = {
+  def jaccard(a: ArrayData, b: ArrayData, aInt: Boolean, bInt: Boolean): Double = {
+    @inline def get(x: ArrayData, i: Int, isInt: Boolean): Long =
+      if (isInt) x.getInt(i).toLong else x.getLong(i)
     val sa = new java.util.HashSet[Long]()
     var i = 0
     val na = a.numElements()
-    while (i < na) { sa.add(a.getLong(i)); i += 1 }
+    while (i < na) { sa.add(get(a, i, aInt)); i += 1 }
     val sb = new java.util.HashSet[Long]()
     i = 0
     val nb = b.numElements()
-    while (i < nb) { sb.add(b.getLong(i)); i += 1 }
+    while (i < nb) { sb.add(get(b, i, bInt)); i += 1 }
     var inter = 0L
     val it = sa.iterator()
     while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
@@ -54,11 +56,11 @@ case class TokenVec(left: Expression, right: Expression, dim: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def nullSafeEval(t: Any, pos: Any): Any = {
-    val p = pos match {
+    def asLong(v: Any): Long = v match {
       case i: Int => i.toLong
       case l: Long => l
     }
-    TokenVecKernel.eval(t.asInstanceOf[Long], p, dim)
+    TokenVecKernel.eval(asLong(t), asLong(pos), dim)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,34 +76,51 @@ case class TokenVec(left: Expression, right: Expression, dim: Int)
   * columns — the standard scoring for ColBERT-style token vectors
   * (public late-interaction retrieval construction). Outer sum runs in
   * Q order, inner max is comparison-exact, dot folds in dimension
-  * order — all mirrored in the SQL oracle. Empty D → 0.0. */
+  * order — all mirrored in the SQL oracle. Empty D → 0.0; null inner
+  * vectors are skipped on both sides; float or double elements accepted
+  * (float widens exactly, like [[CosineSim]]). */
 case class MaxSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
 
   override def nullSafeEval(l: Any, r: Any): Any =
     score(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
   def score(qs: ArrayData, ds: ArrayData): Double = {
     val nq = qs.numElements()
     val nd = ds.numElements()
-    if (nd == 0) return 0.0
     var score = 0.0
     var qi = 0
     while (qi < nq) {
       val q = qs.getArray(qi)
-      val dim = q.numElements()
-      var best = Double.NegativeInfinity
-      var di = 0
-      while (di < nd) {
-        val d = ds.getArray(di)
-        val m = math.min(dim, d.numElements())
-        var dot = 0.0
-        var i = 0
-        while (i < m) { dot += q.getDouble(i) * d.getDouble(i); i += 1 }
-        if (dot > best) best = dot
-        di += 1
+      if (q != null) {
+        val dim = q.numElements()
+        var best = Double.NegativeInfinity
+        var any = false
+        var di = 0
+        while (di < nd) {
+          val d = ds.getArray(di)
+          if (d != null) {
+            val m = math.min(dim, d.numElements())
+            var dot = 0.0
+            var i = 0
+            while (i < m) { dot += get(q, i, leftFloat) * get(d, i, rightFloat); i += 1 }
+            if (dot > best) best = dot
+            any = true
+          }
+          di += 1
+        }
+        if (any) score += best
       }
-      score += best
       qi += 1
     }
     score
@@ -125,11 +144,19 @@ case class TokenSetJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // SQL users' default integer arrays are read as ints, not crashed on
+  private def elemIsInt(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+  private lazy val leftInt = elemIsInt(left)
+  private lazy val rightInt = elemIsInt(right)
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    TokenVecKernel.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    TokenVecKernel.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftInt, rightInt)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TokenVecKernel.jaccard($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TokenVecKernel.jaccard($a, $b, $leftInt, $rightInt)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenSetJaccard =
     copy(left = l, right = r)

@@ -170,7 +170,11 @@ case class LshBucket(child: Expression, dim: Int, nPlanes: Int)
     evalVec(input.asInstanceOf[ArrayData])
 
   def evalVec(v: ArrayData): Long = {
-    val n = math.min(v.numElements(), dim)
+    // HOF parity: zip_with pads length-mismatched inputs with nulls,
+    // which null-poisons every plane dot → bucket 0; mirror that rather
+    // than silently hashing a prefix
+    if (v.numElements() != dim) return 0L
+    val n = dim
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {

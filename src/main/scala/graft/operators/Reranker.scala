@@ -43,13 +43,6 @@ object Reranker {
         1, maxLen).as("token_type_ids"))
   }
 
-  /** Multi-query rerank — the natural Spark generalization of the
-    * reference's one-query `rerank` (its tests rerank batches of docs per
-    * query): every (query, document) pair scored in one plan. The query
-    * side broadcasts (small), the doc corpus streams partition-local —
-    * one corpus scan for ALL queries, no shuffle. Output:
-    * (qIdCol, index = original doc id, score); order within a query is
-    * recovered by `ORDER BY score DESC, index ASC`. */
   /** Token-set Jaccard scorer as one native pass
     * ([[graft.functions.TokenSetJaccard]]) — exact integer set sizes,
     * bit-identical to the distinct/intersect/union HOF chain. */
@@ -59,13 +52,24 @@ object Reranker {
       bridge.expression(aTids), bridge.expression(bTids)))
   }
 
+  /** Multi-query rerank — the natural Spark generalization of the
+    * reference's one-query `rerank` (its tests rerank batches of docs per
+    * query): every (query, document) pair scored in one plan. The query
+    * side broadcasts (small), the doc corpus streams partition-local —
+    * one corpus scan for ALL queries, no shuffle. Output:
+    * (qIdCol, index = original doc id, score); order within a query is
+    * recovered by `ORDER BY score DESC, index ASC`. */
   def rerankAll(queries: DataFrame, qIdCol: String, qTextCol: String,
                 docs: DataFrame, idCol: String, textCol: String,
                 returnDocuments: Boolean = false): DataFrame = {
     val scored = docs
       .withColumn("__dt", Kernel.tokenIds(col(textCol)))
       .crossJoin(broadcast(
-        queries.select(col(qIdCol), Kernel.tokenIds(col(qTextCol)).as("__qt"))))
+        // distinct once per query row (a no-op for the kernel's own
+        // dedup, but it shrinks the broadcast payload and the per-pair
+        // hash-set build)
+        queries.select(col(qIdCol),
+          array_distinct(Kernel.tokenIds(col(qTextCol))).as("__qt"))))
       .withColumn("score", jaccardScore(col("__dt"), col("__qt")))
     val base = scored.select(
       (col(qIdCol) +: col(idCol).as("index") +: col("score") +:

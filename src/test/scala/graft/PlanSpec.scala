@@ -27,12 +27,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("Exchange"))
   }
 
-  test("dimension joins broadcast the small side") {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-    val c = spark.read.parquet(s"$dir/customer.parquet")
-    val plan = planOf(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment")).count())
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  test("graft operators broadcast their small sides (kNN, IVF probes)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // knnJoin: corpus streams through a broadcast nested-loop join
+    val knn = planOf(Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 3))
+    assert(knn.contains("BroadcastNestedLoopJoin"), s"expected broadcast NLJ:\n$knn")
+    // ivfFlat: the probe side broadcasts into an equi-join
+    val ivf = planOf(Similarity.ivfFlat(q, "qid", "qv", e, "vec_id", "embedding", 8, 2, 3))
+    assert(ivf.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$ivf")
   }
 
   test("aggregations are partial (map-side combine) before the exchange") {

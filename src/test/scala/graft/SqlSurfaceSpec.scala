@@ -66,7 +66,7 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "graft_maxsim", "graft_jaccard"))
     val ms = spark.sql(
       """SELECT graft_maxsim(array(array(1.0D, 0.0D)), array(array(0.5D, 0.5D))) AS m,
-                graft_jaccard(array(1L, 2L, 2L), array(2L, 3L)) AS j""").head()
+                graft_jaccard(array(1, 2, 2), array(2, 3)) AS j""").head()
     assert(ms.getDouble(0) == 0.5 && ms.getDouble(1) == 1.0 / 3.0)
     val ext = new graft.sql.GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions
