@@ -165,6 +165,12 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35))),
 
+    // corpus-weighted lexical vectors: sparse weights × exact idf ratio
+    "q40_tfidf_sparse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SparseEmbedder.dfWeighted(d, "doc_id", "text", nDocs = d.count())
+    }),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

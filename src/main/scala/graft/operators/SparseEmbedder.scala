@@ -70,6 +70,23 @@ object SparseEmbedder {
       .agg(max(col("s")).as("weight"))
   }
 
+  /** Corpus-weighted sparse vectors — the tf-idf construction over the
+    * engine's lexical weights: each (doc, token) weight is scaled by the
+    * inverse document frequency ratio nDocs/df (the ln-free exact
+    * variant — ln() is not cross-engine bit-exact, and monotone
+    * transforms don't change rankings). Composition shape: the narrow
+    * per-row sparse extraction joins the tiny corpus-stats table
+    * broadcast — the corpus itself never shuffles. */
+  def dfWeighted(df: DataFrame, idCol: String, textCol: String,
+                 nDocs: Long, maxLength: Int = K.MaxLength): DataFrame = {
+    val sp = sparseExploded(df, idCol, textCol, maxLength)
+    val stats = TextAnalysis.termStats(df, idCol, textCol, maxLength)
+    sp.join(broadcast(stats), "token_id")
+      .withColumn("tfidf",
+        col("weight") * (lit(nDocs).cast("double") / col("df").cast("double")))
+      .select(col(idCol), col("token_id"), col("weight"), col("df"), col("tfidf"))
+  }
+
   /** Reference-shaped output: one row per doc with
     * struct(indices: array<bigint> sorted asc, values: array<double>)
     * parallel arrays (src/common.rs:18-22; sort asc impl.rs:296-301).

@@ -249,6 +249,17 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
     s"""SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN
 (SELECT id_b FROM (${q13_minhash_neardups(threshold, numHashes, bands)}) p)"""
 
+  /** Corpus-weighted sparse: q04 weights × exact idf ratio N/df. */
+  val q40_tfidf_sparse: String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tok),
+s AS (SELECT doc_id, token_id, ((token_id*$A2 + pos*$B2 + $C2) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 AS s FROM e),
+w AS (SELECT doc_id, token_id, max(s) AS weight FROM s WHERE s > 0 GROUP BY doc_id, token_id),
+st AS (SELECT token_id, count(DISTINCT doc_id) AS df FROM e GROUP BY token_id)
+SELECT w.doc_id, w.token_id, w.weight, st.df,
+  w.weight * ((SELECT count(*) FROM documents)::DOUBLE / st.df::DOUBLE) AS tfidf
+FROM w JOIN st ON w.token_id = st.token_id"""
+
   /** Per-token corpus stats: total occurrences + document frequency. */
   val q37_term_stats: String =
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
@@ -479,6 +490,7 @@ FROM events GROUP BY user_id, event_type"""
     "q37_term_stats" -> q37_term_stats,
     "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 8),
     "q39_colbert_maxsim" -> q39_colbert_maxsim(16),
+    "q40_tfidf_sparse" -> q40_tfidf_sparse,
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,
