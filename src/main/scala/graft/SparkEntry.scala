@@ -171,6 +171,15 @@ object SparkEntry {
       SparseEmbedder.dfWeighted(d, "doc_id", "text", nDocs = d.count())
     }),
 
+    // decontamination: train docs (id >= 100) sharing >= 5 trigrams
+    // with any "eval" doc (id < 100)
+    "q41_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100),
+        "doc_id", "text", minShared = 5L)
+    }),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

@@ -253,6 +253,24 @@ object Dedup {
   def removeNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Eval-set decontamination: training docs that share word n-grams
+    * with any eval doc — the standard benchmark-contamination check a
+    * training pipeline runs before a data release. One equi-join on the
+    * shingle id (shuffles only the shingle sets, never the corpora) →
+    * shared-shingle count per (train, eval) pair ≥ minShared. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    minShared: Long = 1L): DataFrame = {
+    val ts = shingleSet(train, idCol, textCol, n)
+      .select(col(idCol).as("train_id"), col("shingle"))
+    val es = shingleSet(eval, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("shingle"))
+    ts.join(es, "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucket self-join (only
     * same-bucket pairs are scored — the candidate set shrinks
     * ~2^nPlanes-fold) → exact cosine ≥ threshold. The embedding-space

@@ -260,6 +260,18 @@ SELECT w.doc_id, w.token_id, w.weight, st.df,
   w.weight * ((SELECT count(*) FROM documents)::DOUBLE / st.df::DOUBLE) AS tfidf
 FROM w JOIN st ON w.token_id = st.token_id"""
 
+  /** Decontamination: shared-trigram counts between train (id ≥ 100)
+    * and eval (id < 100) docs. */
+  def q41_contamination(n: Int, minShared: Long): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(${shingleList("tids", n)}) AS shingle FROM tok WHERE len(tids) >= $n),
+t AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id >= 100),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < 100)
+SELECT t.train_id, ev.eval_id, count(*) AS shared_shingles
+FROM t JOIN ev ON t.shingle = ev.shingle
+GROUP BY t.train_id, ev.eval_id
+HAVING count(*) >= $minShared"""
+
   /** Per-token corpus stats: total occurrences + document frequency. */
   val q37_term_stats: String =
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
@@ -491,6 +503,7 @@ FROM events GROUP BY user_id, event_type"""
     "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 8),
     "q39_colbert_maxsim" -> q39_colbert_maxsim(16),
     "q40_tfidf_sparse" -> q40_tfidf_sparse,
+    "q41_contamination" -> q41_contamination(3, 5L),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,
