@@ -180,6 +180,17 @@ object SparkEntry {
         "doc_id", "text", minShared = 5L)
     }),
 
+    // raw-text cleaning (tag strip + entity decode + whitespace collapse)
+    "q42_clean_text" -> ((s, dir) =>
+      TextAnalysis.cleaned(docs(s, dir), "doc_id", "text")),
+
+    // deterministic train/val split: per-bucket doc counts
+    "q43_split_buckets" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split_bucket", TextAnalysis.splitBucket(col("doc_id"), 10))
+        .groupBy(col("split_bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

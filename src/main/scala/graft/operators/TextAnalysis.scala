@@ -135,6 +135,36 @@ object TextAnalysis {
         ceil(length(col(textCol)).cast("double") / lit(4.0)).cast("long"))
       .select(col(idCol), col("ws_tokens"), col("alnum_tokens"), col("est_bpe_tokens"))
 
+  /** Markup stripping + whitespace normalization — the raw-web-text
+    * cleaning step ahead of every other operator: remove tags, decode
+    * the common HTML entities, collapse space/tab runs, trim. Patterns
+    * deliberately stay in the regex subset Java and RE2 interpret
+    * identically (explicit char classes, no \\s shorthand — Java's \\s
+    * includes U+000B, RE2's does not), so the transform is
+    * cross-engine exact. Narrow, per-row. */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "[ \\t]+", " "))
+  }
+
+  /** (id, clean_text, n_chars_clean) over a raw-text column. */
+  def cleaned(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("clean_text", cleanText(col(textCol)))
+      .select(col(idCol), col("clean_text"),
+        length(col("clean_text")).cast("long").as("n_chars_clean"))
+
+  /** Deterministic corpus split — the held-out/train partitioner: every
+    * doc lands in a stable bucket of [0, nBuckets) from an integer hash
+    * of its id, so splits are reproducible across runs, machines, and
+    * engines (no RNG, unlike randomSplit). Filter `split_bucket <
+    * trainPct*nBuckets/100` for the train side. */
+  def splitBucket(id: Column, nBuckets: Int = 100): Column =
+    ((id * lit(K.A2) + lit(K.C2)) % lit(K.M)) % lit(nBuckets.toLong)
+
   /** Corpus term statistics — the vocabulary/IDF-table builder of a
     * training pipeline: per token id, total occurrences (tf) and
     * document frequency (df). One exact two-key aggregation; both

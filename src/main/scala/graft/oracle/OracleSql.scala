@@ -272,6 +272,25 @@ FROM t JOIN ev ON t.shingle = ev.shingle
 GROUP BY t.train_id, ev.eval_id
 HAVING count(*) >= $minShared"""
 
+  /** Raw-text cleaning: tag strip → entity decode → space/tab collapse
+    * → trim (regex subset interpreted identically by Java and RE2). */
+  val q42_clean_text: String = {
+    val noTags = "regexp_replace(text, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => s"regexp_replace($c, '$e', '$r', 'g')" }
+    val collapsed = s"trim(regexp_replace($decoded, '[ \\t]+', ' ', 'g'))"
+    s"""SELECT doc_id, $collapsed AS clean_text, length($collapsed)::BIGINT AS n_chars_clean
+FROM documents"""
+  }
+
+  /** Deterministic split buckets: per-bucket doc counts. */
+  def q43_split_buckets(nBuckets: Int): String =
+    s"""SELECT ((doc_id*$A2 + $C2) % $M) % $nBuckets AS split_bucket,
+count(*) AS n_docs, min(doc_id) AS min_id
+FROM documents GROUP BY 1"""
+
   /** Per-token corpus stats: total occurrences + document frequency. */
   val q37_term_stats: String =
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
@@ -504,6 +523,8 @@ FROM events GROUP BY user_id, event_type"""
     "q39_colbert_maxsim" -> q39_colbert_maxsim(16),
     "q40_tfidf_sparse" -> q40_tfidf_sparse,
     "q41_contamination" -> q41_contamination(3, 5L),
+    "q42_clean_text" -> q42_clean_text,
+    "q43_split_buckets" -> q43_split_buckets(10),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

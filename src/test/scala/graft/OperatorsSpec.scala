@@ -173,6 +173,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(trueDups.subsetOf(capped))
   }
 
+  test("cleanText strips markup, decodes entities, collapses whitespace") {
+    import spark.implicits._
+    val html = Seq((0L,
+      "<html><body>Hello &amp; welcome to   <b>graft</b>!&nbsp;&lt;ok&gt;\t&quot;q&quot;</body></html>"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cleaned(html, "doc_id", "text").head()
+    assert(got.getString(1) == "Hello & welcome to graft ! <ok> \"q\"")
+    assert(got.getLong(2) == got.getString(1).length.toLong)
+  }
+
+  test("splitBucket: deterministic, stable, covers all buckets") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("doc_id")
+    val b = ids.withColumn("b", TextAnalysis.splitBucket(col("doc_id"), 10))
+    val counts = b.groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 10L).toSet) // every bucket hit
+    val again = ids.withColumn("b", TextAnalysis.splitBucket(col("doc_id"), 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == again) // stable across runs
+  }
+
   test("duplicateClusters: transitive chains collapse to the min id") {
     import spark.implicits._
     // chain 1-2-3-4 (transitive) + isolated pair 10-11
