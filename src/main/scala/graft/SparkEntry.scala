@@ -166,10 +166,9 @@ object SparkEntry {
         Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35))),
 
     // corpus-weighted lexical vectors: sparse weights × exact idf ratio
-    "q40_tfidf_sparse" -> ((s, dir) => {
-      val d = docs(s, dir)
-      SparseEmbedder.dfWeighted(d, "doc_id", "text", nDocs = d.count())
-    }),
+    // (n_docs derived in-plan; one corpus scan via exchange reuse)
+    "q40_tfidf_sparse" -> ((s, dir) =>
+      SparseEmbedder.dfWeighted(docs(s, dir), "doc_id", "text")),
 
     // decontamination: train docs (id >= 100) sharing >= 5 trigrams
     // with any "eval" doc (id < 100)

@@ -54,8 +54,10 @@ object AudioPipeline {
       val len = u32(pos + 4).toInt
       val body = pos + 8
       // negative len (u32 high bit) would stall or reverse the chunk
-      // walk — malformed, refuse
-      if (len < 0 || body + len > bytes.length) return None
+      // walk — malformed, refuse. Subtraction form: `body + len` could
+      // wrap negative for len near Int.MaxValue and dodge an addition-
+      // form bound check
+      if (len < 0 || len > bytes.length - body) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

@@ -74,17 +74,36 @@ object SparseEmbedder {
     * engine's lexical weights: each (doc, token) weight is scaled by the
     * inverse document frequency ratio nDocs/df (the ln-free exact
     * variant — ln() is not cross-engine bit-exact, and monotone
-    * transforms don't change rankings). Composition shape: the narrow
-    * per-row sparse extraction joins the tiny corpus-stats table
-    * broadcast — the corpus itself never shuffles. */
+    * transforms don't change rankings).
+    *
+    * Scale shape: the corpus is tokenized, exploded, and scanned ONCE.
+    * The (doc, token) max-weight aggregate is the only pass over the
+    * exploded data; `df` comes from a count window over that SAME
+    * aggregate partitioned by token (one row per (doc, token) ⇒ the
+    * partition row count IS the document frequency), not from a second
+    * tokenization. `n_docs` rides in-plan as a broadcast 1-row
+    * companion computed by a column-pruned `count(*)` over the corpus —
+    * ReadSchema is the empty struct, so even at 100 TB that branch is
+    * parquet-footer work, and there is no driver-side `count()` action.
+    * The df window count runs BEFORE the positive-weight filter, so a
+    * token occurring in a doc with only non-positive scores still
+    * counts toward df (the relational semantics the oracle mirrors). */
   def dfWeighted(df: DataFrame, idCol: String, textCol: String,
-                 nDocs: Long, maxLength: Int = K.MaxLength): DataFrame = {
-    val sp = sparseExploded(df, idCol, textCol, maxLength)
-    val stats = TextAnalysis.termStats(df, idCol, textCol, maxLength)
-    sp.join(broadcast(stats), "token_id")
+                 maxLength: Int = K.MaxLength): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = df
+      .select(col(idCol),
+        posexplode(Kernel.tokenIds(col(textCol), maxLength)).as(Seq("pos", "token_id")))
+      .withColumn("s", occurrenceScore(col("token_id"), col("pos")))
+      .groupBy(col(idCol), col("token_id"))
+      .agg(max(when(col("s") > 0, col("s"))).as("__w"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token_id"))))
+    val nd = df.groupBy().agg(count(lit(1)).as("__n_docs"))
+    occ.filter(col("__w").isNotNull)
+      .crossJoin(broadcast(nd))
       .withColumn("tfidf",
-        col("weight") * (lit(nDocs).cast("double") / col("df").cast("double")))
-      .select(col(idCol), col("token_id"), col("weight"), col("df"), col("tfidf"))
+        col("__w") * (col("__n_docs").cast("double") / col("df").cast("double")))
+      .select(col(idCol), col("token_id"), col("__w").as("weight"), col("df"), col("tfidf"))
   }
 
   /** Reference-shaped output: one row per doc with

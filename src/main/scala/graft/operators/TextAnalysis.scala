@@ -144,9 +144,11 @@ object TextAnalysis {
     * cross-engine exact. Narrow, per-row. */
   def cleanText(text: Column): Column = {
     val noTags = regexp_replace(text, "<[^>]*>", " ")
+    // `&amp;` decodes LAST (standard unescape order): decoding it first
+    // would double-decode nested entities (`&amp;lt;` → `&lt;` → `<`)
     val decoded = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "[ \\t]+", " "))
   }
@@ -161,9 +163,14 @@ object TextAnalysis {
     * doc lands in a stable bucket of [0, nBuckets) from an integer hash
     * of its id, so splits are reproducible across runs, machines, and
     * engines (no RNG, unlike randomSplit). Filter `split_bucket <
-    * trainPct*nBuckets/100` for the train side. */
+    * trainPct*nBuckets/100` for the train side.
+    *
+    * Overflow-safe for the full Long id range: the id reduces mod M
+    * BEFORE the multiply (id*A2 alone would wrap for ids above ~4.1e9
+    * and emit negative buckets), and both moduli are pmod so negative
+    * ids also land in [0, nBuckets). */
   def splitBucket(id: Column, nBuckets: Int = 100): Column =
-    ((id * lit(K.A2) + lit(K.C2)) % lit(K.M)) % lit(nBuckets.toLong)
+    pmod(pmod(id, lit(K.M)) * lit(K.A2) + lit(K.C2), lit(K.M)) % lit(nBuckets.toLong)
 
   /** Corpus term statistics — the vocabulary/IDF-table builder of a
     * training pipeline: per token id, total occurrences (tf) and

@@ -272,22 +272,25 @@ FROM t JOIN ev ON t.shingle = ev.shingle
 GROUP BY t.train_id, ev.eval_id
 HAVING count(*) >= $minShared"""
 
-  /** Raw-text cleaning: tag strip → entity decode → space/tab collapse
-    * → trim (regex subset interpreted identically by Java and RE2). */
+  /** Raw-text cleaning: tag strip → entity decode (`&amp;` last, the
+    * standard unescape order) → space/tab collapse → trim (regex subset
+    * interpreted identically by Java and RE2). */
   val q42_clean_text: String = {
     val noTags = "regexp_replace(text, '<[^>]*>', ' ', 'g')"
     val decoded = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => s"regexp_replace($c, '$e', '$r', 'g')" }
     val collapsed = s"trim(regexp_replace($decoded, '[ \\t]+', ' ', 'g'))"
     s"""SELECT doc_id, $collapsed AS clean_text, length($collapsed)::BIGINT AS n_chars_clean
 FROM documents"""
   }
 
-  /** Deterministic split buckets: per-bucket doc counts. */
+  /** Deterministic split buckets: per-bucket doc counts. Mirrors the
+    * overflow-safe pmod form of [[TextAnalysis.splitBucket]] (id reduces
+    * mod M before the multiply; both moduli non-negative). */
   def q43_split_buckets(nBuckets: Int): String =
-    s"""SELECT ((doc_id*$A2 + $C2) % $M) % $nBuckets AS split_bucket,
+    s"""SELECT ((((doc_id % $M + $M) % $M) * $A2 + $C2) % $M) % $nBuckets AS split_bucket,
 count(*) AS n_docs, min(doc_id) AS min_id
 FROM documents GROUP BY 1"""
 

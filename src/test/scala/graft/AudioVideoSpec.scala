@@ -26,6 +26,13 @@ class AudioVideoSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(12 + 4, 0xFFFFFFF8) // fmt chunk length field
     assert(AudioPipeline.decodeWav(evil).isEmpty)
+    // positive chunk length near Int.MaxValue: `body + len` wraps
+    // negative, so an addition-form bound check would pass and crash in
+    // copyOfRange — the subtraction-form guard must return None
+    val evil2 = AudioPipeline.toWav(Array.fill(32)(5), 8000)
+    val bb2 = java.nio.ByteBuffer.wrap(evil2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(12 + 4, Int.MaxValue - 4) // positive, but body + len < 0
+    assert(AudioPipeline.decodeWav(evil2).isEmpty)
   }
 
   test("decodeWav skips unknown chunks (LIST before data)") {

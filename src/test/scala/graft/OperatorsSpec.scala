@@ -181,6 +181,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val got = TextAnalysis.cleaned(html, "doc_id", "text").head()
     assert(got.getString(1) == "Hello & welcome to graft ! <ok> \"q\"")
     assert(got.getLong(2) == got.getString(1).length.toLong)
+    // nested entities must NOT double-decode: &amp;lt; is the literal
+    // text "&lt;", not "<" (standard unescape decodes &amp; last)
+    val nested = Seq((0L, "a &amp;lt;b&amp;gt; c")).toDF("doc_id", "text")
+    assert(TextAnalysis.cleaned(nested, "doc_id", "text").head().getString(1)
+      == "a &lt;b&gt; c")
   }
 
   test("splitBucket: deterministic, stable, covers all buckets") {
@@ -193,6 +198,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val first = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(first == again) // stable across runs
+    // snowflake-scale and negative ids must also land in [0, nBuckets)
+    // (the pre-multiply mod + pmod form; id*A2 alone would overflow)
+    val wild = Seq(5000000000L, Long.MaxValue, -1L, Long.MinValue).toDF("doc_id")
+      .withColumn("b", TextAnalysis.splitBucket(col("doc_id"), 10))
+      .collect().map(_.getLong(1))
+    assert(wild.forall(x => x >= 0L && x < 10L))
   }
 
   test("duplicateClusters: transitive chains collapse to the min id") {
