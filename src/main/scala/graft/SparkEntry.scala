@@ -102,17 +102,21 @@ object SparkEntry {
     "q13_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35)),
 
-    "q14_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    // legacy 32-bit form (explicit bits: the operator default is now the
+    // scale-safe 60-bit signature, exercised by q15b via the defaults)
+    "q14_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 32)),
 
     "q15_simhash_neardups" -> ((s, dir) =>
-      Dedup.simhashNearDups(Dedup.simhash(docs(s, dir), "doc_id", "text"), "doc_id")
+      Dedup.simhashNearDups(
+        Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 32), "doc_id", bits = 32)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
-    // scale path: 60-bit signature, 4×15-bit bands (131k buckets/band
+    // the defaults: 60-bit signature, 4×15-bit bands (131k buckets/band
     // instead of 256 — bucket occupancy shrinks with corpus growth)
     "q15b_simhash60" -> ((s, dir) =>
       Dedup.simhashNearDups(
-        Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 60), "doc_id", bits = 60)
+        Dedup.simhash(docs(s, dir), "doc_id", "text"), "doc_id")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
     "q16_ngram_jaccard" -> ((s, dir) =>
@@ -143,10 +147,11 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
-    // embedding-space near-dup: LSH bucket self-join + exact cosine gate
+    // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
+    // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        K.Dim, 8, 0.4)),
+        K.Dim, 16, 0.2)),
 
     // the full curation composition: near-dup pairs → deduplicated corpus
     "q34_dedup_corpus" -> ((s, dir) => {
@@ -268,8 +273,8 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
-    // the SQL function surface end-to-end: same simhash semantics as
-    // q14, expressed in pure SQL via the registered graft_* functions
+    // the SQL function surface end-to-end: the 60-bit default simhash,
+    // expressed in pure SQL via the registered graft_* functions
     "q35_sql_simhash" -> ((s, dir) => {
       graft.sql.GraftFunctions.register(s)
       docs(s, dir).createOrReplaceTempView("graft_documents")

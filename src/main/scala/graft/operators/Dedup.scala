@@ -119,14 +119,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Scale-safe default for the LSH hub-bucket cap: a band bucket holding
+    * more than this many docs is treated as non-discriminative (a hub
+    * signature) and skipped — its true near-dups almost always recur in a
+    * smaller bucket of another band. 10k bounds the worst within-bucket
+    * self-join at ~5·10⁷ comparisons per hub instead of quadratic blowup. */
+  val DefaultMaxBucketSize: Int = 10000
+
   /** End-to-end MinHash+LSH near-dup pairs with exact-Jaccard verification:
-    * (id_a, id_b, jaccard) for pairs whose shingle-set Jaccard ≥ threshold. */
+    * (id_a, id_b, jaccard) for pairs whose shingle-set Jaccard ≥ threshold.
+    * `maxBucketSize` (default [[DefaultMaxBucketSize]]) caps hub buckets —
+    * pass `Int.MaxValue` for exact uncapped MMDS semantics. The cap is
+    * mirrored in the DuckDB oracle, so the gate checks the capped form. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n)
     val sigs = minhashSignatures(sh, idCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands, maxBucketSize)
     jaccardOnPairs(cands, sh, idCol, threshold)
   }
 
@@ -154,12 +165,16 @@ object Dedup {
     when(((t * lit(K.A2) + b * lit(K.B2) + lit(K.C2)) % lit(K.M)) % lit(2L) === lit(1L),
       lit(1L)).otherwise(lit(-1L))
 
-  /** 32-bit SimHash signature per doc: bit b set iff Σ_tokens vote > 0,
-    * assembled acc*2 + bit over bits high→low. Native expression on the
-    * hot path; [[simhashSigHof]] is the HOF formulation the oracle mirrors
-    * (identical exact integer votes — spec-asserted). */
+  /** SimHash signature per doc: bit b set iff Σ_tokens vote > 0,
+    * assembled acc*2 + bit over bits high→low. Default 60 bits — the
+    * scale-safe form (60/4 banding = 131k buckets/band, and 60 keeps the
+    * acc*2+bit fold inside positive signed-64 range for the SQL oracle);
+    * pass bits=32 for the compact legacy signature (q14/q15 oracles).
+    * Native expression on the hot path; [[simhashSigHof]] is the HOF
+    * formulation the oracle mirrors (identical exact integer votes —
+    * spec-asserted). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32, maxLength: Int = K.MaxLength): DataFrame =
+              bits: Int = 60, maxLength: Int = K.MaxLength): DataFrame =
     df.withColumn("__tids", Kernel.tokenIds(col(textCol), maxLength))
       .filter(size(col("__tids")) > 0)
       .withColumn("simhash",
@@ -190,11 +205,12 @@ object Dedup {
     * least one band equal). Scale note: the bucket count is
     * bands·2^(bits/bands) and the within-bucket self-join is quadratic in
     * bucket size — 32/4 (8-bit keys, 1,024 buckets) is only safe for
-    * small corpora; use 60/4 (15-bit keys, 131k buckets; 60 keeps the
-    * acc*2+bit signature fold inside positive signed-64 range for the
-    * SQL oracle) so bucket occupancy scales down with corpus size. */
+    * small corpora; the default 60/4 (15-bit keys, 131k buckets; 60
+    * keeps the acc*2+bit signature fold inside positive signed-64 range
+    * for the SQL oracle) scales bucket occupancy down with corpus
+    * size. `bits` must match the signature width of `sigs`. */
   def simhashNearDups(sigs: DataFrame, idCol: String,
-                      maxDist: Int = 3, bits: Int = 32,
+                      maxDist: Int = 3, bits: Int = 60,
                       bands: Int = 4): DataFrame = {
     val bandBits = bits / bands
     val bandCols = (0 until bands).map(b =>
@@ -214,22 +230,30 @@ object Dedup {
   }
 
   /** Duplicate-cluster labeling: connected components of the near-dup
-    * pair graph by min-label propagation — every doc in a duplicate
-    * group gets the group's smallest id as `cluster`. Runs EXACTLY
-    * `iterations` rounds (not to convergence) so the result is a pure
-    * function of the input — deterministic and oracle-able; `iterations`
-    * bounds the component diameter it can close (near-dup components
-    * are short chains in practice; raise it for pathological graphs).
-    * Each round is one self-join + min-aggregate over the PAIR GRAPH
-    * (tiny relative to the corpus), never over the corpus itself. */
-  def duplicateClusters(pairs: DataFrame, iterations: Int = 8): DataFrame = {
-    // localCheckpoint per round: labels and edges are each referenced
-    // twice per round, so without a LINEAGE cut every round doubles the
-    // logical plan — 2^iterations copies of the pair-graph computation
-    // (a cache alone still carries the exponential logical tree and can
-    // OOM the driver during analysis). The checkpoint materializes each
-    // round's tiny label table and restarts the plan from it — the
-    // standard Spark shape for iterative graph algorithms.
+    * pair graph by min-label propagation WITH POINTER DOUBLING — every
+    * doc in a duplicate group gets the group's smallest id as `cluster`.
+    * Each round takes the min over three candidate sets: the node's own
+    * label, its neighbors' labels (1-hop propagation), and its label's
+    * label (path doubling — labels are always node ids, so l(l(v)) is a
+    * valid lookup). The doubling term makes the closed chain length grow
+    * exponentially: round k closes ascending chains of diameter 2^(k-1)
+    * (1, 2, 4, 8, …), so the default 6 rounds close 32-hop chains where
+    * the same budget of plain propagation closed only 6 — spec-checked
+    * on a 30-hop chain fixture.
+    *
+    * Runs EXACTLY `iterations` rounds (not to convergence) so the result
+    * is a pure function of the input — deterministic and oracle-able;
+    * raise `iterations` for pathological graphs. Each round is two
+    * self-joins + one min-aggregate over the PAIR GRAPH (tiny relative
+    * to the corpus), never over the corpus itself. */
+  def duplicateClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
+    // localCheckpoint per round: labels is referenced four times per
+    // round, so without a LINEAGE cut every round multiplies the
+    // logical plan — exponentially many copies of the pair-graph
+    // computation (a cache alone still carries the exponential logical
+    // tree and can OOM the driver during analysis). The checkpoint
+    // materializes each round's tiny label table and restarts the plan
+    // from it — the standard Spark shape for iterative graph algorithms.
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint()
@@ -238,7 +262,10 @@ object Dedup {
     for (_ <- 1 to iterations) {
       val viaNeighbors = edges.join(labels, edges("s") === labels("id"))
         .select(col("d").as("id"), col("cluster"))
-      labels = labels.union(viaNeighbors)
+      val viaPointer = labels.as("a")
+        .join(labels.as("b"), col("a.cluster") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
+      labels = labels.union(viaNeighbors).union(viaPointer)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
     }
@@ -275,11 +302,24 @@ object Dedup {
     * same-bucket pairs are scored — the candidate set shrinks
     * ~2^nPlanes-fold) → exact cosine ≥ threshold. The embedding-space
     * member of the dedup family; the bucket count is the scale lever,
-    * like [[Similarity.annLshMultiProbe]]. */
+    * like [[Similarity.annLshMultiProbe]] — use ≥ 16 planes at scale.
+    * `maxBucketSize` caps hub buckets exactly like [[minhashNearDups]]
+    * (the within-bucket self-join is quadratic in occupancy); the
+    * bucket-size table is ≤ 2^nPlanes rows, so the guard join
+    * broadcasts. `Int.MaxValue` opts out. */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
-    val b = vecs.withColumn("__bucket",
+                        dim: Int, nPlanes: Int, threshold: Double,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val b0 = vecs.withColumn("__bucket",
       Similarity.lshBucket(col(vecCol), dim, nPlanes))
+    val b =
+      if (maxBucketSize == Int.MaxValue) b0
+      else {
+        val ok = b0.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("__bucket"))
+        b0.join(broadcast(ok), "__bucket")
+      }
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
     l.join(r, "__bucket")

@@ -228,14 +228,17 @@ sh AS (SELECT DISTINCT doc_id, unnest(${shingleList("tids", n)}) AS shingle FROM
       .map(i => s"m$i")
       .foldLeft("0")((acc, m) => s"(($acc) * 1000003 + $m) % 911382323007")
 
-  def q13_minhash_neardups(threshold: Double, numHashes: Int, bands: Int): String = {
+  def q13_minhash_neardups(threshold: Double, numHashes: Int, bands: Int,
+                           maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String = {
     val rpb = numHashes / bands
     val bandSelects = (0 until bands)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rpb)} AS key FROM sig")
       .mkString(" UNION ALL ")
     shingleCtes(3) + s""",
 sig AS (SELECT doc_id, ${minhashCols(numHashes)} FROM sh GROUP BY doc_id),
-band AS ($bandSelects),
+band0 AS ($bandSelects),
+bandok AS (SELECT band, key FROM band0 GROUP BY band, key HAVING count(*) <= $maxBucketSize),
+band AS (SELECT band0.* FROM band0 JOIN bandok USING (band, key)),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle GROUP BY c.id_a, c.id_b)
@@ -301,17 +304,20 @@ e AS (SELECT doc_id, unnest(tids) AS token_id FROM tok)
 SELECT token_id, count(*) AS tf, count(DISTINCT doc_id) AS df FROM e GROUP BY token_id"""
 
   /** Duplicate clusters: `iterations` unrolled rounds of min-label
-    * propagation over the near-dup pair graph (mirrors
-    * Dedup.duplicateClusters round for round). */
+    * propagation WITH POINTER DOUBLING over the near-dup pair graph
+    * (mirrors Dedup.duplicateClusters round for round: own label ∪
+    * neighbors' labels ∪ label-of-label, min per id). */
   def q38_dup_clusters(threshold: Double, numHashes: Int, bands: Int,
                        iterations: Int): String = {
-    // MATERIALIZED: every lI is referenced twice by round I+1 — without
-    // it the planner may inline CTEs and blow the tree up 2^iterations
+    // MATERIALIZED: every lI is referenced thrice by round I+1 — without
+    // it the planner may inline CTEs and blow the tree up exponentially
     val rounds = (1 to iterations).map { i =>
       s"""l$i AS MATERIALIZED (SELECT id, min(cluster) AS cluster FROM (
   SELECT id, cluster FROM l${i - 1}
   UNION ALL
-  SELECT e.d AS id, l.cluster FROM edges e JOIN l${i - 1} l ON l.id = e.s) u GROUP BY id)"""
+  SELECT e.d AS id, l.cluster FROM edges e JOIN l${i - 1} l ON l.id = e.s
+  UNION ALL
+  SELECT a.id, b.cluster FROM l${i - 1} a JOIN l${i - 1} b ON b.id = a.cluster) u GROUP BY id)"""
     }.mkString(",\n")
     s"""WITH pr AS MATERIALIZED (
 ${q13_minhash_neardups(threshold, numHashes, bands)}
@@ -413,9 +419,13 @@ j AS (SELECT qp.qid, a.vec_id, ${cosineSql("a.embedding", "qp.qv")} AS score,
   FROM assign a JOIN qprobe qp ON a.cell = qp.cell)
 SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
 
-  /** Embedding-cosine near-dups: same-bucket self-join + cosine gate. */
-  def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double): String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings)
+  /** Embedding-cosine near-dups: same-bucket self-join + cosine gate,
+    * hub buckets above the cap skipped (mirrors the operator's guard). */
+  def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double,
+                             maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String =
+    s"""WITH b0 AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+ok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= $maxBucketSize),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (bucket))
 SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosineSql("a.embedding", "c.embedding")} AS cosine
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ${cosineSql("a.embedding", "c.embedding")} >= $threshold"""
@@ -517,12 +527,12 @@ FROM events GROUP BY user_id, event_type"""
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),
     "q17c_ivf_flat" -> q17c_ivf_flat(16, 4, 5),
-    "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 8, 0.4),
+    "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
-    "q35_sql_simhash" -> q14_simhash(32),
+    "q35_sql_simhash" -> q14_simhash(60),
     "q36_audio_embed" -> q36_audio_embed(16, 16),
     "q37_term_stats" -> q37_term_stats,
-    "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 8),
+    "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 6),
     "q39_colbert_maxsim" -> q39_colbert_maxsim(16),
     "q40_tfidf_sparse" -> q40_tfidf_sparse,
     "q41_contamination" -> q41_contamination(3, 5L),

@@ -49,7 +49,7 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("graft_pooled_sums(tids, dim)")
     },
     "graft_simhash" -> {
-      case Seq(tids) => SimhashSig(tids, 32)
+      case Seq(tids) => SimhashSig(tids, 60) // scale-safe default, like Dedup.simhash
       case Seq(tids, b) => SimhashSig(tids, intArg(b, "bits"))
       case _ => throw new IllegalArgumentException("graft_simhash(tids[, bits])")
     },

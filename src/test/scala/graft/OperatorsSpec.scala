@@ -173,6 +173,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(trueDups.subsetOf(capped))
   }
 
+  test("minhashNearDups threads the hub-bucket cap end to end") {
+    // 12 copies of one text: every band bucket for it holds 12 docs —
+    // a synthetic hub. cap=4 drops the hub entirely; Int.MaxValue
+    // (the exact-MMDS opt-out) finds all 66 pairs.
+    val hub = (0L until 12L).map(i => (i, "spark shuffles data between stages fast"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(hub, "doc_id", "text", 0.5, maxBucketSize = 4)
+    assert(capped.count() == 0L)
+    val exact = Dedup.minhashNearDups(hub, "doc_id", "text", 0.5,
+      maxBucketSize = Int.MaxValue)
+    assert(exact.count() == 66L)
+  }
+
+  test("embeddingNearDups caps hub buckets; opt-out restores all pairs") {
+    // 10 identical vectors land in one LSH bucket (a hub): capped run
+    // emits nothing, opt-out emits all 45 cosine≈1 pairs
+    val v = Array.tabulate(16)(d => 0.1 * (d + 1))
+    val vecs = (0L until 10L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 16, 8, 0.9,
+      maxBucketSize = 4)
+    assert(capped.count() == 0L)
+    val all = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 16, 8, 0.9,
+      maxBucketSize = Int.MaxValue)
+    assert(all.count() == 45L)
+  }
+
   test("cleanText strips markup, decodes entities, collapses whitespace") {
     import spark.implicits._
     val html = Seq((0L,
@@ -213,6 +239,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val got = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters: pointer doubling closes a 30-hop chain in 6 rounds") {
+    import spark.implicits._
+    // ascending 31-node chain 0-1-…-30 (diameter 30 ≫ the 6-round budget
+    // of plain propagation; doubling closes 2^(k-1) hops by round k)
+    val chain = (0L until 30L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 31 && got.values.forall(_ == 0L))
+    // and the worst orientation for min-label (descending ids along the
+    // walk direction) also collapses
+    val rev = (0L until 30L).map(i => (30L - i, 29L - i)).toDF("id_a", "id_b")
+    val got2 = Dedup.duplicateClusters(rev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == 31 && got2.values.forall(_ == 0L))
   }
 
   test("minhash near-dups finds a true near-duplicate pair") {
