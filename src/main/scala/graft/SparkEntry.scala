@@ -23,6 +23,17 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").select(col("doc_id"), col("text"))
 
+  /** The q23b/q23c preprocessing chain, built through the S8 config
+    * parser (CLIPImageProcessor dialect): resize (4,4) Catmull-Rom →
+    * center crop (2,2) → rescale 1/255 → CLIP normalize. */
+  private val q23bCompose: Preprocess.Compose = Preprocess.Compose.fromJson(
+    """{"image_processor_type": "CLIPImageProcessor",
+       |"do_resize": true, "size": {"height": 4, "width": 4},
+       |"do_center_crop": true, "crop_size": {"height": 2, "width": 2},
+       |"do_rescale": true, "do_normalize": true,
+       |"image_mean": [0.48145466, 0.4578275, 0.40821073],
+       |"image_std": [0.26862954, 0.26130258, 0.27577711]}""".stripMargin)
+
   /** Dense pipeline → exploded (doc_id, dim, val). */
   private def denseExploded(s: SparkSession, dir: String, pooling: Pooling): DataFrame =
     TextEmbedder(dim = K.Dim, pooling = pooling)
@@ -220,6 +231,50 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // the REAL image chain on the hard gate: PNG fixture bytes →
+    // javax.imageio decode → config-driven Compose (Catmull-Rom resize
+    // 8→4, center crop 4→2, CLIP rescale+normalize) → quantize →
+    // projection. The oracle rebuilds the resize weights with identical
+    // double arithmetic, so the whole P6/P7/P8/P12/S8 chain hash-matches.
+    "q23b_image_compose" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
+        .toDF("doc_id", "png")
+      ImagePipeline.embedImagesCompose(pngs, "doc_id", "png", q23bCompose, dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
+    // checked binaryFile ingest (S2): PNG fixture FILES on disk → Spark's
+    // binaryFile source (path-glob pushdown) → the same real
+    // decode+Compose chain, doc id recovered from the file name. The
+    // collect() writes 64 tiny fixture files — file generation, not part
+    // of the operator plan.
+    "q23c_image_files" -> ((s, dir) => {
+      import s.implicits._
+      val fixDir = new java.io.File("/root/repo/target/graft_img_fixtures")
+      fixDir.mkdirs()
+      Option(fixDir.listFiles()).foreach(_.foreach(f =>
+        if (f.getName.endsWith(".png")) f.delete()))
+      docs(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
+        .collect()
+        .foreach { r =>
+          val p = new java.io.File(fixDir, f"img_${r.getLong(0)}%05d.png")
+          java.nio.file.Files.write(p.toPath,
+            ImagePipeline.pngFixture(r.getAs[Array[Byte]](1)))
+        }
+      val files = ImagePipeline.readImages(s, fixDir.getAbsolutePath, "*.png")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+      ImagePipeline.embedImagesCompose(files, "doc_id", "content", q23bCompose, dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // BGE-M3 joint output (dense+sparse+colbert in ONE narrow pass) —
     // checked via three flat projections of the same plan; dense shares
     // q01's oracle, sparse/colbert mirror q05/q06 semantics
@@ -256,11 +311,28 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // dim-genericity of the whole dense chain: the 384-d registry model
+    // (the reference's BGE-small shape) through the same pipeline
+    "q30b_registry_384" -> ((s, dir) =>
+      TextEmbedder.fromModel("graft-hash-384-mean")
+        .embed(docs(s, dir), "text", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
+
     // multi-query rerank: first 4 docs as queries against the whole
     // corpus — one broadcast, one corpus scan, no shuffle
     "q31_rerank_multi" -> ((s, dir) => {
       val d = docs(s, dir)
       Reranker.rerankAll(
+        d.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", d, "doc_id", "text")
+    }),
+
+    // the backend route of the cross-encoder: pairEncode → RawBackend
+    // forward → logits[:, 0] (I3's actual reference shape)
+    "q31b_rerank_backend" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Reranker.rerankBackendAll(
         d.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text").as("qtext")),
         "qid", "qtext", d, "doc_id", "text")
     }),
@@ -294,6 +366,25 @@ object SparkEntry {
           posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("n_frames"),
           col("dim").cast("long").as("dim"), col("val"))),
+
+    // the REAL WAV route under the same oracle: raw PCM16 wrapped in a
+    // RIFF container in-plan (fixture-generation map), then parsed back
+    // by the chunk-walking decodeWav → identical samples → q36's math
+    "q36b_wav_embed" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          (id, AudioPipeline.toWav(AudioPipeline.pcm16le(b), 16000))
+        }
+        .toDF("doc_id", "wav")
+      AudioPipeline.embedWav(wavs, "doc_id", "wav", frameLen = 16, dim = 16)
+        .select(col("doc_id"), col("n_frames"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("n_frames"),
+          col("dim").cast("long").as("dim"), col("val"))
+    }),
 
     // ColBERT late interaction: doc 0's token vectors as the query,
     // MaxSim against every doc's multi-vector set (doc_id < 100) — the

@@ -62,6 +62,31 @@ final case class HashingRawBackend(dim: Int = graft.functions.K.Dim) extends Raw
   }
 }
 
+/** Cross-encoder scoring backend — the analogue of the reference's
+  * reranker ONNX session whose single output is `logits` of shape
+  * [batch, 1] (/root/reference/src/reranking/impl.rs:156-180). Input is
+  * the pair encoding with segment ids folded in (token id + seg·(B2%M),
+  * the same segment-offset stream as the ColBERT position offset); the
+  * "logit" is the mean-scaled dim-0 projector value over the joint
+  * sequence — deterministic, oracle-expressible, and shaped exactly like
+  * a real cross-encoder head (one raw unnormalized score per pair). */
+final case class HashingCrossEncoder(dim: Int = 1) extends RawBackend {
+  import graft.functions.K
+
+  private def logit(tids: Array[Long]): Double = {
+    val n = tids.length
+    if (n == 0) return 0.0
+    var s = 0L
+    var i = 0
+    while (i < n) { s += (tids(i) * K.A + K.C) % K.M; i += 1 } // cell(t, d=0)
+    (s.toDouble / n.toDouble / K.M.toDouble) * 2.0 - 1.0
+  }
+
+  def forwardBatch(batch: Seq[Array[Long]]): Seq[(String, Seq[Array[Array[Double]]])] =
+    // single output ⇒ the OnlyOne precedence rule selects it
+    Seq("logits" -> batch.map(tids => Array(Array(logit(tids)))))
+}
+
 /** The custom-transformer export hook
   * (/root/reference/src/output/embedding_output.rs:111-118,
   * `export_with_transformer`): run the backend, select one named output
@@ -90,6 +115,39 @@ object RawBackendEmbedder {
         val key = OutputPrecedence.select(outputs.map(_._1), outputKey)
         val selected = outputs.find(_._1 == key).get._2
         ids.zip(selected).map { case (id, m) => Row(id, transform(m).toSeq) }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Pair variant — the reranker's backend route
+    * (/root/reference/src/reranking/impl.rs:156-180): run the encoded
+    * (query, document) pair sequences through a [[RawBackend]] forward,
+    * select the output by the same precedence rules, and take element
+    * [0] of each pair's first output row — the `logits[:, 0]` score
+    * slice. Output: (qIdCol, index = original doc id, score). Narrow,
+    * micro-batched like every inference path. */
+  def scorePairs(df: DataFrame, qIdCol: String, dIdCol: String,
+                 tidsCol: String, backend: RawBackend,
+                 outputKey: Option[String] = None,
+                 batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(qIdCol, LongType, nullable = false),
+      StructField("index", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val qIdx = df.schema.fieldIndex(qIdCol)
+    val dIdx = df.schema.fieldIndex(dIdCol)
+    val tIdx = df.schema.fieldIndex(tidsCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { group =>
+        val tids = group.map(r => r.getSeq[Long](tIdx).toArray)
+        val outputs = backend.forwardBatch(tids)
+        val key = OutputPrecedence.select(outputs.map(_._1), outputKey)
+        val selected = outputs.find(_._1 == key).get._2
+        group.zip(selected).map { case (r, m) =>
+          Row(r.getLong(qIdx), r.getLong(dIdx), m(0)(0)) // logits[:, 0]
+        }
       }
     }
     spark.createDataFrame(rows, outSchema)

@@ -191,6 +191,33 @@ object ImagePipeline {
       .toDF(idCol, "width", "height", "channels", "embedding")
   }
 
+  /** Deterministic PNG fixture: tile `bytes` into a side×side RGB image
+    * (channel c of pixel (y,x) = bytes[(3·(y·side+x)+c) % n]) and encode
+    * it as a real PNG via javax.imageio. PNG is lossless for 8-bit RGB,
+    * so [[decodeImage]] recovers exactly these pixel values — which is
+    * what lets the DuckDB oracle reproduce the decode→Compose chain from
+    * the source bytes (q23b/q23c). Fixture-generation helper, not an
+    * operator. */
+  def pngFixture(bytes: Array[Byte], side: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val n = if (bytes == null) 0 else bytes.length
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val base = 3 * (y * side + x)
+        def b(o: Int): Int = if (n == 0) 0 else bytes((base + o) % n) & 0xff
+        img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Image-path ingest (S2,
     * /root/reference/src/image_embedding/impl.rs:155-186): directory of
     * image files → (path, bytes) via Spark's binaryFile source. Pushed

@@ -93,6 +93,40 @@ object Reranker {
       .select(col(qIdCol), col("__t.id").as("index"),
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
 
+  /** Segment-id fold-in constant for the backend route: combined token
+    * stream = input_ids[i] + token_type_ids[i]·(B2 % M) — the document
+    * segment hashes into a distinct id space, so the cross-encoder sees
+    * WHICH side each token came from (the role token_type_ids plays in a
+    * real pair encoding). Same constant stream as the ColBERT position
+    * offset. */
+  val SegShift: Long = K.B2 % K.M
+
+  /** Backend-routed multi-query rerank — the reference's actual
+    * cross-encoder path (/root/reference/src/reranking/impl.rs:109-196):
+    * [[pairEncode]] builds the two-segment encoding, the segment ids
+    * fold into the token stream, a [[graft.backend.RawBackend]] forward
+    * produces `logits`, and the score is `logits[:, 0]`. Same topology
+    * as [[rerankAll]]: queries broadcast, corpus scanned once, narrow.
+    * Pairs whose joint encoding is empty are dropped (the reference
+    * cannot encode an empty pair). Output: (qIdCol, index, score);
+    * recover order with ORDER BY score DESC, index ASC. */
+  def rerankBackendAll(queries: DataFrame, qIdCol: String, qTextCol: String,
+                       docs: DataFrame, idCol: String, textCol: String,
+                       backend: graft.backend.RawBackend =
+                         graft.backend.HashingCrossEncoder(),
+                       maxLen: Int = K.MaxLength): DataFrame = {
+    val paired = docs
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qTextCol))))
+      .withColumn("__pair", pairEncode(col(qTextCol), col(textCol), maxLen))
+      .withColumn("__ct",
+        zip_with(col("__pair.input_ids"), col("__pair.token_type_ids"),
+          (t, s) => t + s * lit(SegShift)))
+      .filter(size(col("__ct")) > 0)
+      .select(col(qIdCol).cast("long").as(qIdCol),
+        col(idCol).cast("long").as(idCol), col("__ct"))
+    graft.backend.RawBackendEmbedder.scorePairs(paired, qIdCol, idCol, "__ct", backend)
+  }
+
   /** Rerank `docs` against a single query string. Output columns:
     * (index = original id, score double, document string) ordered
     * score desc, index asc. `returnDocuments=false` drops the text column

@@ -105,6 +105,63 @@ nr AS (SELECT doc_id, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b)
 emb AS (SELECT doc_id, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
 
+  /** q23b/q23c: the REAL image chain. The PNG fixture is a lossless
+    * round-trip (channel c of pixel (y,x) = byte[(3·(y·8+x)+c) % n]), so
+    * the oracle starts from the source bytes and mirrors
+    * [[graft.operators.Preprocess]] term for term: separable Catmull-Rom
+    * resize 8→4 (horizontal pass held in doubles, vertical pass
+    * round+clamped to u8 — weights precomputed HERE with the identical
+    * double arithmetic and emitted as round-tripping literals; zero
+    * weights skipped, which leaves IEEE sums unchanged), center crop
+    * 4→2, CLIP rescale+normalize, quantize, hash projection (12 px). */
+  def q23b_image_compose(dim: Int, where: String = ""): String = {
+    val side = 8; val rs = 4; val crop = 2
+    // taps of one output index of a srcN→dstN pass — same geometry and
+    // op order as Preprocess.resample1d, evaluated at SQL-build time
+    def taps(srcN: Int, dstN: Int, o: Int): (Seq[(Int, Double)], Double) = {
+      val ratio = srcN.toDouble / dstN.toDouble
+      val scale = math.max(ratio, 1.0)
+      val support = 2.0 * scale
+      val center = (o + 0.5) * ratio
+      val lo = math.max(0, math.floor(center - support).toInt)
+      val hi = math.min(srcN - 1, math.ceil(center + support).toInt)
+      val all = (lo to hi).map(i =>
+        (i, graft.operators.Preprocess.catmullRom((center - (i + 0.5)) / scale)))
+      var ws = 0.0
+      all.foreach(t => ws += t._2)
+      (all.filter(_._2 != 0.0), ws)
+    }
+    val off = (rs - crop) / 2 // center-crop offset inside the resized image
+    def hExpr(c: Int, y: Int, xo: Int): String = {
+      val (ts, ws) = taps(side, rs, xo)
+      val s = ts.map { case (x, w) =>
+        val idx = 3 * (y * side + x) + c
+        s"($w)*bs[(($idx) % len(bs)) + 1]::DOUBLE"
+      }.mkString(" + ")
+      s"(($s) / ($ws))"
+    }
+    def pixExpr(c: Int, yo: Int, xo: Int): String = {
+      val (ts, ws) = taps(side, rs, yo)
+      val s = ts.map { case (y, w) => s"($w)*${hExpr(c, y, xo)}" }.mkString(" + ")
+      s"greatest(0, least(255, CAST(floor(((($s) / ($ws))) + 0.5) AS BIGINT)))"
+    }
+    val mean = graft.operators.ImagePipeline.ClipMean
+    val std = graft.operators.ImagePipeline.ClipStd
+    val qExprs = for {
+      c <- 0 until 3; yo <- 0 until crop; xo <- 0 until crop
+    } yield {
+      val p = pixExpr(c, yo + off, xo + off)
+      s"CAST(floor((($p::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - ${mean(c)}) / ${std(c)}) * 1000.0 + 0.5) AS BIGINT) + 2000"
+    }
+    val n = 3 * crop * crop
+    s"""WITH b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents$where),
+qz AS (SELECT doc_id, [${qExprs.mkString(",\n  ")}] AS qs FROM b),
+m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(qs, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / $n.0 / $M.0) * 2.0 - 1.0) AS mnv FROM qz),
+nr AS (SELECT doc_id, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q36: raw PCM16 audio codec — UTF-8 text bytes as little-endian
     * sample pairs, non-overlapping frames of 16, per-frame energy Σs²
     * mod M, then the shared projector. Mirrors
@@ -183,6 +240,21 @@ s AS (SELECT doc_id, text,
 SELECT doc_id AS "index", CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u::DOUBLE END AS score, text AS document
 FROM s ORDER BY score DESC, "index" ASC"""
   }
+
+  /** q31b: the backend-routed cross-encoder — pair encoding (query
+    * tokens ++ doc tokens under a shared truncation budget, segment ids
+    * folded in as +seg·(B2%M)) → mean-scaled dim-0 projector value =
+    * the logits[:,0] analogue. Mirrors
+    * [[graft.operators.Reranker.rerankBackendAll]] +
+    * [[graft.backend.HashingCrossEncoder]] term for term. */
+  val q31b_rerank_backend: String =
+    s"""WITH q AS (SELECT doc_id AS qid, ${tids("text")} AS qt FROM documents WHERE doc_id < 4),
+d AS (SELECT doc_id, ${tids("text")} AS dt FROM documents),
+p AS (SELECT qid, doc_id, list_slice(list_concat(qt, dt), 1, $MaxLength) AS ids,
+  list_slice(list_concat(list_transform(qt, t -> 0::BIGINT), list_transform(dt, t -> 1::BIGINT)), 1, $MaxLength) AS segs FROM d, q),
+c AS (SELECT qid, doc_id, list_transform(range(1, len(ids) + 1), i -> ids[i] + segs[i]*$b2m) AS ct FROM p),
+s AS (SELECT qid, doc_id, (list_reduce(list_transform(ct, t -> (t*$A + $C) % $M), (a,b) -> a+b)::DOUBLE / len(ct)::DOUBLE / $M.0) * 2.0 - 1.0 AS score FROM c WHERE len(ct) > 0)
+SELECT qid, doc_id AS "index", score FROM s"""
 
   /** Multi-query rerank: token-set Jaccard of every document against each
     * of the first 4 documents' texts as queries. */
@@ -544,11 +616,16 @@ FROM events GROUP BY user_id, event_type"""
     "q21_fingerprint" -> q21_fingerprint(3, 4),
     "q22_backend_embed" -> q01_dense_embed,
     "q23_image_embed" -> q23_image_embed(16),
+    "q23b_image_compose" -> q23b_image_compose(16),
+    "q23c_image_files" -> q23b_image_compose(16, " WHERE doc_id < 64"),
     "q27_bgem3_dense" -> q01_dense_embed,
     "q28_bgem3_sparse" -> q28_bgem3_sparse,
     "q29_bgem3_colbert" -> q06_colbert(16),
     "q30_registry_embed" -> q02_cls_embed,
+    "q30b_registry_384" -> denseSelect("tids0", 384),
     "q31_rerank_multi" -> q31_rerank_multi,
+    "q31b_rerank_backend" -> q31b_rerank_backend,
+    "q36b_wav_embed" -> q36_audio_embed(16, 16),
     "q32_prefixed_embed" -> q32_prefixed_embed,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,

@@ -87,6 +87,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ids.take(4) == qt)
   }
 
+  test("rerankBackendAll: logits[:,0] route — deterministic, empty pairs dropped") {
+    val queries = Seq((0L, "spark join"), (1L, "???")).toDF("qid", "qtext")
+    val ds = Seq((10L, "hash join plan"), (11L, "!!!")).toDF("doc_id", "text")
+    val out = Reranker.rerankBackendAll(queries, "qid", "qtext", ds, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (q1, d11) is the only pair with an EMPTY joint encoding → dropped
+    assert(out.map(t => (t._1, t._2)) == Set((0L, 10L), (0L, 11L), (1L, 10L)))
+    // scores come from the joint pair sequence: same doc under different
+    // queries scores differently (the cross-encoder property a bi-encoder
+    // dot product lacks)
+    val byPair = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair((0L, 10L)) != byPair((1L, 10L)))
+    // deterministic across runs
+    val again = Reranker.rerankBackendAll(queries, "qid", "qtext", ds, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == out)
+  }
+
   test("rerankAll: per-query ranking matches single-query rerank") {
     val queries = Seq((100L, "what is panda?"), (101L, "spark hash join")).toDF("qid", "qtext")
     val out = Reranker.rerankAll(queries, "qid", "qtext", docs, "doc_id", "text")
