@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -59,7 +59,11 @@ object SparsePairsKernel {
   * [[graft.operators.Bgem3Embedder.sparsePairsHof]] and to the
   * relational explode→groupBy→max path (spec-asserted — all three share
   * the q28 oracle). */
-case class SparsePairs(child: Expression, minIdExclusive: Long = 3L) extends UnaryExpression {
+case class SparsePairs(child: Expression, minIdExclusive: Long = 3L)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(ArrayType(LongType))
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("token_id", LongType, nullable = false),

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The tokenize+hash inner loop as a plain static method so both the
@@ -71,8 +71,21 @@ object TokenIdsKernel {
   *
   * Generates code (no CodegenFallback): the call site stays inside its
   * WholeStageCodegen region instead of forcing interpreted evaluation of
-  * the enclosing subtree. */
-case class TokenIds(child: Expression, maxLen: Int) extends UnaryExpression {
+  * the enclosing subtree.
+  *
+  * LOCALE NOTE: this kernel lowercases per char via
+  * `Character.toLowerCase` — locale-INdependent. The HOF/oracle
+  * formulation goes through Spark `lower()` → `String.toLowerCase()`,
+  * which consults the JVM default locale for non-ASCII strings (under
+  * tr-TR, 'I' lowers to dotless 'ı' there but to 'i' here). The
+  * spec-asserted bit-equality between the two formulations therefore
+  * assumes a root/en default locale, the production default for Spark
+  * clusters; pin `-Duser.language=en` (or assert `Locale.getDefault`)
+  * if deploying to machines with a Turkic default locale. */
+case class TokenIds(child: Expression, maxLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -79,7 +79,11 @@ case class TokenVec(left: Expression, right: Expression, dim: Int)
   * order — all mirrored in the SQL oracle. Empty D → 0.0; null inner
   * vectors are skipped on both sides; float or double elements accepted
   * (float widens exactly, like [[CosineSim]]). */
-case class MaxSim(left: Expression, right: Expression) extends BinaryExpression {
+case class MaxSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.MultiVecArray, GraftInputTypes.MultiVecArray)
+
   override def dataType: DataType = DoubleType
 
   private def elemIsFloat(e: Expression): Boolean =
@@ -141,7 +145,10 @@ case class MaxSim(left: Expression, right: Expression) extends BinaryExpression 
   * array_intersect + array_union per row. Exact integer set sizes, so
   * it is bit-identical to the HOF/SQL formulation by construction. */
 case class TokenSetJaccard(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.IdArray, GraftInputTypes.IdArray)
+
   override def dataType: DataType = DoubleType
 
   // SQL users' default integer arrays are read as ints, not crashed on

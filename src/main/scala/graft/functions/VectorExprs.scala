@@ -1,9 +1,28 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+/** Shared input-type contracts for the native expressions. All are
+  * reachable from raw SQL via the `graft_*` functions, so each must
+  * reject wrong-typed arguments with an AnalysisException at planning
+  * time (ExpectsInputTypes) rather than a ClassCastException mid-query. */
+private[functions] object GraftInputTypes {
+  import org.apache.spark.sql.graftbridge.Bridge
+  /** array<bigint> token-id input. */
+  val TokenArray: Bridge.AbstractType = ArrayType(LongType)
+  /** array<float|double> vector input. */
+  val VecArray: Bridge.AbstractType =
+    Bridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType))
+  /** array<array<float|double>> multi-vector input. */
+  val MultiVecArray: Bridge.AbstractType =
+    Bridge.oneOf(ArrayType(ArrayType(FloatType)), ArrayType(ArrayType(DoubleType)))
+  /** array<bigint|int> id-set input (SQL int literals arrive as int). */
+  val IdArray: Bridge.AbstractType =
+    Bridge.oneOf(ArrayType(LongType), ArrayType(IntegerType))
+}
 
 /** Static kernels for the native vector expressions — plain methods the
   * generated Java calls directly (Scala objects emit static forwarders),
@@ -100,7 +119,10 @@ object VectorKernels {
   * exact integer sums as the HOF formulation in [[Kernel.pooledSums]]
   * (addition commutes, so iteration order is irrelevant), but as two
   * tight JVM loops instead of ~dim×tokens interpreted lambda calls. */
-case class PooledSums(child: Expression, dim: Int) extends UnaryExpression {
+case class PooledSums(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -118,7 +140,10 @@ case class PooledSums(child: Expression, dim: Int) extends UnaryExpression {
   * high-bit-first as acc*2 + bit. Exact integer votes (order-free) —
   * identical to the HOF formulation in [[graft.operators.Dedup.simhashSigHof]]
   * and the DuckDB oracle. */
-case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+case class SimhashSig(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -133,7 +158,10 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
 
 /** Native shingle expression over a token-id array — one rolling JVM
   * pass instead of an interpreted fold per window position. */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -154,7 +182,9 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   * accumulates in dimension order, so results are bit-identical
   * (spec-asserted) and the SQL oracle needs no change. */
 case class LshBucket(child: Expression, dim: Int, nPlanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.VecArray)
+
   override def dataType: DataType = LongType
 
   private lazy val elemIsFloat =
@@ -207,7 +237,11 @@ case class LshBucket(child: Expression, dim: Int, nPlanes: Int)
   * dot and both norm folds run left-to-right in array order, norms via
   * IEEE sqrt, guard returns exactly 0.0. Dot stops at the shorter array
   * (src/similarity.rs:14-16); norms run over each full array. */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.VecArray, GraftInputTypes.VecArray)
+
   override def dataType: DataType = DoubleType
 
   private def elemIsFloat(e: Expression): Boolean =

@@ -41,12 +41,24 @@ object StreamingOps {
     * emitted as (id_a, id_b, hamming) with id_a the earlier-seen doc.
     * A pair can surface from more than one band — dedupe downstream if
     * exact-once pairs matter. State per bucket is the bucket's (id, sig)
-    * list; at scale, band keys spread state across the store and a
-    * processing-time timeout (here: none, caller can add) or TTL policy
-    * bounds it. */
+    * list, and it is BOUNDED in the operator, not left to the caller:
+    *
+    *  - `maxPerBucket` keeps only the most recently seen signatures per
+    *    bucket (LRU — new docs compare against the freshest members, the
+    *    right recency bias for a dedup stream). A bucket pinned at the
+    *    cap means a hub signature; raise bits/bands before the cap.
+    *  - `stateTtl` (e.g. Some("30 minutes")) additionally expires idle
+    *    buckets wholesale via a processing-time timeout, so the store
+    *    footprint tracks the active working set instead of the stream's
+    *    lifetime.
+    *
+    * At 100 TB/day both bounds are load-bearing: unbounded per-bucket
+    * lists grow with every distinct doc forever. */
   def simhashNearDupStream(stream: DataFrame, idCol: String, textCol: String,
                            bits: Int = 60, bands: Int = 4,
-                           maxDist: Int = 3): DataFrame = {
+                           maxDist: Int = 3,
+                           maxPerBucket: Int = 256,
+                           stateTtl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.streaming.GroupState
     val spark = stream.sparkSession
@@ -59,25 +71,35 @@ object StreamingOps {
             (shiftrightunsigned(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
       .as[(Long, Long, Int, Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded
       .groupByKey { case (_, _, band, key) => (band, key) }
       .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
-          rows.foreach { case (id, sig, _, _) =>
-            seen.foreach { case (seenId, seenSig) =>
-              if (seenId != id) {
-                val ham = java.lang.Long.bitCount(sig ^ seenSig).toLong
-                if (ham <= maxDist)
-                  out += ((math.min(seenId, id), math.max(seenId, id), ham))
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: drop its signature list
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+            rows.foreach { case (id, sig, _, _) =>
+              seen.foreach { case (seenId, seenSig) =>
+                if (seenId != id) {
+                  val ham = java.lang.Long.bitCount(sig ^ seenSig).toLong
+                  if (ham <= maxDist)
+                    out += ((math.min(seenId, id), math.max(seenId, id), ham))
+                }
               }
+              seen = (id, sig) :: seen
             }
-            seen = (id, sig) :: seen
+            // prepend order = most recent first ⇒ take() is the LRU bound
+            state.update(seen.take(maxPerBucket))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
       .toDF("id_a", "id_b", "hamming")
   }

@@ -14,6 +14,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType`/`TypeCollection` are `private[sql]` in Spark 4,
+    * but they are the only way ExpectsInputTypes can declare "array of
+    * float OR double" — re-exported here so the native expressions can
+    * reject wrong-typed SQL args at analysis time. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  def oneOf(types: org.apache.spark.sql.types.AbstractDataType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
   /** Register a SQL function on a LIVE session (the extensions path in
     * [[graft.sql.GraftExtensions]] only applies at session build time;
     * `SparkSession.sessionState` is private[sql], hence this bridge). */

@@ -35,6 +35,20 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sql == api)
   }
 
+  test("graft_* reject wrong-typed args at analysis time, not mid-query") {
+    import org.apache.spark.sql.AnalysisException
+    // each of these used to surface as a runtime ClassCastException /
+    // codegen failure; ExpectsInputTypes turns them into AnalysisException
+    intercept[AnalysisException](spark.sql("SELECT graft_cosine('a', 'b')").collect())
+    intercept[AnalysisException](spark.sql("SELECT graft_token_ids(array(1, 2))").collect())
+    intercept[AnalysisException](spark.sql("SELECT graft_simhash('abc')").collect())
+    intercept[AnalysisException](spark.sql("SELECT graft_maxsim(array(1), array(2))").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT graft_jaccard('a', array(1))").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT graft_pooled_sums(array('x'), 8)").collect())
+  }
+
   test("graft_simhash, graft_shingles, graft_lang_id, graft_text_norm, graft_sparse_pairs") {
     val r = spark.sql(
       """SELECT graft_simhash(graft_token_ids('a b c d')) AS sh,

@@ -80,6 +80,28 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("simhashNearDupStream LRU cap evicts the oldest bucket members") {
+    val ms = MemoryStream[(Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog"
+    val out = StreamingOps.simhashNearDupStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", maxPerBucket = 2)
+    val q = out.writeStream.format("memory").queryName("graft_neardups_lru")
+      .outputMode("append").start()
+    try {
+      // identical docs arrive one micro-batch at a time: every bucket
+      // holds at most the 2 most recent signatures, so doc 4 pairs with
+      // 3 and 2 but NOT with the evicted 1
+      (1L to 4L).foreach { id =>
+        ms.addData((id, text)); q.processAllAvailable()
+      }
+      val pairs = spark.table("graft_neardups_lru")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+      assert(pairs.contains((2L, 4L)) && pairs.contains((3L, 4L)))
+      assert(!pairs.contains((1L, 4L))) // 1 was evicted before 4 arrived
+    } finally q.stop()
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
