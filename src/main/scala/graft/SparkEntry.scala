@@ -110,6 +110,11 @@ object SparkEntry {
     "q12_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(Dedup.shingleSet(docs(s, dir), "doc_id", "text"), "doc_id")),
 
+    // the NARROW signature formulation (native per-row kernel, zero
+    // exchanges) — must hash-match the relational q12 oracle exactly
+    "q12b_minhash_sigs_narrow" -> ((s, dir) =>
+      Dedup.minhashSignaturesNarrow(docs(s, dir), "doc_id", "text")),
+
     "q13_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35)),
 

@@ -90,6 +90,31 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** MinHash signature over a shingle-id array: for each of `numHashes`
+    * universal-hash permutations h_i(x) = (x·a_i + b_i) % P32, the min
+    * over the array — identical arithmetic to the relational
+    * min-aggregate formulation (MIN over the same set; duplicates in the
+    * array cannot change a min). One pass, shingles outer. Empty array →
+    * all P32 (the "no shingles" sentinel callers filter out). */
+  def minhashSigs(shingles: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val nh = as.length
+    val out = new Array[Long](nh)
+    java.util.Arrays.fill(out, K.P32)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val x = shingles.getLong(i)
+      var h = 0
+      while (h < nh) {
+        val v = (x * as(h) + bs(h)) % K.P32
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
     @inline def get(x: ArrayData, i: Int, isFloat: Boolean): Double =
       if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
@@ -171,6 +196,34 @@ case class Shingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** Native MinHash signature expression: array<bigint> of `numHashes`
+  * per-permutation minima over a shingle-id array — the NARROW
+  * formulation of the signature (no explode, no exchange; the
+  * relational groupBy-min formulation stays in
+  * [[graft.operators.Dedup.minhashSignatures]] as the oracle-mirrored
+  * cross-check, spec-asserted equal). Permutation constants come from
+  * [[graft.operators.Dedup.minhashPerm]] via the constructor. */
+case class MinhashSigs(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.TokenArray)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.minhashSigs(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.minhashSigs($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
     copy(child = newChild)
 }
 

@@ -126,8 +126,45 @@ object Dedup {
     * self-join at ~5·10⁷ comparisons per hub instead of quadratic blowup. */
   val DefaultMaxBucketSize: Int = 10000
 
+  /** NARROW minhash signatures: (id, m0..m{n-1}) computed per-row by the
+    * native [[graft.functions.MinhashSigs]] kernel over the in-row
+    * shingle array — no explode, no exchange (duplicates in the array
+    * cannot change a min, so the values equal the relational
+    * explode→distinct→groupBy-min formulation of [[minhashSignatures]],
+    * which stays as the oracle-mirrored cross-check). Docs with fewer
+    * than `n` tokens are dropped, like [[shingleSet]]. */
+  def minhashSignaturesNarrow(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, numHashes: Int = 16,
+                              maxLength: Int = K.MaxLength): DataFrame =
+    withSigArray(
+      df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+        .filter(size(col("__tids")) >= n),
+      n, numHashes)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+
+  /** Adds `__sig: array<bigint>` (the minhash signature) to a frame that
+    * carries `__tids`. */
+  private def withSigArray(base: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val perms = (0 until numHashes).map(minhashPerm)
+    base.withColumn("__sig", bridge.column(graft.functions.MinhashSigs(
+      bridge.expression(shingles(col("__tids"), n)),
+      perms.map(_._1).toArray, perms.map(_._2).toArray)))
+  }
+
   /** End-to-end MinHash+LSH near-dup pairs with exact-Jaccard verification:
     * (id_a, id_b, jaccard) for pairs whose shingle-set Jaccard ≥ threshold.
+    *
+    * 100 TB shape (this is the pipeline's hot path): signatures are
+    * NARROW (native per-row kernel — the corpus itself never shuffles);
+    * the only full-corpus exchange carries `bands` small rows per doc
+    * for the band self-join; and the exact-Jaccard verification explodes
+    * shingles ONLY for candidate docs (left-semi join on the candidate
+    * id set, which is orders of magnitude smaller than the corpus).
+    * The previous formulation shuffled the entire corpus's distinct
+    * shingle set twice before any candidate existed.
+    *
     * `maxBucketSize` (default [[DefaultMaxBucketSize]]) caps hub buckets —
     * pass `Int.MaxValue` for exact uncapped MMDS semantics. The cap is
     * mirrored in the DuckDB oracle, so the gate checks the capped form. */
@@ -135,10 +172,57 @@ object Dedup {
                       threshold: Double, n: Int = 3, numHashes: Int = 16,
                       bands: Int = 4,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
-    val sigs = minhashSignatures(sh, idCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands, maxBucketSize)
-    jaccardOnPairs(cands, sh, idCol, threshold)
+    val rpb = numHashes / bands
+    val base = df.select(col(idCol), Kernel.tokenIds(col(textCol)).as("__tids"))
+      .filter(size(col("__tids")) >= n)
+    val sigs = withSigArray(base, n, numHashes).select(col(idCol), col("__sig"))
+    // band key: fold of that band's minhashes, identical to lshCandidates
+    val bandKey: Int => Column = b =>
+      (b * rpb until (b + 1) * rpb)
+        .map(i => element_at(col("__sig"), i + 1))
+        .foldLeft(lit(0L): Column)((a, m) => (a * lit(1000003L) + m) % lit(911382323007L))
+    // ONE explicit small exchange (bands rows per doc: id+band+key) on
+    // the join key: the cap aggregation, the left side, and the right
+    // side of the self-join all reuse this exchange (ReuseExchange),
+    // so the narrow tokenize+signature pipeline below it runs exactly
+    // once — and the self-join needs no further shuffle.
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val ok = banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("band"), col("key"))
+        banded.join(ok, Seq("band", "key"))
+      }
+    val l = guarded.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val r = guarded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    // LAZY localCheckpoint: the candidate set is referenced by the
+    // verification join AND (twice, via the id semi-join) by the
+    // candidate-shingle build — without a lineage cut the band self-join
+    // would re-run once per reference. Lazy = materialized on the first
+    // action, no eager job at plan-build time; candidates are pair-rare
+    // by construction, so the materialized set stays tiny at any scale.
+    val cands = l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .localCheckpoint(false)
+    // verification shingles: candidate docs only (semi join), per-row
+    // distinct (array_distinct) so no corpus-wide distinct shuffle;
+    // checkpointed for the same reason (3 references in jaccardOnPairs)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol)))
+      .distinct()
+    val shCand = base.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(array_distinct(shingles(col("__tids"), n))).as("shingle"))
+      .localCheckpoint(false)
+    jaccardOnPairs(cands, shCand, idCol, threshold)
   }
 
   /** Exact Jaccard over (id, shingle) sets for given candidate pairs. */

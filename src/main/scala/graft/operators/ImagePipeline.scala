@@ -26,6 +26,13 @@ import graft.functions.K
   */
 object ImagePipeline {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // spills through a temp file, which dominates cost in tight per-row
+  // loops (measured ~10× on the q23b pipeline). Keep streams in memory —
+  // our images are tiny by construction. Runs once per JVM at first use
+  // of this object (driver and each executor alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** CLIP preprocessing constants
     * (/root/reference/src/image_embedding/utils.rs:350-374 dialect), as
     * double literals shared with the oracle SQL. */

@@ -591,6 +591,7 @@ FROM events GROUP BY user_id, event_type"""
     "q10_pair_scores" -> q10_pair_scores,
     "q11_dedup_exact" -> q11_dedup_exact,
     "q12_minhash_sigs" -> q12_minhash_sigs(16),
+    "q12b_minhash_sigs_narrow" -> q12_minhash_sigs(16),
     "q13_minhash_neardups" -> q13_minhash_neardups(0.35, 16, 4),
     "q14_simhash" -> q14_simhash(32),
     "q15_simhash_neardups" -> q15_simhash_neardups(32, 3),
