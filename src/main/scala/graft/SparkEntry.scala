@@ -211,6 +211,39 @@ object SparkEntry {
         .groupBy(col("split_bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))),
 
+    // Gopher-style repetition filters: top-token and duplicate-trigram
+    // fractions per doc (exact integers, narrow native kernel)
+    "q45_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")),
+
+    // PII scrub: emails then 9+-digit runs, with match counts. The
+    // corpus fixture carries no PII, so the query plants a
+    // deterministic address + account number per doc in-plan (both
+    // engines build the identical augmented text)
+    "q46_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redacted(
+        docs(s, dir).withColumn("text",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com ref 12345678"), col("doc_id").cast("string"))),
+        "doc_id", "text")),
+
+    // deterministic concat-and-chunk sequence packing: 64-token budget,
+    // 8 pack buckets (windows parallel across buckets)
+    "q47_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 64, nBuckets = 8)),
+
+    // tokenizer-config surface (S7): model_max_length=7 wins the
+    // min(user, model) truncation rule and caps the dense chain
+    "q44_tokenizer_config" -> ((s, dir) => {
+      val tc = graft.model.TokenizerConfig.fromJson(
+        """{"model_max_length": 7, "pad_token": "<pad>", "pad_token_id": 1}""")
+      TextEmbedder(maxLength = tc.effectiveMaxLength(K.MaxLength))
+        .embed(docs(s, dir), "text", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     "q18_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "q19_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
@@ -390,6 +423,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_frames"),
           col("dim").cast("long").as("dim"), col("val"))
     }),
+
+    // video multimodal plumbing on the gate: raw concatenated frames
+    // (32 bytes each) → stride-2 sampling → per-frame pixel embedding →
+    // order-fixed mean → renormalize (the whole VideoPipeline except
+    // the documented demuxer stub boundary)
+    "q48_video_embed" -> ((s, dir) =>
+      VideoPipeline.embedVideos(
+        docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("vid")),
+        "doc_id", "vid", frameBytes = 32, stride = 2, dim = 16)
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          col("dim").cast("long").as("dim"), col("val"))),
 
     // ColBERT late interaction: doc 0's token vectors as the query,
     // MaxSim against every doc's multi-vector set (doc_id < 100) — the

@@ -115,6 +115,33 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Repetition stats over an id array in one pass: (n_items,
+    * n_distinct, top_cnt) where top_cnt is the multiplicity of the most
+    * frequent value — exact integers, computed on a sorted copy (sorting
+    * cannot change counts), identical to the relational
+    * explode→groupBy-count formulation the SQL oracle uses. */
+  def runStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var distinct = 1L
+    var top = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (a(i) == a(i - 1)) { run += 1; if (run > top) top = run }
+      else { distinct += 1; run = 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct, top))
+  }
+
   def cosine(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
     @inline def get(x: ArrayData, i: Int, isFloat: Boolean): Double =
       if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
@@ -224,6 +251,30 @@ case class MinhashSigs(child: Expression, as: Array[Long], bs: Array[Long])
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+/** Native repetition-stats expression (the Gopher-style repetition
+  * filters' inner loop): struct(n_items, n_distinct, top_cnt) over a
+  * token-id or shingle-id array — narrow, zero exchange; the SQL oracle
+  * mirrors it relationally (explode → per-value count → max/sum). */
+case class RunStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.TokenArray)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_items", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.runStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.runStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RunStats =
     copy(child = newChild)
 }
 

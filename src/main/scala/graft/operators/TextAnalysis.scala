@@ -185,6 +185,88 @@ object TextAnalysis {
       .groupBy(col("token_id"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
 
+  /** Repetition statistics — the Gopher/RefinedWeb-style repetition
+    * filters a web-scale curation pipeline runs: fraction of tokens
+    * taken by the single most frequent token, and fraction of duplicate
+    * word trigrams. One narrow pass per row via the native
+    * [[graft.functions.RunStats]] kernel (exact integer counts — the
+    * oracle mirrors them relationally); docs with no tokens are
+    * dropped, docs with < n tokens report zero trigrams. Typical
+    * filter: drop docs with top_token_frac > 0.2 or
+    * dup_trigram_frac > 0.3. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, maxLength: Int = K.MaxLength): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def rs(c: Column): Column =
+      bridge.column(graft.functions.RunStats(bridge.expression(c)))
+    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) > 0)
+      .withColumn("__t", rs(col("__tids")))
+      .withColumn("__s", rs(Dedup.shingles(col("__tids"), n)))
+      .select(col(idCol),
+        col("__t.n_items").as("n_tokens"),
+        col("__t.n_distinct").as("distinct_tokens"),
+        col("__t.top_cnt").as("top_token_cnt"),
+        (col("__t.top_cnt").cast("double") / col("__t.n_items").cast("double"))
+          .as("top_token_frac"),
+        col("__s.n_items").as("n_trigrams"),
+        col("__s.n_distinct").as("distinct_trigrams"),
+        when(col("__s.n_items") === 0, lit(0.0))
+          .otherwise((col("__s.n_items") - col("__s.n_distinct")).cast("double") /
+            col("__s.n_items").cast("double"))
+          .as("dup_trigram_frac"))
+  }
+
+  /** PII redaction — scrub emails then long digit runs (phone/account
+    * numbers) before a data release. Patterns stay in the regex subset
+    * Java and RE2 interpret identically (explicit classes, bounded
+    * quantifiers), so the transform is cross-engine exact. Digit runs
+    * are counted AFTER email redaction (digits inside an address are
+    * already gone). Narrow, per-row. */
+  val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val DigitRunPattern: String = "[0-9]{9,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<email>"),
+      DigitRunPattern, "<digits>")
+
+  /** (id, redacted_text, n_emails, n_digit_runs). */
+  def redacted(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailPattern, "<email>")
+    df.select(col(idCol),
+      regexp_replace(noEmail, DigitRunPattern, "<digits>").as("redacted_text"),
+      regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+      regexp_count(noEmail, lit(DigitRunPattern)).as("n_digit_runs"))
+  }
+
+  /** Deterministic sequence packing — the concat-and-chunk step that
+    * turns a tokenized corpus into fixed-budget training sequences:
+    * within each deterministic [[splitBucket]] bucket, docs concatenate
+    * in id order and cut every `budget` tokens. Output per doc: its
+    * bucket, its (budget-capped) token count, the sequence id its first
+    * token lands in, and the offset within that sequence.
+    *
+    * Scale shape: the running total is a window per pack bucket —
+    * nBuckets independent sort-and-scan partitions, so parallelism is
+    * the bucket count (size nBuckets to ~2-4× the cluster's cores; no
+    * global single-partition scan anywhere). Exact integer arithmetic,
+    * RNG-free — the same pack layout on every run and engine. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, nBuckets: Int = 32,
+                    maxLength: Int = K.MaxLength): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .withColumn("n_tok", least(size(col("__tids")).cast("long"), lit(budget.toLong)))
+      .filter(col("n_tok") > 0)
+      .withColumn("pack_bucket", splitBucket(col(idCol), nBuckets))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(idCol), col("pack_bucket"), col("n_tok"),
+        floor(col("start_tok").cast("double") / lit(budget.toDouble)).cast("long").as("seq_id"),
+        (col("start_tok") % lit(budget.toLong)).as("seq_offset"))
+  }
+
   /** Winnowing-style document fingerprints: k-gram shingle hashes → MIN
     * over each sliding window of `w` → distinct fingerprints. Output
     * (id, n_fingerprints, min_fp, full_hash) where full_hash is the

@@ -37,16 +37,18 @@ object OracleSql {
   /** Dense pipeline CTEs over `documents`. `subset` selects the pooled
     * token subset as an expression over `tids0`. Emits CTEs ending in
     * `emb(doc_id, emb)`. */
-  private def denseCtes(subset: String, dim: Int, textExpr: String = "text"): String =
-    s"""WITH tok AS (SELECT doc_id, ${tids(textExpr)} AS tids0 FROM documents),
+  private def denseCtes(subset: String, dim: Int, textExpr: String = "text",
+                        maxLen: Int = MaxLength): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids(textExpr, maxLen)} AS tids0 FROM documents),
 sel AS (SELECT doc_id, $subset AS tids FROM tok),
 sel2 AS (SELECT doc_id, tids FROM sel WHERE len(tids) > 0),
 m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(tids, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(tids)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM sel2),
 nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
 emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)"""
 
-  private def denseSelect(subset: String, dim: Int, textExpr: String = "text"): String =
-    denseCtes(subset, dim, textExpr) +
+  private def denseSelect(subset: String, dim: Int, textExpr: String = "text",
+                          maxLen: Int = MaxLength): String =
+    denseCtes(subset, dim, textExpr, maxLen) +
       "\nSELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"
 
   val q01_dense_embed: String = denseSelect("tids0", Dim)
@@ -176,6 +178,33 @@ m AS (SELECT doc_id, len(qs)::BIGINT AS n_frames, list_transform(range(0, $dim),
 nr AS (SELECT doc_id, n_frames, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
 emb AS (SELECT doc_id, n_frames, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, n_frames, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+
+  /** q48: video pipeline — the text bytes split into raw 32-byte frames
+    * (trailing partial dropped), every second frame sampled, each
+    * sampled frame tiled/rescaled/normalized/quantized/projected like
+    * q23, then a frame-order mean over the sampled unit vectors and a
+    * final renormalize. Mirrors [[graft.operators.VideoPipeline]]
+    * term for term (sum folds ride `list(v ORDER BY f)`). */
+  def q48_video_embed(frameBytes: Int, stride: Int, dim: Int): String = {
+    val px = frameBytes * 6 // tiled into 8×8×3 = 192 pixels
+    s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
+b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+meta AS (SELECT doc_id, bs, (len(bs) // $frameBytes)::BIGINT AS nf FROM b),
+m2 AS (SELECT * FROM meta WHERE nf > 0),
+fr AS (SELECT doc_id, bs, nf, unnest(list_filter(range(0, nf), f -> f % $stride = 0)) AS f FROM m2),
+qz AS (SELECT doc_id, nf, f, list_transform(range(0, $px), i ->
+  CAST(floor(((bs[(f*$frameBytes + (i % $frameBytes)) + 1]::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[(i // 64) + 1]::DOUBLE) / sd[(i // 64) + 1]::DOUBLE) * 1000.0 + 0.5) AS BIGINT) + 2000) AS qs FROM fr, cst),
+m AS (SELECT doc_id, nf, f, list_transform(range(0, $dim), d -> (list_reduce(list_transform(qs, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / $px.0 / $M.0) * 2.0 - 1.0) AS mnv FROM qz),
+nr AS (SELECT doc_id, nf, f, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+femb AS (SELECT doc_id, nf, f, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr),
+dims AS (SELECT doc_id, nf, f, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, unnest(emb) AS v FROM femb),
+acc AS (SELECT doc_id, nf, d, list_reduce(list(v ORDER BY f), (a,b) -> a+b) AS sv, count(*)::BIGINT AS cnt FROM dims GROUP BY doc_id, nf, d),
+vec AS (SELECT doc_id, nf, list(sv / cnt::DOUBLE ORDER BY d) AS mvec FROM acc GROUP BY doc_id, nf),
+vn AS (SELECT doc_id, nf, mvec, sqrt(list_reduce(list_transform(mvec, y -> y*y), (a,b) -> a+b)) AS nv FROM vec),
+emb AS (SELECT doc_id, nf, list_transform(mvec, x -> x / (nv + 1e-12)) AS emb FROM vn)
+SELECT doc_id, nf AS n_frames, ((nf + ${stride - 1}) // $stride)::BIGINT AS n_sampled,
+  CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
 
   /** ColBERT: unit vector per (token, pos ≥ 1), dim 16, doc_id < 100. */
   def q06_colbert(dim: Int): String =
@@ -368,6 +397,47 @@ FROM documents"""
     s"""SELECT ((((doc_id % $M + $M) % $M) * $A2 + $C2) % $M) % $nBuckets AS split_bucket,
 count(*) AS n_docs, min(doc_id) AS min_id
 FROM documents GROUP BY 1"""
+
+  /** q45: repetition stats — relational mirror of the narrow RunStats
+    * kernel (explode → per-value count → sum/count/max). */
+  def q45_repetition_stats(n: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
+e AS (SELECT doc_id, unnest(tids) AS t FROM t2),
+pt AS (SELECT doc_id, t, count(*) AS c FROM e GROUP BY doc_id, t),
+ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS distinct_tokens, max(c)::BIGINT AS top_cnt FROM pt GROUP BY doc_id),
+sh0 AS (SELECT doc_id, ${shingleList("tids", n)} AS sgl FROM t2),
+se AS (SELECT doc_id, unnest(sgl) AS g FROM sh0),
+ps AS (SELECT doc_id, g, count(*) AS c FROM se GROUP BY doc_id, g),
+ss AS (SELECT doc_id, sum(c)::BIGINT AS n_tri, count(*)::BIGINT AS d_tri FROM ps GROUP BY doc_id)
+SELECT ts.doc_id, n_tokens, distinct_tokens, top_cnt AS top_token_cnt,
+  top_cnt::DOUBLE / n_tokens::DOUBLE AS top_token_frac,
+  COALESCE(n_tri, 0)::BIGINT AS n_trigrams, COALESCE(d_tri, 0)::BIGINT AS distinct_trigrams,
+  CASE WHEN COALESCE(n_tri, 0) = 0 THEN 0.0 ELSE (n_tri - d_tri)::DOUBLE / n_tri::DOUBLE END AS dup_trigram_frac
+FROM ts LEFT JOIN ss ON ss.doc_id = ts.doc_id"""
+
+  /** q46: PII redaction — identical regex subset both engines; digit
+    * runs counted after email redaction, like the operator. */
+  val q46_pii_redact: String = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val digits = "[0-9]{9,}"
+    s"""WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com ref 12345678' || doc_id AS text FROM documents),
+ne AS (SELECT doc_id, text, regexp_replace(text, '$email', '<email>', 'g') AS no_email FROM aug)
+SELECT doc_id, regexp_replace(no_email, '$digits', '<digits>', 'g') AS redacted_text,
+  len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+  len(regexp_extract_all(no_email, '$digits'))::BIGINT AS n_digit_runs
+FROM ne"""
+  }
+
+  /** q47: deterministic concat-and-chunk packing — per pack bucket, an
+    * exclusive running token total in id order, cut every `budget`. */
+  def q47_pack_sequences(budget: Int, nBuckets: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+t2 AS (SELECT doc_id, least(len(tids), $budget)::BIGINT AS n_tok FROM tok WHERE len(tids) > 0),
+b AS (SELECT doc_id, n_tok, ((((doc_id % $M + $M) % $M) * $A2 + $C2) % $M) % $nBuckets AS pack_bucket FROM t2),
+c AS (SELECT doc_id, pack_bucket, n_tok,
+  COALESCE(sum(n_tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM b)
+SELECT doc_id, pack_bucket, n_tok, start_tok // $budget AS seq_id, start_tok % $budget AS seq_offset FROM c"""
 
   /** Per-token corpus stats: total occurrences + document frequency. */
   val q37_term_stats: String =
@@ -611,6 +681,11 @@ FROM events GROUP BY user_id, event_type"""
     "q41_contamination" -> q41_contamination(3, 5L),
     "q42_clean_text" -> q42_clean_text,
     "q43_split_buckets" -> q43_split_buckets(10),
+    "q44_tokenizer_config" -> denseSelect("tids0", Dim, maxLen = 7),
+    "q45_repetition_stats" -> q45_repetition_stats(3),
+    "q46_pii_redact" -> q46_pii_redact,
+    "q47_pack_sequences" -> q47_pack_sequences(64, 8),
+    "q48_video_embed" -> q48_video_embed(32, 2, 16),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,
