@@ -73,6 +73,16 @@ object Graft {
                  returnDocuments: Boolean = true): DataFrame =
     Reranker.rerank(spark, docs, idCol, textCol, query, returnDocuments)
 
+  /** The backend route of `TextRerank` — pair encoding through a
+    * [[graft.backend.RawBackend]] forward, score = `logits[:, 0]`
+    * (the reference's actual cross-encoder execution,
+    * /root/reference/src/reranking/impl.rs:156-180). */
+  def textRerankBackend(queries: DataFrame, qIdCol: String, qTextCol: String,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        backend: graft.backend.RawBackend =
+                          graft.backend.HashingCrossEncoder()): DataFrame =
+    Reranker.rerankBackendAll(queries, qIdCol, qTextCol, docs, idCol, textCol, backend)
+
   /** `ImageEmbedding::embed` analogue over a binary column; pair with
     * [[ImagePipeline.readImages]] for the path-based entry. */
   def imageEmbedding(df: DataFrame, idCol: String, bytesCol: String,

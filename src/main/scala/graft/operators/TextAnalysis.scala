@@ -235,8 +235,8 @@ object TextAnalysis {
     val noEmail = regexp_replace(col(textCol), EmailPattern, "<email>")
     df.select(col(idCol),
       regexp_replace(noEmail, DigitRunPattern, "<digits>").as("redacted_text"),
-      regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
-      regexp_count(noEmail, lit(DigitRunPattern)).as("n_digit_runs"))
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(DigitRunPattern)).cast("long").as("n_digit_runs"))
   }
 
   /** Deterministic sequence packing — the concat-and-chunk step that

@@ -217,6 +217,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(all.count() == 45L)
   }
 
+  test("repetitionStats: exact counts and fractions") {
+    import spark.implicits._
+    val d = Seq((0L, "a a a a b"), (1L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getLong(1) == 5 && r0.getLong(2) == 2 && r0.getLong(3) == 4)
+    assert(r0.getDouble(4) == 0.8)
+    // trigrams of (a a a a b): (a,a,a)×2 + (a,a,b) → 3 total, 2 distinct
+    assert(r0.getLong(5) == 3 && r0.getLong(6) == 2)
+    assert(r0.getDouble(7) == 1.0 / 3.0)
+    val r1 = out(1L)
+    assert(r1.getDouble(4) == 1.0 / 6.0 && r1.getDouble(7) == 0.0)
+  }
+
+  test("packSequences: offsets within budget, running layout per bucket") {
+    import spark.implicits._
+    val d = (0L until 50L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, "doc_id", "text", budget = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 50)
+    assert(out.forall { case (_, _, nt, _, off) => off >= 0 && off < 10 && nt >= 1 && nt <= 10 })
+    // within each bucket in id order, (seq_id, seq_offset) is exactly the
+    // running token total cut every `budget`
+    out.groupBy(_._2).values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, nt, seq, off) =>
+        assert(seq == cum / 10 && off == cum % 10)
+        cum += nt
+      }
+    }
+  }
+
+  test("redactPii scrubs emails then digit runs, with counts") {
+    import spark.implicits._
+    val d = Seq((0L, "mail a.b@x.io or call 123456789 now")).toDF("doc_id", "text")
+    val r = TextAnalysis.redacted(d, "doc_id", "text").head()
+    assert(r.getString(1) == "mail <email> or call <digits> now")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L)
+    // 8-digit runs stay; digits inside an address are not double-counted
+    val d2 = Seq((0L, "x12345678 u999999999@y.co z")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.redacted(d2, "doc_id", "text").head()
+    assert(r2.getString(1) == "x12345678 <email> z")
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 0L)
+  }
+
   test("cleanText strips markup, decodes entities, collapses whitespace") {
     import spark.implicits._
     val html = Seq((0L,
