@@ -163,6 +163,30 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // product quantization: 8-subspace codes over a 16-centroid
+    // deterministic codebook, asymmetric-distance top-5 — search over
+    // codes alone (the 100 TB memory-compression ANN path)
+    "q49_pq_ann" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqSearch(q, "qid", "qv", codes, "vec_id", cb, 8, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
+    // codes within the probed cells only
+    "q49b_ivf_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPq(q, "qid", "qv", e, "vec_id", "embedding",
+        nCells = 16, nProbe = 4, m = 8, nCentsPq = 16, k = 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

@@ -144,6 +144,140 @@ object Similarity {
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 
+  /** Product-quantization codebook — the deterministic first-k coarse
+    * quantizer (corpus rows with the k smallest ids), collected at index
+    * build time like [[ivfFlat]]'s centroids; a trained k-means codebook
+    * slots into the same (k × dim) contract. */
+  def pqCodebook(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                 k: Int): Array[Array[Double]] =
+    corpus.filter(col(cIdCol) < k)
+      .select(col(cIdCol).cast("long"), col(cVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+      .map(_._2)
+
+  /** PQ-encode a corpus: each vector becomes `m` per-subspace centroid
+    * codes (array<bigint> of length m) — the memory-compression ANN path
+    * for a 100 TB corpus: codes store in m bytes-ish against dim floats
+    * (a 16-32× footprint cut), and search never touches raw vectors.
+    * Per-subspace assignment is the native [[graft.functions.NearestCell]]
+    * argmin (strict <, ties → lower code) over the codebook's subspace
+    * slices. Narrow, zero shuffle — the encode scales like the dense
+    * embed path. */
+  def pqEncode(corpus: DataFrame, cIdCol: String, cVecCol: String,
+               codebook: Array[Array[Double]], m: Int): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val dim = codebook.head.length
+    val sub = dim / m
+    val codeCols = (0 until m).map { j =>
+      val subCents = codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
+      bridge.column(graft.functions.NearestCell(
+        bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
+        Array.tabulate(codebook.length)(_.toLong), subCents))
+    }
+    corpus.select(col(cIdCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance PQ search: each (query, code row) pair scores as
+    * Σ_j ‖q_sub_j − centroid[code_j]‖² — per-subspace lookups into the
+    * broadcast codebook, accumulated in subspace order (oracle-exact).
+    * Ranking is the partial top-k aggregate on the NEGATED distance
+    * (score desc ≡ distance asc; ties → lower id), so ≤ k rows per query
+    * per map task reach the exchange. Output (qIdCol, cIdCol, rank,
+    * dist) — approximate nearest neighbors from codes alone. */
+  def pqSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
+               codes: DataFrame, cIdCol: String,
+               codebook: Array[Array[Double]], m: Int, k: Int): DataFrame = {
+    val dim = codebook.head.length
+    val sub = dim / m
+    val dist = (0 until m).map { j =>
+      val centLit = array(codebook.map { c =>
+        lit(java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
+      }: _*)
+      l2sq(slice(col(qVecCol), j * sub + 1, sub),
+        element_at(centLit, element_at(col("codes"), j + 1).cast("int") + 1))
+    }.reduce(_ + _)
+    codes.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .withColumn("__negd", -dist)
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+  }
+
+  /** IVF-PQ — the composed large-scale ANN index shape (inverted file ×
+    * product quantization): corpus rows are assigned to their nearest
+    * coarse cell AND PQ-encoded in ONE narrow pass; queries probe their
+    * `nProbe` nearest cells and rank ONLY the probed cells' members by
+    * asymmetric distance over codes. Search cost drops ~nCells/nProbe
+    * against [[pqSearch]], and the scanned state is (cell, m codes) per
+    * row — never the raw vectors. Both quantizers are the deterministic
+    * first-k kind, so the whole operator is oracle-able; trained
+    * codebooks slot into the same contracts. Output
+    * (qIdCol, cIdCol, rank, dist). */
+  def ivfPq(queries: DataFrame, qIdCol: String, qVecCol: String,
+            corpus: DataFrame, cIdCol: String, cVecCol: String,
+            nCells: Int, nProbe: Int, m: Int, nCentsPq: Int,
+            k: Int): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val cents: Array[(Long, Array[Double])] = corpus
+      .filter(col(cIdCol) < nCells)
+      .select(col(cIdCol).cast("long"), col(cVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+    val centLit = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cell"), lit(v).as("cvec"))
+    }: _*)
+    val codebook = pqCodebook(corpus, cIdCol, cVecCol, nCentsPq)
+    val dim = codebook.head.length
+    val sub = dim / m
+
+    // one narrow pass: coarse cell + PQ codes per corpus row
+    val codeCols = (0 until m).map { j =>
+      val subCents = codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
+      bridge.column(graft.functions.NearestCell(
+        bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
+        Array.tabulate(codebook.length)(_.toLong), subCents))
+    }
+    val indexed = corpus.select(
+      col(cIdCol),
+      bridge.column(graft.functions.NearestCell(bridge.expression(col(cVecCol)),
+        cents.map(_._1), cents.map(_._2))).as("__cell"),
+      array(codeCols: _*).as("codes"))
+
+    val probes = queries.withColumn("__probe",
+        explode(slice(array_sort(
+          transform(centLit, c =>
+            struct(l2sq(col(qVecCol), c("cvec")).as("d"), c("cell").as("cell")))),
+          1, nProbe)))
+      .select(col(qIdCol), col(qVecCol), col("__probe.cell").as("__cell"))
+
+    val dist = (0 until m).map { j =>
+      val subCentLit = array(codebook.map { c =>
+        lit(java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
+      }: _*)
+      l2sq(slice(col(qVecCol), j * sub + 1, sub),
+        element_at(subCentLit, element_at(col("codes"), j + 1).cast("int") + 1))
+    }.reduce(_ + _)
+
+    indexed.join(broadcast(probes), Seq("__cell"))
+      .withColumn("__negd", -dist)
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+  }
+
   /** Persist an LSH-bucketed corpus as a BUCKETED table (hash-bucketed
     * and sorted on the LSH bucket id): the index-build step that
     * amortizes across query batches. Joins and self-joins on `bucket`

@@ -561,6 +561,64 @@ j AS (SELECT qp.qid, a.vec_id, ${cosineSql("a.embedding", "qp.qv")} AS score,
   FROM assign a JOIN qprobe qp ON a.cell = qp.cell)
 SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
 
+  /** q49: product quantization — per-subspace argmin codes over the
+    * first-nCents codebook, asymmetric distance = subspace-ordered fold
+    * of per-subspace squared L2 to the coded centroid, top-k ascending. */
+  def q49_pq_ann(dim: Int, m: Int, nCents: Int, k: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
+    s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCents),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qd AS (SELECT q.qid, en.vec_id, en.j, ${subL2("q.qv", "cb.cv", "en.j")} AS d
+  FROM q CROSS JOIN enc en JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
+SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
+  }
+
+  /** q49b: IVF-PQ — q17c's coarse assignment/probe composed with q49's
+    * codes and asymmetric distance, ranking only probed-cell members. */
+  def q49b_ivf_pq(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                  nCentsPq: Int, k: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
+    s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
+cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
+SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
+  }
+
   /** Embedding-cosine near-dups: same-bucket self-join + cosine gate,
     * hub buckets above the cap skipped (mirrors the operator's guard). */
   def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double,
@@ -670,6 +728,8 @@ FROM events GROUP BY user_id, event_type"""
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),
     "q17c_ivf_flat" -> q17c_ivf_flat(16, 4, 5),
+    "q49_pq_ann" -> q49_pq_ann(Dim, 8, 16, 5),
+    "q49b_ivf_pq" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

@@ -57,6 +57,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(all == brute)
   }
 
+  test("pqSearch: ADC ranks over codes; full-probe ivfPq == plain PQ") {
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8)
+    // codes are m small ints per row — the compressed search state
+    assert(codes.head().getSeq[Long](1).length == 8)
+    val pq = Similarity.pqSearch(q, "qid", "qv", codes, "vec_id", cb, 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted) // dist asc
+    }
+    // probing every coarse cell must reduce IVF-PQ to plain PQ exactly
+    val full = Similarity.ivfPq(q, "qid", "qv", e, "vec_id", "embedding",
+      nCells = 16, nProbe = 16, m = 8, nCentsPq = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(full == pq.toSet)
+  }
+
   test("native LshBucket == HOF formulation on real embeddings") {
     val cmp = e
       .withColumn("fast", Similarity.lshBucket(col("embedding"), K.Dim, 8))
