@@ -28,7 +28,8 @@ object Bench {
     // SPARK_GRAFT_REPEAT=n (default 1): run each query n times, report
     // the LAST (warm) run — separates steady-state cost from first-run
     // JIT when profiling locally; the driver runs with the default.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

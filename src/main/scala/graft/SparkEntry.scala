@@ -317,7 +317,13 @@ object SparkEntry {
     // of the operator plan.
     "q23c_image_files" -> ((s, dir) => {
       import s.implicits._
-      val fixDir = new java.io.File("/root/repo/target/graft_img_fixtures")
+      // fixture dir under the JVM temp root, keyed by the sf dir so
+      // concurrent runs against different scale factors don't collide
+      // (binaryFile + a driver-local path assumes local mode — fine for
+      // the gate; a cluster run would point readImages at shared storage)
+      val fixDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_img_fixtures_" + math.abs(dir.hashCode).toString)
       fixDir.mkdirs()
       Option(fixDir.listFiles()).foreach(_.foreach(f =>
         if (f.getName.endsWith(".png")) f.delete()))

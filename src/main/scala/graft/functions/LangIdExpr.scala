@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ties keep the earliest language in `markers` order — identical to the
   * strict-> fold in the HOF formulation and the SQL oracle. */
 case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
     Seq(StringType)
 

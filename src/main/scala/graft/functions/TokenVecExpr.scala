@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -80,7 +80,7 @@ case class TokenVec(left: Expression, right: Expression, dim: Int)
   * vectors are skipped on both sides; float or double elements accepted
   * (float widens exactly, like [[CosineSim]]). */
 case class MaxSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
     Seq(GraftInputTypes.MultiVecArray, GraftInputTypes.MultiVecArray)
 
@@ -145,7 +145,7 @@ case class MaxSim(left: Expression, right: Expression)
   * array_intersect + array_union per row. Exact integer set sizes, so
   * it is bit-identical to the HOF/SQL formulation by construction. */
 case class TokenSetJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
     Seq(GraftInputTypes.IdArray, GraftInputTypes.IdArray)
 

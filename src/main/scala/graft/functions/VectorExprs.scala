@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -172,7 +172,7 @@ object VectorKernels {
   * (addition commutes, so iteration order is irrelevant), but as two
   * tight JVM loops instead of ~dim×tokens interpreted lambda calls. */
 case class PooledSums(child: Expression, dim: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -193,7 +193,7 @@ case class PooledSums(child: Expression, dim: Int)
   * identical to the HOF formulation in [[graft.operators.Dedup.simhashSigHof]]
   * and the DuckDB oracle. */
 case class SimhashSig(child: Expression, bits: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
 
   override def dataType: DataType = LongType
@@ -211,7 +211,7 @@ case class SimhashSig(child: Expression, bits: Int)
 /** Native shingle expression over a token-id array — one rolling JVM
   * pass instead of an interpreted fold per window position. */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -234,7 +234,7 @@ case class Shingles(child: Expression, n: Int)
   * cross-check, spec-asserted equal). Permutation constants come from
   * [[graft.operators.Dedup.minhashPerm]] via the constructor. */
 case class MinhashSigs(child: Expression, as: Array[Long], bs: Array[Long])
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
     Seq(GraftInputTypes.TokenArray)
 
@@ -259,7 +259,7 @@ case class MinhashSigs(child: Expression, as: Array[Long], bs: Array[Long])
   * token-id or shingle-id array — narrow, zero exchange; the SQL oracle
   * mirrors it relationally (explode → per-value count → max/sum). */
 case class RunStats(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
     Seq(GraftInputTypes.TokenArray)
 
@@ -286,7 +286,7 @@ case class RunStats(child: Expression)
   * accumulates in dimension order, so results are bit-identical
   * (spec-asserted) and the SQL oracle needs no change. */
 case class LshBucket(child: Expression, dim: Int, nPlanes: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.VecArray)
 
   override def dataType: DataType = LongType
@@ -342,7 +342,7 @@ case class LshBucket(child: Expression, dim: Int, nPlanes: Int)
   * IEEE sqrt, guard returns exactly 0.0. Dot stops at the shorter array
   * (src/similarity.rs:14-16); norms run over each full array. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
     Seq(GraftInputTypes.VecArray, GraftInputTypes.VecArray)
 

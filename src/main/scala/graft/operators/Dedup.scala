@@ -82,35 +82,40 @@ object Dedup {
     shingleDf.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Band key: fold of a band's minhash values into one bigint — the ONE
+    * definition both the relational and narrow candidate paths (and, via
+    * constants, the SQL oracle's bandKeySql) must share. */
+  private def bandKeyFold(ms: Seq[Column]): Column =
+    ms.foldLeft(lit(0L): Column)((a, m) => (a * lit(1000003L) + m) % lit(911382323007L))
+
+  /** Skew guard shared by the candidate paths: drop (band, key) buckets
+    * holding more than `maxBucketSize` docs — a hub bucket is
+    * non-discriminative and would self-join quadratically; its true
+    * near-dup pairs almost always recur in a smaller bucket of another
+    * band (the standard MinHash hub-shingle mitigation). */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      val ok = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("key"))
+      banded.join(ok, Seq("band", "key"))
+    }
+
   /** LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` minhashes; a pair is a candidate iff some band key
-    * agrees exactly. Band key folds that band's minhashes into one bigint.
-    * Self-join is on (band, key) — only bucket collisions are compared. */
+    * agrees exactly. Self-join is on (band, key) — only bucket
+    * collisions are compared. Default = uncapped (exact MMDS). */
   def lshCandidates(sigs: DataFrame, idCol: String,
                     bands: Int = 4, rowsPerBand: Int = 4,
                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandKey: Int => Column = b =>
-      (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"m$i"))
-        .foldLeft(lit(0L): Column)((a, m) => (a * lit(1000003L) + m) % lit(911382323007L))
+      bandKeyFold((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")))
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
-    // skew guard: a band bucket holding > maxBucketSize docs is
-    // non-discriminative (a hub signature) and would self-join
-    // quadratically — at scale, cap it. The true near-dup pairs such a
-    // bucket would find almost always recur in a smaller bucket of
-    // another band (the standard MinHash hub-shingle mitigation).
-    // Default = uncapped, preserving exact MMDS semantics.
-    val guarded =
-      if (maxBucketSize == Int.MaxValue) banded
-      else {
-        val sizes = banded.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucketSize)
-          .select(col("band"), col("key"))
-        banded.join(sizes, Seq("band", "key"))
-      }
+    val guarded = capBuckets(banded, maxBucketSize)
     val l = guarded.select(col(idCol).as("id_a"), col("band"), col("key"))
     val r = guarded.select(col(idCol).as("id_b"), col("band"), col("key"))
     l.join(r, Seq("band", "key"))
@@ -176,11 +181,9 @@ object Dedup {
     val base = df.select(col(idCol), Kernel.tokenIds(col(textCol)).as("__tids"))
       .filter(size(col("__tids")) >= n)
     val sigs = withSigArray(base, n, numHashes).select(col(idCol), col("__sig"))
-    // band key: fold of that band's minhashes, identical to lshCandidates
+    // band key: the shared fold, over sig-array elements here
     val bandKey: Int => Column = b =>
-      (b * rpb until (b + 1) * rpb)
-        .map(i => element_at(col("__sig"), i + 1))
-        .foldLeft(lit(0L): Column)((a, m) => (a * lit(1000003L) + m) % lit(911382323007L))
+      bandKeyFold((b * rpb until (b + 1) * rpb).map(i => element_at(col("__sig"), i + 1)))
     // ONE explicit small exchange (bands rows per doc: id+band+key) on
     // the join key: the cap aggregation, the left side, and the right
     // side of the self-join all reuse this exchange (ReuseExchange),
@@ -190,15 +193,7 @@ object Dedup {
       col(idCol),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
       .repartition(col("band"), col("key"))
-    val guarded =
-      if (maxBucketSize == Int.MaxValue) banded
-      else {
-        val ok = banded.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucketSize)
-          .select(col("band"), col("key"))
-        banded.join(ok, Seq("band", "key"))
-      }
+    val guarded = capBuckets(banded, maxBucketSize)
     val l = guarded.select(col(idCol).as("id_a"), col("band"), col("key"))
     val r = guarded.select(col(idCol).as("id_b"), col("band"), col("key"))
     // LAZY localCheckpoint: the candidate set is referenced by the
@@ -293,6 +288,19 @@ object Dedup {
     * keeps the acc*2+bit signature fold inside positive signed-64 range
     * for the SQL oracle) scales bucket occupancy down with corpus
     * size. `bits` must match the signature width of `sigs`. */
+  /** End-to-end text → simhash near-dup pairs with CONSISTENT signature
+    * width: computes the signatures itself, so `bits` cannot drift from
+    * the sig column's actual width (feeding 32-bit sigs to a 60-bit
+    * banding would collapse the high bands into one all-zero hub
+    * bucket). Prefer this over composing [[simhash]]+[[simhashNearDups]]
+    * by hand. */
+  def simhashNearDupsText(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3, bits: Int = 60,
+                          bands: Int = 4,
+                          maxLength: Int = K.MaxLength): DataFrame =
+    simhashNearDups(simhash(df, idCol, textCol, bits, maxLength),
+      idCol, maxDist, bits, bands)
+
   def simhashNearDups(sigs: DataFrame, idCol: String,
                       maxDist: Int = 3, bits: Int = 60,
                       bands: Int = 4): DataFrame = {

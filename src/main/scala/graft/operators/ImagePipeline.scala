@@ -26,13 +26,6 @@ import graft.functions.K
   */
 object ImagePipeline {
 
-  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
-  // spills through a temp file, which dominates cost in tight per-row
-  // loops (measured ~10× on the q23b pipeline). Keep streams in memory —
-  // our images are tiny by construction. Runs once per JVM at first use
-  // of this object (driver and each executor alike).
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** CLIP preprocessing constants
     * (/root/reference/src/image_embedding/utils.rs:350-374 dialect), as
     * double literals shared with the oracle SQL. */
@@ -60,10 +53,16 @@ object ImagePipeline {
   }
 
   /** REAL image decode via javax.imageio: bytes → RGB → CHW int pixels
-    * (P6 Image→RGB + P9 tensorize). Returns None for undecodable bytes. */
+    * (P6 Image→RGB + P9 tensorize). Returns None for undecodable bytes.
+    * Decodes through an explicit in-memory ImageInputStream: ImageIO's
+    * default stream factory consults a process-wide DISK cache, whose
+    * per-image temp-file churn dominated this loop ~6× — scoping the
+    * stream here avoids both the cost and any global ImageIO toggle. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (bytes == null || bytes.isEmpty) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -221,7 +220,10 @@ object ImagePipeline {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    // explicit in-memory output stream — same disk-cache avoidance as decodeImage
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
     out.toByteArray
   }
 

@@ -144,12 +144,12 @@ object Similarity {
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 
-  /** Product-quantization codebook — the deterministic first-k coarse
-    * quantizer (corpus rows with the k smallest ids), collected at index
-    * build time like [[ivfFlat]]'s centroids; a trained k-means codebook
-    * slots into the same (k × dim) contract. */
-  def pqCodebook(corpus: DataFrame, cIdCol: String, cVecCol: String,
-                 k: Int): Array[Array[Double]] =
+  /** First-k centroid collection (index build): the corpus rows with the
+    * k smallest ids, as (id, vector) sorted by id. Shared by ivfFlat,
+    * pqCodebook, and ivfPq — all their quantizers must load centroids
+    * identically. */
+  private def collectCentroids(corpus: DataFrame, cIdCol: String,
+                               cVecCol: String, k: Int): Array[(Long, Array[Double])] =
     corpus.filter(col(cIdCol) < k)
       .select(col(cIdCol).cast("long"), col(cVecCol))
       .collect()
@@ -158,7 +158,43 @@ object Similarity {
         case d: Double => d
       }.toArray))
       .sortBy(_._1)
-      .map(_._2)
+
+  /** Product-quantization codebook — the deterministic first-k coarse
+    * quantizer (corpus rows with the k smallest ids), collected at index
+    * build time like [[ivfFlat]]'s centroids; a trained k-means codebook
+    * slots into the same (k × dim) contract. */
+  def pqCodebook(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                 k: Int): Array[Array[Double]] =
+    collectCentroids(corpus, cIdCol, cVecCol, k).map(_._2)
+
+  /** The m per-subspace code columns for one vector column — shared by
+    * [[pqEncode]] and [[ivfPq]] (their codes must be built identically
+    * for full-probe IVF-PQ to reduce to plain PQ). */
+  private def pqCodeColumns(codebook: Array[Array[Double]], m: Int,
+                            vecCol: Column): Seq[Column] = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val sub = codebook.head.length / m
+    (0 until m).map { j =>
+      val subCents = codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
+      bridge.column(graft.functions.NearestCell(
+        bridge.expression(slice(vecCol, j * sub + 1, sub)),
+        Array.tabulate(codebook.length)(_.toLong), subCents))
+    }
+  }
+
+  /** Asymmetric distance Σ_j ‖q_sub_j − centroid[code_j]‖², accumulated
+    * in subspace order — shared by [[pqSearch]] and [[ivfPq]]. */
+  private def adcDist(codebook: Array[Array[Double]], m: Int,
+                      qVec: Column, codes: Column): Column = {
+    val sub = codebook.head.length / m
+    (0 until m).map { j =>
+      val subCentLit = array(codebook.map { c =>
+        lit(java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
+      }: _*)
+      l2sq(slice(qVec, j * sub + 1, sub),
+        element_at(subCentLit, element_at(codes, j + 1).cast("int") + 1))
+    }.reduce(_ + _)
+  }
 
   /** PQ-encode a corpus: each vector becomes `m` per-subspace centroid
     * codes (array<bigint> of length m) — the memory-compression ANN path
@@ -169,18 +205,9 @@ object Similarity {
     * slices. Narrow, zero shuffle — the encode scales like the dense
     * embed path. */
   def pqEncode(corpus: DataFrame, cIdCol: String, cVecCol: String,
-               codebook: Array[Array[Double]], m: Int): DataFrame = {
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val dim = codebook.head.length
-    val sub = dim / m
-    val codeCols = (0 until m).map { j =>
-      val subCents = codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
-      bridge.column(graft.functions.NearestCell(
-        bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
-        Array.tabulate(codebook.length)(_.toLong), subCents))
-    }
-    corpus.select(col(cIdCol), array(codeCols: _*).as("codes"))
-  }
+               codebook: Array[Array[Double]], m: Int): DataFrame =
+    corpus.select(col(cIdCol),
+      array(pqCodeColumns(codebook, m, col(cVecCol)): _*).as("codes"))
 
   /** Asymmetric-distance PQ search: each (query, code row) pair scores as
     * Σ_j ‖q_sub_j − centroid[code_j]‖² — per-subspace lookups into the
@@ -192,15 +219,7 @@ object Similarity {
   def pqSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
                codes: DataFrame, cIdCol: String,
                codebook: Array[Array[Double]], m: Int, k: Int): DataFrame = {
-    val dim = codebook.head.length
-    val sub = dim / m
-    val dist = (0 until m).map { j =>
-      val centLit = array(codebook.map { c =>
-        lit(java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
-      }: _*)
-      l2sq(slice(col(qVecCol), j * sub + 1, sub),
-        element_at(centLit, element_at(col("codes"), j + 1).cast("int") + 1))
-    }.reduce(_ + _)
+    val dist = adcDist(codebook, m, col(qVecCol), col("codes"))
     codes.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
       .withColumn("__negd", -dist)
       .groupBy(col(qIdCol))
@@ -225,34 +244,18 @@ object Similarity {
             nCells: Int, nProbe: Int, m: Int, nCentsPq: Int,
             k: Int): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val cents: Array[(Long, Array[Double])] = corpus
-      .filter(col(cIdCol) < nCells)
-      .select(col(cIdCol).cast("long"), col(cVecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray))
-      .sortBy(_._1)
+    val cents = collectCentroids(corpus, cIdCol, cVecCol, nCells)
     val centLit = array(cents.map { case (id, v) =>
       struct(lit(id).as("cell"), lit(v).as("cvec"))
     }: _*)
     val codebook = pqCodebook(corpus, cIdCol, cVecCol, nCentsPq)
-    val dim = codebook.head.length
-    val sub = dim / m
 
     // one narrow pass: coarse cell + PQ codes per corpus row
-    val codeCols = (0 until m).map { j =>
-      val subCents = codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
-      bridge.column(graft.functions.NearestCell(
-        bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
-        Array.tabulate(codebook.length)(_.toLong), subCents))
-    }
     val indexed = corpus.select(
       col(cIdCol),
       bridge.column(graft.functions.NearestCell(bridge.expression(col(cVecCol)),
         cents.map(_._1), cents.map(_._2))).as("__cell"),
-      array(codeCols: _*).as("codes"))
+      array(pqCodeColumns(codebook, m, col(cVecCol)): _*).as("codes"))
 
     val probes = queries.withColumn("__probe",
         explode(slice(array_sort(
@@ -261,13 +264,7 @@ object Similarity {
           1, nProbe)))
       .select(col(qIdCol), col(qVecCol), col("__probe.cell").as("__cell"))
 
-    val dist = (0 until m).map { j =>
-      val subCentLit = array(codebook.map { c =>
-        lit(java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
-      }: _*)
-      l2sq(slice(col(qVecCol), j * sub + 1, sub),
-        element_at(subCentLit, element_at(col("codes"), j + 1).cast("int") + 1))
-    }.reduce(_ + _)
+    val dist = adcDist(codebook, m, col(qVecCol), col("codes"))
 
     indexed.join(broadcast(probes), Seq("__cell"))
       .withColumn("__negd", -dist)

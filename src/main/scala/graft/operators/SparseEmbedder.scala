@@ -76,30 +76,43 @@ object SparseEmbedder {
     * variant — ln() is not cross-engine bit-exact, and monotone
     * transforms don't change rankings).
     *
-    * Scale shape: the corpus is tokenized, exploded, and scanned ONCE.
-    * The (doc, token) max-weight aggregate is the only pass over the
-    * exploded data; `df` comes from a count window over that SAME
-    * aggregate partitioned by token (one row per (doc, token) ⇒ the
-    * partition row count IS the document frequency), not from a second
-    * tokenization. `n_docs` rides in-plan as a broadcast 1-row
-    * companion computed by a column-pruned `count(*)` over the corpus —
-    * ReadSchema is the empty struct, so even at 100 TB that branch is
-    * parquet-footer work, and there is no driver-side `count()` action.
-    * The df window count runs BEFORE the positive-weight filter, so a
-    * token occurring in a doc with only non-positive scores still
-    * counts toward df (the relational semantics the oracle mirrors). */
+    * Scale shape: every aggregation is partial (map-side combine) and
+    * key-spread — there is deliberately NO per-token window here: a
+    * count window partitioned by token buffers a stopword's entire
+    * (doc, token) group in ONE task at 100 TB, whereas the groupBy
+    * stats table is skew-free and broadcast back. `n_docs` rides
+    * in-plan as a broadcast 1-row companion computed by a column-pruned
+    * `count(*)` over the corpus — ReadSchema is the empty struct, so
+    * that branch is parquet-footer work, and there is no driver-side
+    * `count()` action. The convenience form tokenizes the corpus once
+    * per branch (narrow, cheap); a pipeline that already materialized
+    * `(id, tids)` should call [[dfWeightedTokens]] to pay tokenization
+    * exactly once. */
   def dfWeighted(df: DataFrame, idCol: String, textCol: String,
-                 maxLength: Int = K.MaxLength): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val occ = df
-      .select(col(idCol),
-        posexplode(Kernel.tokenIds(col(textCol), maxLength)).as(Seq("pos", "token_id")))
+                 maxLength: Int = K.MaxLength): DataFrame =
+    dfWeightedTokens(
+      df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids")),
+      idCol, "__tids")
+
+  /** [[dfWeighted]] over a pre-tokenized `(id, tids)` frame — the form a
+    * real pipeline uses after materializing the tokenized projection
+    * once (checkpoint or table). `df` counts every doc containing the
+    * token (before the positive-weight keep, matching the relational
+    * oracle); docs with empty/null token arrays still count toward
+    * n_docs. */
+  def dfWeightedTokens(tokens: DataFrame, idCol: String,
+                       tidsCol: String): DataFrame = {
+    val occ = tokens
+      .select(col(idCol), posexplode(col(tidsCol)).as(Seq("pos", "token_id")))
       .withColumn("s", occurrenceScore(col("token_id"), col("pos")))
       .groupBy(col(idCol), col("token_id"))
       .agg(max(when(col("s") > 0, col("s"))).as("__w"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token_id"))))
-    val nd = df.groupBy().agg(count(lit(1)).as("__n_docs"))
+    // df = one row per (doc, token) in occ ⇒ count per token; partial
+    // aggregation makes this skew-free, and the result is tiny ⇒ broadcast
+    val stats = occ.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
+    val nd = tokens.groupBy().agg(count(lit(1)).as("__n_docs"))
     occ.filter(col("__w").isNotNull)
+      .join(broadcast(stats), "token_id")
       .crossJoin(broadcast(nd))
       .withColumn("tfidf",
         col("__w") * (col("__n_docs").cast("double") / col("df").cast("double")))

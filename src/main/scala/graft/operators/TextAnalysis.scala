@@ -262,8 +262,10 @@ object TextAnalysis {
       .filter(col("n_tok") > 0)
       .withColumn("pack_bucket", splitBucket(col(idCol), nBuckets))
       .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // integral `div`, not double division: a cumulative total past 2^53
+      // would round in a double and disagree with the exact seq_offset
       .select(col(idCol), col("pack_bucket"), col("n_tok"),
-        floor(col("start_tok").cast("double") / lit(budget.toDouble)).cast("long").as("seq_id"),
+        expr(s"start_tok div ${budget.toLong}").as("seq_id"),
         (col("start_tok") % lit(budget.toLong)).as("seq_offset"))
   }
 

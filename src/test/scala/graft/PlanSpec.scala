@@ -27,20 +27,20 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("Exchange"))
   }
 
-  test("dfWeighted tokenizes the corpus once; n_docs branch scans no columns") {
+  test("dfWeighted: skew-safe partial aggs, no per-token window, footer-only n_docs") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val plan = planOf(SparseEmbedder.dfWeighted(docs, "doc_id", "text"))
-    // exactly one scan reads real columns (the tokenize+explode branch);
-    // the in-plan n_docs count is a footer-only scan (empty ReadSchema)
-    val realScans = "ReadSchema: struct<doc_id:bigint,text:string>".r
-      .findAllIn(plan).length
-    val emptyScans = "ReadSchema: struct<>".r.findAllIn(plan).length
-    assert(realScans == 1, s"expected ONE column-bearing corpus scan:\n$plan")
-    assert(emptyScans == 1, s"expected a footer-only count scan:\n$plan")
-    // the tokenizer runs in exactly one place
-    assert("tokenids".r.findAllIn(plan).length == 1,
-      s"corpus must be tokenized once:\n$plan")
+    // NO window: a count window partitioned by token would buffer a
+    // stopword's whole (doc, token) group in one task at scale
+    assert(!plan.contains("Window"), s"df must not come from a window:\n$plan")
+    // the in-plan n_docs count is a footer-only scan (empty ReadSchema),
+    // not a driver-side count() action
+    assert("ReadSchema: struct<>".r.findAllIn(plan).length == 1,
+      s"expected a footer-only count scan:\n$plan")
+    // stats ride a broadcast back onto the weights
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"df stats must broadcast:\n$plan")
   }
 
   test("graft operators broadcast their small sides (kNN, IVF probes)") {

@@ -47,6 +47,12 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       spark.sql("SELECT graft_jaccard('a', array(1))").collect())
     intercept[AnalysisException](
       spark.sql("SELECT graft_pooled_sums(array('x'), 8)").collect())
+    // ...while SAFE implicit casts still work like any built-in: int
+    // arrays upcast to bigint, NULL propagates
+    assert(spark.sql("SELECT graft_shingles(array(1, 2, 3), 2) AS s").head()
+      .getSeq[Long](0).length == 2)
+    assert(spark.sql("SELECT graft_simhash(graft_token_ids(CAST(NULL AS STRING))) IS NULL")
+      .head().getBoolean(0))
   }
 
   test("graft_simhash, graft_shingles, graft_lang_id, graft_text_norm, graft_sparse_pairs") {
