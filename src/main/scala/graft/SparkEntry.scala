@@ -176,6 +176,29 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // deterministic k-means training (integer-accumulated Lloyd
+    // updates): the trained 8-cell codebook itself, dim-exploded
+    "q50_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.trainKmeans(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iterations = 2)
+        .flatMap { case (cell, v) =>
+          v.zipWithIndex.map { case (x, d) => (cell, d.toLong, x) }
+        }.toSeq.toDF("cell", "dim", "val")
+    }),
+
+    // the trained quantizer plugged into the IVF contract: ANN over
+    // k-means cells instead of the first-k placeholder
+    "q50b_ivf_trained" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cents = Similarity.trainKmeans(e, "vec_id", "embedding", 8, 2)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfFlatWith(q, "qid", "qv", e, "vec_id", "embedding",
+        cents, nProbe = 2, k = 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {

@@ -108,16 +108,16 @@ object Similarity {
     * order. */
   def ivfFlat(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
-              nCells: Int, nProbe: Int, k: Int): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = corpus
-      .filter(col(cIdCol) < nCells)
-      .select(col(cIdCol).cast("long"), col(cVecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray))
-      .sortBy(_._1)
+              nCells: Int, nProbe: Int, k: Int): DataFrame =
+    ivfFlatWith(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      collectCentroids(corpus, cIdCol, cVecCol, nCells), nProbe, k)
+
+  /** [[ivfFlat]] against EXPLICIT centroids — the (cellId, centroid)
+    * contract a trained quantizer ([[trainKmeans]]) plugs into. */
+  def ivfFlatWith(queries: DataFrame, qIdCol: String, qVecCol: String,
+                  corpus: DataFrame, cIdCol: String, cVecCol: String,
+                  cents: Array[(Long, Array[Double])],
+                  nProbe: Int, k: Int): DataFrame = {
     val centLit = array(cents.map { case (id, v) =>
       struct(lit(id).as("cell"), lit(v).as("cvec"))
     }: _*)
@@ -273,6 +273,52 @@ object Similarity {
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
       .select(col(qIdCol), col("__t.id").as(cIdCol),
         (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+  }
+
+  /** Deterministic k-means (Lloyd) training for the quantizers: init =
+    * the first-k centroids, then `iterations` rounds of
+    * assign-and-recompute. The per-cell mean is accumulated as EXACT
+    * integers — each element quantized to floor(v·S + 0.5) before the
+    * sum — so the update is commutative (partitioning-invariant) and
+    * bit-reproducible in the SQL oracle, unlike a raw double mean whose
+    * value depends on shuffle order. Precision loss vs an exact mean is
+    * ≤ 1/(2S) per element (S = 1e6 default), irrelevant for a coarse
+    * quantizer. Empty cells keep their previous centroid. Per round:
+    * one narrow assignment pass + one (cell, dim) aggregation; the
+    * k×dim sums collect to the driver (tiny), exactly like every other
+    * index-build step. Output: the (cellId, centroid) contract
+    * [[ivfFlatWith]] and the PQ constructors consume. */
+  def trainKmeans(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                  k: Int, iterations: Int = 2,
+                  quantScale: Long = 1000000L): Array[(Long, Array[Double])] = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    var cents = collectCentroids(corpus, cIdCol, cVecCol, k)
+    for (_ <- 1 to iterations) {
+      val assigned = corpus.withColumn("__cell", bridge.column(
+        graft.functions.NearestCell(bridge.expression(col(cVecCol)),
+          cents.map(_._1), cents.map(_._2))))
+      val sums = assigned
+        .select(col("__cell"), posexplode(col(cVecCol)).as(Seq("__d", "__v")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(floor(col("__v").cast("double") * lit(quantScale.toDouble) + lit(0.5))
+          .cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = cents.map { case (cellId, oldVec) =>
+        val nv = oldVec.clone()
+        var d = 0
+        while (d < nv.length) {
+          sums.get((cellId, d)).foreach { case (s, n) =>
+            nv(d) = s.toDouble / (n * quantScale).toDouble
+          }
+          d += 1
+        }
+        (cellId, nv)
+      }
+    }
+    cents
   }
 
   /** Persist an LSH-bucketed corpus as a BUCKETED table (hash-bucketed

@@ -585,6 +585,55 @@ rk AS (SELECT qid, vec_id, dist,
 SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   }
 
+  /** Shared CTE chain for deterministic k-means: cv0 = first-k init,
+    * then per iteration: nearest-cell assignment (ORDER BY dist, cell —
+    * the NearestCell tie rule), integer-quantized per-(cell, dim) sums
+    * (floor(v·S + 0.5) — exact and order-free), centroid =
+    * s / (n·S) with empty cells keeping the previous value. Ends with
+    * `cv$iterations(cell, cvec)`. Mirrors
+    * [[graft.operators.Similarity.trainKmeans]] round for round. */
+  private def kmeansCtes(k: Int, iterations: Int, s9: Long): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"cv0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cvec FROM embeddings WHERE vec_id < $k)")
+    for (i <- 1 to iterations) {
+      val prev = s"cv${i - 1}"
+      parts += s"""a$i AS (SELECT vec_id, embedding, cell FROM (
+  SELECT e.vec_id, e.embedding, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN $prev c) t WHERE rn = 1)"""
+      parts += s"""s$i AS (SELECT cell, d, sum(q)::BIGINT AS s, count(*)::BIGINT AS n FROM (
+  SELECT cell, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+    CAST(floor(unnest(embedding)::DOUBLE * $s9 + 0.5) AS BIGINT) AS q FROM a$i) t GROUP BY cell, d)"""
+      parts += s"""g$i AS (SELECT c.cell, CAST(generate_subscripts(c.cvec, 1) - 1 AS BIGINT) AS d, unnest(c.cvec) AS oldv FROM $prev c)"""
+      parts += s"""c$i AS (SELECT g.cell, g.d, COALESCE(s$i.s::DOUBLE / (s$i.n * $s9)::DOUBLE, g.oldv) AS val
+  FROM g$i g LEFT JOIN s$i ON s$i.cell = g.cell AND s$i.d = g.d)"""
+      parts += s"""cv$i AS (SELECT cell, list(val ORDER BY d) AS cvec FROM c$i GROUP BY cell)"""
+    }
+    parts.mkString("WITH ", ",\n", "")
+  }
+
+  /** q50: the trained codebook itself, dim-exploded. */
+  def q50_kmeans_train(k: Int, iterations: Int, s9: Long = 1000000L): String =
+    kmeansCtes(k, iterations, s9) +
+      s"\nSELECT cell, d AS dim, val FROM c$iterations"
+
+  /** q50b: q17c's IVF search driven by the trained centroids. */
+  def q50b_ivf_trained(k: Int, iterations: Int, nProbe: Int, topK: Int,
+                       s9: Long = 1000000L): String =
+    kmeansCtes(k, iterations, s9) + s""",
+assign AS (SELECT vec_id, embedding, cell FROM (
+  SELECT e.vec_id, e.embedding, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cv$iterations c) t WHERE rn = 1),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.vec_id AS qid, q.embedding AS qv, c.cell,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${l2sqSql("q.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings q CROSS JOIN cv$iterations c WHERE q.vec_id < 8) t WHERE rn <= $nProbe),
+j AS (SELECT qp.qid, a.vec_id, ${cosineSql("a.embedding", "qp.qv")} AS score,
+  row_number() OVER (PARTITION BY qp.qid ORDER BY ${cosineSql("a.embedding", "qp.qv")} DESC, a.vec_id ASC) AS rnk
+  FROM assign a JOIN qprobe qp ON a.cell = qp.cell)
+SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $topK"""
+
   /** q49b: IVF-PQ — q17c's coarse assignment/probe composed with q49's
     * codes and asymmetric distance, ranking only probed-cell members. */
   def q49b_ivf_pq(dim: Int, nCells: Int, nProbe: Int, m: Int,
@@ -730,6 +779,8 @@ FROM events GROUP BY user_id, event_type"""
     "q17c_ivf_flat" -> q17c_ivf_flat(16, 4, 5),
     "q49_pq_ann" -> q49_pq_ann(Dim, 8, 16, 5),
     "q49b_ivf_pq" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q50_kmeans_train" -> q50_kmeans_train(8, 2),
+    "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

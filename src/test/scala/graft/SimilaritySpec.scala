@@ -78,6 +78,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(full == pq.toSet)
   }
 
+  test("trainKmeans: partitioning-invariant centroids (integer accumulation)") {
+    val c1 = Similarity.trainKmeans(e, "vec_id", "embedding", 8, 2)
+    val c2 = Similarity.trainKmeans(e.repartition(13), "vec_id", "embedding", 8, 2)
+    // a raw double mean would differ across shuffle orders; the
+    // quantized-integer update must be bit-identical
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    c1.zip(c2).foreach { case ((_, v1), (_, v2)) => assert(v1.toSeq == v2.toSeq) }
+    // trained centroids move off the init (they are means, not rows)
+    val init = Similarity.pqCodebook(e, "vec_id", "embedding", 8)
+    assert(c1.map(_._2.toSeq) != init.map(_.toSeq).toSeq)
+  }
+
   test("native LshBucket == HOF formulation on real embeddings") {
     val cmp = e
       .withColumn("fast", Similarity.lshBucket(col("embedding"), K.Dim, 8))
