@@ -199,6 +199,19 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // PQ with TRAINED per-subspace codebooks (1 Lloyd round each) —
+    // the proper PQ training, over the same deterministic machinery
+    "q51_pq_trained" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        K.Dim, m = 8, k = 8, iterations = 1)
+      val codes = Similarity.pqEncodeTrained(e, "vec_id", "embedding", books)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqSearchTrained(q, "qid", "qv", codes, "vec_id", books, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {

@@ -167,33 +167,80 @@ object Similarity {
                  k: Int): Array[Array[Double]] =
     collectCentroids(corpus, cIdCol, cVecCol, k).map(_._2)
 
-  /** The m per-subspace code columns for one vector column — shared by
-    * [[pqEncode]] and [[ivfPq]] (their codes must be built identically
-    * for full-probe IVF-PQ to reduce to plain PQ). */
-  private def pqCodeColumns(codebook: Array[Array[Double]], m: Int,
-                            vecCol: Column): Seq[Column] = {
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
+  /** A full-dim (k × dim) codebook as per-subspace books (m × k × sub). */
+  private def subBooks(codebook: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
     val sub = codebook.head.length / m
-    (0 until m).map { j =>
-      val subCents = codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
-      bridge.column(graft.functions.NearestCell(
-        bridge.expression(slice(vecCol, j * sub + 1, sub)),
-        Array.tabulate(codebook.length)(_.toLong), subCents))
-    }
+    Array.tabulate(m)(j =>
+      codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub)))
   }
 
-  /** Asymmetric distance Σ_j ‖q_sub_j − centroid[code_j]‖², accumulated
-    * in subspace order — shared by [[pqSearch]] and [[ivfPq]]. */
-  private def adcDist(codebook: Array[Array[Double]], m: Int,
-                      qVec: Column, codes: Column): Column = {
-    val sub = codebook.head.length / m
-    (0 until m).map { j =>
-      val subCentLit = array(codebook.map { c =>
-        lit(java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub))
-      }: _*)
+  /** The m per-subspace code columns for one vector column — shared by
+    * the PQ encoders and [[ivfPq]] (codes must be built identically for
+    * full-probe IVF-PQ to reduce to plain PQ). */
+  private def pqCodeColumnsB(books: Array[Array[Array[Double]]],
+                             vecCol: Column): Seq[Column] = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val sub = books(0)(0).length
+    books.zipWithIndex.map { case (book, j) =>
+      bridge.column(graft.functions.NearestCell(
+        bridge.expression(slice(vecCol, j * sub + 1, sub)),
+        Array.tabulate(book.length)(_.toLong), book))
+    }.toSeq
+  }
+
+  private def pqCodeColumns(codebook: Array[Array[Double]], m: Int,
+                            vecCol: Column): Seq[Column] =
+    pqCodeColumnsB(subBooks(codebook, m), vecCol)
+
+  /** Asymmetric distance Σ_j ‖q_sub_j − book_j[code_j]‖², accumulated in
+    * subspace order — shared by the PQ searchers and [[ivfPq]]. */
+  private def adcDistB(books: Array[Array[Array[Double]]],
+                       qVec: Column, codes: Column): Column = {
+    val sub = books(0)(0).length
+    books.zipWithIndex.map { case (book, j) =>
+      val subCentLit = array(book.map(lit(_)): _*)
       l2sq(slice(qVec, j * sub + 1, sub),
         element_at(subCentLit, element_at(codes, j + 1).cast("int") + 1))
     }.reduce(_ + _)
+  }
+
+  private def adcDist(codebook: Array[Array[Double]], m: Int,
+                      qVec: Column, codes: Column): Column =
+    adcDistB(subBooks(codebook, m), qVec, codes)
+
+  /** Train per-subspace PQ codebooks — [[trainKmeans]] over each
+    * subspace's slices, which is what PQ actually trains (each subspace
+    * clusters independently). m sequential index-build passes. Returns
+    * m × k × sub, the contract of [[pqEncodeTrained]]. */
+  def trainPqCodebooks(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                       dim: Int, m: Int, k: Int,
+                       iterations: Int = 2): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      trainKmeans(
+        corpus.select(col(cIdCol), slice(col(cVecCol), j * sub + 1, sub).as("__sv")),
+        cIdCol, "__sv", k, iterations).map(_._2)
+    }
+  }
+
+  /** [[pqEncode]] with per-subspace (trained) codebooks. */
+  def pqEncodeTrained(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                      books: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(cIdCol),
+      array(pqCodeColumnsB(books, col(cVecCol)): _*).as("codes"))
+
+  /** [[pqSearch]] with per-subspace (trained) codebooks. */
+  def pqSearchTrained(queries: DataFrame, qIdCol: String, qVecCol: String,
+                      codes: DataFrame, cIdCol: String,
+                      books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val dist = adcDistB(books, col(qVecCol), col("codes"))
+    codes.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .withColumn("__negd", -dist)
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
   }
 
   /** PQ-encode a corpus: each vector becomes `m` per-subspace centroid
@@ -218,16 +265,8 @@ object Similarity {
     * dist) — approximate nearest neighbors from codes alone. */
   def pqSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
                codes: DataFrame, cIdCol: String,
-               codebook: Array[Array[Double]], m: Int, k: Int): DataFrame = {
-    val dist = adcDist(codebook, m, col(qVecCol), col("codes"))
-    codes.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
-      .withColumn("__negd", -dist)
-      .groupBy(col(qIdCol))
-      .agg(graft.functions.TopKAgg.topK(col("__negd"), col(cIdCol).cast("long"), k).as("__top"))
-      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
-      .select(col(qIdCol), col("__t.id").as(cIdCol),
-        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
-  }
+               codebook: Array[Array[Double]], m: Int, k: Int): DataFrame =
+    pqSearchTrained(queries, qIdCol, qVecCol, codes, cIdCol, subBooks(codebook, m), k)
 
   /** IVF-PQ — the composed large-scale ANN index shape (inverted file ×
     * product quantization): corpus rows are assigned to their nearest

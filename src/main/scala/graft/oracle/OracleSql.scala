@@ -592,25 +592,30 @@ SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
     * s / (n·S) with empty cells keeping the previous value. Ends with
     * `cv$iterations(cell, cvec)`. Mirrors
     * [[graft.operators.Similarity.trainKmeans]] round for round. */
-  private def kmeansCtes(k: Int, iterations: Int, s9: Long): String = {
+  private def kmeansCteParts(k: Int, iterations: Int, s9: Long,
+                             vecExpr: String = "e.embedding",
+                             p: String = ""): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer(
-      s"cv0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cvec FROM embeddings WHERE vec_id < $k)")
+      s"${p}cv0 AS (SELECT vec_id AS cell, list_transform($vecExpr, x -> x::DOUBLE) AS cvec FROM embeddings e WHERE vec_id < $k)")
     for (i <- 1 to iterations) {
-      val prev = s"cv${i - 1}"
-      parts += s"""a$i AS (SELECT vec_id, embedding, cell FROM (
-  SELECT e.vec_id, e.embedding, c.cell,
-    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+      val prev = s"${p}cv${i - 1}"
+      parts += s"""${p}a$i AS (SELECT vec_id, vec, cell FROM (
+  SELECT e.vec_id, $vecExpr AS vec, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql(s"($vecExpr)", "c.cvec")}, c.cell) AS rn
   FROM embeddings e CROSS JOIN $prev c) t WHERE rn = 1)"""
-      parts += s"""s$i AS (SELECT cell, d, sum(q)::BIGINT AS s, count(*)::BIGINT AS n FROM (
-  SELECT cell, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
-    CAST(floor(unnest(embedding)::DOUBLE * $s9 + 0.5) AS BIGINT) AS q FROM a$i) t GROUP BY cell, d)"""
-      parts += s"""g$i AS (SELECT c.cell, CAST(generate_subscripts(c.cvec, 1) - 1 AS BIGINT) AS d, unnest(c.cvec) AS oldv FROM $prev c)"""
-      parts += s"""c$i AS (SELECT g.cell, g.d, COALESCE(s$i.s::DOUBLE / (s$i.n * $s9)::DOUBLE, g.oldv) AS val
-  FROM g$i g LEFT JOIN s$i ON s$i.cell = g.cell AND s$i.d = g.d)"""
-      parts += s"""cv$i AS (SELECT cell, list(val ORDER BY d) AS cvec FROM c$i GROUP BY cell)"""
+      parts += s"""${p}s$i AS (SELECT cell, d, sum(q)::BIGINT AS s, count(*)::BIGINT AS n FROM (
+  SELECT cell, CAST(generate_subscripts(vec, 1) - 1 AS BIGINT) AS d,
+    CAST(floor(unnest(vec)::DOUBLE * $s9 + 0.5) AS BIGINT) AS q FROM ${p}a$i) t GROUP BY cell, d)"""
+      parts += s"""${p}g$i AS (SELECT c.cell, CAST(generate_subscripts(c.cvec, 1) - 1 AS BIGINT) AS d, unnest(c.cvec) AS oldv FROM $prev c)"""
+      parts += s"""${p}c$i AS (SELECT g.cell, g.d, COALESCE(s.s::DOUBLE / (s.n * $s9)::DOUBLE, g.oldv) AS val
+  FROM ${p}g$i g LEFT JOIN ${p}s$i s ON s.cell = g.cell AND s.d = g.d)"""
+      parts += s"""${p}cv$i AS (SELECT cell, list(val ORDER BY d) AS cvec FROM ${p}c$i GROUP BY cell)"""
     }
-    parts.mkString("WITH ", ",\n", "")
+    parts.toSeq
   }
+
+  private def kmeansCtes(k: Int, iterations: Int, s9: Long): String =
+    kmeansCteParts(k, iterations, s9).mkString("WITH ", ",\n", "")
 
   /** q50: the trained codebook itself, dim-exploded. */
   def q50_kmeans_train(k: Int, iterations: Int, s9: Long = 1000000L): String =
@@ -633,6 +638,38 @@ j AS (SELECT qp.qid, a.vec_id, ${cosineSql("a.embedding", "qp.qv")} AS score,
   row_number() OVER (PARTITION BY qp.qid ORDER BY ${cosineSql("a.embedding", "qp.qv")} DESC, a.vec_id ASC) AS rnk
   FROM assign a JOIN qprobe qp ON a.cell = qp.cell)
 SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $topK"""
+
+  /** q51: PQ over per-subspace TRAINED codebooks — one kmeans CTE chain
+    * per subspace (prefix j0_..j{m-1}_) over that subspace's slices,
+    * then the q49 encode/ADC machinery against the union of the trained
+    * books. Element access is direct indexing (embedding[j·sub + i]),
+    * matching NearestCell's slice-local accumulation order. */
+  def q51_pq_trained(dim: Int, m: Int, kCents: Int, iterations: Int,
+                     topK: Int, s9: Long = 1000000L): String = {
+    val sub = dim / m
+    val perSub = (0 until m).flatMap { j =>
+      kmeansCteParts(kCents, iterations, s9,
+        s"list_slice(e.embedding, ${j * sub + 1}, ${(j + 1) * sub})", s"j${j}_")
+    }
+    val bookUnion = (0 until m)
+      .map(j => s"SELECT $j AS j, cell, cvec FROM j${j}_cv$iterations")
+      .mkString(" UNION ALL ")
+    def subDist(vecExpr: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($vecExpr[b.j*$sub + i]::DOUBLE - b.cvec[i]::DOUBLE) * ($vecExpr[b.j*$sub + i]::DOUBLE - b.cvec[i]::DOUBLE)), (x,y) -> x+y)"
+    (perSub :+ s"books AS ($bookUnion)").mkString("WITH ", ",\n", "") + s""",
+enc AS (SELECT vec_id, j, cell AS code FROM (
+  SELECT e.vec_id, b.j, b.cell,
+    row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY ${subDist("e.embedding")}, b.cell) AS rn
+  FROM embeddings e CROSS JOIN books b) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qd AS (SELECT q.qid, en.vec_id, en.j, ${subDist("q.qv")} AS d
+  FROM q CROSS JOIN enc en JOIN books b ON b.j = en.j AND b.cell = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
+SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $topK"""
+  }
 
   /** q49b: IVF-PQ — q17c's coarse assignment/probe composed with q49's
     * codes and asymmetric distance, ranking only probed-cell members. */
@@ -781,6 +818,7 @@ FROM events GROUP BY user_id, event_type"""
     "q49b_ivf_pq" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
+    "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),
