@@ -293,6 +293,16 @@ object SparkEntry {
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
         budget = 64, nBuckets = 8)),
 
+    // RAG-style chunk embedding: 16-token windows, 4-token overlap,
+    // each window through the dense tail — narrow explode, no shuffle
+    "q52_chunk_embed" -> ((s, dir) =>
+      TextEmbedder.chunkEmbed(docs(s, dir), "doc_id", "text",
+        budget = 16, overlap = 4, dim = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("dim").cast("long").as("dim"), col("val"))),
+
     // tokenizer-config surface (S7): model_max_length=7 wins the
     // min(user, model) truncation rule and caps the dense chain
     "q44_tokenizer_config" -> ((s, dir) => {

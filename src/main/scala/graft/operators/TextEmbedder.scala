@@ -72,6 +72,36 @@ case class TextEmbedder(
 }
 
 object TextEmbedder {
+  /** RAG-style chunk embedding: split each doc's token stream into
+    * fixed-`budget` windows whose starts step by `budget - overlap`
+    * (consecutive chunks share `overlap` tokens of context), and embed
+    * each window through the same project→mean→normalize tail as the
+    * doc-level pipeline. Output: (idCol, chunk_id, n_tokens, outCol).
+    * Narrow — one per-row explode of window starts; no shuffle — so a
+    * 100 TB corpus chunks exactly like it embeds. Deterministic chunk
+    * boundaries (token positions, no RNG). */
+  def chunkEmbed(df: DataFrame, idCol: String, textCol: String,
+                 budget: Int, overlap: Int, dim: Int = K.Dim,
+                 maxLength: Int = K.MaxLength,
+                 outCol: String = "emb"): DataFrame = {
+    require(overlap >= 0 && overlap < budget, "need 0 <= overlap < budget")
+    val stride = budget - overlap
+    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) > 0)
+      .withColumn("__start",
+        explode(sequence(lit(0), size(col("__tids")) - 1, lit(stride))))
+      .withColumn("__ct", slice(col("__tids"), col("__start") + 1, lit(budget)))
+      .withColumn("chunk_id", expr(s"__start div $stride"))
+      .withColumn("__sums", Kernel.pooledSums(col("__ct"), dim))
+      .withColumn("__mean", Kernel.meanScaled(col("__sums"), size(col("__ct"))))
+      .withColumn(outCol,
+        zip_with(col("__mean"),
+          array_repeat(Kernel.l2norm(col("__mean")) + lit(K.Eps), lit(dim)),
+          (x, n) => x / n))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__ct")).cast("long").as("n_tokens"), col(outCol))
+  }
+
   /** Build the pipeline from a registry entry — the analogue of
     * `TextEmbedding::try_new(InitOptions { model_name, .. })` resolving
     * ModelInfo → dim/pooling/quantization/max_length

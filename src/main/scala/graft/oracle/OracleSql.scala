@@ -398,6 +398,21 @@ FROM documents"""
 count(*) AS n_docs, min(doc_id) AS min_id
 FROM documents GROUP BY 1"""
 
+  /** q52: chunk embedding — window starts step by stride, each window's
+    * token slice through the dense projector tail (q01's math per
+    * chunk). */
+  def q52_chunk_embed(budget: Int, overlap: Int, dim: Int): String = {
+    val stride = budget - overlap
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
+st AS (SELECT doc_id, tids, unnest(range(0, len(tids), $stride)) AS s FROM t2),
+ch AS (SELECT doc_id, (s // $stride)::BIGINT AS chunk_id, list_slice(tids, s + 1, s + $budget) AS ct FROM st),
+m AS (SELECT doc_id, chunk_id, len(ct)::BIGINT AS n_tokens, list_transform(range(0, $dim), d -> (list_reduce(list_transform(ct, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(ct)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM ch),
+nr AS (SELECT doc_id, chunk_id, n_tokens, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, chunk_id, n_tokens, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, chunk_id, n_tokens, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q45: repetition stats — relational mirror of the narrow RunStats
     * kernel (explode → per-value count → sum/count/max). */
   def q45_repetition_stats(n: Int): String =
@@ -819,6 +834,7 @@ FROM events GROUP BY user_id, event_type"""
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),
+    "q52_chunk_embed" -> q52_chunk_embed(16, 4, 16),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

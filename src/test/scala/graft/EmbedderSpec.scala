@@ -22,6 +22,21 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def embAsMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
     df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
 
+  test("chunkEmbed: stride layout, tail chunk, unit embeddings") {
+    // 40 tokens, budget 16, overlap 4 → starts 0/12/24/36,
+    // sizes 16/16/16/4 (consecutive chunks share 4 tokens)
+    val d = Seq((0L, (1 to 40).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextEmbedder.chunkEmbed(d, "doc_id", "text", budget = 16, overlap = 4, dim = 8)
+      .collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
+      Seq((0L, 16L), (1L, 16L), (2L, 16L), (3L, 4L)))
+    out.foreach { r =>
+      val v = r.getSeq[Double](3)
+      assert(v.length == 8)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
   test("dense embedding: dim, unit norm, determinism") {
     val e = TextEmbedder().embed(docs, "text", "emb").select($"doc_id", $"emb")
     val m1 = embAsMap(e)
