@@ -208,19 +208,61 @@ object Similarity {
                       qVec: Column, codes: Column): Column =
     adcDistB(subBooks(codebook, m), qVec, codes)
 
-  /** Train per-subspace PQ codebooks — [[trainKmeans]] over each
-    * subspace's slices, which is what PQ actually trains (each subspace
-    * clusters independently). m sequential index-build passes. Returns
-    * m × k × sub, the contract of [[pqEncodeTrained]]. */
+  /** Train per-subspace PQ codebooks — k-means over each subspace's
+    * slices, which is what PQ actually trains (each subspace clusters
+    * independently). All m books train in ONE corpus pass per
+    * iteration: each row emits its m (subspace, cell, dim, quantized
+    * value) contributions and a single aggregation updates every book —
+    * not m sequential corpus scans. Same integer-accumulated,
+    * partitioning-invariant updates as [[trainKmeans]], value-identical
+    * to training each subspace separately. Returns m × k × sub, the
+    * contract of [[pqEncodeTrained]]. */
   def trainPqCodebooks(corpus: DataFrame, cIdCol: String, cVecCol: String,
                        dim: Int, m: Int, k: Int,
-                       iterations: Int = 2): Array[Array[Array[Double]]] = {
+                       iterations: Int = 2,
+                       quantScale: Long = 1000000L): Array[Array[Array[Double]]] = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val sub = dim / m
-    Array.tabulate(m) { j =>
-      trainKmeans(
-        corpus.select(col(cIdCol), slice(col(cVecCol), j * sub + 1, sub).as("__sv")),
-        cIdCol, "__sv", k, iterations).map(_._2)
+    val init = collectCentroids(corpus, cIdCol, cVecCol, k) // one collect
+    val cellIds = init.map(_._1)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => init.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)
+      })
+    for (_ <- 1 to iterations) {
+      val perSub = corpus.select(
+        explode(array(books.zipWithIndex.map { case (book, j) =>
+          struct(
+            lit(j).as("j"),
+            bridge.column(graft.functions.NearestCell(
+              bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
+              cellIds, book)).as("cell"),
+            slice(col(cVecCol), j * sub + 1, sub).as("sv"))
+        }: _*)).as("z"))
+        .select(col("z.j").as("__j"), col("z.cell").as("__cell"),
+          posexplode(col("z.sv")).as(Seq("__d", "__v")))
+        .groupBy(col("__j"), col("__cell"), col("__d"))
+        .agg(sum(floor(col("__v").cast("double") * lit(quantScale.toDouble) + lit(0.5))
+          .cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+        .toMap
+      books = Array.tabulate(m) { j =>
+        books(j).zipWithIndex.map { case (oldVec, ci) =>
+          val nv = oldVec.clone()
+          var d = 0
+          while (d < sub) {
+            perSub.get((j, cellIds(ci), d)).foreach { case (s, n) =>
+              nv(d) = s.toDouble / (n * quantScale).toDouble
+            }
+            d += 1
+          }
+          nv
+        }
+      }
     }
+    books
   }
 
   /** [[pqEncode]] with per-subspace (trained) codebooks. */
