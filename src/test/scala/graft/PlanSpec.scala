@@ -17,6 +17,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("driver contract: every query has an oracle, names aligned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // every declared query is on the HARD gate (no silent rows-only
+    // fallbacks), and no oracle is orphaned
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("dense embed: scan prunes to (doc_id, text) out of 5 columns") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     assert(docs.schema.fields.length == 5)
