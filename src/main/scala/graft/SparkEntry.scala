@@ -356,6 +356,27 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the ConvNext preprocessor dialect (S8's second branch): shortest
+    // edge 6 with crop_pct 0.75 → resize (8,8) (identity at ratio 1) +
+    // center crop (6,6) + rescale/normalize, parsed from config JSON
+    "q23d_image_convnext" -> ((s, dir) => {
+      import s.implicits._
+      val convnext = Preprocess.Compose.fromJson(
+        """{"image_processor_type": "ConvNextFeatureExtractor",
+           |"size": {"shortest_edge": 6}, "crop_pct": 0.75,
+           |"do_normalize": true,
+           |"image_mean": [0.48145466, 0.4578275, 0.40821073],
+           |"image_std": [0.26862954, 0.26130258, 0.27577711]}""".stripMargin)
+      val pngs = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
+        .toDF("doc_id", "png")
+      ImagePipeline.embedImagesCompose(pngs, "doc_id", "png", convnext, dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // checked binaryFile ingest (S2): PNG fixture FILES on disk → Spark's
     // binaryFile source (path-glob pushdown) → the same real
     // decode+Compose chain, doc id recovered from the file name. The

@@ -164,6 +164,31 @@ emb AS (SELECT doc_id, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q23d: the ConvNext dialect — shortest_edge 6 / crop_pct 0.75 ⇒
+    * resize (8,8) then center crop (6,6). At ratio 1.0 the Catmull-Rom
+    * pass is exactly identity (the only in-support tap is CR(0)=1, CR(±1)
+    * = 0, wsum = 1, round+clamp of an integer is itself), so the oracle
+    * is pure pixel indexing: cropped(c,y,x) = source(c, y+off, x+off). */
+  def q23d_image_convnext(dim: Int): String = {
+    val side = 8; val crop = 6
+    val off = (side - crop) / 2
+    val mean = graft.operators.ImagePipeline.ClipMean
+    val std = graft.operators.ImagePipeline.ClipStd
+    val qExprs = for {
+      c <- 0 until 3; y <- 0 until crop; x <- 0 until crop
+    } yield {
+      val idx = 3 * ((y + off) * side + (x + off)) + c
+      s"CAST(floor(((bs[(($idx) % len(bs)) + 1]::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - ${mean(c)}) / ${std(c)}) * 1000.0 + 0.5) AS BIGINT) + 2000"
+    }
+    val n = 3 * crop * crop
+    s"""WITH b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+qz AS (SELECT doc_id, [${qExprs.mkString(",\n  ")}] AS qs FROM b),
+m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(qs, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / $n.0 / $M.0) * 2.0 - 1.0) AS mnv FROM qz),
+nr AS (SELECT doc_id, mnv, sqrt(list_reduce(list_transform(mnv, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mnv, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q36: raw PCM16 audio codec — UTF-8 text bytes as little-endian
     * sample pairs, non-overlapping frames of 16, per-frame energy Σs²
     * mod M, then the shared projector. Mirrors
@@ -859,6 +884,7 @@ FROM events GROUP BY user_id, event_type"""
     "q23_image_embed" -> q23_image_embed(16),
     "q23b_image_compose" -> q23b_image_compose(16),
     "q23c_image_files" -> q23b_image_compose(16, " WHERE doc_id < 64"),
+    "q23d_image_convnext" -> q23d_image_convnext(16),
     "q27_bgem3_dense" -> q01_dense_embed,
     "q28_bgem3_sparse" -> q28_bgem3_sparse,
     "q29_bgem3_colbert" -> q06_colbert(16),
