@@ -51,27 +51,37 @@ case class TextEmbedder(
     * here rather than silently violated. */
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val tids = "__graft_tids"
-    val sums = "__graft_sums"
-    val mean = "__graft_mean"
-    val nrm = "__graft_norm"
     val in = quantization match {
       case graft.model.Quantization.Dynamic => df.coalesce(1)
       case _ => df
     }
-    in.withColumn(tids, pooledTokens(Kernel.tokenIds(col(textCol), maxLength)))
+    val withTids = in
+      .withColumn(tids, pooledTokens(Kernel.tokenIds(col(textCol), maxLength)))
       .filter(size(col(tids)) > 0)
-      .withColumn(sums, Kernel.pooledSums(col(tids), dim))
-      .withColumn(mean, Kernel.meanScaled(col(sums), size(col(tids))))
+    TextEmbedder.denseTail(withTids, tids, outCol, dim).drop(tids)
+  }
+}
+
+object TextEmbedder {
+  /** The shared dense tail: token ids → integer-pooled projection →
+    * mean scale → L2 normalize. The ONE definition both the doc-level
+    * [[TextEmbedder.embed]] and [[chunkEmbed]] run, so the two paths
+    * stay bit-identical by construction. */
+  private[operators] def denseTail(df: DataFrame, tidsCol: String,
+                                   outCol: String, dim: Int): DataFrame = {
+    val sums = "__graft_sums"
+    val mean = "__graft_mean"
+    val nrm = "__graft_norm"
+    df.withColumn(sums, Kernel.pooledSums(col(tidsCol), dim))
+      .withColumn(mean, Kernel.meanScaled(col(sums), size(col(tidsCol))))
       .withColumn(nrm, Kernel.l2norm(col(mean)))
       // zip_with + array_repeat: the norm evaluates once per row; a
       // transform lambda referencing it would re-fold it per element
       .withColumn(outCol,
         zip_with(col(mean), array_repeat(col(nrm) + lit(K.Eps), lit(dim)), (x, n) => x / n))
-      .drop(tids, sums, mean, nrm)
+      .drop(sums, mean, nrm)
   }
-}
 
-object TextEmbedder {
   /** RAG-style chunk embedding: split each doc's token stream into
     * fixed-`budget` windows whose starts step by `budget - overlap`
     * (consecutive chunks share `overlap` tokens of context), and embed
@@ -79,25 +89,27 @@ object TextEmbedder {
     * doc-level pipeline. Output: (idCol, chunk_id, n_tokens, outCol).
     * Narrow — one per-row explode of window starts; no shuffle — so a
     * 100 TB corpus chunks exactly like it embeds. Deterministic chunk
-    * boundaries (token positions, no RNG). */
+    * boundaries (token positions, no RNG). Like standard chunkers, the
+    * window sequence stops once a window reaches the end of the stream:
+    * a start is emitted only if the PREVIOUS window did not already
+    * cover the last token (otherwise the tail chunk would be a strict
+    * subset of its predecessor — duplicate retrieval hits). */
   def chunkEmbed(df: DataFrame, idCol: String, textCol: String,
                  budget: Int, overlap: Int, dim: Int = K.Dim,
                  maxLength: Int = K.MaxLength,
                  outCol: String = "emb"): DataFrame = {
     require(overlap >= 0 && overlap < budget, "need 0 <= overlap < budget")
     val stride = budget - overlap
-    df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+    val chunks = df
+      .select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
       .filter(size(col("__tids")) > 0)
       .withColumn("__start",
         explode(sequence(lit(0), size(col("__tids")) - 1, lit(stride))))
+      .filter(col("__start") === 0 ||
+        col("__start") - lit(stride) + lit(budget) < size(col("__tids")))
       .withColumn("__ct", slice(col("__tids"), col("__start") + 1, lit(budget)))
       .withColumn("chunk_id", expr(s"__start div $stride"))
-      .withColumn("__sums", Kernel.pooledSums(col("__ct"), dim))
-      .withColumn("__mean", Kernel.meanScaled(col("__sums"), size(col("__ct"))))
-      .withColumn(outCol,
-        zip_with(col("__mean"),
-          array_repeat(Kernel.l2norm(col("__mean")) + lit(K.Eps), lit(dim)),
-          (x, n) => x / n))
+    denseTail(chunks, "__ct", outCol, dim)
       .select(col(idCol), col("chunk_id"),
         size(col("__ct")).cast("long").as("n_tokens"), col(outCol))
   }

@@ -423,14 +423,14 @@ FROM documents"""
 count(*) AS n_docs, min(doc_id) AS min_id
 FROM documents GROUP BY 1"""
 
-  /** q52: chunk embedding — window starts step by stride, each window's
-    * token slice through the dense projector tail (q01's math per
-    * chunk). */
+  /** q52: chunk embedding — window starts step by stride (stopping once
+    * the previous window reaches the stream end), each window's token
+    * slice through the dense projector tail (q01's math per chunk). */
   def q52_chunk_embed(budget: Int, overlap: Int, dim: Int): String = {
     val stride = budget - overlap
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
 t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
-st AS (SELECT doc_id, tids, unnest(range(0, len(tids), $stride)) AS s FROM t2),
+st AS (SELECT doc_id, tids, unnest(list_filter(range(0, len(tids), $stride), s -> s = 0 OR s - $stride + $budget < len(tids))) AS s FROM t2),
 ch AS (SELECT doc_id, (s // $stride)::BIGINT AS chunk_id, list_slice(tids, s + 1, s + $budget) AS ct FROM st),
 m AS (SELECT doc_id, chunk_id, len(ct)::BIGINT AS n_tokens, list_transform(range(0, $dim), d -> (list_reduce(list_transform(ct, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(ct)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM ch),
 nr AS (SELECT doc_id, chunk_id, n_tokens, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),

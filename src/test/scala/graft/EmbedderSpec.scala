@@ -22,14 +22,21 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def embAsMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
     df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
 
-  test("chunkEmbed: stride layout, tail chunk, unit embeddings") {
-    // 40 tokens, budget 16, overlap 4 → starts 0/12/24/36,
-    // sizes 16/16/16/4 (consecutive chunks share 4 tokens)
+  test("chunkEmbed: stride layout, end-stop rule, unit embeddings") {
+    // 40 tokens, budget 16, overlap 4 → starts 0/12/24 (start 36 is
+    // suppressed: the chunk at 24 already reaches the end, so a 4-token
+    // tail would be a strict subset of it)
     val d = Seq((0L, (1 to 40).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
     val out = TextEmbedder.chunkEmbed(d, "doc_id", "text", budget = 16, overlap = 4, dim = 8)
       .collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
-      Seq((0L, 16L), (1L, 16L), (2L, 16L), (3L, 4L)))
+      Seq((0L, 16L), (1L, 16L), (2L, 16L)))
+    // 41 tokens: the window at 24 covers to 40 only → a tail chunk at 36
+    // (5 tokens, not a subset) IS emitted
+    val d2 = Seq((0L, (1 to 41).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val out2 = TextEmbedder.chunkEmbed(d2, "doc_id", "text", budget = 16, overlap = 4, dim = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out2 == Seq((0L, 16L), (1L, 16L), (2L, 16L), (3L, 5L)))
     out.foreach { r =>
       val v = r.getSeq[Double](3)
       assert(v.length == 8)

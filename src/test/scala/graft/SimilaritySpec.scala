@@ -85,9 +85,10 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     // quantized-integer update must be bit-identical
     assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
     c1.zip(c2).foreach { case ((_, v1), (_, v2)) => assert(v1.toSeq == v2.toSeq) }
-    // trained centroids move off the init (they are means, not rows)
+    // trained centroids move off the init (they are means, not rows) —
+    // Seq-vs-Seq so the comparison is structural, not array reference
     val init = Similarity.pqCodebook(e, "vec_id", "embedding", 8)
-    assert(c1.map(_._2.toSeq) != init.map(_.toSeq).toSeq)
+    assert(c1.map(_._2.toSeq).toSeq != init.map(_.toSeq).toSeq)
   }
 
   test("native LshBucket == HOF formulation on real embeddings") {
