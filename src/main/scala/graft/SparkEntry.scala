@@ -223,6 +223,56 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // scalar (int8) quantization: per-dim min/max stats trained in-plan,
+    // every element mapped to an 8-bit code — the 4× footprint cut
+    "q53_sq_codes" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Quantize.sqEncode(e, "vec_id", "embedding", Quantize.sqStats(e, "embedding"))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("code"))
+    }),
+
+    // asymmetric search over the int8 codes: full-precision queries vs
+    // dequantized corpus codes — raw vectors never load on the scan side
+    "q53b_sq_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val stats = Quantize.sqStats(e, "embedding")
+      val codes = Quantize.sqEncode(e, "vec_id", "embedding", stats)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Quantize.sqSearch(q, "qid", "qv", codes, "vec_id", stats, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    // binary quantization: one sign bit per dim packed into 32-bit words
+    // (the 32× footprint cut), checked word-exploded
+    "q54_binary_sig" -> ((s, dir) =>
+      Quantize.binaryEncode(tbl(s, dir, "embeddings"), "vec_id", "embedding", K.Dim)
+        .select(col("vec_id"), posexplode(col("sig")).as(Seq("word", "bits")))
+        .select(col("vec_id"), col("word").cast("long").as("word"), col("bits"))),
+
+    // Hamming top-k over the packed signatures (XOR+popcount scan)
+    "q54b_hamming_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cSigs = Quantize.binaryEncode(e, "vec_id", "embedding", K.Dim)
+      val qSigs = Quantize.binaryEncode(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding")),
+        "qid", "embedding", K.Dim)
+      Quantize.hammingTopK(qSigs, "qid", cSigs, "vec_id", 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("hamming"))
+    }),
+
+    // the production binary-ANN shape: Hamming candidates (32 per query)
+    // → exact cosine rescore of only those rows' raw vectors → top-5
+    "q54c_binary_rescored" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Quantize.binarySearchRescored(q, "qid", "qv", e, "vec_id", "embedding",
+        K.Dim, 32, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

@@ -756,6 +756,84 @@ SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosineSql("a.embedding", "c.embeddi
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ${cosineSql("a.embedding", "c.embedding")} >= $threshold"""
 
+  /** Shared CTEs for scalar (int8) quantization: per-dim corpus min/max
+    * (`mm`), then codes/dequant mirror [[graft.operators.Quantize]]
+    * term-for-term: code = floor((v-mn)/(mx-mn)*255 + 0.5), deq =
+    * mn + code·((mx-mn)/255); constant dims code 0 / dequant mn. */
+  private val sqMmCte: String =
+    s"""mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d, unnest(embedding)::DOUBLE AS v FROM embeddings) t GROUP BY d)"""
+
+  val q53_sq_codes: String =
+    s"""WITH $sqMmCte,
+e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d, unnest(embedding)::DOUBLE AS v FROM embeddings)
+SELECT e.vec_id, e.d AS dim,
+  CASE WHEN mm.mx > mm.mn THEN CAST(floor((e.v - mm.mn) / (mm.mx - mm.mn) * 255.0 + 0.5) AS BIGINT) ELSE 0 END AS code
+FROM e JOIN mm ON mm.d = e.d"""
+
+  def q53b_sq_search(dim: Int, k: Int): String =
+    s"""WITH $sqMmCte,
+mml AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+deq AS (SELECT vec_id, list_transform(range(1, ${dim + 1}), i ->
+  CASE WHEN mxs[i] > mns[i]
+    THEN mns[i] + floor((embedding[i]::DOUBLE - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5) * ((mxs[i] - mns[i]) / 255.0)
+    ELSE mns[i] END) AS dv FROM embeddings, mml),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+j AS (SELECT q.qid, d.vec_id, ${cosineSql("d.dv", "q.qv")} AS score,
+  row_number() OVER (PARTITION BY q.qid ORDER BY ${cosineSql("d.dv", "q.qv")} DESC, d.vec_id ASC) AS rnk
+  FROM deq d, q)
+SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $k"""
+
+  /** One packed 32-bit signature word: bit j of word w set iff
+    * v_{32w+j} > 0 — the unrolled sum [[graft.operators.Quantize.binarySig]]
+    * builds, term for term. */
+  private def binWordSql(w: Int, dim: Int, vecExpr: String = "embedding"): String =
+    (0 until 32).filter(j => w * 32 + j < dim).map { j =>
+      s"(CASE WHEN $vecExpr[${w * 32 + j + 1}]::DOUBLE > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def binSigCte(dim: Int): String = {
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map(w => s"(${binWordSql(w, dim)})::BIGINT").mkString(", ")
+    s"s AS (SELECT vec_id, [$words] AS sig FROM embeddings)"
+  }
+
+  def q54_binary_sig(dim: Int): String = {
+    val nWords = (dim + 31) / 32
+    val arms = (0 until nWords)
+      .map(w => s"SELECT vec_id, $w::BIGINT AS word, (${binWordSql(w, dim)})::BIGINT AS bits FROM embeddings")
+      .mkString(" UNION ALL ")
+    arms
+  }
+
+  /** Hamming distance fold over the packed words (0-seeded reduce). */
+  private def hammingSql(a: String, b: String, nWords: Int): String =
+    s"list_reduce(list_concat([0::BIGINT], list_transform(range(1, ${nWords + 1}), i -> CAST(bit_count(xor($a[i], $b[i])) AS BIGINT))), (x,y) -> x+y)"
+
+  def q54b_hamming_topk(dim: Int, k: Int): String = {
+    val nWords = (dim + 31) / 32
+    s"""WITH ${binSigCte(dim)},
+q AS (SELECT vec_id AS qid, sig AS qsig FROM s WHERE vec_id < 8),
+j AS (SELECT q.qid, s.vec_id, ${hammingSql("s.sig", "q.qsig", nWords)} AS h FROM s, q),
+r AS (SELECT qid, vec_id, h, row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) AS rnk FROM j)
+SELECT qid, vec_id, rnk, h AS hamming FROM r WHERE rnk <= $k"""
+  }
+
+  def q54c_binary_rescored(dim: Int, nCandidates: Int, k: Int): String = {
+    val nWords = (dim + 31) / 32
+    s"""WITH ${binSigCte(dim)},
+q AS (SELECT vec_id AS qid, sig AS qsig FROM s WHERE vec_id < 8),
+j AS (SELECT q.qid, s.vec_id, ${hammingSql("s.sig", "q.qsig", nWords)} AS h FROM s, q),
+cand AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) AS rnk FROM j) t
+  WHERE rnk <= $nCandidates),
+qq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT c.qid, c.vec_id, ${cosineSql("e.embedding", "qq.qv")} AS score,
+  row_number() OVER (PARTITION BY c.qid ORDER BY ${cosineSql("e.embedding", "qq.qv")} DESC, c.vec_id ASC) AS rnk
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN qq ON qq.qid = c.qid)
+SELECT qid, vec_id, rnk, score FROM sc WHERE rnk <= $k"""
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -860,6 +938,11 @@ FROM events GROUP BY user_id, event_type"""
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),
     "q52_chunk_embed" -> q52_chunk_embed(16, 4, 16),
+    "q53_sq_codes" -> q53_sq_codes,
+    "q53b_sq_search" -> q53b_sq_search(Dim, 5),
+    "q54_binary_sig" -> q54_binary_sig(Dim),
+    "q54b_hamming_topk" -> q54b_hamming_topk(Dim, 5),
+    "q54c_binary_rescored" -> q54c_binary_rescored(Dim, 32, 5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),
