@@ -273,6 +273,37 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // BM25 document-side weights: corpus stats (df, n_docs, avgdl)
+    // trained in-plan, quantized-log idf, one corpus scan
+    "q55_bm25_weights" -> ((s, dir) =>
+      FullText.bm25DocWeights(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("token_id"), col("tf"), col("df"), col("weight"))),
+
+    // BM25 top-k search: broadcast query terms, corpus never shuffles
+    // on the join, ordered score fold, partial top-k heap
+    "q55b_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      FullText.bm25Search(q, "qid", "qtext", d, "doc_id", "text", 5)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    // hybrid retrieval: dense cosine top-20 + BM25 top-20 fused by
+    // reciprocal-rank (k=60) into a top-10 — the production hybrid shape
+    "q56_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val emb = TextEmbedder().embed(d, "text", "emb")
+      val qEmb = emb.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("emb").as("qv"))
+      val dense = Similarity.knnJoin(qEmb, "qid", "qv", emb, "doc_id", "emb", 20)
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val sparse = FullText.bm25Search(q, "qid", "qtext", d, "doc_id", "text", 20)
+      FullText.rrfFuse(dense, sparse, "qid", "doc_id", 10)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

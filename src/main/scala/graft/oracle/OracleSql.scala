@@ -834,6 +834,68 @@ sc AS (SELECT c.qid, c.vec_id, ${cosineSql("e.embedding", "qq.qv")} AS score,
 SELECT qid, vec_id, rnk, score FROM sc WHERE rnk <= $k"""
   }
 
+  /** BM25 CTE chain ending in `bw(doc_id, token_id, tf, df, weight)` —
+    * mirrors [[graft.operators.FullText.bm25DocWeightsTokens]] term for
+    * term: integer tf/df/dl/n_docs, exact-rational saturation, and the
+    * one transcendental (ln) snapped to the 2^-24 grid on both engines.
+    * All doubles interpolate from the SAME Scala values the operator
+    * uses (Double.toString round-trips). */
+  private def bm25Ctes(k1: Double, b: Double): String = {
+    val s = graft.operators.FullText.IdfScale
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    s"""btok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+be AS (SELECT doc_id, len(tids)::BIGINT AS dl, unnest(tids) AS token_id FROM btok),
+btf AS (SELECT doc_id, token_id, count(*)::BIGINT AS tf, max(dl) AS dl FROM be GROUP BY doc_id, token_id),
+bst AS (SELECT token_id, count(*)::BIGINT AS df FROM btf GROUP BY token_id),
+bnd AS (SELECT count(*)::BIGINT AS n_docs, sum(len(tids))::BIGINT AS total_len FROM btok),
+bw AS (SELECT btf.doc_id, btf.token_id, btf.tf, bst.df,
+  (floor(ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) * $s + 0.5) / $s)
+  * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1 * ($oneMb + $b * (dl::DOUBLE / (total_len::DOUBLE / n_docs::DOUBLE)))) AS weight
+  FROM btf JOIN bst USING (token_id), bnd)"""
+  }
+
+  /** BM25 search CTEs (query terms → ranked results `br`), appended
+    * after [[bm25Ctes]]. */
+  private def bm25SearchCtes(maxQid: Int): String =
+    s"""bq AS (SELECT DISTINCT qid, token_id FROM (
+  SELECT doc_id AS qid, unnest(tids) AS token_id FROM btok WHERE doc_id < $maxQid) t),
+bj AS (SELECT bq.qid, bw.doc_id, bw.token_id, bw.weight FROM bw JOIN bq USING (token_id)),
+bs AS (SELECT qid, doc_id, list_reduce(list_concat([0.0::DOUBLE], list(weight ORDER BY token_id)), (a,b) -> a+b) AS score FROM bj GROUP BY qid, doc_id),
+br AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk FROM bs)"""
+
+  def q55_bm25_weights(k1: Double, b: Double): String =
+    s"""WITH ${bm25Ctes(k1, b)}
+SELECT doc_id, token_id, tf, df, weight FROM bw"""
+
+  def q55b_bm25_topk(k1: Double, b: Double, k: Int): String =
+    s"""WITH ${bm25Ctes(k1, b)},
+${bm25SearchCtes(4)}
+SELECT qid, doc_id, rnk, score FROM br WHERE rnk <= $k"""
+
+  /** Hybrid RRF: dense cosine top-`legK` + BM25 top-`legK`, fused by
+    * 1/(kRrf+rank) in fixed leg order (dense first — the Spark sum's
+    * argument order), top-`k` per query. */
+  def q56_hybrid_rrf(dim: Int, k1: Double, b: Double,
+                     legK: Int, kRrf: Int, k: Int): String = {
+    val kr = kRrf.toDouble
+    denseCtes("tids0", dim) +
+      s""",
+dq AS (SELECT doc_id AS qid, emb AS qv FROM emb WHERE doc_id < 4),
+dj AS (SELECT dq.qid, emb.doc_id, ${cosineSql("emb.emb", "dq.qv")} AS s FROM emb, dq),
+drk AS (SELECT qid, doc_id, rnk FROM (
+  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS rnk FROM dj) t
+  WHERE rnk <= $legK),
+${bm25Ctes(k1, b)},
+${bm25SearchCtes(4)},
+brk AS (SELECT qid, doc_id, rnk FROM br WHERE rnk <= $legK),
+sf AS (SELECT coalesce(d.qid, s.qid) AS qid, coalesce(d.doc_id, s.doc_id) AS doc_id,
+  coalesce(1.0 / ($kr + d.rnk::DOUBLE), 0.0) + coalesce(1.0 / ($kr + s.rnk::DOUBLE), 0.0) AS score
+  FROM drk d FULL JOIN brk s ON s.qid = d.qid AND s.doc_id = d.doc_id),
+fr AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk FROM sf)
+SELECT qid, doc_id, rnk, score FROM fr WHERE rnk <= $k"""
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -943,6 +1005,9 @@ FROM events GROUP BY user_id, event_type"""
     "q54_binary_sig" -> q54_binary_sig(Dim),
     "q54b_hamming_topk" -> q54b_hamming_topk(Dim, 5),
     "q54c_binary_rescored" -> q54c_binary_rescored(Dim, 32, 5),
+    "q55_bm25_weights" -> q55_bm25_weights(graft.operators.FullText.K1, graft.operators.FullText.B),
+    "q55b_bm25_topk" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
+    "q56_hybrid_rrf" -> q56_hybrid_rrf(Dim, graft.operators.FullText.K1, graft.operators.FullText.B, 20, graft.operators.FullText.RrfK, 10),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),
