@@ -304,6 +304,22 @@ object SparkEntry {
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // deterministic stratified sampling: per-language keep rates over the
+    // id-hash lottery — RNG-free, partitioning-invariant, narrow filter
+    "q57_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Seq("en" -> 0.5, "zh" -> 0.1), 0.25)
+        .select(col("doc_id"), col("lang"))),
+
+    // per-domain quota: ≤10 docs per source, lowest id-hash first —
+    // partial top-k per key (no per-key window) + one semi join
+    "q57b_cap_per_source" -> ((s, dir) =>
+      Sampling.capPerKey(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", 10)
+        .select(col("source"), col("doc_id"))),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

@@ -896,6 +896,25 @@ fr AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY s
 SELECT qid, doc_id, rnk, score FROM fr WHERE rnk <= $k"""
   }
 
+  /** The sampling id-hash, [[graft.operators.Sampling.sampleHash]]'s
+    * overflow-safe pmod form (same stream as the q43 split hash). */
+  private val sampleHashSql: String =
+    s"((((doc_id % $M + $M) % $M) * $A2 + $C2) % $M)"
+
+  def q57_stratified_sample(rates: Seq[(String, Double)],
+                            defaultRate: Double): String = {
+    val arms = rates
+      .map { case (s0, r) => s"WHEN '$s0' THEN ${graft.operators.Sampling.threshold(r)}" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+WHERE $sampleHashSql < (CASE lang $arms ELSE ${graft.operators.Sampling.threshold(defaultRate)} END)"""
+  }
+
+  def q57b_cap_per_source(maxN: Int): String =
+    s"""WITH hh AS (SELECT source, doc_id, $sampleHashSql AS hv FROM documents),
+r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC) AS rnk FROM hh)
+SELECT source, doc_id FROM r WHERE rnk <= $maxN"""
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1008,6 +1027,8 @@ FROM events GROUP BY user_id, event_type"""
     "q55_bm25_weights" -> q55_bm25_weights(graft.operators.FullText.K1, graft.operators.FullText.B),
     "q55b_bm25_topk" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
     "q56_hybrid_rrf" -> q56_hybrid_rrf(Dim, graft.operators.FullText.K1, graft.operators.FullText.B, 20, graft.operators.FullText.RrfK, 10),
+    "q57_stratified_sample" -> q57_stratified_sample(Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
+    "q57b_cap_per_source" -> q57b_cap_per_source(10),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

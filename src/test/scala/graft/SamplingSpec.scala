@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic sampling: rate accuracy, partitioning invariance,
+  * stratified rates, quota-cap selection rule, and plan shapes (narrow
+  * filter; no per-key window). */
+class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    .select(col("doc_id"), col("lang"), col("source"))
+
+  test("uniform sample: ~rate kept, decision is per-id stable") {
+    val n = d.count().toDouble
+    val kept = Sampling.sample(d, "doc_id", 0.3)
+    val frac = kept.count() / n
+    assert(frac > 0.2 && frac < 0.4, s"kept fraction $frac far from 0.3")
+    // partitioning invariance: same ids kept after a repartition
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sample(d.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // monotone in rate: the 0.3-sample contains the 0.1-sample
+    val ids01 = Sampling.sample(d, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids01.subsetOf(ids1))
+  }
+
+  test("stratified sample applies per-stratum rates with default fallback") {
+    val got = Sampling.stratifiedSample(d, "doc_id", "lang",
+      Seq("en" -> 1.0, "zh" -> 0.0), 0.25)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = d.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byLang("en") == total("en"), "rate 1.0 keeps every en doc")
+    assert(!byLang.contains("zh"), "rate 0.0 drops every zh doc")
+    val deFrac = byLang("de").toDouble / total("de")
+    assert(deFrac > 0.1 && deFrac < 0.45, s"default-rate stratum kept $deFrac")
+  }
+
+  test("capPerKey keeps at most maxN per key, lowest hash first") {
+    val capped = Sampling.capPerKey(d, "source", "doc_id", 7)
+    val byKey = capped.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byKey.values.forall(_ <= 7L))
+    assert(byKey.values.forall(_ == 7L), "every source has ≥7 docs at sf0.01")
+    // the kept set per key is exactly the maxN lowest id-hashes
+    val all = d.select(col("source"), col("doc_id"),
+        Sampling.sampleHash(col("doc_id")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(7).map(r => (r._1, r._2)).toSeq
+    }.toSet
+    val got = capped.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("plan shapes: sample is a narrow filter; cap has no Window") {
+    val samplePlan = Sampling.sample(d, "doc_id", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"), "uniform sample must not shuffle")
+    val capPlan = Sampling.capPerKey(d, "source", "doc_id", 7)
+      .queryExecution.executedPlan.toString
+    assert(!capPlan.contains("Window"), "quota cap must use the partial top-k heap")
+  }
+}
