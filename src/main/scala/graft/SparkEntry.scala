@@ -320,6 +320,20 @@ object SparkEntry {
         "source", "doc_id", 10)
         .select(col("source"), col("doc_id"))),
 
+    // MMR diversity rerank: cosine top-20 candidates, then greedy
+    // λ·rel − (1−λ)·max-sim-to-picked selection of 5 (native row-local
+    // kernel over the gathered candidate arrays)
+    "q58_mmr_rerank" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cand = Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 20)
+      val withVec = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cand), Seq("vec_id"))
+      Similarity.mmrRerank(withVec, "qid", "vec_id", "score", "embedding", 5, 0.5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

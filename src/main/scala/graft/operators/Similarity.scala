@@ -460,6 +460,41 @@ object Similarity {
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 
+  /** MMR diversity rerank: from each query's candidate rows
+    * (cIdCol, relCol = relevance score, vecCol = candidate vector), pick
+    * `k` greedily by λ·rel − (1−λ)·max-cosine-to-already-picked — the
+    * standard redundancy-pruning pass after an ANN/hybrid leg (so five
+    * near-identical top hits don't crowd out coverage). Candidates
+    * gather into per-query arrays sorted by id (one small-group
+    * exchange), then the native [[graft.functions.MmrSelect]] runs the
+    * greedy loop row-locally — candidate sets are top-k-sized, so the
+    * O(k·n·dim) is per-row trivia and the plan stays narrow above the
+    * gather. Ties → lowest id. Output (qIdCol, cIdCol, rank, score)
+    * where score is the MMR objective at selection time. */
+  def mmrRerank(candidates: DataFrame, qIdCol: String, cIdCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val gathered = candidates
+      .groupBy(col(qIdCol))
+      .agg(array_sort(collect_list(struct(
+        col(cIdCol).cast("long").as("id"),
+        col(relCol).cast("double").as("rel"),
+        col(vecCol).as("vec")))).as("__c"))
+      .select(col(qIdCol),
+        transform(col("__c"), s => s("id")).as("__ids"),
+        transform(col("__c"), s => s("rel")).as("__rels"),
+        transform(col("__c"), s => s("vec")).as("__vecs"))
+    gathered
+      .select(col(qIdCol), posexplode(bridge.column(graft.functions.MmrSelect(
+        bridge.expression(col("__ids")),
+        bridge.expression(col("__rels")),
+        bridge.expression(col("__vecs")),
+        k, lambda))).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+  }
+
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {

@@ -915,6 +915,40 @@ WHERE $sampleHashSql < (CASE lang $arms ELSE ${graft.operators.Sampling.threshol
 r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC) AS rnk FROM hh)
 SELECT source, doc_id FROM r WHERE rnk <= $maxN"""
 
+  /** Greedy MMR unrolled to `k` SQL stages — each stage recomputes
+    * every remaining candidate's penalty as max-cosine over ALL picks
+    * so far (order-independent max ≡ the kernel's running max), scores
+    * λ·rel − (1−λ)·pen with the same doubles, and picks by
+    * (score DESC, id ASC) ≡ the kernel's strict-> earliest-id rule.
+    * Stage 1 keeps the literal − (1−λ)·0.0 term so the score doubles
+    * match [[graft.functions.MmrKernel.select]] bit-for-bit. */
+  def q58_mmr_rerank(legK: Int, k: Int, lambda: Double): String = {
+    val lam = lambda
+    val oml = 1.0 - lambda
+    val sb = new StringBuilder
+    sb.append(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+j AS (SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS rel FROM embeddings e, q),
+c0 AS (SELECT qid, vec_id, rel FROM (SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn FROM j) t WHERE rn <= $legK),
+c AS (SELECT c0.qid, c0.vec_id, c0.rel, e.embedding AS vec FROM c0 JOIN embeddings e ON e.vec_id = c0.vec_id),
+p1 AS (SELECT qid, vec_id, rel, vec, $lam*rel - $oml*0.0 AS score FROM (SELECT c.*, row_number() OVER (PARTITION BY qid ORDER BY $lam*rel - $oml*0.0 DESC, vec_id ASC) AS rn FROM c) t WHERE rn = 1),
+sel1 AS (SELECT qid, vec_id, 1::BIGINT AS rnk, score FROM p1),
+picks1 AS (SELECT qid, vec_id, vec FROM p1),
+rem1 AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM p1 WHERE p1.qid = c.qid AND p1.vec_id = c.vec_id))""")
+    for (s <- 2 to k) {
+      val r = s - 1
+      sb.append(s""",
+pen$s AS (SELECT r.qid, r.vec_id, max(${cosineSql("r.vec", "p.vec")}) AS pen FROM rem$r r JOIN picks$r p ON p.qid = r.qid GROUP BY r.qid, r.vec_id),
+sc$s AS (SELECT r.qid, r.vec_id, r.rel, r.vec, $lam*r.rel - $oml*pn.pen AS score FROM rem$r r JOIN pen$s pn ON pn.qid = r.qid AND pn.vec_id = r.vec_id),
+p$s AS (SELECT qid, vec_id, rel, vec, score FROM (SELECT sc$s.*, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn FROM sc$s) t WHERE rn = 1),
+sel$s AS (SELECT qid, vec_id, $s::BIGINT AS rnk, score FROM p$s),
+picks$s AS (SELECT qid, vec_id, vec FROM picks$r UNION ALL SELECT qid, vec_id, vec FROM p$s),
+rem$s AS (SELECT r.* FROM rem$r r WHERE NOT EXISTS (SELECT 1 FROM p$s WHERE p$s.qid = r.qid AND p$s.vec_id = r.vec_id))""")
+    }
+    sb.append("\n" +
+      (1 to k).map(s => s"SELECT qid, vec_id, rnk, score FROM sel$s").mkString(" UNION ALL "))
+    sb.toString
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1029,6 +1063,7 @@ FROM events GROUP BY user_id, event_type"""
     "q56_hybrid_rrf" -> q56_hybrid_rrf(Dim, graft.operators.FullText.K1, graft.operators.FullText.B, 20, graft.operators.FullText.RrfK, 10),
     "q57_stratified_sample" -> q57_stratified_sample(Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q57b_cap_per_source" -> q57b_cap_per_source(10),
+    "q58_mmr_rerank" -> q58_mmr_rerank(20, 5, 0.5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),
