@@ -357,9 +357,15 @@ object Dedup {
       val viaPointer = labels.as("a")
         .join(labels.as("b"), col("a.cluster") === col("b.id"))
         .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
+      // LAZY checkpoint: the logical plan is cut immediately (the round
+      // tree is replaced by a LogicalRDD), but no per-round job fires —
+      // all rounds execute as one job chain at the final action, and the
+      // checkpoint blocks still materialize once despite the three
+      // references per round. Eager checkpoints here cost a scheduled
+      // job per round, which dominated wall time on small label tables.
       labels = labels.union(viaNeighbors).union(viaPointer)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }
