@@ -334,6 +334,44 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // Matryoshka truncation: first-16-dims re-normalized (the MRL 4×
+    // footprint cut), widened to double before the norm fold
+    "q59_matryoshka" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Quantize.matryoshka(col("embedding"), 16)).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("val"))),
+
+    // adaptive retrieval: truncated-space top-32 then exact full-width
+    // cosine rescore of only the candidates
+    "q59b_matryoshka_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Quantize.matryoshkaSearchRescored(q, "qid", "qv", e, "vec_id", "embedding", 16, 32, 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    // per-label prototype centroids: integer-quantized exact means —
+    // partitioning-invariant, one two-key partial aggregation
+    "q60_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(tbl(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("centroid")).as(Seq("dim", "val")))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("val"))),
+
+    // nearest-prototype classification: narrow one-pass NearestCell scan
+    // against the broadcast-sized label-centroid bank
+    "q60b_centroid_classify" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cents = Similarity.labelCentroids(e, "label", "embedding")
+        .collect()
+        .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      Similarity.classifyByCentroids(e, "embedding", cents)
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("pred"))
+    }),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

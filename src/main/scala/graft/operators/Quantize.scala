@@ -90,6 +90,38 @@ object Quantize {
       .select(col(qIdCol), col("__t.id").as(cIdCol),
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
 
+  /** Matryoshka (MRL) truncation: keep the first `d` dimensions and
+    * re-L2-normalize — the representation-learning footprint cut (a
+    * 64→16 slice is a 4× cut with most of the ranking quality kept when
+    * the model was MRL-trained). Elements widen to double BEFORE the
+    * norm fold so the arithmetic matches the SQL oracle exactly (a
+    * float·float square differs from the widened double square in the
+    * last ulp). Narrow, codegen'd built-ins only. */
+  def matryoshka(vec: Column, d: Int): Column =
+    Kernel.l2normalize(transform(slice(vec, 1, d), x => x.cast("double")))
+
+  /** Adaptive retrieval over truncated embeddings: a cheap top-`nCandidates`
+    * cosine pass in the `d`-dim truncated space, then an exact
+    * full-dimension cosine rescore of only those candidates — same shape
+    * as [[binarySearchRescored]] (candidates broadcast; the full-width
+    * vectors never shuffle). Output (qIdCol, cIdCol, rank, score). */
+  def matryoshkaSearchRescored(queries: DataFrame, qIdCol: String, qVecCol: String,
+                               corpus: DataFrame, cIdCol: String, cVecCol: String,
+                               d: Int, nCandidates: Int, k: Int): DataFrame = {
+    val qT = queries.select(col(qIdCol), matryoshka(col(qVecCol), d).as("__qt"))
+    val cT = corpus.select(col(cIdCol), matryoshka(col(cVecCol), d).as("__ct"))
+    val cands = Similarity.knnJoin(qT, qIdCol, "__qt", cT, cIdCol, "__ct", nCandidates)
+      .select(col(qIdCol), col(cIdCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+    corpus.join(broadcast(cands), Seq(cIdCol))
+      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+  }
+
   /** Sign-bit binary signature of a `dim`-wide vector as ceil(dim/32)
     * packed 32-bit words (array<bigint>, each in [0, 2^32)): bit j of
     * word w is set iff v_{32w+j} > 0. The unrolled per-bit sum keeps the

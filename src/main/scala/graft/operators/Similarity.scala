@@ -460,6 +460,38 @@ object Similarity {
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 
+  /** Per-label prototype centroids: the integer-quantized mean embedding
+    * of each label's rows — the same exact-commutative-sum trick as
+    * [[trainKmeans]] (floor(v·S + 0.5) longs sum order-free, so the
+    * result is partitioning-invariant and oracle-exact). One two-key
+    * partial aggregation; output (labelCol, centroid: array<double>).
+    * The prototype table is |labels| rows — broadcast-sized. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     quantScale: Long = 1000000L): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .groupBy(col(labelCol), col("__d"))
+      .agg((sum(floor(col("__v").cast("double") * lit(quantScale.toDouble) + lit(0.5))
+        .cast("long")).cast("double") /
+        (count(lit(1)) * lit(quantScale)).cast("double")).as("__c"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__c")))).as("__a"))
+      .select(col(labelCol), transform(col("__a"), s => s("__c")).as("centroid"))
+
+  /** Nearest-prototype classification: assign every row the label of its
+    * squared-L2-closest centroid (ties → lowest label, the
+    * [[graft.functions.NearestCell]] rule). The centroid array rides
+    * into the task closure — a narrow one-pass scan, zero shuffle: the
+    * 100 TB-corpus shape for "label everything with a small prototype
+    * bank". `centroids` must be sorted by label ascending. */
+  def classifyByCentroids(df: DataFrame, vecCol: String,
+                          centroids: Array[(Long, Array[Double])],
+                          outCol: String = "pred"): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn(outCol, bridge.column(graft.functions.NearestCell(
+      bridge.expression(col(vecCol)),
+      centroids.map(_._1), centroids.map(_._2))))
+  }
+
   /** MMR diversity rerank: from each query's candidate rows
     * (cIdCol, relCol = relevance score, vecCol = candidate vector), pick
     * `k` greedily by λ·rel − (1−λ)·max-cosine-to-already-picked — the

@@ -949,6 +949,50 @@ rem$s AS (SELECT r.* FROM rem$r r WHERE NOT EXISTS (SELECT 1 FROM p$s WHERE p$s.
     sb.toString
   }
 
+  /** Matryoshka CTEs ending in `me(vec_id, emb)` — truncate to `d` dims,
+    * widen to double, re-normalize with the engine's exact l2normalize
+    * tree (0-seeded square fold, nv + 1e-12 denominator). */
+  private def matryoshkaCtes(d: Int): String =
+    s"""mt AS (SELECT vec_id, list_transform(list_slice(embedding, 1, $d), x -> x::DOUBLE) AS v FROM embeddings),
+mn AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b)) AS nv FROM mt),
+me AS (SELECT vec_id, list_transform(v, x -> x / (nv + 1e-12)) AS emb FROM mn)"""
+
+  def q59_matryoshka(d: Int): String =
+    s"""WITH ${matryoshkaCtes(d)}
+SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM me"""
+
+  def q59b_matryoshka_search(d: Int, nCandidates: Int, k: Int): String =
+    s"""WITH ${matryoshkaCtes(d)},
+qm AS (SELECT vec_id AS qid, emb AS qt FROM me WHERE vec_id < 8),
+cj AS (SELECT qm.qid, me.vec_id,
+  row_number() OVER (PARTITION BY qm.qid ORDER BY ${cosineSql("me.emb", "qm.qt")} DESC, me.vec_id ASC) AS rn
+  FROM me, qm),
+cand AS (SELECT qid, vec_id FROM cj WHERE rn <= $nCandidates),
+qq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT c.qid, c.vec_id, ${cosineSql("e.embedding", "qq.qv")} AS score,
+  row_number() OVER (PARTITION BY c.qid ORDER BY ${cosineSql("e.embedding", "qq.qv")} DESC, c.vec_id ASC) AS rnk
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN qq ON qq.qid = c.qid)
+SELECT qid, vec_id, rnk, score FROM sc WHERE rnk <= $k"""
+
+  /** Per-label quantized-mean centroids (the k-means update arithmetic,
+    * one shot, keyed by label): `ls` per (label, dim), `lcv` assembled. */
+  private def labelCentroidCtes(s9: Long): String =
+    s"""ls AS (SELECT label, d, sum(q)::BIGINT AS s, count(*)::BIGINT AS n FROM (
+  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+    CAST(floor(unnest(embedding)::DOUBLE * $s9 + 0.5) AS BIGINT) AS q FROM embeddings) t GROUP BY label, d),
+lcv AS (SELECT label, list(s::DOUBLE / (n * $s9)::DOUBLE ORDER BY d) AS cvec FROM ls GROUP BY label)"""
+
+  def q60_label_centroids(s9: Long = 1000000L): String =
+    s"""WITH ${labelCentroidCtes(s9)}
+SELECT label::BIGINT AS label, d AS dim, s::DOUBLE / (n * $s9)::DOUBLE AS val FROM ls"""
+
+  def q60b_centroid_classify(s9: Long = 1000000L): String =
+    s"""WITH ${labelCentroidCtes(s9)}
+SELECT vec_id, label, pred FROM (
+  SELECT e.vec_id, e.label::BIGINT AS label, c.label::BIGINT AS pred,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.label) AS rn
+  FROM embeddings e CROSS JOIN lcv c) t WHERE rn = 1"""
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1064,6 +1108,10 @@ FROM events GROUP BY user_id, event_type"""
     "q57_stratified_sample" -> q57_stratified_sample(Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q57b_cap_per_source" -> q57b_cap_per_source(10),
     "q58_mmr_rerank" -> q58_mmr_rerank(20, 5, 0.5),
+    "q59_matryoshka" -> q59_matryoshka(16),
+    "q59b_matryoshka_search" -> q59b_matryoshka_search(16, 32, 5),
+    "q60_label_centroids" -> q60_label_centroids(),
+    "q60b_centroid_classify" -> q60b_centroid_classify(),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

@@ -86,6 +86,31 @@ class QuantizeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top1 == exact, s"rescored top-1 $top1 != exact $exact")
   }
 
+  test("matryoshka: unit norm, proportional to the raw prefix, search sane") {
+    val m = e.select(col("vec_id"),
+        Quantize.matryoshka(col("embedding"), 16).as("m"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Float](2)))
+    m.foreach { case (id, tv, raw) =>
+      assert(tv.length == 16)
+      val n = math.sqrt(tv.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"vec $id truncated norm $n")
+      // direction preserved: truncated vec ∝ first-16 raw prefix
+      val rawN = math.sqrt(raw.take(16).map(x => x.toDouble * x).sum)
+      tv.zip(raw.take(16)).foreach { case (t, r0) =>
+        assert(math.abs(t * rawN - r0.toDouble) < 1e-6)
+      }
+    }
+    val q = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Quantize.matryoshkaSearchRescored(q, "qid", "qv", e, "vec_id",
+      "embedding", 16, 16, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 6)
+    got.filter(_._3 == 1).foreach { case (qid, top1, _) =>
+      assert(top1 == qid, s"query $qid truncated-then-rescored top-1 was $top1")
+    }
+  }
+
   test("plan shapes: narrow encodes, partial top-k ranking, no Window") {
     val codesPlan = Quantize.sqEncode(e, "vec_id", "embedding", stats)
       .queryExecution.executedPlan.toString
