@@ -372,6 +372,20 @@ object SparkEntry {
         .select(col("vec_id"), col("label").cast("long").as("label"), col("pred"))
     }),
 
+    // substring-level exact dedup signal: positions of 8-token spans
+    // occurring in >1 doc (relational suffix-array step)
+    "q61_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), col("pos"), col("shingle"), col("span_docs"))),
+
+    // per-source top-5 keywords by ln-free tf-idf — grouped partial
+    // top-k, three stats branches over one tokenization
+    "q62_source_keywords" -> ((s, dir) =>
+      TextAnalysis.topKeywordsPerGroup(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        "doc_id", "source", "text", 5)
+        .select(col("source"), col("token_id"), col("rank").as("rnk"), col("score"))),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

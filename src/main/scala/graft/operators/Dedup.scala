@@ -370,6 +370,44 @@ object Dedup {
     labels
   }
 
+  /** Exact repeated token spans — the substring-level dedup signal of
+    * the suffix-array method (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499) re-expressed
+    * relationally: every position of every length-`n` token window
+    * whose span hash occurs in MORE THAN ONE document. A splice pass
+    * would cut these [pos, pos+n) ranges; downstream of this operator
+    * that is a narrow per-doc transform. Output
+    * (idCol, pos, shingle, span_docs).
+    *
+    * Scale shape: span hashing is the narrow native [[shingles]]
+    * kernel; the df aggregation is single-key partial (skew-free — a
+    * boilerplate span that occurs a million times still reduces
+    * map-side); flagging is an equi-join on the span hash back to the
+    * position stream — no corpus self-join and no per-span group
+    * materialization (a hub span never gathers its occurrence list in
+    * one task). Like [[graft.operators.SparseEmbedder.dfWeighted]], the
+    * convenience form tokenizes twice (narrow); pre-tokenized callers
+    * use [[repeatedSpansTokens]]. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, maxLength: Int = K.MaxLength): DataFrame =
+    repeatedSpansTokens(
+      df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids")),
+      idCol, "__tids", n)
+
+  /** [[repeatedSpans]] over a pre-tokenized `(id, tids)` frame. */
+  def repeatedSpansTokens(tokens: DataFrame, idCol: String, tidsCol: String,
+                          n: Int): DataFrame = {
+    val pos = tokens
+      .filter(size(col(tidsCol)) >= n)
+      .select(col(idCol), posexplode(shingles(col(tidsCol), n)).as(Seq("pos", "shingle")))
+    val stats = pos.groupBy(col("shingle"))
+      .agg(countDistinct(col(idCol)).as("span_docs"))
+      .filter(col("span_docs") > 1)
+    pos.join(stats, "shingle")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("shingle"), col("span_docs"))
+  }
+
   /** Corpus-level dedup — the step a training pipeline actually runs:
     * given near-dup pairs (id_a < id_b), drop every id_b via a left-anti
     * join, keeping the smallest id of each duplicate group that any pair

@@ -185,6 +185,39 @@ object TextAnalysis {
       .groupBy(col("token_id"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
 
+  /** Per-group top-k keywords by ln-free tf-idf: token score =
+    * group-tf · (n_docs / df) — the "what characterizes this
+    * source/domain" table a curation dashboard shows. One tokenized
+    * projection feeds three partial aggregations (group-tf two-key,
+    * per-token df from the distinct (doc, token) pairs, and the 1-row
+    * doc count — the same exact idf ratio as
+    * [[SparseEmbedder.dfWeighted]]); ranking is the partial top-k heap
+    * per group, never a per-group window. Ties → lower token id.
+    * Output (groupCol, token_id, rank, score). */
+  def topKeywordsPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                          textCol: String, k: Int,
+                          maxLength: Int = K.MaxLength): DataFrame = {
+    val tok = df
+      .select(col(groupCol), col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      // three stats branches share one tokenization (lazy lineage cut)
+      .localCheckpoint(false)
+    val e = tok.select(col(groupCol), col(idCol), explode(col("__tids")).as("token_id"))
+    val gtf = e.groupBy(col(groupCol), col("token_id")).agg(count(lit(1)).as("__tf"))
+    val dfx = e.select(col(idCol), col("token_id")).distinct()
+      .groupBy(col("token_id")).agg(count(lit(1)).as("__df"))
+    val nd = tok.groupBy().agg(count(lit(1)).as("__n_docs"))
+    gtf.join(broadcast(dfx), "token_id")
+      .crossJoin(broadcast(nd))
+      .withColumn("__score",
+        col("__tf").cast("double") *
+          (col("__n_docs").cast("double") / col("__df").cast("double")))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.topK(col("__score"), col("token_id"), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(groupCol), col("__t.id").as("token_id"),
+        (col("__r") + 1).cast("long").as("rank"), col("__t.score").as("score"))
+  }
+
   /** Repetition statistics — the Gopher/RefinedWeb-style repetition
     * filters a web-scale curation pipeline runs: fraction of tokens
     * taken by the single most frequent token, and fraction of duplicate

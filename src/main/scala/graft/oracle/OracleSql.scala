@@ -993,6 +993,24 @@ SELECT vec_id, label, pred FROM (
     row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.label) AS rn
   FROM embeddings e CROSS JOIN lcv c) t WHERE rn = 1"""
 
+  def q61_repeated_spans(n: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+ps AS (SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos, unnest(sh) AS shingle FROM (
+  SELECT doc_id, ${shingleList("tids", n)} AS sh FROM tok WHERE len(tids) >= $n) t),
+st AS (SELECT shingle, count(DISTINCT doc_id)::BIGINT AS span_docs FROM ps GROUP BY shingle HAVING count(DISTINCT doc_id) > 1)
+SELECT ps.doc_id, ps.pos, ps.shingle, st.span_docs FROM ps JOIN st USING (shingle)"""
+
+  def q62_source_keywords(k: Int): String =
+    s"""WITH tok AS (SELECT source, doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT source, doc_id, unnest(tids) AS token_id FROM tok),
+gtf AS (SELECT source, token_id, count(*)::BIGINT AS tf FROM e GROUP BY source, token_id),
+dfx AS (SELECT token_id, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, token_id FROM e) t GROUP BY token_id),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM tok),
+sc AS (SELECT g.source, g.token_id, g.tf::DOUBLE * (nd.n_docs::DOUBLE / d.df::DOUBLE) AS score
+  FROM gtf g JOIN dfx d USING (token_id), nd),
+r AS (SELECT source, token_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, token_id ASC) AS rnk FROM sc)
+SELECT source, token_id, rnk, score FROM r WHERE rnk <= $k"""
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1112,6 +1130,8 @@ FROM events GROUP BY user_id, event_type"""
     "q59b_matryoshka_search" -> q59b_matryoshka_search(16, 32, 5),
     "q60_label_centroids" -> q60_label_centroids(),
     "q60b_centroid_classify" -> q60b_centroid_classify(),
+    "q61_repeated_spans" -> q61_repeated_spans(8),
+    "q62_source_keywords" -> q62_source_keywords(5),
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

@@ -340,6 +340,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q.forall(r => r.getDouble(r.fieldIndex("punct_ratio")) >= 0.0))
   }
 
+  test("repeatedSpans flags a copied 8-token span in both docs, nowhere else") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (0L, s"unique preamble here $span trailing words end"),
+      (1L, s"$span completely different continuation text"),
+      (2L, "no shared content in this document at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.repeatedSpans(d, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // both docs flag the span (doc 0 at offset 3, doc 1 at offset 0);
+    // doc 2 never appears
+    assert(got.map(_._1).toSet == Set(0L, 1L))
+    assert(got.forall(_._3 == 2L))
+    assert(got.contains((0L, 3L, 2L)) && got.contains((1L, 0L, 2L)))
+  }
+
+  test("topKeywordsPerGroup surfaces the group-specific token first") {
+    val d = Seq(
+      (0L, "a", "common words plus zebra zebra zebra"),
+      (1L, "a", "common words plus zebra"),
+      (2L, "b", "common words plus quokka quokka quokka"),
+      (3L, "b", "common words plus quokka")
+    ).toDF("doc_id", "src", "text")
+    val got = graft.operators.TextAnalysis
+      .topKeywordsPerGroup(d, "doc_id", "src", "text", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val tok = (w: String) => Seq((0L, w)).toDF("i", "w")
+      .select(graft.functions.Kernel.tokenIds(col("w")))
+      .collect()(0).getSeq[Long](0).head
+    assert(got("a") == tok("zebra"))
+    assert(got("b") == tok("quokka"))
+  }
+
   test("image pipeline: stub decode preserves row count, unit embeddings, batch invariance") {
     val bin = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("img"))
     val out1 = ImagePipeline.embedImages(bin, "doc_id", "img", dim = 8, batchSize = 1).collect()
