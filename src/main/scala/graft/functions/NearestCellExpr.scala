@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Coarse-quantizer assignment: the id of the centroid with minimal
+/** Coarse-quantizer assignment: the id of the bank centroid with minimal
   * squared-L2 distance to the input vector (strict < keeps the earliest
   * = lowest cell id on ties — identical semantics to the HOF fold it
   * replaces in [[graft.operators.Similarity.ivfFlat]] and to the oracle's
   * `ORDER BY dist, cell LIMIT 1`). One tight JVM loop per row — the
-  * per-row hot path of an IVF index build over a 100 TB corpus. */
-case class NearestCell(child: Expression, cells: Array[Long],
-                       centroids: Array[Array[Double]])
+  * per-row hot path of an IVF index build over a 100 TB corpus. The
+  * centroids live behind a [[CentroidBank]] handle, so a large bank
+  * ships once per executor (torrent broadcast) instead of riding in the
+  * serialized plan. */
+case class NearestCell(child: Expression, bank: CentroidBank)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -24,20 +26,14 @@ case class NearestCell(child: Expression, cells: Array[Long],
     evalVec(input.asInstanceOf[ArrayData])
 
   def evalVec(v: ArrayData): Long = {
+    val cells = bank.cells
+    val centroids = bank.vecs
     val n = v.numElements()
     var best = -1L
     var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
-      val cent = centroids(c)
-      val m = math.min(n, cent.length)
-      var d = 0.0
-      var i = 0
-      while (i < m) {
-        val x = (if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cent(i)
-        d += x * x
-        i += 1
-      }
+      val d = BankKernels.l2To(v, elemIsFloat, 0, n, centroids(c))
       if (d < bestD) { bestD = d; best = cells(c) }
       c += 1
     }
@@ -51,4 +47,11 @@ case class NearestCell(child: Expression, cells: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): NearestCell =
     copy(child = newChild)
+}
+
+object NearestCell {
+  /** Inline-bank convenience for small centroid sets (specs, tiny banks). */
+  def apply(child: Expression, cells: Array[Long],
+            centroids: Array[Array[Double]]): NearestCell =
+    NearestCell(child, InlineBank(cells, centroids))
 }

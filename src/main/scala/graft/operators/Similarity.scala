@@ -95,8 +95,9 @@ object Similarity {
 
   /** IVF-Flat ANN — the inverted-file scale path: corpus rows are
     * assigned to their nearest coarse-quantizer centroid in ONE narrow
-    * pass (centroids ride into the plan as a literal array — no join, no
-    * shuffle of the corpus), queries probe their `nProbe` nearest cells,
+    * pass (centroids live behind a broadcast [[graft.functions.CentroidBank]]
+    * — no join, no shuffle of the corpus, and the plan stays O(1) in
+    * nCells), queries probe their `nProbe` nearest cells,
     * and ranking touches only the probed cells' members via a broadcast
     * join + partial top-k aggregate. Search cost drops by ~nCells/nProbe
     * versus brute force; recall is the probe-count dial.
@@ -118,22 +119,22 @@ object Similarity {
                   corpus: DataFrame, cIdCol: String, cVecCol: String,
                   cents: Array[(Long, Array[Double])],
                   nProbe: Int, k: Int): DataFrame = {
-    val centLit = array(cents.map { case (id, v) =>
-      struct(lit(id).as("cell"), lit(v).as("cvec"))
-    }: _*)
+    // The centroid bank rides behind ONE broadcast handle (inline only
+    // when tiny), so the plan and every task binary stay O(1) in nCells
+    // — a 65k-cell quantizer must never be a Catalyst literal.
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val bank = graft.functions.CentroidBank.of(corpus.sparkSession, cents)
 
     // per-row argmin as a native expression (strict < keeps the earliest
     // = lowest cell id on ties; same fold order as the SQL oracle)
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val assigned = corpus.withColumn("__cell", bridge.column(
-      graft.functions.NearestCell(bridge.expression(col(cVecCol)),
-        cents.map(_._1), cents.map(_._2))))
-    val probes = queries.withColumn("__probe",
-        explode(slice(array_sort(
-          transform(centLit, c =>
-            struct(l2sq(col(qVecCol), c("cvec")).as("d"), c("cell").as("cell")))),
-          1, nProbe)))
-      .select(col(qIdCol), col(qVecCol), col("__probe.cell").as("__cell"))
+      graft.functions.NearestCell(bridge.expression(col(cVecCol)), bank)))
+    // query-side probe list: the nProbe nearest cells by (l2, cell) —
+    // native over the same bank (bit-identical to the sort-slice HOF)
+    val probes = queries.withColumn("__cell",
+        explode(bridge.column(graft.functions.ProbeCells(
+          bridge.expression(col(qVecCol)), bank, nProbe))))
+      .select(col(qIdCol), col(qVecCol), col("__cell"))
 
     assigned.join(broadcast(probes), Seq("__cell"))
       .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
@@ -174,39 +175,25 @@ object Similarity {
       codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub)))
   }
 
-  /** The m per-subspace code columns for one vector column — shared by
-    * the PQ encoders and [[ivfPq]] (codes must be built identically for
-    * full-probe IVF-PQ to reduce to plain PQ). */
-  private def pqCodeColumnsB(books: Array[Array[Array[Double]]],
-                             vecCol: Column): Seq[Column] = {
+  /** The m per-subspace codes for one vector column as ONE native
+    * expression over the codebook bank — shared by the PQ encoders and
+    * [[ivfPq]] (codes must be built identically for full-probe IVF-PQ
+    * to reduce to plain PQ). */
+  private def pqCodesCol(bank: graft.functions.CodebookBank,
+                         vecCol: Column): Column = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val sub = books(0)(0).length
-    books.zipWithIndex.map { case (book, j) =>
-      bridge.column(graft.functions.NearestCell(
-        bridge.expression(slice(vecCol, j * sub + 1, sub)),
-        Array.tabulate(book.length)(_.toLong), book))
-    }.toSeq
+    bridge.column(graft.functions.PqEncode(bridge.expression(vecCol), bank))
   }
-
-  private def pqCodeColumns(codebook: Array[Array[Double]], m: Int,
-                            vecCol: Column): Seq[Column] =
-    pqCodeColumnsB(subBooks(codebook, m), vecCol)
 
   /** Asymmetric distance Σ_j ‖q_sub_j − book_j[code_j]‖², accumulated in
-    * subspace order — shared by the PQ searchers and [[ivfPq]]. */
-  private def adcDistB(books: Array[Array[Array[Double]]],
-                       qVec: Column, codes: Column): Column = {
-    val sub = books(0)(0).length
-    books.zipWithIndex.map { case (book, j) =>
-      val subCentLit = array(book.map(lit(_)): _*)
-      l2sq(slice(qVec, j * sub + 1, sub),
-        element_at(subCentLit, element_at(codes, j + 1).cast("int") + 1))
-    }.reduce(_ + _)
+    * subspace order over the bank — shared by the PQ searchers and
+    * [[ivfPq]]. */
+  private def adcDistCol(bank: graft.functions.CodebookBank,
+                         qVec: Column, codes: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(graft.functions.AdcDist(
+      bridge.expression(qVec), bridge.expression(codes), bank))
   }
-
-  private def adcDist(codebook: Array[Array[Double]], m: Int,
-                      qVec: Column, codes: Column): Column =
-    adcDistB(subBooks(codebook, m), qVec, codes)
 
   /** Train per-subspace PQ codebooks — k-means over each subspace's
     * slices, which is what PQ actually trains (each subspace clusters
@@ -236,7 +223,8 @@ object Similarity {
             lit(j).as("j"),
             bridge.column(graft.functions.NearestCell(
               bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
-              cellIds, book)).as("cell"),
+              graft.functions.CentroidBank.of(corpus.sparkSession,
+                cellIds.zip(book)))).as("cell"),
             slice(col(cVecCol), j * sub + 1, sub).as("sv"))
         }: _*)).as("z"))
         .select(col("z.j").as("__j"), col("z.cell").as("__cell"),
@@ -267,15 +255,17 @@ object Similarity {
 
   /** [[pqEncode]] with per-subspace (trained) codebooks. */
   def pqEncodeTrained(corpus: DataFrame, cIdCol: String, cVecCol: String,
-                      books: Array[Array[Array[Double]]]): DataFrame =
-    corpus.select(col(cIdCol),
-      array(pqCodeColumnsB(books, col(cVecCol)): _*).as("codes"))
+                      books: Array[Array[Array[Double]]]): DataFrame = {
+    val bank = graft.functions.CodebookBank.of(corpus.sparkSession, books)
+    corpus.select(col(cIdCol), pqCodesCol(bank, col(cVecCol)).as("codes"))
+  }
 
   /** [[pqSearch]] with per-subspace (trained) codebooks. */
   def pqSearchTrained(queries: DataFrame, qIdCol: String, qVecCol: String,
                       codes: DataFrame, cIdCol: String,
                       books: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val dist = adcDistB(books, col(qVecCol), col("codes"))
+    val bank = graft.functions.CodebookBank.of(codes.sparkSession, books)
+    val dist = adcDistCol(bank, col(qVecCol), col("codes"))
     codes.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
       .withColumn("__negd", -dist)
       .groupBy(col(qIdCol))
@@ -295,8 +285,7 @@ object Similarity {
     * embed path. */
   def pqEncode(corpus: DataFrame, cIdCol: String, cVecCol: String,
                codebook: Array[Array[Double]], m: Int): DataFrame =
-    corpus.select(col(cIdCol),
-      array(pqCodeColumns(codebook, m, col(cVecCol)): _*).as("codes"))
+    pqEncodeTrained(corpus, cIdCol, cVecCol, subBooks(codebook, m))
 
   /** Asymmetric-distance PQ search: each (query, code row) pair scores as
     * Σ_j ‖q_sub_j − centroid[code_j]‖² — per-subspace lookups into the
@@ -325,27 +314,25 @@ object Similarity {
             nCells: Int, nProbe: Int, m: Int, nCentsPq: Int,
             k: Int): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
     val cents = collectCentroids(corpus, cIdCol, cVecCol, nCells)
-    val centLit = array(cents.map { case (id, v) =>
-      struct(lit(id).as("cell"), lit(v).as("cvec"))
-    }: _*)
-    val codebook = pqCodebook(corpus, cIdCol, cVecCol, nCentsPq)
+    val bank = graft.functions.CentroidBank.of(spark, cents)
+    val books = graft.functions.CodebookBank.of(spark,
+      subBooks(pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m))
 
     // one narrow pass: coarse cell + PQ codes per corpus row
     val indexed = corpus.select(
       col(cIdCol),
-      bridge.column(graft.functions.NearestCell(bridge.expression(col(cVecCol)),
-        cents.map(_._1), cents.map(_._2))).as("__cell"),
-      array(pqCodeColumns(codebook, m, col(cVecCol)): _*).as("codes"))
+      bridge.column(graft.functions.NearestCell(
+        bridge.expression(col(cVecCol)), bank)).as("__cell"),
+      pqCodesCol(books, col(cVecCol)).as("codes"))
 
-    val probes = queries.withColumn("__probe",
-        explode(slice(array_sort(
-          transform(centLit, c =>
-            struct(l2sq(col(qVecCol), c("cvec")).as("d"), c("cell").as("cell")))),
-          1, nProbe)))
-      .select(col(qIdCol), col(qVecCol), col("__probe.cell").as("__cell"))
+    val probes = queries.withColumn("__cell",
+        explode(bridge.column(graft.functions.ProbeCells(
+          bridge.expression(col(qVecCol)), bank, nProbe))))
+      .select(col(qIdCol), col(qVecCol), col("__cell"))
 
-    val dist = adcDist(codebook, m, col(qVecCol), col("codes"))
+    val dist = adcDistCol(books, col(qVecCol), col("codes"))
 
     indexed.join(broadcast(probes), Seq("__cell"))
       .withColumn("__negd", -dist)
@@ -377,7 +364,7 @@ object Similarity {
     for (_ <- 1 to iterations) {
       val assigned = corpus.withColumn("__cell", bridge.column(
         graft.functions.NearestCell(bridge.expression(col(cVecCol)),
-          cents.map(_._1), cents.map(_._2))))
+          graft.functions.CentroidBank.of(corpus.sparkSession, cents))))
       val sums = assigned
         .select(col("__cell"), posexplode(col(cVecCol)).as(Seq("__d", "__v")))
         .groupBy(col("__cell"), col("__d"))
@@ -479,17 +466,18 @@ object Similarity {
 
   /** Nearest-prototype classification: assign every row the label of its
     * squared-L2-closest centroid (ties → lowest label, the
-    * [[graft.functions.NearestCell]] rule). The centroid array rides
-    * into the task closure — a narrow one-pass scan, zero shuffle: the
-    * 100 TB-corpus shape for "label everything with a small prototype
-    * bank". `centroids` must be sorted by label ascending. */
+    * [[graft.functions.NearestCell]] rule). The prototype bank ships as
+    * a broadcast handle when large — a narrow one-pass scan, zero
+    * shuffle: the 100 TB-corpus shape for "label everything with a
+    * small prototype bank". `centroids` must be sorted by label
+    * ascending. */
   def classifyByCentroids(df: DataFrame, vecCol: String,
                           centroids: Array[(Long, Array[Double])],
                           outCol: String = "pred"): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     df.withColumn(outCol, bridge.column(graft.functions.NearestCell(
       bridge.expression(col(vecCol)),
-      centroids.map(_._1), centroids.map(_._2))))
+      graft.functions.CentroidBank.of(df.sparkSession, centroids))))
   }
 
   /** MMR diversity rerank: from each query's candidate rows
