@@ -386,6 +386,34 @@ object SparkEntry {
         "doc_id", "source", "text", 5)
         .select(col("source"), col("token_id"), col("rank").as("rnk"), col("score"))),
 
+    // SemDeDup: coarse-quantizer cells (first-16 centroids keep it
+    // oracle-able; trainKmeans slots in unchanged) + within-cell exact
+    // cosine — cluster-scoped semantic dedup pairs
+    "q63_semdedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Dedup.semDedupPairs(e, "vec_id", "embedding",
+        Similarity.firstKCentroids(e, "vec_id", "embedding", 16), 0.4)
+    }),
+
+    // corpus-trained bigram LM quality score: quantized conditional
+    // probabilities, two count aggregations + equi-joins, no self-join
+    "q64_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.lmScore(docs(s, dir), "doc_id", "text")),
+
+    // contrastive hard negatives: rank-window [4, 20] below a 0.95
+    // margin of each query's best score
+    "q65_hard_negatives" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.hardNegatives(q, "qid", "qv", e, "vec_id", "embedding", 4, 20, 0.95)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    // temperature-0.5 source-mixture weights: √n damping, ordered fold
+    "q66_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(tbl(s, dir, "documents"), "source")),
+
     // embedding-space near-dup: LSH bucket self-join (16 planes = 65k
     // buckets, the scale lever) + hub-bucket cap + exact cosine gate
     "q33_embedding_neardups" -> ((s, dir) =>

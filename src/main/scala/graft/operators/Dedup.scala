@@ -465,6 +465,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540)
+    * re-expressed relationally: cluster the embedding space with a
+    * coarse quantizer, then compare ONLY within-cluster pairs by exact
+    * cosine — semantic duplicates (same content, different surface
+    * form) land in the same cell, so the candidate set shrinks
+    * ~nCells-fold without an all-pairs join. Output near-dup pairs
+    * (id_a, id_b, cosine ≥ threshold), `id_a < id_b`.
+    *
+    * 100 TB shape: assignment is the narrow bank-backed
+    * [[graft.functions.NearestCell]] scan (centroids broadcast once per
+    * executor — the plan stays O(1) in nCells); the only corpus
+    * exchange is the within-cell self-join's hash partition on the cell
+    * id; `maxCellSize` caps degenerate hub cells exactly like
+    * [[minhashNearDups]] (the cell-size table is nCells rows —
+    * broadcast). The quantizer is pluggable: first-k centroids keep the
+    * operator oracle-able; [[Similarity.trainKmeans]] output slots in
+    * unchanged. Feed the pairs to [[removeNearDups]] to materialize the
+    * deduplicated corpus. */
+  def semDedupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[(Long, Array[Double])], threshold: Double,
+                    maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val b0 = vecs.withColumn("__cell", bridge.column(graft.functions.NearestCell(
+      bridge.expression(col(vecCol)),
+      graft.functions.CentroidBank.of(vecs.sparkSession, cents))))
+    val b =
+      if (maxCellSize == Int.MaxValue) b0
+      else {
+        val ok = b0.groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxCellSize)
+          .select(col("__cell"))
+        b0.join(broadcast(ok), "__cell")
+      }
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__cell"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__cell"))
+    l.join(r, "__cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Kernel.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact token-set Jaccard near-dups over all pairs — quadratic; callers
     * restrict the id range (the exact baseline for the detectors above). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -50,6 +50,38 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Temperature-damped source-mixture weights — the "multinomial with
+    * α = 0.5" rebalancing used to keep head domains from drowning the
+    * tail in a multi-source training mix: weight_s ∝ √n_s (the standard
+    * temperature-sampling exponent; √ is IEEE correctly-rounded, so the
+    * math is cross-engine exact, unlike a general pow). Output per
+    * source: (srcCol, n_docs, weight, target_docs) with
+    * weight = √n_s / Σ√n and target_docs = floor(weight · N).
+    *
+    * Determinism: the Σ√n fold runs over the source list SORTED by
+    * source id (one struct-sort of a sources-sized array — broadcast-
+    * small), so the double sum has a fixed order regardless of
+    * partitioning. One partial count aggregation over the corpus; all
+    * downstream arithmetic is on the tiny per-source table. Feed the
+    * implied per-source rates (target_docs/n_docs) to
+    * [[stratifiedSample]] to materialize the mix. */
+  def mixtureWeights(df: DataFrame, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+    counts
+      .agg(array_sort(collect_list(struct(col(srcCol), col("n_docs")))).as("__a"))
+      .select(col("__a"),
+        aggregate(transform(col("__a"), s => sqrt(s("n_docs").cast("double"))),
+          lit(0.0), (a, x) => a + x).as("__z"),
+        aggregate(transform(col("__a"), s => s("n_docs")),
+          lit(0L), (a, x) => a + x).as("__total"))
+      .select(explode(col("__a")).as("__s"), col("__z"), col("__total"))
+      .select(col("__s").getField(srcCol).as(srcCol),
+        col("__s").getField("n_docs").as("n_docs"),
+        (sqrt(col("__s").getField("n_docs").cast("double")) / col("__z")).as("weight"),
+        floor(sqrt(col("__s").getField("n_docs").cast("double")) / col("__z")
+          * col("__total").cast("double")).cast("long").as("target_docs"))
+  }
+
   /** Per-key quota: at most `maxN` rows per key, chosen deterministically
     * (lowest id-hash first, ties → lower id) — the "cap any one domain"
     * step that stops a hub site from dominating the mix. Partial top-k

@@ -147,8 +147,12 @@ object Similarity {
 
   /** First-k centroid collection (index build): the corpus rows with the
     * k smallest ids, as (id, vector) sorted by id. Shared by ivfFlat,
-    * pqCodebook, and ivfPq — all their quantizers must load centroids
-    * identically. */
+    * pqCodebook, ivfPq, and [[Dedup.semDedupPairs]] — all their
+    * quantizers must load centroids identically. */
+  def firstKCentroids(corpus: DataFrame, cIdCol: String,
+                      cVecCol: String, k: Int): Array[(Long, Array[Double])] =
+    collectCentroids(corpus, cIdCol, cVecCol, k)
+
   private def collectCentroids(corpus: DataFrame, cIdCol: String,
                                cVecCol: String, k: Int): Array[(Long, Array[Double])] =
     corpus.filter(col(cIdCol) < k)
@@ -513,6 +517,30 @@ object Similarity {
         k, lambda))).as(Seq("__r", "__t")))
       .select(col(qIdCol), col("__t.id").as(cIdCol),
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
+  }
+
+  /** Hard-negative mining for embedding-model training: per query, the
+    * corpus rows ranked [loRank, hiRank] by cosine whose score also
+    * falls below `margin` × the query's best score — near-but-not-too-
+    * near candidates (the top hit is the presumed positive; anything
+    * scoring within the margin of it risks being a false negative, the
+    * standard contrastive-mining guard). Output (qIdCol, cIdCol, rank,
+    * score).
+    *
+    * Scale shape: one [[knnJoin]] pass (broadcast queries, partial
+    * top-hiRank heap — ≤ hiRank rows per query per map task reach the
+    * exchange), then the rank-1 row rejoins by query id — a
+    * queries-sized side, broadcast. The corpus never shuffles. */
+  def hardNegatives(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    corpus: DataFrame, cIdCol: String, cVecCol: String,
+                    loRank: Int, hiRank: Int,
+                    margin: Double = 0.95): DataFrame = {
+    val cands = knnJoin(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, hiRank)
+    val best = cands.filter(col("rank") === 1)
+      .select(col(qIdCol), col("score").as("__best"))
+    cands.join(broadcast(best), Seq(qIdCol))
+      .filter(col("rank") >= loRank && col("score") <= col("__best") * lit(margin))
+      .select(col(qIdCol), col(cIdCol), col("rank"), col("score"))
   }
 
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,

@@ -306,6 +306,53 @@ object TextAnalysis {
     * over each sliding window of `w` → distinct fingerprints. Output
     * (id, n_fingerprints, min_fp, full_hash) where full_hash is the
     * rolling polynomial hash of the whole normalized token stream. */
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * perplexity quality filter (Wenzek et al., arXiv:1911.00359)
+    * re-expressed with exact arithmetic: train token-bigram counts over
+    * the corpus itself, then score every doc by the mean conditional
+    * probability of its bigrams, p(t_i | t_{i-1}) = c(t_{i-1}, t_i) /
+    * c(t_{i-1}·) (bigram-start context count). Boilerplate-rich docs
+    * score high, character noise scores near the floor — the standard
+    * cheap-model quality signal when no external LM can be shipped.
+    *
+    * Determinism: each probability is one double division (exact in
+    * both engines), then quantized to floor(p·S + 0.5) BEFORE the
+    * per-doc sum, so the reduction is commutative longs — partitioning
+    * -invariant and oracle-exact, like [[Similarity.trainKmeans]].
+    * `lm_score` = quantized-sum / (n_bigrams · S), in [0, 1].
+    *
+    * 100 TB shape: bigram identity is the rolling [[Dedup.shingles]]
+    * hash (n=2; n=1 for contexts) — narrow native kernels; counts are
+    * two partial (map-side combined) aggregations on the hash keys; the
+    * scoring joins are equi-joins of the position stream against those
+    * count tables — no corpus self-join, no per-doc state. A hub bigram
+    * ("of the" × 10⁹) reduces map-side like any other key. Output
+    * (idCol, n_bigrams, lm_score); docs under 2 tokens drop (no bigram
+    * evidence). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              maxLength: Int = K.MaxLength,
+              quantScale: Long = 1000000000L): DataFrame = {
+    val base = df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) >= 2)
+    // position streams: context (unigram at i) and bigram at i share pos
+    val pos = base.select(col(idCol),
+        posexplode(Dedup.shingles(col("__tids"), 2)).as(Seq("__p", "__s2")),
+        col("__tids"))
+      .select(col(idCol), col("__p"), col("__s2"),
+        (element_at(col("__tids"), col("__p") + 1) % lit(K.M)).as("__s1"))
+    val c2 = pos.groupBy(col("__s2")).agg(count(lit(1)).as("__c2"))
+    val c1 = pos.groupBy(col("__s1")).agg(count(lit(1)).as("__c1"))
+    pos.join(c2, "__s2").join(c1, "__s1")
+      .withColumn("__q",
+        floor(col("__c2").cast("double") / col("__c1").cast("double")
+          * lit(quantScale.toDouble) + lit(0.5)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__qs"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__qs").cast("double") /
+          (col("n_bigrams") * lit(quantScale)).cast("double")).as("lm_score"))
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4): DataFrame = {
     val tids = Kernel.tokenIds(col(textCol))

@@ -756,6 +756,60 @@ SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosineSql("a.embedding", "c.embeddi
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ${cosineSql("a.embedding", "c.embedding")} >= $threshold"""
 
+  /** SemDeDup: first-nCells coarse assignment (q17c's argmin rule),
+    * within-cell pairs by exact cosine, hub cells above the cap skipped. */
+  def q63_semdedup(nCells: Int, threshold: Double,
+                   maxCellSize: Int = Dedup.DefaultMaxBucketSize): String =
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, embedding, cell FROM (
+  SELECT e.vec_id, e.embedding, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+ok AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) <= $maxCellSize),
+b AS (SELECT a.* FROM assign a JOIN ok USING (cell))
+SELECT x.vec_id AS id_a, y.vec_id AS id_b, ${cosineSql("x.embedding", "y.embedding")} AS cosine
+FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE ${cosineSql("x.embedding", "y.embedding")} >= $threshold"""
+
+  /** Bigram LM score: corpus bigram/context counts over the rolling
+    * shingle hashes, per-position conditional probability quantized to
+    * floor(p·S + 0.5) BEFORE the per-doc sum (commutative longs — the
+    * trainKmeans trick), mean = sum / (n·S). */
+  def q64_bigram_lm(s9: Long = 1000000000L): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+base AS (SELECT doc_id, tids FROM tok WHERE len(tids) >= 2),
+sh AS (SELECT doc_id, ${shingleList("tids", 2)} AS sgl, tids FROM base),
+pos AS (SELECT doc_id, CAST(generate_subscripts(sgl, 1) - 1 AS BIGINT) AS p, unnest(sgl) AS s2, tids FROM sh),
+pos2 AS (SELECT doc_id, p, s2, tids[CAST(p AS INT) + 1] % $M AS s1 FROM pos),
+c2 AS (SELECT s2, count(*)::BIGINT AS n2 FROM pos2 GROUP BY s2),
+c1 AS (SELECT s1, count(*)::BIGINT AS n1 FROM pos2 GROUP BY s1),
+qq AS (SELECT pos2.doc_id, CAST(floor(c2.n2::DOUBLE / c1.n1::DOUBLE * $s9 + 0.5) AS BIGINT) AS qv
+  FROM pos2 JOIN c2 ON c2.s2 = pos2.s2 JOIN c1 ON c1.s1 = pos2.s1)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  sum(qv)::DOUBLE / (count(*)::BIGINT * $s9)::DOUBLE AS lm_score
+FROM qq GROUP BY doc_id"""
+
+  /** Hard negatives: q08's ranked kNN, rank window [lo, hi] below the
+    * margin of each query's rank-1 score. */
+  def q65_hard_negatives(lo: Int, hi: Int, margin: Double): String =
+    s"""WITH j AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id, ${cosineSql("c.embedding", "q.embedding")} AS score,
+  row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosineSql("c.embedding", "q.embedding")} DESC, c.vec_id ASC) AS rnk
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q),
+cand AS (SELECT qid, vec_id, rnk, score FROM j WHERE rnk <= $hi),
+best AS (SELECT qid, score AS b FROM cand WHERE rnk = 1)
+SELECT c.qid, c.vec_id, c.rnk, c.score FROM cand c JOIN best b2 USING (qid)
+WHERE c.rnk >= $lo AND c.score <= b2.b * $margin"""
+
+  /** √n temperature mixture weights: per-source counts, Σ√n folded in
+    * source order (the operator's sorted-struct fold), targets floored. */
+  val q66_mixture_weights: String =
+    s"""WITH counts AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+z AS (SELECT list_reduce(list(sqrt(n_docs::DOUBLE) ORDER BY source), (x,y) -> x+y) AS z,
+  sum(n_docs)::BIGINT AS total FROM counts)
+SELECT c.source, c.n_docs, sqrt(c.n_docs::DOUBLE) / z.z AS weight,
+  CAST(floor(sqrt(c.n_docs::DOUBLE) / z.z * z.total::DOUBLE) AS BIGINT) AS target_docs
+FROM counts c CROSS JOIN z"""
+
   /** Shared CTEs for scalar (int8) quantization: per-dim corpus min/max
     * (`mm`), then codes/dequant mirror [[graft.operators.Quantize]]
     * term-for-term: code = floor((v-mn)/(mx-mn)*255 + 0.5), deq =
@@ -1132,6 +1186,10 @@ FROM events GROUP BY user_id, event_type"""
     "q60b_centroid_classify" -> q60b_centroid_classify(),
     "q61_repeated_spans" -> q61_repeated_spans(8),
     "q62_source_keywords" -> q62_source_keywords(5),
+    "q63_semdedup" -> q63_semdedup(16, 0.4),
+    "q64_bigram_lm" -> q64_bigram_lm(),
+    "q65_hard_negatives" -> q65_hard_negatives(4, 20, 0.95),
+    "q66_mixture_weights" -> q66_mixture_weights,
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),
     "q34_dedup_corpus" -> q34_dedup_corpus(0.35, 16, 4),
     "q35_sql_simhash" -> q14_simhash(60),

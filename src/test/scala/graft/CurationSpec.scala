@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+
+/** Round-5 curation operators: SemDeDup, bigram LM scoring, hard-negative
+  * mining, temperature mixture weights. */
+class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("semDedupPairs: within-cell only, cosine-gated, HOF-assignment consistent") {
+    val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
+    val pairs = Dedup.semDedupPairs(e, "vec_id", "embedding", cents, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.4 })
+    // independent assignment via the literal sort-slice HOF (BankSpec's
+    // cross-check formulation, nProbe = 1 ≡ argmin)
+    val centLit = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cell"), lit(v).as("cvec"))
+    }: _*)
+    val hofCell = element_at(transform(
+      slice(array_sort(transform(centLit, c =>
+        struct(Similarity.l2sq(col("embedding"), c("cvec")).as("d"), c("cell").as("cell")))),
+        1, 1), s => s("cell")), 1)
+    val cellOf = e.select(col("vec_id"), hofCell.as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, _) => assert(cellOf(a) == cellOf(b)) }
+  }
+
+  test("semDedupPairs: hub-cell cap drops oversized cells") {
+    val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 2)
+    // 2 cells over the whole corpus — both far above a cap of 3
+    val capped = Dedup.semDedupPairs(e, "vec_id", "embedding", cents, -1.0,
+      maxCellSize = 3)
+    assert(capped.count() == 0)
+  }
+
+  test("lmScore: conditional-probability fixture + partitioning invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z"),
+      (5L, "q")) // under 2 tokens → dropped
+      .toDF("doc_id", "text")
+    // contexts: x starts 4 bigrams; c2(x y)=3, c2(x z)=1
+    val scores = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scores.length == 4) // doc 5 dropped
+    val byId = scores.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) == ((1L, 0.75)) && byId(2L) == ((1L, 0.75)) && byId(3L) == ((1L, 0.75)))
+    assert(byId(4L) == ((1L, 0.25)))
+    val rep = TextAnalysis.lmScore(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rep == scores.toSet)
+  }
+
+  test("hardNegatives: rank window + margin vs the window formulation") {
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.hardNegatives(q, "qid", "qv", e, "vec_id", "embedding", 4, 20, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val full = Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val best = full.filter(_._3 == 1).map(t => t._1 -> t._4).toMap
+    val expected = full.filter(t => t._3 >= 4 && t._4 <= best(t._1) * 0.95).toSet
+    assert(got.toSet == expected)
+  }
+
+  test("mixtureWeights: sqrt-damped fixture") {
+    import spark.implicits._
+    val df = (Seq.fill(4)("a") ++ Seq.fill(1)("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val got = Sampling.mixtureWeights(df, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // z = √4 + √1 = 3; weights 2/3 and 1/3; targets floor(5·w)
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq(("a", 4L, 3L), ("b", 1L, 1L)))
+    assert(math.abs(got(0)._3 - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(got(1)._3 - 1.0 / 3.0) < 1e-15)
+    // weights sum to 1 exactly-ish; targets never exceed the corpus
+    assert(got.map(_._4).sum <= 5L)
+  }
+}
