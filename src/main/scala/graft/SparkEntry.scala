@@ -386,6 +386,13 @@ object SparkEntry {
         "doc_id", "source", "text", 5)
         .select(col("source"), col("token_id"), col("rank").as("rnk"), col("score"))),
 
+    // suffix-array cut step: drop tokens covered by cross-doc repeated
+    // spans (q61 flags, this splices); survivors keep relative order
+    "q67_splice_spans" -> ((s, dir) =>
+      Dedup.spliceRepeatedSpans(docs(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), posexplode(col("tokens_clean")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))),
+
     // SemDeDup: coarse-quantizer cells (first-16 centroids keep it
     // oracle-able; trainKmeans slots in unchanged) + within-cell exact
     // cosine — cluster-scoped semantic dedup pairs

@@ -408,6 +408,39 @@ object Dedup {
         col("shingle"), col("span_docs"))
   }
 
+  /** Splice repeated spans OUT of the token stream — the cut step of
+    * the suffix-array method (the pass [[repeatedSpans]] flags for):
+    * every token covered by a length-`n` window whose span hash occurs
+    * in more than one document is dropped; the survivors keep their
+    * relative order. Output (idCol, tokens_clean: array<bigint>) — every
+    * input doc appears, clean docs unchanged.
+    *
+    * Scale shape: flagged span STARTS gather per doc (starts are
+    * span-hits only — orders of magnitude fewer than tokens; the
+    * per-doc array is bounded by doc length) and rejoin the tokenized
+    * corpus by doc id — one small-side equi-join, AQE-broadcast when
+    * the flag set is small. The cut itself is a per-row HOF filter
+    * (token i survives iff no flagged start s has s ≤ i < s+n) —
+    * narrow, and mirrored term-for-term in the SQL oracle. */
+  def spliceRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, maxLength: Int = K.MaxLength): DataFrame = {
+    val toks = df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+    val starts = repeatedSpansTokens(toks, idCol, "__tids", n)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("pos"))).as("__starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__starts").isNull, col("__tids")).otherwise(
+          transform(
+            filter(
+              zip_with(col("__tids"),
+                sequence(lit(0L), size(col("__tids")).cast("long") - 1),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+              s => !exists(col("__starts"),
+                st => st <= s("i") && s("i") < st + lit(n.toLong))),
+            s => s("t"))).as("tokens_clean"))
+  }
+
   /** Corpus-level dedup — the step a training pipeline actually runs:
     * given near-dup pairs (id_a < id_b), drop every id_b via a left-anti
     * join, keeping the smallest id of each duplicate group that any pair

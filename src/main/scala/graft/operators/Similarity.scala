@@ -535,7 +535,11 @@ object Similarity {
                     corpus: DataFrame, cIdCol: String, cVecCol: String,
                     loRank: Int, hiRank: Int,
                     margin: Double = 0.95): DataFrame = {
+    // LAZY lineage cut: the candidate table is referenced twice (rows +
+    // the rank-1 margin side) — without it the full kNN corpus pass runs
+    // twice. Candidates are ≤ hiRank·|queries| rows: tiny at any scale.
     val cands = knnJoin(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, hiRank)
+      .localCheckpoint(false)
     val best = cands.filter(col("rank") === 1)
       .select(col(qIdCol), col("score").as("__best"))
     cands.join(broadcast(best), Seq(qIdCol))

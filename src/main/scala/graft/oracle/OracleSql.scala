@@ -1054,6 +1054,26 @@ ps AS (SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos, unn
 st AS (SELECT shingle, count(DISTINCT doc_id)::BIGINT AS span_docs FROM ps GROUP BY shingle HAVING count(DISTINCT doc_id) > 1)
 SELECT ps.doc_id, ps.pos, ps.shingle, st.span_docs FROM ps JOIN st USING (shingle)"""
 
+  /** q67: q61's flagged positions → per-doc start list → per-row HOF
+    * cut (token i survives iff no start s has s ≤ i < s+n), re-exploded
+    * with fresh positions. */
+  def q67_splice_spans(n: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+ps AS (SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos, unnest(sh) AS shingle FROM (
+  SELECT doc_id, ${shingleList("tids", n)} AS sh FROM tok WHERE len(tids) >= $n) t),
+st AS (SELECT shingle FROM ps GROUP BY shingle HAVING count(DISTINCT doc_id) > 1),
+fl AS (SELECT DISTINCT ps.doc_id, ps.pos FROM ps JOIN st USING (shingle)),
+sp AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM fl GROUP BY doc_id),
+cl AS (SELECT t.doc_id,
+  CASE WHEN sp.starts IS NULL THEN t.tids ELSE
+    list_transform(
+      list_filter(
+        list_transform(range(0, len(t.tids)), i -> {'t': t.tids[CAST(i AS INT) + 1], 'i': i}),
+        s -> len(list_filter(sp.starts, s2 -> s2 <= s.i AND s.i < s2 + $n)) = 0),
+      s -> s.t) END AS tids_clean
+  FROM tok t LEFT JOIN sp USING (doc_id))
+SELECT doc_id, CAST(generate_subscripts(tids_clean, 1) - 1 AS BIGINT) AS pos, unnest(tids_clean) AS token_id FROM cl"""
+
   def q62_source_keywords(k: Int): String =
     s"""WITH tok AS (SELECT source, doc_id, ${tids("text")} AS tids FROM documents),
 e AS (SELECT source, doc_id, unnest(tids) AS token_id FROM tok),
@@ -1186,6 +1206,7 @@ FROM events GROUP BY user_id, event_type"""
     "q60b_centroid_classify" -> q60b_centroid_classify(),
     "q61_repeated_spans" -> q61_repeated_spans(8),
     "q62_source_keywords" -> q62_source_keywords(5),
+    "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
     "q64_bigram_lm" -> q64_bigram_lm(),
     "q65_hard_negatives" -> q65_hard_negatives(4, 20, 0.95),

@@ -104,6 +104,36 @@ object StreamingOps {
       .toDF("id_a", "id_b", "hamming")
   }
 
+  /** Streaming eval-set decontamination — the continuous form of
+    * [[graft.operators.Dedup.contamination]]: flag arriving docs that
+    * share ≥ `minShared` word n-gram shingles with any eval doc. The
+    * eval side is STATIC (benchmark sets are small by nature): its
+    * shingle set computes once and each micro-batch equi-joins it on
+    * the shingle id (stream-static join — no stream-side state for the
+    * join itself). The per-(doc, eval) shared-shingle count is a
+    * watermarked tumbling-window aggregation, so aggregation state
+    * holds only the horizon's candidate pairs and windows finalize for
+    * append output. Output (window, idCol, eval_id, shared_shingles). */
+  def contaminationStream(stream: DataFrame, idCol: String, textCol: String,
+                          eventTimeCol: String, watermark: String,
+                          windowLen: String,
+                          evalDf: DataFrame, evalIdCol: String,
+                          evalTextCol: String,
+                          n: Int = 3, minShared: Long = 1L): DataFrame = {
+    val es = graft.operators.Dedup.shingleSet(evalDf, evalIdCol, evalTextCol, n)
+      .select(col(evalIdCol).as("eval_id"), col("shingle"))
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(idCol), col(eventTimeCol), Kernel.tokenIds(col(textCol)).as("__tids"))
+      .filter(size(col("__tids")) >= n)
+      .select(col(idCol), col(eventTimeCol),
+        explode(array_distinct(graft.operators.Dedup.shingles(col("__tids"), n))).as("shingle"))
+      .join(es, "shingle")
+      .groupBy(window(col(eventTimeCol), windowLen), col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Windowed quality/volume stats over a document stream — watermarked
     * tumbling-window aggregation (late data beyond the watermark is
     * dropped, windows finalize incrementally). */

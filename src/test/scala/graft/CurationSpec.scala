@@ -69,6 +69,24 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSet == expected)
   }
 
+  test("spliceRepeatedSpans: cuts cross-doc spans, keeps unique tails and clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h uniqueone uniquetwo"), // shared 8-span + tail
+      (2L, "a b c d e f g h"),                     // exactly the shared span
+      (3L, "hello world"))                         // clean, under n tokens
+      .toDF("doc_id", "text")
+    val out = Dedup.spliceRepeatedSpans(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val tids = docs.select(col("doc_id"), graft.functions.Kernel.tokenIds(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // only window pos 0 is cross-doc (doc 1's pos 1/2 windows include the
+    // unique tail), so exactly tokens [0, 8) are cut from both docs
+    assert(out(1L) == tids(1L).drop(8))
+    assert(out(2L).isEmpty)
+    assert(out(3L) == tids(3L))
+  }
+
   test("mixtureWeights: sqrt-damped fixture") {
     import spark.implicits._
     val df = (Seq.fill(4)("a") ++ Seq.fill(1)("b")).zipWithIndex

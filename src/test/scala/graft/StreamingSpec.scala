@@ -102,6 +102,32 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("contaminationStream flags docs sharing eval n-grams, windows finalize") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val eval = Seq((100L, "secret benchmark answer string onetwo"))
+      .toDF("doc_id", "text")
+    val out = StreamingOps.contaminationStream(
+      ms.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      "10 minutes", "5 minutes", eval, "doc_id", "text", n = 3, minShared = 2L)
+    val q = out.writeStream.format("memory").queryName("graft_contam")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (0L, "leaked copy of the secret benchmark answer string", Timestamp.valueOf("2026-01-01 10:00:00")),
+        (1L, "perfectly ordinary training document", Timestamp.valueOf("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      // advance the watermark past the window so append finalizes
+      ms.addData((2L, "unrelated late arrival", Timestamp.valueOf("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_contam")
+        .select($"doc_id", $"eval_id", $"shared_shingles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // doc 0 shares the trigrams (secret, benchmark, answer) and
+      // (benchmark, answer, string) with eval doc 100; docs 1/2 share none
+      assert(rows == Set((0L, 100L, 2L)))
+    } finally q.stop()
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
