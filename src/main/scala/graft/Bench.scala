@@ -44,6 +44,12 @@ object Bench {
           sec = (System.nanoTime() - t0) / 1e9
           r += 1
         }
+        // Drop blocks left behind by this query (lazy localCheckpoints,
+        // cached frames): queries are self-contained, and letting blocks
+        // accumulate across 80+ queries taxes later ones with GC/eviction
+        // pressure that has nothing to do with their own plans.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         System.err.println(f"[bench] $name%-22s $sec%8.2f s ${if (ok) "" else "FAILED"}")
         (name, sec, ok)
       }
@@ -54,6 +60,9 @@ object Bench {
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Repeat the total on its own short line: round-5 artifact capture kept
+    // only the tail of long lines, truncating the total off the big one.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -115,6 +115,34 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Splice flagged spans out of a token stream: token i survives iff no
+    * start s in `starts` (SORTED ascending) covers it (s ≤ i < s+n).
+    * Two-pointer sweep — `starts` is consumed once and coverage is the
+    * running max of s+n, so the pass is O(tokens + starts) instead of the
+    * O(tokens × starts) per-row `exists` HOF it replaces (identical
+    * drop-set: with sorted starts, ∃s: s ≤ i < s+n ⟺ maxEnd(starts ≤ i)
+    * > i). */
+  def spliceSpans(tids: ArrayData, starts: ArrayData, n: Int): ArrayData = {
+    val len = tids.numElements()
+    val ns = starts.numElements()
+    if (ns == 0) return tids
+    val out = new Array[Long](len)
+    var m = 0
+    var j = 0
+    var coverEnd = -1L
+    var i = 0
+    while (i < len) {
+      while (j < ns && starts.getLong(j) <= i) {
+        val e = starts.getLong(j) + n
+        if (e > coverEnd) coverEnd = e
+        j += 1
+      }
+      if (i >= coverEnd) { out(m) = tids.getLong(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == len) out else java.util.Arrays.copyOf(out, m))
+  }
+
   /** Repetition stats over an id array in one pass: (n_items,
     * n_distinct, top_cnt) where top_cnt is the multiplicity of the most
     * frequent value — exact integers, computed on a sorted copy (sorting
@@ -276,6 +304,32 @@ case class RunStats(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): RunStats =
     copy(child = newChild)
+}
+
+/** Native span-splice expression (the cut step of the suffix-array
+  * dedup method): drops every token covered by a flagged length-`n`
+  * window start. `right` MUST be sorted ascending (the caller's
+  * array_sort(collect_set(pos)) guarantees it) — the linear two-pointer
+  * sweep replaces the O(tokens × starts) per-token `exists` HOF, with
+  * an identical drop-set (spec-asserted, including the all-flagged
+  * pathological doc). */
+case class SpliceSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.TokenArray, GraftInputTypes.TokenArray)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(tids: Any, starts: Any): Any =
+    VectorKernels.spliceSpans(
+      tids.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.spliceSpans($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SpliceSpans =
+    copy(left = l, right = r)
 }
 
 /** Native sign-LSH bucket id: bit p set iff the vector's dot product

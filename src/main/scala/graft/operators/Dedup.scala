@@ -324,22 +324,34 @@ object Dedup {
   /** Duplicate-cluster labeling: connected components of the near-dup
     * pair graph by min-label propagation WITH POINTER DOUBLING — every
     * doc in a duplicate group gets the group's smallest id as `cluster`.
-    * Each round takes the min over three candidate sets: the node's own
-    * label, its neighbors' labels (1-hop propagation), and its label's
-    * label (path doubling — labels are always node ids, so l(l(v)) is a
-    * valid lookup). The doubling term makes the closed chain length grow
-    * exponentially: round k closes ascending chains of diameter 2^(k-1)
-    * (1, 2, 4, 8, …), so the default 6 rounds close 32-hop chains where
+    * Labels SEED at min(own id, neighbor ids) — one aggregate over the
+    * edge list, no join — then each round takes the min over three
+    * candidate sets: the node's own label, its neighbors' labels (1-hop
+    * propagation), and its label's label (path doubling — labels are
+    * always node ids, so l(l(v)) is a valid lookup). The doubling term
+    * makes the closed chain length grow exponentially: from the seeded
+    * 1-hop start, round k closes ascending chains of diameter 2^k
+    * (2, 4, 8, …), so the default 5 rounds close 32-hop chains where
     * the same budget of plain propagation closed only 6 — spec-checked
     * on a 30-hop chain fixture.
     *
     * Runs EXACTLY `iterations` rounds (not to convergence) so the result
     * is a pure function of the input — deterministic and oracle-able;
-    * raise `iterations` for pathological graphs. Each round is two
-    * self-joins + one min-aggregate over the PAIR GRAPH (tiny relative
-    * to the corpus), never over the corpus itself. */
-  def duplicateClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
-    // localCheckpoint per round: labels is referenced four times per
+    * raise `iterations` for pathological graphs. Each round is ONE
+    * equi-join + one min-aggregate over the PAIR GRAPH (tiny relative
+    * to the corpus), never over the corpus itself: the 1-hop and
+    * pointer-doubling lookups share a single probe of the label table —
+    * probe rows (key=s, out=d) from the edge list ask "label of my
+    * neighbor", probe rows (key=cluster, out=id) from the label table
+    * ask "label of my label"; both answers are min-merged with the
+    * node's own label. Candidate sets per round are identical to the
+    * two-join formulation at half the join stages, and each round is a
+    * full cluster-wide barrier — at 1000-executor scale the round count
+    * is the latency floor, which is why the seed (a free round: it
+    * rides the aggregate that builds the node set anyway) is worth one
+    * whole barrier. */
+  def duplicateClusters(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    // localCheckpoint per round: labels is referenced three times per
     // round, so without a LINEAGE cut every round multiplies the
     // logical plan — exponentially many copies of the pair-graph
     // computation (a cache alone still carries the exponential logical
@@ -349,21 +361,20 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint()
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
+    var labels = edges.groupBy(col("s")).agg(min(col("d")).as("__mn"))
+      .select(col("s").as("id"), least(col("s"), col("__mn")).as("cluster"))
     for (_ <- 1 to iterations) {
-      val viaNeighbors = edges.join(labels, edges("s") === labels("id"))
-        .select(col("d").as("id"), col("cluster"))
-      val viaPointer = labels.as("a")
-        .join(labels.as("b"), col("a.cluster") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
+      val probe = edges.select(col("s").as("key"), col("d").as("out"))
+        .union(labels.select(col("cluster").as("key"), col("id").as("out")))
+      val looked = probe.join(labels, probe("key") === labels("id"))
+        .select(col("out").as("id"), col("cluster"))
       // LAZY checkpoint: the logical plan is cut immediately (the round
       // tree is replaced by a LogicalRDD), but no per-round job fires —
       // all rounds execute as one job chain at the final action, and the
       // checkpoint blocks still materialize once despite the three
       // references per round. Eager checkpoints here cost a scheduled
       // job per round, which dominated wall time on small label tables.
-      labels = labels.union(viaNeighbors).union(viaPointer)
+      labels = labels.union(looked)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint(false)
     }
@@ -419,27 +430,43 @@ object Dedup {
     * span-hits only — orders of magnitude fewer than tokens; the
     * per-doc array is bounded by doc length) and rejoin the tokenized
     * corpus by doc id — one small-side equi-join, AQE-broadcast when
-    * the flag set is small. The cut itself is a per-row HOF filter
-    * (token i survives iff no flagged start s has s ≤ i < s+n) —
-    * narrow, and mirrored term-for-term in the SQL oracle. */
+    * the flag set is small; the starts side carries a LAZY lineage cut
+    * so the flag pass (which itself scans the tokenizer twice — the
+    * [[repeatedSpansTokens]] shape) materializes once instead of
+    * re-running per downstream reference. The cut itself is the native
+    * [[graft.functions.SpliceSpans]] two-pointer sweep (token i
+    * survives iff no flagged start s has s ≤ i < s+n) — narrow,
+    * O(tokens + starts) per row, and mirrored term-for-term (as the
+    * equivalent exists-HOF) in the SQL oracle; [[spliceSpansHof]]
+    * keeps the HOF formulation as the spec-asserted cross-check. */
   def spliceRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8, maxLength: Int = K.MaxLength): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val toks = df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
     val starts = repeatedSpansTokens(toks, idCol, "__tids", n)
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("pos"))).as("__starts"))
+      .localCheckpoint(false)
     toks.join(starts, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__starts").isNull, col("__tids")).otherwise(
-          transform(
-            filter(
-              zip_with(col("__tids"),
-                sequence(lit(0L), size(col("__tids")).cast("long") - 1),
-                (t, i) => struct(t.as("t"), i.as("i"))),
-              s => !exists(col("__starts"),
-                st => st <= s("i") && s("i") < st + lit(n.toLong))),
-            s => s("t"))).as("tokens_clean"))
+          bridge.column(graft.functions.SpliceSpans(
+            bridge.expression(col("__tids")),
+            bridge.expression(col("__starts")), n))).as("tokens_clean"))
   }
+
+  /** HOF formulation of the [[spliceRepeatedSpans]] cut step over
+    * pre-joined (tids, sorted starts) columns — the interpreted
+    * O(tokens × starts) form the SQL oracle mirrors; kept as the
+    * spec-asserted cross-check for the native two-pointer kernel. */
+  def spliceSpansHof(tids: Column, starts: Column, n: Int): Column =
+    transform(
+      filter(
+        zip_with(tids,
+          sequence(lit(0L), size(tids).cast("long") - 1),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        s => !exists(starts, st => st <= s("i") && s("i") < st + lit(n.toLong))),
+      s => s("t"))
 
   /** Corpus-level dedup — the step a training pipeline actually runs:
     * given near-dup pairs (id_a < id_b), drop every id_b via a left-anti

@@ -102,4 +102,35 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // weights sum to 1 exactly-ish; targets never exceed the corpus
     assert(got.map(_._4).sum <= 5L)
   }
+
+  test("SpliceSpans: native two-pointer sweep ≡ exists-HOF, incl. pathological docs") {
+    import spark.implicits._
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val n = 8
+    // fixtures: empty starts, single cut, overlapping windows, a gap,
+    // and the pathological all-flagged doc (every window start flagged —
+    // the case where the HOF goes O(tokens²))
+    val rows = Seq(
+      (1L, (0L until 20L).toArray, Array.empty[Long]),
+      (2L, (0L until 20L).toArray, Array(0L)),
+      (3L, (0L until 20L).toArray, Array(0L, 3L, 5L)),
+      (4L, (0L until 30L).toArray, Array(2L, 20L)),
+      (5L, (0L until 200L).toArray, (0L to 192L).toArray), // all flagged
+      (6L, (0L until 10L).toArray, Array(2L))              // covers past end
+    ).toDF("id", "tids", "starts")
+    val native = bridge.column(graft.functions.SpliceSpans(
+      bridge.expression(col("tids")), bridge.expression(col("starts")), n))
+    val got = rows
+      .select(col("id"), native.as("nat"),
+        Dedup.spliceSpansHof(col("tids"), col("starts"), n).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+    // the all-flagged doc cuts to nothing; the gap doc cuts [2,10)∪[20,28)
+    val byId = got.map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(byId(5L).isEmpty)
+    assert(byId(4L) ==
+      ((0L until 2L) ++ (10L until 20L) ++ (28L until 30L)).toList)
+  }
 }
