@@ -68,6 +68,15 @@ object CodebookBank {
   private val InlineMax = 4096
 
   def of(spark: SparkSession, books: Array[Array[Array[Double]]]): CodebookBank = {
+    // Fail FAST at bank construction: an empty subspace book would make
+    // [[PqEncode]] emit code -1 and [[AdcDist]] throw an opaque
+    // ArrayIndexOutOfBoundsException at search time, long after the
+    // mistake (usually a bad m/k split) was made.
+    books.zipWithIndex.foreach { case (book, j) =>
+      require(book.nonEmpty,
+        s"PQ codebook subspace $j is empty: every subspace needs >= 1 centroid " +
+          s"(got ${books.length} subspaces; check the m/k split)")
+    }
     val n = books.length.toLong *
       (if (books.length == 0) 0 else books(0).length.toLong * books(0)(0).length)
     if (n <= InlineMax) InlineBooks(books)

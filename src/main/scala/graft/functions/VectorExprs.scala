@@ -116,24 +116,31 @@ object VectorKernels {
   }
 
   /** Splice flagged spans out of a token stream: token i survives iff no
-    * start s in `starts` (SORTED ascending) covers it (s ≤ i < s+n).
-    * Two-pointer sweep — `starts` is consumed once and coverage is the
-    * running max of s+n, so the pass is O(tokens + starts) instead of the
-    * O(tokens × starts) per-row `exists` HOF it replaces (identical
-    * drop-set: with sorted starts, ∃s: s ≤ i < s+n ⟺ maxEnd(starts ≤ i)
-    * > i). */
+    * start s in `starts` (SORTED ascending — enforced, one comparison
+    * per consumed start) covers it (s ≤ i < s+n). Two-pointer sweep —
+    * `starts` is consumed once and coverage is the running max of s+n,
+    * so the pass is O(tokens + starts) instead of the O(tokens × starts)
+    * per-row `exists` HOF it replaces (identical drop-set: with sorted
+    * starts, ∃s: s ≤ i < s+n ⟺ maxEnd(starts ≤ i) > i). Always returns
+    * a FRESH array — never the input ArrayData, which may alias a
+    * reused UnsafeRow buffer. */
   def spliceSpans(tids: ArrayData, starts: ArrayData, n: Int): ArrayData = {
     val len = tids.numElements()
     val ns = starts.numElements()
-    if (ns == 0) return tids
     val out = new Array[Long](len)
     var m = 0
     var j = 0
+    var prev = Long.MinValue
     var coverEnd = -1L
     var i = 0
     while (i < len) {
       while (j < ns && starts.getLong(j) <= i) {
-        val e = starts.getLong(j) + n
+        val s = starts.getLong(j)
+        if (s < prev)
+          throw new IllegalArgumentException(
+            s"SpliceSpans: starts must be sorted ascending (saw $s after $prev)")
+        prev = s
+        val e = s + n
         if (e > coverEnd) coverEnd = e
         j += 1
       }
@@ -309,10 +316,11 @@ case class RunStats(child: Expression)
 /** Native span-splice expression (the cut step of the suffix-array
   * dedup method): drops every token covered by a flagged length-`n`
   * window start. `right` MUST be sorted ascending (the caller's
-  * array_sort(collect_set(pos)) guarantees it) — the linear two-pointer
-  * sweep replaces the O(tokens × starts) per-token `exists` HOF, with
-  * an identical drop-set (spec-asserted, including the all-flagged
-  * pathological doc). */
+  * array_sort(collect_set(pos)) guarantees it, and the kernel enforces
+  * it — an inversion fails fast instead of silently under-splicing) —
+  * the linear two-pointer sweep replaces the O(tokens × starts)
+  * per-token `exists` HOF, with an identical drop-set (spec-asserted,
+  * including the all-flagged pathological doc). */
 case class SpliceSpans(left: Expression, right: Expression, n: Int)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =

@@ -131,6 +131,14 @@ object Dedup {
     * self-join at ~5·10⁷ comparisons per hub instead of quadratic blowup. */
   val DefaultMaxBucketSize: Int = 10000
 
+  /** Default round budget for [[duplicateClusters]]. The min-seeded
+    * doubling recurrence closes ascending chains of diameter 2^k by
+    * round k, so 5 rounds close 32-hop chains. The SQL oracle (which
+    * seeds at identity instead of min(own, neighbors)) must run exactly
+    * ONE more round to match: impl@k ≡ oracle@(k+1) — OracleSql derives
+    * its count from this constant. */
+  val DefaultClusterIterations: Int = 5
+
   /** NARROW minhash signatures: (id, m0..m{n-1}) computed per-row by the
     * native [[graft.functions.MinhashSigs]] kernel over the in-row
     * shingle array — no explode, no exchange (duplicates in the array
@@ -350,7 +358,8 @@ object Dedup {
     * is the latency floor, which is why the seed (a free round: it
     * rides the aggregate that builds the node set anyway) is worth one
     * whole barrier. */
-  def duplicateClusters(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+  def duplicateClusters(pairs: DataFrame,
+                        iterations: Int = DefaultClusterIterations): DataFrame = {
     // localCheckpoint per round: labels is referenced three times per
     // round, so without a LINEAGE cut every round multiplies the
     // logical plan — exponentially many copies of the pair-graph
@@ -396,13 +405,17 @@ object Dedup {
     * map-side); flagging is an equi-join on the span hash back to the
     * position stream — no corpus self-join and no per-span group
     * materialization (a hub span never gathers its occurrence list in
-    * one task). Like [[graft.operators.SparseEmbedder.dfWeighted]], the
-    * convenience form tokenizes twice (narrow); pre-tokenized callers
-    * use [[repeatedSpansTokens]]. */
+    * one task). The tokenized frame carries a LAZY lineage cut, so the
+    * corpus tokenizes ONCE even though the position stream is derived
+    * twice (stats + flag join) — the explode re-runs narrowly from the
+    * materialized token arrays, which is the right trade at 100 TB:
+    * checkpointing the exploded position stream itself would store a
+    * corpus-sized intermediate. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8, maxLength: Int = K.MaxLength): DataFrame =
     repeatedSpansTokens(
-      df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids")),
+      df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+        .localCheckpoint(false),
       idCol, "__tids", n)
 
   /** [[repeatedSpans]] over a pre-tokenized `(id, tids)` frame. */
@@ -426,14 +439,17 @@ object Dedup {
     * relative order. Output (idCol, tokens_clean: array<bigint>) — every
     * input doc appears, clean docs unchanged.
     *
-    * Scale shape: flagged span STARTS gather per doc (starts are
-    * span-hits only — orders of magnitude fewer than tokens; the
-    * per-doc array is bounded by doc length) and rejoin the tokenized
-    * corpus by doc id — one small-side equi-join, AQE-broadcast when
-    * the flag set is small; the starts side carries a LAZY lineage cut
-    * so the flag pass (which itself scans the tokenizer twice — the
-    * [[repeatedSpansTokens]] shape) materializes once instead of
-    * re-running per downstream reference. The cut itself is the native
+    * Scale shape: the corpus tokenizes ONCE — the tokenized frame
+    * carries a LAZY lineage cut, and both its consumers (the flag pass
+    * inside [[repeatedSpansTokens]] and the final rejoin) read the
+    * materialized token arrays instead of re-running the tokenizer.
+    * Flagged span STARTS gather per doc (starts are span-hits only —
+    * orders of magnitude fewer than tokens; the per-doc array is
+    * bounded by doc length) and rejoin the tokenized corpus by doc id —
+    * one small-side equi-join, AQE-broadcast when the flag set is
+    * small; the starts side carries its own lazy cut so the flag pass
+    * materializes once instead of re-running per downstream reference.
+    * The cut itself is the native
     * [[graft.functions.SpliceSpans]] two-pointer sweep (token i
     * survives iff no flagged start s has s ≤ i < s+n) — narrow,
     * O(tokens + starts) per row, and mirrored term-for-term (as the
@@ -443,6 +459,7 @@ object Dedup {
                           n: Int = 8, maxLength: Int = K.MaxLength): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val toks = df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .localCheckpoint(false)
     val starts = repeatedSpansTokens(toks, idCol, "__tids", n)
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("pos"))).as("__starts"))
@@ -548,9 +565,13 @@ object Dedup {
                     cents: Array[(Long, Array[Double])], threshold: Double,
                     maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
+    // LAZY lineage cut: the assigned frame is referenced three times
+    // (cap agg + both self-join sides) — without it the O(nCells·dim)
+    // NearestCell scan runs once per reference instead of once per row.
     val b0 = vecs.withColumn("__cell", bridge.column(graft.functions.NearestCell(
       bridge.expression(col(vecCol)),
       graft.functions.CentroidBank.of(vecs.sparkSession, cents))))
+      .localCheckpoint(false)
     val b =
       if (maxCellSize == Int.MaxValue) b0
       else {

@@ -202,12 +202,15 @@ object Similarity {
   /** Train per-subspace PQ codebooks — k-means over each subspace's
     * slices, which is what PQ actually trains (each subspace clusters
     * independently). All m books train in ONE corpus pass per
-    * iteration: each row emits its m (subspace, cell, dim, quantized
-    * value) contributions and a single aggregation updates every book —
-    * not m sequential corpus scans. Same integer-accumulated,
+    * iteration: each row emits its m (subspace, cell, subvector)
+    * contributions and a single [[graft.functions.VecSumAgg]]
+    * aggregation updates every book — not m sequential corpus scans,
+    * and the driver collect is m×k ROWS of sub-length arrays
+    * (codebook-sized), never m×k×sub rows. Same integer-accumulated,
     * partitioning-invariant updates as [[trainKmeans]], value-identical
-    * to training each subspace separately. Returns m × k × sub, the
-    * contract of [[pqEncodeTrained]]. */
+    * to training each subspace separately; superseded per-iteration
+    * broadcast banks are destroyed after each collect. Returns
+    * m × k × sub, the contract of [[pqEncodeTrained]]. */
   def trainPqCodebooks(corpus: DataFrame, cIdCol: String, cVecCol: String,
                        dim: Int, m: Int, k: Int,
                        iterations: Int = 2,
@@ -221,37 +224,42 @@ object Similarity {
         java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)
       })
     for (_ <- 1 to iterations) {
+      val banks = books.map(book =>
+        graft.functions.CentroidBank.of(corpus.sparkSession, cellIds.zip(book)))
       val perSub = corpus.select(
-        explode(array(books.zipWithIndex.map { case (book, j) =>
+        explode(array(banks.zipWithIndex.map { case (bank, j) =>
           struct(
             lit(j).as("j"),
             bridge.column(graft.functions.NearestCell(
               bridge.expression(slice(col(cVecCol), j * sub + 1, sub)),
-              graft.functions.CentroidBank.of(corpus.sparkSession,
-                cellIds.zip(book)))).as("cell"),
+              bank)).as("cell"),
             slice(col(cVecCol), j * sub + 1, sub).as("sv"))
         }: _*)).as("z"))
-        .select(col("z.j").as("__j"), col("z.cell").as("__cell"),
-          posexplode(col("z.sv")).as(Seq("__d", "__v")))
-        .groupBy(col("__j"), col("__cell"), col("__d"))
-        .agg(sum(floor(col("__v").cast("double") * lit(quantScale.toDouble) + lit(0.5))
-          .cast("long")).as("__s"),
-          count(lit(1)).as("__n"))
+        .select(col("z.j").as("__j"), col("z.cell").as("__cell"), col("z.sv").as("__sv"))
+        .groupBy(col("__j"), col("__cell"))
+        .agg(graft.functions.VecSumAgg.vecSum(col("__sv"), quantScale).as("__sn"))
+        .select(col("__j"), col("__cell"),
+          col("__sn.sums").as("__s"), col("__sn.ns").as("__n"))
         .collect()
-        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+        .map(r => ((r.getInt(0), r.getLong(1)),
+          (r.getSeq[Long](2).toArray, r.getSeq[Long](3).toArray)))
         .toMap
       books = Array.tabulate(m) { j =>
         books(j).zipWithIndex.map { case (oldVec, ci) =>
           val nv = oldVec.clone()
-          var d = 0
-          while (d < sub) {
-            perSub.get((j, cellIds(ci), d)).foreach { case (s, n) =>
-              nv(d) = s.toDouble / (n * quantScale).toDouble
+          perSub.get((j, cellIds(ci))).foreach { case (s, n) =>
+            var d = 0
+            while (d < sub && d < s.length) {
+              if (n(d) > 0L) nv(d) = s(d).toDouble / (n(d) * quantScale).toDouble
+              d += 1
             }
-            d += 1
           }
           nv
         }
+      }
+      banks.foreach {
+        case b: graft.functions.BroadcastBank => b.handle.destroy()
+        case _ =>
       }
     }
     books
@@ -355,10 +363,18 @@ object Similarity {
     * bit-reproducible in the SQL oracle, unlike a raw double mean whose
     * value depends on shuffle order. Precision loss vs an exact mean is
     * ≤ 1/(2S) per element (S = 1e6 default), irrelevant for a coarse
-    * quantizer. Empty cells keep their previous centroid. Per round:
-    * one narrow assignment pass + one (cell, dim) aggregation; the
-    * k×dim sums collect to the driver (tiny), exactly like every other
-    * index-build step. Output: the (cellId, centroid) contract
+    * quantizer. Empty cells keep their previous centroid.
+    *
+    * Scale shape, per round: one narrow assignment pass (bank-backed
+    * [[graft.functions.NearestCell]]) + ONE partial aggregation to k
+    * ROWS of `(cell, sums: array<long>, ns: array<long>)` via
+    * [[graft.functions.VecSumAgg]] — the driver collect is bank-sized
+    * (the same k×dim doubles the next iteration broadcasts anyway),
+    * never k×dim ROWS: at 65k cells × 1024 dims the exploded
+    * formulation this replaces pulled ~67M rows through the driver per
+    * iteration. Each superseded iteration's broadcast bank is destroyed
+    * as soon as its collect returns, so broadcasts don't accumulate
+    * across rounds. Output: the (cellId, centroid) contract
     * [[ivfFlatWith]] and the PQ constructors consume. */
   def trainKmeans(corpus: DataFrame, cIdCol: String, cVecCol: String,
                   k: Int, iterations: Int = 2,
@@ -366,28 +382,33 @@ object Similarity {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     var cents = collectCentroids(corpus, cIdCol, cVecCol, k)
     for (_ <- 1 to iterations) {
+      val bank = graft.functions.CentroidBank.of(corpus.sparkSession, cents)
       val assigned = corpus.withColumn("__cell", bridge.column(
-        graft.functions.NearestCell(bridge.expression(col(cVecCol)),
-          graft.functions.CentroidBank.of(corpus.sparkSession, cents))))
+        graft.functions.NearestCell(bridge.expression(col(cVecCol)), bank)))
       val sums = assigned
-        .select(col("__cell"), posexplode(col(cVecCol)).as(Seq("__d", "__v")))
-        .groupBy(col("__cell"), col("__d"))
-        .agg(sum(floor(col("__v").cast("double") * lit(quantScale.toDouble) + lit(0.5))
-          .cast("long")).as("__s"),
-          count(lit(1)).as("__n"))
+        .groupBy(col("__cell"))
+        .agg(graft.functions.VecSumAgg.vecSum(col(cVecCol), quantScale).as("__sn"))
+        .select(col("__cell"), col("__sn.sums").as("__s"), col("__sn.ns").as("__n"))
         .collect()
-        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .map(r => (r.getLong(0),
+          (r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)))
         .toMap
       cents = cents.map { case (cellId, oldVec) =>
         val nv = oldVec.clone()
-        var d = 0
-        while (d < nv.length) {
-          sums.get((cellId, d)).foreach { case (s, n) =>
-            nv(d) = s.toDouble / (n * quantScale).toDouble
+        sums.get(cellId).foreach { case (s, n) =>
+          var d = 0
+          while (d < nv.length && d < s.length) {
+            if (n(d) > 0L) nv(d) = s(d).toDouble / (n(d) * quantScale).toDouble
+            d += 1
           }
-          d += 1
         }
         (cellId, nv)
+      }
+      // the superseded bank is dead the moment the collect returns —
+      // release its blocks instead of accumulating one broadcast per round
+      bank match {
+        case b: graft.functions.BroadcastBank => b.handle.destroy()
+        case _ =>
       }
     }
     cents

@@ -486,9 +486,14 @@ e AS (SELECT doc_id, unnest(tids) AS token_id FROM tok)
 SELECT token_id, count(*) AS tf, count(DISTINCT doc_id) AS df FROM e GROUP BY token_id"""
 
   /** Duplicate clusters: `iterations` unrolled rounds of min-label
-    * propagation WITH POINTER DOUBLING over the near-dup pair graph
-    * (mirrors Dedup.duplicateClusters round for round: own label ∪
-    * neighbors' labels ∪ label-of-label, min per id). */
+    * propagation WITH POINTER DOUBLING over the near-dup pair graph.
+    * NOT round-for-round with Dedup.duplicateClusters: the impl SEEDS
+    * labels at min(own, neighbors) — one pre-applied propagation round
+    * riding the node-set aggregate — while this oracle seeds at
+    * identity (l0 = own id), so impl@k ≡ oracle@(k+1). The caller
+    * derives `iterations` as the impl default + 1 (see `all`); per
+    * round: own label ∪ neighbors' labels ∪ label-of-label, min per
+    * id. */
   def q38_dup_clusters(threshold: Double, numHashes: Int, bands: Int,
                        iterations: Int): String = {
     // MATERIALIZED: every lI is referenced thrice by round I+1 — without
@@ -1216,7 +1221,10 @@ FROM events GROUP BY user_id, event_type"""
     "q35_sql_simhash" -> q14_simhash(60),
     "q36_audio_embed" -> q36_audio_embed(16, 16),
     "q37_term_stats" -> q37_term_stats,
-    "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4, 6),
+    // identity-seeded oracle needs exactly one extra round over the
+    // min(own, neighbors)-seeded impl: impl@k ≡ oracle@(k+1)
+    "q38_dup_clusters" -> q38_dup_clusters(0.35, 16, 4,
+      graft.operators.Dedup.DefaultClusterIterations + 1),
     "q39_colbert_maxsim" -> q39_colbert_maxsim(16),
     "q40_tfidf_sparse" -> q40_tfidf_sparse,
     "q41_contamination" -> q41_contamination(3, 5L),

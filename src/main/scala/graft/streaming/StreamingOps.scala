@@ -108,9 +108,13 @@ object StreamingOps {
     * [[graft.operators.Dedup.contamination]]: flag arriving docs that
     * share ≥ `minShared` word n-gram shingles with any eval doc. The
     * eval side is STATIC (benchmark sets are small by nature): its
-    * shingle set computes once and each micro-batch equi-joins it on
-    * the shingle id (stream-static join — no stream-side state for the
-    * join itself). The per-(doc, eval) shared-shingle count is a
+    * shingle set is CACHED — Spark re-evaluates the static side of a
+    * stream-static join every micro-batch, so without the cache the
+    * eval corpus would re-tokenize per batch forever; with it the first
+    * batch materializes the shingle set and every later batch reads the
+    * cached blocks. Each micro-batch equi-joins it on the shingle id
+    * (stream-static join — no stream-side state for the join itself).
+    * The per-(doc, eval) shared-shingle count is a
     * watermarked tumbling-window aggregation, so aggregation state
     * holds only the horizon's candidate pairs and windows finalize for
     * append output. Output (window, idCol, eval_id, shared_shingles). */
@@ -122,6 +126,7 @@ object StreamingOps {
                           n: Int = 3, minShared: Long = 1L): DataFrame = {
     val es = graft.operators.Dedup.shingleSet(evalDf, evalIdCol, evalTextCol, n)
       .select(col(evalIdCol).as("eval_id"), col("shingle"))
+      .cache()
     stream
       .withWatermark(eventTimeCol, watermark)
       .select(col(idCol), col(eventTimeCol), Kernel.tokenIds(col(textCol)).as("__tids"))

@@ -95,4 +95,90 @@ class BankSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(CentroidBank.of(spark, firstK(16)).isInstanceOf[graft.functions.InlineBank])
     assert(!CentroidBank.of(spark, firstK(512)).isInstanceOf[graft.functions.InlineBank])
   }
+
+  test("CodebookBank.of rejects an empty subspace book at construction") {
+    // an empty book would surface as PqEncode code -1 and an opaque
+    // AIOOBE inside AdcDist at search time — fail at build instead
+    val books: Array[Array[Array[Double]]] =
+      Array(Array(Array(1.0, 2.0)), Array.empty[Array[Double]])
+    val ex = intercept[IllegalArgumentException] {
+      CodebookBank.of(spark, books)
+    }
+    assert(ex.getMessage.contains("subspace 1"))
+  }
+
+  test("VecSumAgg: 65k cells aggregate to k ROWS of array sums (the scale shape)") {
+    // the k-means update at the advertised 65k-cell scale: the driver
+    // must see k rows of (sums: array<long>, ns: array<long>) — never
+    // k×dim rows. 4 rows per cell, dim 16, exact integer sums.
+    val dim = 16
+    val nCells = 65536L
+    val df = spark.range(0, nCells * 4)
+      .select((col("id") % nCells).as("cell"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => (col("id") % 1000L + d).cast("double") / 100.0).as("vec"))
+    val rows = df.groupBy(col("cell"))
+      .agg(graft.functions.VecSumAgg.vecSum(col("vec"), 1000000L).as("sn"))
+      .select(col("cell"), col("sn.sums"), col("sn.ns"))
+      .collect()
+    assert(rows.length == nCells.toInt)
+    val byCell = rows.map(r =>
+      r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)).toMap
+    // spot-check cell 7: its 4 member rows are ids {7, 65543, 131079, 196615},
+    // all ≡ id%1000 known; sums must equal the direct quantized fold
+    val ids = Seq(7L, 65543L, 131079L, 196615L)
+    val (sums, ns) = byCell(7L)
+    assert(ns.toSeq == Seq.fill(dim)(4L))
+    (0 until dim).foreach { d =>
+      val expect = ids.map(i => math.floor(((i % 1000L) + d).toDouble / 100.0 * 1000000L + 0.5).toLong).sum
+      assert(sums(d) == expect, s"dim $d")
+    }
+  }
+
+  test("trainKmeans ≡ the exploded per-(cell,dim) formulation it replaced") {
+    val got = Similarity.trainKmeans(e, "vec_id", "embedding", k = 8, iterations = 2)
+    // reference impl: the round-6 posexplode → groupBy(cell, dim) shape
+    var cents = firstK(8)
+    val S = 1000000L
+    for (_ <- 1 to 2) {
+      val bank = CentroidBank.of(spark, cents)
+      val sums = e.withColumn("__cell", Bridge.column(graft.functions.NearestCell(
+          Bridge.expression(col("embedding")), bank)))
+        .select(col("__cell"), posexplode(col("embedding")).as(Seq("__d", "__v")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(floor(col("__v").cast("double") * lit(S.toDouble) + lit(0.5))
+          .cast("long")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = cents.map { case (cellId, oldVec) =>
+        val nv = oldVec.clone()
+        var d = 0
+        while (d < nv.length) {
+          sums.get((cellId, d)).foreach { case (s, n) =>
+            nv(d) = s.toDouble / (n * S).toDouble
+          }
+          d += 1
+        }
+        (cellId, nv)
+      }
+    }
+    assert(got.map(_._1).toSeq == cents.map(_._1).toSeq)
+    got.zip(cents).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  test("trainKmeans exercises the broadcast-bank path and destroys superseded banks") {
+    // 512 cells × 64 dims is far beyond the inline cap, so every
+    // iteration builds a BroadcastBank; training must complete with the
+    // per-iteration destroy in place (a destroyed-too-early bank would
+    // fail the NEXT iteration's assignment pass)
+    // the sf0.001 fixture holds 500 vectors, so the first-k init yields
+    // min(512, |corpus|) cells — still 500×64 doubles, beyond the inline cap
+    val expected = math.min(512L, e.count()).toInt
+    val cents = Similarity.trainKmeans(e, "vec_id", "embedding", k = 512, iterations = 2)
+    assert(cents.length == expected)
+    assert(cents.forall(_._2.length == 64))
+  }
 }

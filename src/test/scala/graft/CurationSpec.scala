@@ -133,4 +133,25 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(byId(4L) ==
       ((0L until 2L) ++ (10L until 20L) ++ (28L until 30L)).toList)
   }
+
+  test("spliceSpans kernel: empty starts returns a FRESH array, never the input") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // the input ArrayData may alias a reused UnsafeRow buffer — returning
+    // it unchanged would hand mutable memory downstream
+    val in = new GenericArrayData(Array(1L, 2L, 3L))
+    val out = graft.functions.VectorKernels.spliceSpans(
+      in, new GenericArrayData(Array.emptyLongArray), 8)
+    assert(out ne in)
+    assert(out.toLongArray().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("spliceSpans kernel: unsorted starts fail fast instead of under-splicing") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val in = new GenericArrayData((0L until 20L).toArray)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.VectorKernels.spliceSpans(
+        in, new GenericArrayData(Array(5L, 2L)), 4)
+    }
+    assert(ex.getMessage.contains("sorted"))
+  }
 }

@@ -307,20 +307,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("duplicateClusters: pointer doubling closes a 30-hop chain in 6 rounds") {
+  test("duplicateClusters: seeded pointer doubling closes a 32-hop chain in 5 rounds") {
     import spark.implicits._
-    // ascending 31-node chain 0-1-…-30 (diameter 30 ≫ the 6-round budget
-    // of plain propagation; doubling closes 2^(k-1) hops by round k)
-    val chain = (0L until 30L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    // ascending 33-node chain 0-1-…-32 (diameter 32 = the exact budget:
+    // the min-seeded recurrence starts at distance 1 and doubles per
+    // round, so round k closes 2^k hops — 32 by the default 5 rounds)
+    val chain = (0L until 32L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 31 && got.values.forall(_ == 0L))
+    assert(got.size == 33 && got.values.forall(_ == 0L))
     // and the worst orientation for min-label (descending ids along the
     // walk direction) also collapses
-    val rev = (0L until 30L).map(i => (30L - i, 29L - i)).toDF("id_a", "id_b")
+    val rev = (0L until 32L).map(i => (32L - i, 31L - i)).toDF("id_a", "id_b")
     val got2 = Dedup.duplicateClusters(rev)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got2.size == 31 && got2.values.forall(_ == 0L))
+    assert(got2.size == 33 && got2.values.forall(_ == 0L))
+    // budget boundary: a 33-hop ascending chain exceeds 2^5 — the far
+    // endpoint reaches distance 32 only (label 1, not 0) in 5 rounds,
+    // and one extra round closes it (the "raise iterations" dial)
+    val over = (0L until 33L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val got3 = Dedup.duplicateClusters(over)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3(33L) == 1L && got3(32L) == 0L)
+    val got4 = Dedup.duplicateClusters(over, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4.values.forall(_ == 0L))
   }
 
   test("minhash near-dups finds a true near-duplicate pair") {
