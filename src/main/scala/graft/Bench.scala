@@ -25,43 +25,59 @@ object Bench {
     try SparkEntry.queries("q01_dense_embed")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    // SPARK_GRAFT_REPEAT=n (default 3): run each query n times, report
-    // the MEDIAN — a single GC/eviction hiccup landing on one run can no
-    // longer masquerade as a 3× regression (the round-6 artifact: q62
-    // read 3.65 s in the full run vs 1.12 s isolated). Set to 1 for the
+    // SPARK_GRAFT_REPEAT=n (default 3): run the WHOLE suite n times —
+    // pass 1 of every query, then pass 2, ... — and report each query's
+    // MEDIAN across passes. Back-to-back repeats in one slot all sit in
+    // the same contaminated neighborhood (whatever GC/eviction state the
+    // previous query left), so their median inherits the contamination:
+    // the r7→r8 same-binary experiment moved the total ±25% and single
+    // queries 2–7× with zero code change. Interleaved passes decorrelate
+    // each query's samples from any one neighborhood. Set to 1 for the
     // fastest (noisiest) pass when iterating locally.
     val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
-    // Drop blocks left behind by a query run (lazy localCheckpoints,
-    // cached frames): queries are self-contained, and letting blocks
-    // accumulate across 80+ queries taxes later ones with GC/eviction
-    // pressure that has nothing to do with their own plans. BLOCKING so
-    // the purge cost lands here, between timers, never inside the next
-    // query's measurement.
+    // Drop blocks left behind by a query run (cached frames): queries are
+    // self-contained, and letting blocks accumulate across 80+ queries
+    // taxes later ones with GC/eviction pressure that has nothing to do
+    // with their own plans. BLOCKING so the purge cost lands here,
+    // between timers, never inside the next query's measurement.
+    // Locally-checkpointed RDDs are skipped: their blocks ARE the
+    // truncated lineage, so unpersisting them logs WARN + DAGScheduler
+    // stack traces indistinguishable from real failures in bench stderr;
+    // they are released asynchronously by the ContextCleaner once the
+    // query's frames go out of scope.
     def purge(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(!org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(_))
+        .foreach(_.unpersist(blocking = true))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        var ok = true
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var r = 0
-        while (r < repeat && ok) {
+    val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val failed0 = scala.collection.mutable.Set.empty[String]
+    for (pass <- 1 to repeat) {
+      suite.foreach { case (name, fn) =>
+        if (!failed0.contains(name)) {
           val t0 = System.nanoTime()
-          ok =
+          val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
             catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-          times += (System.nanoTime() - t0) / 1e9
-          purge() // untimed: each repeat starts from a clean block store
-          r += 1
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (ok) times.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += sec
+          else failed0 += name
+          purge() // untimed: the next query starts from a clean block store
         }
-        val sorted = times.sorted
-        val sec = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
-        System.err.println(f"[bench] $name%-22s $sec%8.2f s (median of ${times.length})${if (ok) "" else " FAILED"}")
-        (name, sec, ok)
       }
+      System.err.println(s"[bench] pass $pass/$repeat done")
+    }
+    val results = suite.map { case (name, _) =>
+      val ok = !failed0.contains(name)
+      val sorted = times.getOrElse(name, scala.collection.mutable.ArrayBuffer.empty).sorted
+      val sec = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+      System.err.println(f"[bench] $name%-22s $sec%8.2f s (median of ${sorted.length} interleaved)${if (ok) "" else " FAILED"}")
+      (name, sec, ok)
+    }
     // failed queries report -1 and are excluded from the total — a crash
     // must never read as a fast pass
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }

@@ -89,4 +89,44 @@ object ModelRegistry {
     * own `list_supported_models`. */
   def listSupportedModels(kind: ModelKind): Seq[ModelInfo] =
     listSupportedModels().filter(_.kind == kind)
+
+  /** S4 cache-dir surface: where a hub fetch would land model files.
+    * Pure no-network resolution — the zero-egress stand-in for the
+    * reference's hub pull; nothing here touches the filesystem or the
+    * network, it only answers "which directory".
+    *
+    * Precedence mirrors the reference exactly:
+    *  - `get_cache_dir()` (/root/reference/src/common.rs:12-16):
+    *    `FASTEMBED_CACHE_DIR` env, else the literal `.fastembed_cache`.
+    *  - `pull_from_hf` (/root/reference/src/common.rs:167-192): `HF_HOME`
+    *    env OVERRIDES the caller-supplied default (which callers pass as
+    *    `get_cache_dir()`'s result) — so effectively
+    *    HF_HOME → FASTEMBED_CACHE_DIR → default.
+    *
+    * `env` is injectable so specs pin the precedence without mutating
+    * process state. */
+  object CacheDir {
+    val Default = ".fastembed_cache"
+
+    /** common.rs:14-16 `get_cache_dir`. */
+    def cacheDir(env: String => Option[String] = sys.env.get): String =
+      env("FASTEMBED_CACHE_DIR").getOrElse(Default)
+
+    /** The directory a hub pull would use (common.rs:178-180): HF_HOME
+      * wins over the resolved default. */
+    def hubCacheDir(env: String => Option[String] = sys.env.get): String =
+      env("HF_HOME").getOrElse(cacheDir(env))
+
+    /** Endpoint override surface (common.rs:183 `HF_ENDPOINT`): None
+      * means "the default public hub endpoint" — deliberately not
+      * materialized as a URL here, and never dereferenced in this
+      * zero-egress build. */
+    def endpointOverride(env: String => Option[String] = sys.env.get): Option[String] =
+      env("HF_ENDPOINT")
+
+    /** Directory a given model's files would land in, hf-hub snapshot
+      * layout (`models--{org}--{name}` path component). */
+    def modelDir(model: String, env: String => Option[String] = sys.env.get): String =
+      hubCacheDir(env) + "/models--" + model.replace("/", "--")
+  }
 }

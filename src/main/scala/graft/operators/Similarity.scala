@@ -475,19 +475,22 @@ object Similarity {
   /** Per-label prototype centroids: the integer-quantized mean embedding
     * of each label's rows — the same exact-commutative-sum trick as
     * [[trainKmeans]] (floor(v·S + 0.5) longs sum order-free, so the
-    * result is partitioning-invariant and oracle-exact). One two-key
-    * partial aggregation; output (labelCol, centroid: array<double>).
-    * The prototype table is |labels| rows — broadcast-sized. */
+    * result is partitioning-invariant and oracle-exact), and the same
+    * [[graft.functions.VecSumAgg]] shape: ONE single-key partial
+    * aggregation to |labels| ROWS of array-sums — never the
+    * labels×dim row explosion of a posexplode → groupBy(label, dim)
+    * formulation (dim× more shuffle rows; value-identity with that
+    * shape is pinned by ClassifySpec). Output
+    * (labelCol, centroid: array<double>); the prototype table is
+    * |labels| rows — broadcast-sized. */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
                      quantScale: Long = 1000000L): DataFrame =
-    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("__d", "__v")))
-      .groupBy(col(labelCol), col("__d"))
-      .agg((sum(floor(col("__v").cast("double") * lit(quantScale.toDouble) + lit(0.5))
-        .cast("long")).cast("double") /
-        (count(lit(1)) * lit(quantScale)).cast("double")).as("__c"))
-      .groupBy(col(labelCol))
-      .agg(array_sort(collect_list(struct(col("__d"), col("__c")))).as("__a"))
-      .select(col(labelCol), transform(col("__a"), s => s("__c")).as("centroid"))
+    df.groupBy(col(labelCol))
+      .agg(graft.functions.VecSumAgg.vecSum(col(vecCol), quantScale).as("__sn"))
+      .select(col(labelCol),
+        zip_with(col("__sn.sums"), col("__sn.ns"),
+          (s, n) => s.cast("double") / (n * lit(quantScale)).cast("double"))
+          .as("centroid"))
 
   /** Nearest-prototype classification: assign every row the label of its
     * squared-L2-closest centroid (ties → lowest label, the

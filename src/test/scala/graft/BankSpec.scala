@@ -135,6 +135,48 @@ class BankSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("VecSumAgg survives the ObjectHashAggregate sort-based fallback") {
+    // TypedImperativeAggregate runs as ObjectHashAggregate; past the
+    // in-memory group cap it falls back to sort-based aggregation —
+    // executor-memory boundedness is this operator's scale claim, so pin
+    // that the fallback path (serialize → sort → merge) produces the
+    // identical exact sums. Threshold 4 forces the fallback immediately.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    try {
+      val dim = 8
+      val nGroups = 2048L
+      val df = spark.range(0, nGroups * 3)
+        .select((col("id") % nGroups).as("g"), col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            d => (col("id") + d).cast("double") / 10.0).as("vec"))
+      val agg = df.groupBy(col("g"))
+        .agg(graft.functions.VecSumAgg.vecSum(col("vec"), 1000L).as("sn"))
+        .select(col("g"), col("sn.sums"), col("sn.ns"))
+      assert(agg.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+        "VecSumAgg must plan as ObjectHashAggregate")
+      val rows = agg.collect()
+      assert(rows.length == nGroups.toInt)
+      val byG = rows.map(r =>
+        r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)).toMap
+      // group 5's members are ids {5, 2053, 4101}: exact quantized folds
+      val ids = Seq(5L, 2053L, 4101L)
+      val (sums, ns) = byG(5L)
+      assert(ns.toSeq == Seq.fill(dim)(3L))
+      (0 until dim).foreach { d =>
+        val expect = ids.map(i =>
+          math.floor((i + d).toDouble / 10.0 * 1000L + 0.5).toLong).sum
+        assert(sums(d) == expect, s"dim $d")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("trainKmeans ≡ the exploded per-(cell,dim) formulation it replaced") {
     val got = Similarity.trainKmeans(e, "vec_id", "embedding", k = 8, iterations = 2)
     // reference impl: the round-6 posexplode → groupBy(cell, dim) shape

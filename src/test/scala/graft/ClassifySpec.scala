@@ -54,6 +54,33 @@ class ClassifySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.map(_._2).toSet.subsetOf(cents.map(_._1).toSet))
   }
 
+  test("labelCentroids ≡ the exploded per-(label,dim) formulation it replaced") {
+    // the round-6 posexplode → groupBy(label, dim) shape, demoted to a
+    // cross-check: same floor(v·S + 0.5) quantized mean, dim× more
+    // shuffle rows — the VecSumAgg operator must be value-identical
+    val got = collectCents.map { case (l, v) => (l, v.toSeq) }.toSeq
+    val s9 = 1000000L
+    val ref = e.select(col("label"), posexplode(col("embedding")).as(Seq("__d", "__v")))
+      .groupBy(col("label"), col("__d"))
+      .agg((sum(floor(col("__v").cast("double") * lit(s9.toDouble) + lit(0.5))
+        .cast("long")).cast("double") /
+        (count(lit(1)) * lit(s9)).cast("double")).as("__c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__c")))).as("__a"))
+      .select(col("label"), transform(col("__a"), s => s("__c")).as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(got == ref)
+  }
+
+  test("labelCentroids plan aggregates vectors whole: no dim explosion") {
+    val plan = Similarity.labelCentroids(e, "label", "embedding")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate"),
+      "centroid aggregation must not posexplode dims into label×dim rows")
+  }
+
   test("classify plan is narrow: no exchange above the scan") {
     val plan = Similarity.classifyByCentroids(e, "embedding", collectCents)
       .queryExecution.executedPlan.toString

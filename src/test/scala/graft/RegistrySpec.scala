@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.ModelRegistry
+import graft.model.ModelRegistry.CacheDir
+
+/** S4 cache-dir resolution surface: the no-network env-precedence rules
+  * of the reference (/root/reference/src/common.rs:12-16 `get_cache_dir`,
+  * :167-192 `pull_from_hf`), pinned with injected env maps — no process
+  * state is read or mutated, nothing touches the filesystem. */
+class RegistrySpec extends AnyFunSuite {
+
+  private def env(kv: (String, String)*): String => Option[String] =
+    kv.toMap.get _
+
+  test("default cache dir is .fastembed_cache (common.rs:12)") {
+    assert(CacheDir.cacheDir(env()) == ".fastembed_cache")
+  }
+
+  test("FASTEMBED_CACHE_DIR overrides the default (common.rs:14-16)") {
+    assert(CacheDir.cacheDir(env("FASTEMBED_CACHE_DIR" -> "/tmp/fe")) == "/tmp/fe")
+  }
+
+  test("HF_HOME overrides the resolved default for hub pulls (common.rs:178-180)") {
+    // HF_HOME wins even when FASTEMBED_CACHE_DIR is set: pull_from_hf
+    // consults HF_HOME before falling back to the caller's default
+    assert(CacheDir.hubCacheDir(
+      env("FASTEMBED_CACHE_DIR" -> "/tmp/fe", "HF_HOME" -> "/tmp/hf")) == "/tmp/hf")
+    assert(CacheDir.hubCacheDir(env("FASTEMBED_CACHE_DIR" -> "/tmp/fe")) == "/tmp/fe")
+    assert(CacheDir.hubCacheDir(env()) == ".fastembed_cache")
+  }
+
+  test("endpoint override is surfaced but never defaulted to a URL") {
+    assert(CacheDir.endpointOverride(env()).isEmpty)
+    assert(CacheDir.endpointOverride(
+      env("HF_ENDPOINT" -> "http://localhost:9000")).contains("http://localhost:9000"))
+  }
+
+  test("model dir follows the hf-hub snapshot path component layout") {
+    assert(CacheDir.modelDir("Qdrant/all-MiniLM-L6-v2-onnx", env("HF_HOME" -> "/c")) ==
+      "/c/models--Qdrant--all-MiniLM-L6-v2-onnx")
+  }
+
+  test("registry lookup still resolves every builtin") {
+    ModelRegistry.listSupportedModels().foreach { m =>
+      assert(ModelRegistry(m.name).dim == m.dim)
+    }
+  }
+}
