@@ -528,6 +528,22 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the I4 transformer-contract backend: left-padded batch-longest
+    // tensors, additive causal+padding mask, mask-derived positions,
+    // RoPE-style rational rotations, last-token pooling — checked
+    // against a PAD-FREE DuckDB formulation, so the hash match is the
+    // proof that padding and batch composition never leak into results
+    "q68_transformer_embed" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text")))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.TransformerBackend(dim = 8))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // multimodal binary plumbing (raw-byte codec, double-exact math) —
     // checked dim-exploded like q22 against the pixel-projection oracle
     "q23_image_embed" -> ((s, dir) =>

@@ -26,6 +26,13 @@ object K {
   val A2: Long = 2246822519L
   val B2: Long = 3266489917L
   val C2: Long = 668265263L
+  /** Transformer-contract backend constants (a third hash stream,
+    * distinct from the dense projector and the sparse scorer). M3 is
+    * small so attention-score products stay far inside int64. */
+  val M3: Long = 10007L
+  val A3: Long = 2869860233L
+  val B3: Long = 1540483477L
+  val C3: Long = 97003L
   /** Default dense embedding dimensionality (matches the smallest registry
     * models' 384-d role; sized to the testdata embeddings table). */
   val Dim: Int = 64

@@ -1152,6 +1152,52 @@ sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_
 count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
+  /** q68: the transformer-contract backend forward
+    * ([[graft.backend.TransformerBackend]]), computed here with NO
+    * padding at all — per doc, the attention-pooled hidden state at the
+    * LAST real token over all of its predecessors. The Spark side runs
+    * the same forward through left-padded batch-longest tensors with the
+    * additive causal+padding mask and mask-derived position ids; a hash
+    * match against this pad-free formulation IS the proof that padding
+    * never leaks into results. All attention arithmetic is integer
+    * (token cells, rational rotations, and scores live in Z_M3; sums are
+    * exact longs), so the comparison is bit-exact.
+    *
+    * Per dim pair h: u = pos + h + 2, rotation (cos, sin) ∝ (u²−1, 2u);
+    * raw score = Σ_d q·k reduced to [1, M3]; pooled value
+    * y_d = Σ_j w_j·emb(t_j, d); out = (y / W / M3)·2 − 1, then the
+    * standard l2 normalization. */
+  def q68_transformer_embed(dim: Int = 8): String = {
+    // emb(t, d): token-embedding cell — identical expression to
+    // TransformerBackend.emb
+    def emb(t: String, d: String): String =
+      s"((($t) % $M3) * $A3 + ($d) * $B3 + $C3) % $M3"
+    // qk(t, p): the rotated query/key cell at lambda var d (0-based)
+    def qk(t: String, p: String): String = {
+      val u = s"(($p) + (d // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = emb(t, "d - (d % 2)")
+      val e1 = emb(t, "d - (d % 2) + 1")
+      s"(CASE WHEN d % 2 = 0 THEN (((($e0) * $c - ($e1) * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE (((($e0) * $sn + ($e1) * $c) % $M3) + $M3) % $M3 END)"
+    }
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+qv AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $dim), d -> ${qk("tids[n]", "n - 1")}) AS ql FROM sel),
+ws AS (SELECT doc_id, tids, n,
+  list_transform(range(1, n + 1), j ->
+    (list_reduce(list_transform(range(0, $dim), d -> ${qk("tids[j]", "j - 1")} * ql[d + 1]), (a,b) -> a + b) % $M3) + 1) AS w FROM qv),
+ys AS (SELECT doc_id, tids, n, list_reduce(w, (a,b) -> a + b) AS tw,
+  list_transform(range(0, $dim), d ->
+    list_reduce(list_transform(range(1, n + 1), j -> w[j] * (${emb("tids[j]", "d")})), (a,b) -> a + b)) AS y FROM ws),
+m AS (SELECT doc_id, list_transform(y, yv -> (yv::DOUBLE / tw::DOUBLE / $M3.0) * 2.0 - 1.0) AS mn FROM ys),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   val q25_segment_sales: String =
     s"""SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders,
 sum(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
@@ -1253,6 +1299,7 @@ FROM events GROUP BY user_id, event_type"""
     "q31b_rerank_backend" -> q31b_rerank_backend,
     "q36b_wav_embed" -> q36_audio_embed(16, 16),
     "q32_prefixed_embed" -> q32_prefixed_embed,
+    "q68_transformer_embed" -> q68_transformer_embed(8),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
