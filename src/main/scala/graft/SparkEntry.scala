@@ -544,6 +544,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the I5/A10 MoE-routing backend: per-token top-2 expert dispatch
+    // (score desc, tie → lower index), un-renormalized rational gate
+    // weights, shared output bias, exact-integer mean pooling — the
+    // NomicBert-MoE routing contract behind the same backend trait
+    "q70_moe_embed" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.MoEBackend(dim = 8))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // multimodal binary plumbing (raw-byte codec, double-exact math) —
     // checked dim-exploded like q22 against the pixel-projection oracle
     "q23_image_embed" -> ((s, dir) =>

@@ -1,0 +1,142 @@
+package graft.backend
+
+import graft.functions.K
+
+/** The I5/A10 skeleton: a deterministic mixture-of-experts backend
+  * exercising the reference's NomicBert-MoE ROUTING contract
+  * (/root/reference/src/models/nomic_v2_moe.rs):
+  *
+  *  - **Router + top-k selection** (nomic_v2_moe.rs:325-367): per token,
+  *    the router scores every expert, experts sort by weight descending
+  *    and the top `topK` are selected. The reference's stable sort keeps
+  *    the LOWER expert index on ties — mirrored here via an
+  *    integer-packed priority key.
+  *  - **Un-renormalized gate weights** (nomic_v2_moe.rs:341-358): the
+  *    selected experts keep their FULL-distribution weights (the softmax
+  *    over ALL experts — no renormalization over the top-k), so the
+  *    combined output is deliberately a strict convex under-combination.
+  *    The softmax's role is played by the exact rational normalization
+  *    wᵉ = (sᵉ+1)/Σₑ(sᵉ+1) — order-preserving and bit-reproducible.
+  *  - **Expert dispatch + weighted accumulation** (nomic_v2_moe.rs:
+  *    405-470): each token's output is Σ_{e ∈ top-k} wᵉ · expertₑ(token),
+  *    plus the SHARED output bias added once (megablocks convention,
+  *    nomic_v2_moe.rs:391,472-476).
+  *  - **Masked mean pooling over tokens** then l2 normalize — the
+  *    NomicBert text-embedding tail.
+  *
+  * Expert outputs and router scores are integer cells of the M3 hash
+  * stream (disjoint index ranges: values d<64, router 64.., experts
+  * 128.., bias 1024..); each token's mixed output is quantized to
+  * floor(v·1e6 + 0.5) before the cross-token sum, so pooling is an exact
+  * long sum — commutative, partitioning-invariant, and bit-identical to
+  * the relational DuckDB oracle (`OracleSql.q70_moe_embed`). Routing is
+  * per-token, so what the gate proves is the ROUTING arithmetic: top-k
+  * selection order, tie rule, gate weighting, and shared bias. */
+final case class MoEBackend(
+    dim: Int = 8,
+    nExperts: Int = 8,
+    topK: Int = 2) extends EmbeddingBackend {
+  require(topK >= 1 && topK <= nExperts, s"topK $topK out of range for $nExperts experts")
+
+  import K.{M3, A3, B3, C3}
+  import MoEBackend._
+
+  /** Hash cell i of token t — the same stream as
+    * [[TransformerBackend]]'s token embedding (disjoint cell indices). */
+  @inline private def cell(t: Long, i: Int): Long =
+    ((t % M3) * A3 + i.toLong * B3 + C3) % M3
+
+  /** The token's top-k experts as (expertIndex, rawScore), by the
+    * reference's rule: score descending, ties → lower index (the stable
+    * sort of nomic_v2_moe.rs:352-355). The packed key s·E + (E−1−e)
+    * makes both orderings one integer max per rank. */
+  private[graft] def routeTopK(t: Long): Array[(Int, Long)] = {
+    val sel = new Array[(Int, Long)](topK)
+    val taken = new Array[Boolean](nExperts)
+    var r = 0
+    while (r < topK) {
+      var bestKey = -1L
+      var e = 0
+      while (e < nExperts) {
+        if (!taken(e)) {
+          val key = cell(t, OffRouter + e) * nExperts + (nExperts - 1 - e)
+          if (key > bestKey) bestKey = key
+        }
+        e += 1
+      }
+      val eSel = (nExperts - 1 - (bestKey % nExperts)).toInt
+      taken(eSel) = true
+      sel(r) = (eSel, bestKey / nExperts)
+      r += 1
+    }
+    sel
+  }
+
+  def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = batch.map { tids =>
+    val n = tids.length
+    val out = new Array[Double](dim)
+    if (n == 0) out
+    else {
+      val sums = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        val t = tids(i)
+        // full-distribution denominator: Σ_e (score_e + 1)
+        var denom = 0L
+        var e = 0
+        while (e < nExperts) { denom += cell(t, OffRouter + e) + 1L; e += 1 }
+        // expert dispatch: route once per token, mix per dim
+        val routes = routeTopK(t)
+        var d = 0
+        while (d < dim) {
+          var num = 0L
+          var r = 0
+          while (r < topK) {
+            val (eSel, sSel) = routes(r)
+            num += (sSel + 1L) * cell(t, OffExperts + eSel * dim + d)
+            r += 1
+          }
+          val bias = cell(1L, OffBias + d)
+          // exact rational mix + shared bias, quantized for the exact
+          // cross-token sum: floor(((num + bias·D) / D) · 1e6 + 0.5)
+          sums(d) += math.floor(
+            ((num + bias * denom).toDouble / denom.toDouble) * QuantScale + 0.5).toLong
+          d += 1
+        }
+        i += 1
+      }
+      // mean over tokens, scaled into (−1, 1): values lie in [0, 2·M3]
+      var d = 0
+      while (d < dim) {
+        out(d) = (sums(d).toDouble / n.toDouble / QuantScale /
+          (2.0 * M3.toDouble)) * 2.0 - 1.0
+        d += 1
+      }
+      // l2 normalize (the Kernel/HashingBackend expression shape)
+      var ss = 0.0
+      var j = 0
+      while (j < dim) { ss += out(j) * out(j); j += 1 }
+      val norm = math.sqrt(ss) + K.Eps
+      var k = 0
+      while (k < dim) { out(k) = out(k) / norm; k += 1 }
+      out
+    }
+  }
+}
+
+object MoEBackend {
+  /** Disjoint cell-index ranges of the shared M3 hash stream. */
+  val OffRouter = 64
+  val OffExperts = 128
+  val OffBias = 1024
+  val QuantScale = 1000000.0
+
+  /** Reference routing recompute for specs: full sort of (score desc,
+    * index asc) — must agree with the packed-key argmax chain. */
+  private[graft] def routeAllSorted(t: Long, nExperts: Int): Seq[(Int, Long)] = {
+    val M3 = K.M3
+    (0 until nExperts)
+      .map(e => (e, ((t % M3) * K.A3 + (OffRouter + e).toLong * K.B3 + K.C3) % M3))
+      .sortBy { case (e, s) => (-s, e) }
+  }
+}

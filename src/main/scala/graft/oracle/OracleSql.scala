@@ -1198,6 +1198,43 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
+    * RELATIONAL recompute — legal because each token's mixed expert
+    * output is quantized to an exact long before the cross-token sum, so
+    * pooling is order-free GROUP BY arithmetic. Per token: score all E
+    * experts, pick top-2 by (score desc, index asc) via the packed key
+    * s·E + (E−1−e), mix the two experts' cells with UN-renormalized
+    * rational gate weights (s+1)/Σ(s+1), add the shared bias, quantize;
+    * per doc: exact integer mean over tokens, scale, l2 normalize. */
+  def q70_moe_embed(dim: Int = 8, nExperts: Int = 8, maxLen: Int = 128): String = {
+    val offR = graft.backend.MoEBackend.OffRouter
+    val offE = graft.backend.MoEBackend.OffExperts
+    val offB = graft.backend.MoEBackend.OffBias
+    def cell(t: String, i: String): String =
+      s"((($t) % $M3) * $A3 + ($i) * $B3 + $C3) % $M3"
+    val keyList =
+      s"list_transform(range(0, $nExperts), e -> (${cell("t", s"$offR + e")}) * $nExperts + ($nExperts - 1 - e))"
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+tk AS (SELECT doc_id, n, unnest(tids) AS t FROM sel),
+r AS (SELECT doc_id, n, t,
+  list_reduce(list_transform(range(0, $nExperts), e -> (${cell("t", s"$offR + e")}) + 1), (a,b) -> a + b) AS denom,
+  list_reduce($keyList, (a,b) -> greatest(a,b)) AS k1 FROM tk),
+r2 AS (SELECT doc_id, n, t, denom, k1,
+  list_reduce(list_filter($keyList, x -> x != k1), (a,b) -> greatest(a,b)) AS k2 FROM r),
+v AS (SELECT doc_id, n, t, denom, k1, k2, unnest(range(0, $dim)) AS d FROM r2),
+vq AS (SELECT doc_id, n, d,
+  CAST(floor((((k1 // $nExperts + 1) * (${cell("t", s"$offE + ($nExperts - 1 - k1 % $nExperts) * $dim + d")})
+     + (k2 // $nExperts + 1) * (${cell("t", s"$offE + ($nExperts - 1 - k2 % $nExperts) * $dim + d")})
+     + (${cell("1", s"$offB + d")}) * denom)::DOUBLE / denom::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q FROM v),
+s AS (SELECT doc_id, d, sum(q) AS sv, max(n) AS n FROM vq GROUP BY doc_id, d),
+m AS (SELECT doc_id, d, (sv::DOUBLE / n::DOUBLE / 1000000.0 / (2.0 * $M3.0)) * 2.0 - 1.0 AS mn FROM s),
+nr AS (SELECT doc_id, list(mn ORDER BY d) AS mnl FROM m GROUP BY doc_id),
+n2 AS (SELECT doc_id, mnl, sqrt(list_reduce(list_transform(mnl, y -> y*y), (a,b) -> a + b)) AS nv FROM nr),
+emb AS (SELECT doc_id, list_transform(mnl, x -> x / (nv + 1e-12)) AS emb FROM n2)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   val q25_segment_sales: String =
     s"""SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders,
 sum(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
@@ -1300,6 +1337,7 @@ FROM events GROUP BY user_id, event_type"""
     "q36b_wav_embed" -> q36_audio_embed(16, 16),
     "q32_prefixed_embed" -> q32_prefixed_embed,
     "q68_transformer_embed" -> q68_transformer_embed(8),
+    "q70_moe_embed" -> q70_moe_embed(8, 8, 128),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
