@@ -559,6 +559,37 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // P14 patch extraction on the real PNG route: fixture bytes →
+    // imageio decode → smart resize (identity at 8×8, factor 4) →
+    // merge-block-ordered patch tokens with CLIP normalize — the
+    // Qwen3-VL vision front's tensor layout, value-exact vs the oracle
+    "q69_vl_patches" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
+        .toDF("doc_id", "png")
+      VlPreprocess.patchTokens(pngs, "doc_id", "png")
+    }),
+
+    // P13 smart resize as pure relational arithmetic: synthetic dims
+    // derived from doc_id exercise all three branches (round-to-factor,
+    // β-shrink past max_pixels, β-grow under min_pixels) + the grid /
+    // LLM-token geometry — ties-to-even and the β square roots checked
+    // bit-exact against DuckDB
+    "q69b_smart_resize" -> ((s, dir) => {
+      val h = (col("doc_id").cast("long") % 97 + 1).as("h")
+      val w = ((col("doc_id").cast("long") * 7) % 103 + 1).as("w")
+      docs(s, dir).select(col("doc_id"), h, w)
+        .withColumn("sr", VlPreprocess.smartResizeCols(col("h"), col("w"), 4, 256L, 1024L))
+        .select(col("doc_id"), col("h"), col("w"),
+          col("sr.h_bar").as("h_bar"), col("sr.w_bar").as("w_bar"))
+        .withColumn("grid_h", expr("h_bar div 2"))
+        .withColumn("grid_w", expr("w_bar div 2"))
+        .withColumn("n_llm_tokens", expr("(grid_h * grid_w) div 4"))
+    }),
+
     // multimodal binary plumbing (raw-byte codec, double-exact math) —
     // checked dim-exploded like q22 against the pixel-projection oracle
     "q23_image_embed" -> ((s, dir) =>

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** P13/P14: the Qwen3-VL image front — smart resize and patch
+  * extraction (/root/reference/src/models/qwen3.rs:193-336) — as
+  * deterministic, oracle-exact Spark operators.
+  *
+  *  - **Smart resize** (qwen3.rs:207-244): snap both dims to multiples
+  *    of `factor` with Python-round (ties-to-even, qwen3.rs:193-205)
+  *    semantics, then if the snapped area overflows `maxPixels` shrink
+  *    both dims by β = √(area/max) (floor to factor), or if it
+  *    underflows `minPixels` grow by β = √(min/area) (ceil to factor).
+  *    Implemented BOTH as a plain-Scala mirror (for the image path) and
+  *    as a pure Column expression tree (codegen'd, for relational use) —
+  *    the two are spec-asserted identical, and the Column form is what
+  *    the q69b gate checks against DuckDB.
+  *  - **Patch extraction** (qwen3.rs:282-336): resize to the smart dims
+  *    (Catmull-Rom, the Preprocess kernel), then emit patch tokens in
+  *    the reference's merge-block order — blocks of merge×merge patches
+  *    row-major, patches within a block row-major — each patch flattened
+  *    (channel, temporal, py, px) with CLIP rescale+normalize values.
+  *    A narrow typed flatMap: no shuffle, decode stays at the documented
+  *    opaque boundary.
+  */
+object VlPreprocess {
+
+  /** Python `round()` ties-to-even (qwen3.rs:193-205). */
+  def roundTiesToEven(value: Double): Long = {
+    val f = math.floor(value)
+    val frac = value - f
+    if (frac < 0.5) f.toLong
+    else if (frac > 0.5) f.toLong + 1L
+    else if (f.toLong % 2 == 0) f.toLong
+    else f.toLong + 1L
+  }
+
+  /** smart_resize (qwen3.rs:207-244): (hBar, wBar), both multiples of
+    * `factor`. Errors mirror the reference's. */
+  def smartResize(height: Int, width: Int, factor: Int,
+                  minPixels: Long, maxPixels: Long): (Int, Int) = {
+    require(height > 0 && width > 0, "Image dimensions must be greater than zero")
+    val aspect = math.max(height, width).toDouble / math.min(height, width).toDouble
+    require(aspect <= 200.0, "Absolute aspect ratio must be <= 200")
+    var hBar = math.max(roundTiesToEven(height.toDouble / factor.toDouble) * factor, factor.toLong)
+    var wBar = math.max(roundTiesToEven(width.toDouble / factor.toDouble) * factor, factor.toLong)
+    val area = (height.toLong * width.toLong).toDouble
+    if (hBar * wBar > maxPixels) {
+      val beta = math.sqrt(area / maxPixels.toDouble)
+      hBar = math.max(math.floor(height.toDouble / beta / factor.toDouble).toLong * factor, factor.toLong)
+      wBar = math.max(math.floor(width.toDouble / beta / factor.toDouble).toLong * factor, factor.toLong)
+    } else if (hBar * wBar < minPixels) {
+      val beta = math.sqrt(minPixels.toDouble / area)
+      hBar = math.max(math.ceil(height.toDouble * beta / factor.toDouble).toLong * factor, factor.toLong)
+      wBar = math.max(math.ceil(width.toDouble * beta / factor.toDouble).toLong * factor, factor.toLong)
+    }
+    (hBar.toInt, wBar.toInt)
+  }
+
+  /** Column form of [[roundTiesToEven]] — Spark `floor` on doubles
+    * yields longs, matching the JVM mirror exactly. */
+  private def rte(x: Column): Column = {
+    val f = floor(x)
+    val frac = x - f
+    when(frac < lit(0.5), f)
+      .when(frac > lit(0.5), f + lit(1L))
+      .otherwise(when(f % lit(2L) === lit(0L), f).otherwise(f + lit(1L)))
+  }
+
+  /** Column form of [[smartResize]]: a struct(h_bar, w_bar) expression
+    * over integer dim columns — pure codegen'd arithmetic, the identical
+    * IEEE-754 tree the DuckDB oracle evaluates. Inputs must satisfy the
+    * reference's preconditions (positive dims, aspect ≤ 200). */
+  def smartResizeCols(h: Column, w: Column, factor: Int,
+                      minPixels: Long, maxPixels: Long): Column = {
+    val fL = lit(factor.toLong)
+    val fD = lit(factor.toDouble)
+    val hBar0 = greatest(rte(h.cast("double") / fD) * fL, fL)
+    val wBar0 = greatest(rte(w.cast("double") / fD) * fL, fL)
+    val area = (h.cast("long") * w.cast("long")).cast("double")
+    val betaShrink = sqrt(area / lit(maxPixels.toDouble))
+    val hShrink = greatest(floor(h.cast("double") / betaShrink / fD) * fL, fL)
+    val wShrink = greatest(floor(w.cast("double") / betaShrink / fD) * fL, fL)
+    val betaGrow = sqrt(lit(minPixels.toDouble) / area)
+    val hGrow = greatest(ceil(h.cast("double") * betaGrow / fD) * fL, fL)
+    val wGrow = greatest(ceil(w.cast("double") * betaGrow / fD) * fL, fL)
+    val over = hBar0 * wBar0 > lit(maxPixels)
+    val under = hBar0 * wBar0 < lit(minPixels)
+    struct(
+      when(over, hShrink).when(under, hGrow).otherwise(hBar0).as("h_bar"),
+      when(over, wShrink).when(under, wGrow).otherwise(wBar0).as("w_bar"))
+  }
+
+  /** Patch extraction (qwen3.rs:282-336): decode → smart resize →
+    * flatten merge-ordered patch tokens. Output one row per patch value:
+    * (idCol, tok, idx, val) where `tok` is the patch-token index in the
+    * reference's merge-block order, `idx` the position inside the
+    * flattened (channel, temporal, py, px) patch, and `val` the CLIP
+    * rescaled+normalized pixel. Rows whose bytes don't decode are
+    * dropped (the reference's per-image decode error surface). */
+  def patchTokens(df: DataFrame, idCol: String, bytesCol: String,
+                  patchSize: Int = 2, mergeSize: Int = 2, temporalPatch: Int = 1,
+                  minPixels: Long = 1L, maxPixels: Long = 10000000L,
+                  mean: Array[Double] = ImagePipeline.ClipMean,
+                  std: Array[Double] = ImagePipeline.ClipStd): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val factor = patchSize * mergeSize
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ImagePipeline.decodeImage(bytes).toSeq.flatMap { case (w, h, _, px) =>
+          val (hBar, wBar) = smartResize(h, w, factor, minPixels, maxPixels)
+          val img0 = Preprocess.Img(w, h, px)
+          val img = if (hBar == h && wBar == w) img0
+                    else Preprocess.resizeExact(img0, wBar, hBar)
+          val gridH = hBar / patchSize
+          val gridW = wBar / patchSize
+          // hBar/wBar are factor multiples, so grid divides by merge
+          val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)](
+            gridH * gridW * 3 * temporalPatch * patchSize * patchSize)
+          var tok = 0L
+          var ghb = 0
+          while (ghb < gridH / mergeSize) {
+            var gwb = 0
+            while (gwb < gridW / mergeSize) {
+              var mh = 0
+              while (mh < mergeSize) {
+                var mw = 0
+                while (mw < mergeSize) {
+                  val gh = ghb * mergeSize + mh
+                  val gw = gwb * mergeSize + mw
+                  var idx = 0L
+                  var c = 0
+                  while (c < 3) {
+                    var tp = 0
+                    while (tp < temporalPatch) {
+                      var ph = 0
+                      while (ph < patchSize) {
+                        var pw = 0
+                        while (pw < patchSize) {
+                          val y = gh * patchSize + ph
+                          val x = gw * patchSize + pw
+                          val v = img(c, y, x).toDouble * ImagePipeline.Rescale
+                          rows += ((id, tok, idx, (v - mean(c)) / std(c)))
+                          idx += 1
+                          pw += 1
+                        }
+                        ph += 1
+                      }
+                      tp += 1
+                    }
+                    c += 1
+                  }
+                  tok += 1
+                  mw += 1
+                }
+                mh += 1
+              }
+              gwb += 1
+            }
+            ghb += 1
+          }
+          rows
+        }
+      }
+      .toDF(idCol, "tok", "idx", "val")
+  }
+}

@@ -1235,6 +1235,52 @@ emb AS (SELECT doc_id, list_transform(mnl, x -> x / (nv + 1e-12)) AS emb FROM n2
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q69: Qwen3-VL patch extraction over the PNG fixture (lossless
+    * round-trip: channel c of pixel (y,x) = byte[(3·(y·8+x)+c) % n], the
+    * q23b property). 8×8 at factor 4 smart-resizes to itself, so the
+    * oracle maps (tok, idx) straight back to source bytes through the
+    * reference's merge-block patch order (qwen3.rs:298-326) and applies
+    * CLIP rescale+normalize. grid 4×4, merge 2 → 16 patch tokens of
+    * 3·1·2·2 = 12 values. */
+  def q69_vl_patches: String =
+    s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
+b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+t1 AS (SELECT doc_id, bs, unnest(range(0, 16)) AS tok FROM b),
+t2 AS (SELECT doc_id, bs, tok, unnest(range(0, 12)) AS idx FROM t1),
+g AS (SELECT doc_id, bs, tok, idx,
+  (tok // 8) * 2 + (tok // 2) % 2 AS gh, ((tok // 4) % 2) * 2 + tok % 2 AS gw,
+  idx // 4 AS c, (idx % 4) // 2 AS ph, idx % 2 AS pw FROM t2),
+p AS (SELECT doc_id, tok, idx, c,
+  bs[(3 * ((gh * 2 + ph) * 8 + (gw * 2 + pw)) + c) % len(bs) + 1] AS px FROM g)
+SELECT doc_id, tok, idx,
+  (px::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[c + 1]::DOUBLE) / sd[c + 1]::DOUBLE AS val
+FROM p, cst"""
+
+  /** q69b: smart_resize (qwen3.rs:207-244) as relational arithmetic —
+    * ties-to-even rounding to factor multiples, β-shrink/grow via the
+    * same double sqrt/div trees the Spark Column expression builds. */
+  def q69b_smart_resize(factor: Int = 4, minPx: Long = 256L, maxPx: Long = 1024L): String = {
+    def rteTimesF(x: String): String =
+      s"""greatest((CASE WHEN ($x) - floor($x) < 0.5 THEN floor($x)::BIGINT
+ WHEN ($x) - floor($x) > 0.5 THEN floor($x)::BIGINT + 1
+ WHEN floor($x)::BIGINT % 2 = 0 THEN floor($x)::BIGINT
+ ELSE floor($x)::BIGINT + 1 END) * $factor, $factor)"""
+    s"""WITH d AS (SELECT doc_id, doc_id % 97 + 1 AS h, (doc_id * 7) % 103 + 1 AS w FROM documents),
+r0 AS (SELECT doc_id, h, w,
+  ${rteTimesF(s"h::DOUBLE / $factor.0")} AS hb0,
+  ${rteTimesF(s"w::DOUBLE / $factor.0")} AS wb0,
+  (h * w)::DOUBLE AS area FROM d),
+r AS (SELECT doc_id, h, w,
+  CASE WHEN hb0 * wb0 > $maxPx THEN greatest(floor(h::DOUBLE / sqrt(area / $maxPx.0) / $factor.0)::BIGINT * $factor, $factor)
+       WHEN hb0 * wb0 < $minPx THEN greatest(ceil(h::DOUBLE * sqrt($minPx.0 / area) / $factor.0)::BIGINT * $factor, $factor)
+       ELSE hb0 END AS h_bar,
+  CASE WHEN hb0 * wb0 > $maxPx THEN greatest(floor(w::DOUBLE / sqrt(area / $maxPx.0) / $factor.0)::BIGINT * $factor, $factor)
+       WHEN hb0 * wb0 < $minPx THEN greatest(ceil(w::DOUBLE * sqrt($minPx.0 / area) / $factor.0)::BIGINT * $factor, $factor)
+       ELSE wb0 END AS w_bar FROM r0)
+SELECT doc_id, h, w, h_bar, w_bar, h_bar // 2 AS grid_h, w_bar // 2 AS grid_w,
+  ((h_bar // 2) * (w_bar // 2)) // 4 AS n_llm_tokens FROM r"""
+  }
+
   val q25_segment_sales: String =
     s"""SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders,
 sum(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
@@ -1338,6 +1384,8 @@ FROM events GROUP BY user_id, event_type"""
     "q32_prefixed_embed" -> q32_prefixed_embed,
     "q68_transformer_embed" -> q68_transformer_embed(8),
     "q70_moe_embed" -> q70_moe_embed(8, 8, 128),
+    "q69_vl_patches" -> q69_vl_patches,
+    "q69b_smart_resize" -> q69b_smart_resize(4, 256L, 1024L),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

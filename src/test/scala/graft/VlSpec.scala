@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{ImagePipeline, VlPreprocess}
+
+/** P13/P14: smart resize (ties-to-even, β-shrink/grow) and the
+  * merge-block patch-token layout of the Qwen3-VL image front
+  * (/root/reference/src/models/qwen3.rs:193-336). */
+class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("ties-to-even: 10/4 rounds DOWN to 2 (not naive round-half-up)") {
+    // Python round() semantics: 2.5 → 2, 1.5 → 2, 3.5 → 4
+    assert(VlPreprocess.roundTiesToEven(2.5) == 2L)
+    assert(VlPreprocess.roundTiesToEven(1.5) == 2L)
+    assert(VlPreprocess.roundTiesToEven(3.5) == 4L)
+    assert(VlPreprocess.roundTiesToEven(2.4) == 2L)
+    assert(VlPreprocess.roundTiesToEven(2.6) == 3L)
+    // h=10, factor 4: 10/4 = 2.5 → 2 → h_bar 8 (half-up would give 12)
+    assert(VlPreprocess.smartResize(10, 10, 4, 1L, 1000000L) == ((8, 8)))
+  }
+
+  test("smart resize branches: round, shrink past max, grow under min") {
+    // round branch: 8×8 at factor 4 is already snapped
+    assert(VlPreprocess.smartResize(8, 8, 4, 1L, 1000000L) == ((8, 8)))
+    // shrink: 96×96 = 9216 px > 1024 → β = 3, 96/3/4 = 8 → 32×32
+    assert(VlPreprocess.smartResize(96, 96, 4, 256L, 1024L) == ((32, 32)))
+    // grow: 4×4 = 16 px < 256 → β = 4, ceil(16/4)·4 = 16 → 16×16
+    assert(VlPreprocess.smartResize(4, 4, 4, 256L, 1024L) == ((16, 16)))
+  }
+
+  test("smart resize guards mirror the reference's errors") {
+    intercept[IllegalArgumentException] {
+      VlPreprocess.smartResize(0, 8, 4, 1L, 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      VlPreprocess.smartResize(1000, 4, 4, 1L, 10000000L) // aspect 250 > 200
+    }
+  }
+
+  test("Column smartResizeCols ≡ the JVM mirror over a dim sweep") {
+    val dims = spark.range(1, 400)
+      .select((col("id") % 97 + 1).as("h"), ((col("id") * 13) % 111 + 1).as("w"))
+    val got = dims
+      .withColumn("sr", VlPreprocess.smartResizeCols(col("h"), col("w"), 4, 256L, 1024L))
+      .select(col("h"), col("w"), col("sr.h_bar"), col("sr.w_bar"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (eh, ew) = VlPreprocess.smartResize(
+        r.getLong(0).toInt, r.getLong(1).toInt, 4, 256L, 1024L)
+      assert((r.getLong(2), r.getLong(3)) == ((eh.toLong, ew.toLong)),
+        s"h=${r.getLong(0)} w=${r.getLong(1)}")
+    }
+  }
+
+  test("q69b config exercises all three branches on the fixture ids") {
+    val hit = (0 until 500).map { id =>
+      val h = id % 97 + 1; val w = (id * 7) % 103 + 1
+      val hb0 = math.max(VlPreprocess.roundTiesToEven(h / 4.0) * 4, 4L)
+      val wb0 = math.max(VlPreprocess.roundTiesToEven(w / 4.0) * 4, 4L)
+      if (hb0 * wb0 > 1024L) "shrink" else if (hb0 * wb0 < 256L) "grow" else "round"
+    }.toSet
+    assert(hit == Set("shrink", "grow", "round"))
+  }
+
+  test("patch tokens: merge-block order maps back to source pixels") {
+    import spark.implicits._
+    val bytes = Array.tabulate(192)(i => ((i * 37 + 11) % 251).toByte)
+    val png = ImagePipeline.pngFixture(bytes)
+    val df = Seq((1L, png)).toDF("doc_id", "png")
+    val rows = VlPreprocess.patchTokens(df, "doc_id", "png")
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    assert(rows.size == 16 * 12) // 4×4 grid, 12 values per patch
+    // reference loop (qwen3.rs:298-326) over the fixture's byte↔pixel map
+    val mean = ImagePipeline.ClipMean; val std = ImagePipeline.ClipStd
+    var tok = 0
+    for (ghb <- 0 until 2; gwb <- 0 until 2; mh <- 0 until 2; mw <- 0 until 2) {
+      val gh = ghb * 2 + mh; val gw = gwb * 2 + mw
+      var idx = 0
+      for (c <- 0 until 3; ph <- 0 until 2; pw <- 0 until 2) {
+        val y = gh * 2 + ph; val x = gw * 2 + pw
+        val px = bytes((3 * (y * 8 + x) + c) % bytes.length) & 0xff
+        val v = px.toDouble * ImagePipeline.Rescale
+        val expect = (v - mean(c)) / std(c)
+        assert(rows((tok.toLong, idx.toLong)) == expect, s"tok $tok idx $idx")
+        idx += 1
+      }
+      tok += 1
+    }
+  }
+
+  test("patch plan is narrow: no exchange") {
+    import spark.implicits._
+    val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
+    val plan = VlPreprocess.patchTokens(df, "doc_id", "png")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
