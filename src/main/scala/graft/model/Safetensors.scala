@@ -1,0 +1,160 @@
+package graft.model
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** S9: the safetensors weight container, parsed offline — no network,
+  * no mmap, just bytes. The format (public HF spec): an 8-byte
+  * little-endian u64 header length, a JSON header mapping tensor name →
+  * {dtype, shape, data_offsets} (offsets relative to the byte region
+  * after the header; optional "__metadata__" string map), then the raw
+  * little-endian tensor data.
+  *
+  * Mirrors the reference's two consumption surfaces:
+  *  - `SafeTensors::deserialize` + per-tensor `data()` chunks to f32 LE
+  *    (/root/reference/src/sparse_text_embedding/bgem3_weights.rs:17-36)
+  *    — here [[parseHeader]] / [[tensorF32]];
+  *  - the sharded-checkpoint file naming probe
+  *    `model-{i:05}-of-{total:05}.safetensors`
+  *    (/root/reference/src/models/qwen3.rs:1033-1045,
+  *    nomic_v2_moe.rs:704-722) — here [[shardFileNames]].
+  *
+  * [[write]] exists so specs (and users exporting deterministic banks)
+  * can round-trip without any external fixture. */
+object Safetensors {
+
+  final case class TensorInfo(dtype: String, shape: Seq[Int], begin: Long, end: Long) {
+    def byteLen: Long = end - begin
+    def numElements: Long = shape.foldLeft(1L)(_ * _)
+  }
+
+  final case class Header(
+      tensors: Map[String, TensorInfo],
+      metadata: Map[String, String],
+      dataStart: Long,
+      dataLen: Long) {
+    def tensor(name: String): TensorInfo =
+      tensors.getOrElse(name,
+        throw new NoSuchElementException(s"Missing '$name' tensor"))
+  }
+
+  private val DtypeBytes = Map("F64" -> 8L, "F32" -> 4L, "F16" -> 2L, "BF16" -> 2L,
+    "I64" -> 8L, "I32" -> 4L, "I16" -> 2L, "I8" -> 1L, "U8" -> 1L, "BOOL" -> 1L)
+
+  /** Deserialize the header and validate every tensor's offsets against
+    * the data region (a malformed file must fail at load, not at first
+    * tensor read). */
+  def parseHeader(bytes: Array[Byte]): Header = {
+    require(bytes.length >= 8, s"truncated safetensors: ${bytes.length} bytes")
+    val headerLen = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    require(headerLen > 0 && 8 + headerLen <= bytes.length,
+      s"header length $headerLen exceeds file of ${bytes.length} bytes")
+    val json = new String(bytes, 8, headerLen.toInt, java.nio.charset.StandardCharsets.UTF_8)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    val dataStart = 8L + headerLen
+    val dataLen = bytes.length - dataStart
+    var meta = Map.empty[String, String]
+    val tensors = parsed match {
+      case JObject(fields) => fields.flatMap {
+        case ("__metadata__", JObject(mf)) =>
+          meta = mf.collect { case (k, JString(v)) => k -> v }.toMap
+          None
+        case (name, JObject(tf)) =>
+          val m = tf.toMap
+          val dtype = m.get("dtype") match {
+            case Some(JString(s)) => s
+            case _ => throw new IllegalArgumentException(s"tensor '$name': missing dtype")
+          }
+          val shape = m.get("shape") match {
+            case Some(JArray(xs)) => xs.map {
+              case JInt(i) => i.toInt
+              case v => throw new IllegalArgumentException(s"tensor '$name': bad shape $v")
+            }
+            case _ => throw new IllegalArgumentException(s"tensor '$name': missing shape")
+          }
+          val (b, e) = m.get("data_offsets") match {
+            case Some(JArray(Seq(JInt(b0), JInt(e0)))) => (b0.toLong, e0.toLong)
+            case _ => throw new IllegalArgumentException(s"tensor '$name': missing data_offsets")
+          }
+          require(b >= 0 && e >= b && e <= dataLen,
+            s"tensor '$name': offsets [$b,$e) outside data region of $dataLen bytes")
+          val info = TensorInfo(dtype, shape, b, e)
+          DtypeBytes.get(dtype).foreach { w =>
+            require(info.numElements * w == info.byteLen,
+              s"tensor '$name': shape ${shape.mkString("x")} x $w bytes != ${info.byteLen}")
+          }
+          Some(name -> info)
+        case (name, v) =>
+          throw new IllegalArgumentException(s"tensor '$name': expected object, got $v")
+      }.toMap
+      case v => throw new IllegalArgumentException(s"safetensors header must be an object, got $v")
+    }
+    Header(tensors, meta, dataStart, dataLen)
+  }
+
+  /** Raw bytes of one tensor. */
+  def tensorBytes(bytes: Array[Byte], h: Header, name: String): Array[Byte] = {
+    val t = h.tensor(name)
+    java.util.Arrays.copyOfRange(bytes,
+      (h.dataStart + t.begin).toInt, (h.dataStart + t.end).toInt)
+  }
+
+  /** F32 tensor as floats — little-endian chunks of 4, exactly the
+    * reference's `chunks_exact(4) → f32::from_le_bytes`. */
+  def tensorF32(bytes: Array[Byte], h: Header, name: String): Array[Float] = {
+    val t = h.tensor(name)
+    require(t.dtype == "F32", s"tensor '$name' is ${t.dtype}, expected F32")
+    val raw = tensorBytes(bytes, h, name)
+    val out = new Array[Float](raw.length / 4)
+    ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer().get(out)
+    out
+  }
+
+  /** Serialize F32 tensors (contiguous offsets, names in given order) —
+    * the spec round-trip source and the export surface for
+    * deterministic banks. */
+  def write(tensors: Seq[(String, Seq[Int], Array[Float])],
+            metadata: Map[String, String] = Map.empty): Array[Byte] = {
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    var off = 0L
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (metadata.nonEmpty)
+      entries += "\"__metadata__\":{" +
+        metadata.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",") + "}"
+    tensors.foreach { case (name, shape, data) =>
+      require(shape.product == data.length,
+        s"tensor '$name': shape ${shape.mkString("x")} != ${data.length} elements")
+      val end = off + 4L * data.length
+      entries += s""""${esc(name)}":{"dtype":"F32","shape":[${shape.mkString(",")}],"data_offsets":[$off,$end]}"""
+      off = end
+    }
+    val json = entries.mkString("{", ",", "}").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = ByteBuffer.allocate(8 + json.length + off.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.putLong(json.length.toLong)
+    out.put(json)
+    out.order(ByteOrder.LITTLE_ENDIAN)
+    tensors.foreach { case (_, _, data) =>
+      data.foreach(f => out.putFloat(f))
+    }
+    out.array()
+  }
+
+  /** The sharded-checkpoint naming convention the reference probes when
+    * `model.safetensors` is absent (qwen3.rs:1033-1045). */
+  def shardFileNames(total: Int): Seq[String] =
+    (1 to total).map(i => f"model-$i%05d-of-$total%05d.safetensors")
+
+  /** The BGE-M3 sparse-linear consumption shape
+    * (bgem3_weights.rs:15-38): a flat `weight` F32 tensor plus a scalar
+    * `bias` — token_weight = relu(hidden · weight + bias). */
+  def loadSparseLinear(bytes: Array[Byte]): (Array[Float], Float) = {
+    val h = parseHeader(bytes)
+    val weight = tensorF32(bytes, h, "weight")
+    val bias = tensorF32(bytes, h, "bias")
+    require(bias.length >= 1, "bias tensor is empty")
+    (weight, bias(0))
+  }
+}
