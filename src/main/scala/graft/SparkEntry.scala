@@ -573,6 +573,20 @@ object SparkEntry {
       VlPreprocess.patchTokens(pngs, "doc_id", "png")
     }),
 
+    // I6/I7 vision-tower skeleton: windowed attention (attention is
+    // STRUCTURALLY confined to each merge-block window — no cross-window
+    // term exists) + PatchMerger (merge² consecutive tokens concat and
+    // project position-indexed to the LLM width) — integer-exact, gated
+    "q71_vl_window_merge" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
+        .toDF("doc_id", "png")
+      VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
+    }),
+
     // P13 smart resize as pure relational arithmetic: synthetic dims
     // derived from doc_id exercise all three branches (round-to-factor,
     // β-shrink past max_pixels, β-grow under min_pixels) + the grid /

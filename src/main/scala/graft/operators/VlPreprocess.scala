@@ -92,6 +92,165 @@ object VlPreprocess {
       when(over, wShrink).when(under, wGrow).otherwise(wBar0).as("w_bar"))
   }
 
+  /** I6/I7 skeleton: windowed attention + PatchMerger over the patch
+    * tokens — the Qwen3-VL vision tower's two structural contracts
+    * (/root/reference/src/models/qwen3_vl.rs), deterministic and
+    * oracle-exact:
+    *
+    *  - **Windowed attention** (qwen3_vl.rs:264-318 `VisionAttention` +
+    *    :684-698 `build_cu_seqlens`): attention runs per `cu_seqlens`
+    *    chunk — a patch attends ONLY within its window; there is no
+    *    cross-window term at all (structural isolation, not a mask), and
+    *    no causal mask inside a window (bidirectional). Here the windows
+    *    are the merge blocks: [[patchTokens]] emits patches in
+    *    merge-block order precisely so that one window = merge²
+    *    CONSECUTIVE tokens.
+    *  - **PatchMerger** (qwen3_vl.rs:365-420): consecutive
+    *    spatial_merge_unit (= merge²) tokens concatenate into one
+    *    merged hidden vector and project to the LLM width; a sequence
+    *    not divisible by the unit is an error (qwen3_vl.rs:407-411).
+    *    The projection here is the kernel's integer hash cell with a
+    *    position-DEPENDENT index (j·outDim + d): unlike a pooled bag,
+    *    permuting the concatenated values changes the output — the
+    *    property a linear layer has and mean-pooling lacks.
+    *
+    * Attention scores and merger sums are exact integers (patch values
+    * quantize via [[ImagePipeline.quantize]]); per-patch attended values
+    * re-quantize after the single rational division — so the q71 gate
+    * recomputes the whole tower relationally in DuckDB, bit-for-bit.
+    * Output: (idCol, tok, dim, val) — one row per merged-token dim;
+    * `tok` counts merge blocks in block order. */
+  def windowedMergeTokens(df: DataFrame, idCol: String, bytesCol: String,
+                          patchSize: Int = 2, mergeSize: Int = 2, outDim: Int = 16,
+                          minPixels: Long = 1L, maxPixels: Long = 10000000L,
+                          mean: Array[Double] = ImagePipeline.ClipMean,
+                          std: Array[Double] = ImagePipeline.ClipStd): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val factor = patchSize * mergeSize
+    val unit = mergeSize * mergeSize
+    import graft.functions.K
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ImagePipeline.decodeImage(bytes).toSeq.flatMap { case (w, h, _, px) =>
+          val (hBar, wBar) = smartResize(h, w, factor, minPixels, maxPixels)
+          val img0 = Preprocess.Img(w, h, px)
+          val img = if (hBar == h && wBar == w) img0
+                    else Preprocess.resizeExact(img0, wBar, hBar)
+          val gridH = hBar / patchSize
+          val gridW = wBar / patchSize
+          val nTok = gridH * gridW
+          val patchDim = 3 * patchSize * patchSize
+          // the merger's divisibility bail (qwen3_vl.rs:407-411)
+          require(nTok % unit == 0,
+            s"Sequence length $nTok is not divisible by spatial merge unit $unit")
+          // quantized patch values in merge-block order (= window order)
+          val qs = Array.ofDim[Long](nTok, patchDim)
+          var tok = 0
+          var ghb = 0
+          while (ghb < gridH / mergeSize) {
+            var gwb = 0
+            while (gwb < gridW / mergeSize) {
+              var mh = 0
+              while (mh < mergeSize) {
+                var mw = 0
+                while (mw < mergeSize) {
+                  val gh = ghb * mergeSize + mh
+                  val gw = gwb * mergeSize + mw
+                  var i = 0
+                  var c = 0
+                  while (c < 3) {
+                    var ph = 0
+                    while (ph < patchSize) {
+                      var pw = 0
+                      while (pw < patchSize) {
+                        val v = img(c, gh * patchSize + ph, gw * patchSize + pw).toDouble *
+                          ImagePipeline.Rescale
+                        qs(tok)(i) = ImagePipeline.quantize((v - mean(c)) / std(c))
+                        i += 1
+                        pw += 1
+                      }
+                      ph += 1
+                    }
+                    c += 1
+                  }
+                  tok += 1
+                  mw += 1
+                }
+                mh += 1
+              }
+              gwb += 1
+            }
+            ghb += 1
+          }
+          // per window: bidirectional attention among its unit patches,
+          // then concat + position-indexed projection to outDim
+          val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)](
+            (nTok / unit) * outDim)
+          var wdx = 0
+          while (wdx < nTok / unit) {
+            val base = wdx * unit
+            // attended, re-quantized window-local hidden values hq[j],
+            // j = p·patchDim + i over the window's concatenated patches
+            val hq = new Array[Long](unit * patchDim)
+            var p = 0
+            while (p < unit) {
+              var den = 0L
+              val sRow = new Array[Long](unit)
+              var q = 0
+              while (q < unit) {
+                var s = 0L
+                var i = 0
+                while (i < patchDim) { s += qs(base + p)(i) * qs(base + q)(i); i += 1 }
+                sRow(q) = (s % K.M3) + 1L
+                den += sRow(q)
+                q += 1
+              }
+              var i = 0
+              while (i < patchDim) {
+                var num = 0L
+                var q2 = 0
+                while (q2 < unit) { num += sRow(q2) * qs(base + q2)(i); q2 += 1 }
+                hq(p * patchDim + i) =
+                  math.floor((num.toDouble / den.toDouble) * 1000.0 + 0.5).toLong
+                i += 1
+              }
+              p += 1
+            }
+            // merger projection: position-indexed integer cells, exact sums
+            val nVals = unit * patchDim
+            var d = 0
+            while (d < outDim) {
+              var sum = 0L
+              var j = 0
+              while (j < nVals) {
+                sum += (hq(j) * K.A + (j.toLong * outDim + d) * K.B + K.C) % K.M
+                j += 1
+              }
+              val mn = (sum.toDouble / nVals.toDouble / K.M.toDouble) * 2.0 - 1.0
+              rows += ((id, wdx.toLong, d.toLong, mn))
+              d += 1
+            }
+            // l2 normalize the merged token in place
+            var ss = 0.0
+            var r = rows.length - outDim
+            while (r < rows.length) { ss += rows(r)._4 * rows(r)._4; r += 1 }
+            val nv = math.sqrt(ss) + K.Eps
+            r = rows.length - outDim
+            while (r < rows.length) {
+              val t = rows(r)
+              rows(r) = (t._1, t._2, t._3, t._4 / nv)
+              r += 1
+            }
+            wdx += 1
+          }
+          rows
+        }
+      }
+      .toDF(idCol, "tok", "dim", "val")
+  }
+
   /** Patch extraction (qwen3.rs:282-336): decode → smart resize →
     * flatten merge-ordered patch tokens. Output one row per patch value:
     * (idCol, tok, idx, val) where `tok` is the patch-token index in the

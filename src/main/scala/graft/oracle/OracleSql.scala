@@ -1256,6 +1256,36 @@ SELECT doc_id, tok, idx,
   (px::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[c + 1]::DOUBLE) / sd[c + 1]::DOUBLE AS val
 FROM p, cst"""
 
+  /** q71: windowed attention + PatchMerger
+    * ([[graft.operators.VlPreprocess.windowedMergeTokens]]) recomputed
+    * relationally: per doc, the 16 merge-ordered patch tokens quantize
+    * (q23's floor(v·1000+0.5)+2000), attend bidirectionally WITHIN their
+    * 4-token merge window (integer scores, one rational division per
+    * attended value, re-quantized), then each window's 48 concatenated
+    * values project through position-indexed hash cells to 16 dims. */
+  def q71_vl_window_merge: String = {
+    // quantized patch value i of merge-ordered patch `tok` (q69 byte map)
+    val qcell =
+      s"""CAST(floor(((bs[(3 * (((tok2 // 8) * 2 + (tok2 // 2) % 2) * 2 + (i % 4) // 2) * 8
+ + (3 * ((((tok2 // 4) % 2) * 2 + tok2 % 2) * 2 + i % 2) + i // 4)) % len(bs) + 1]::DOUBLE
+ * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[i // 4 + 1]::DOUBLE) / sd[i // 4 + 1]::DOUBLE) * 1000.0 + 0.5) AS BIGINT) + 2000"""
+    s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
+b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+qs AS (SELECT doc_id, list_transform(range(0, 16), tok2 -> list_transform(range(0, 12), i -> $qcell)) AS qs FROM b, cst),
+w1 AS (SELECT doc_id, qs, unnest(range(0, 4)) AS tk FROM qs),
+sm AS (SELECT doc_id, qs, tk,
+  list_transform(range(0, 4), p -> list_transform(range(0, 4), q ->
+    (list_reduce(list_transform(range(1, 13), i -> qs[4*tk + p + 1][i] * qs[4*tk + q + 1][i]), (a,b) -> a + b) % $M3) + 1)) AS smat FROM w1),
+hq AS (SELECT doc_id, tk, list_transform(range(0, 48), j ->
+  CAST(floor((list_reduce(list_transform(range(0, 4), q -> smat[j // 12 + 1][q + 1] * qs[4*tk + q + 1][j % 12 + 1]), (a,b) -> a + b)::DOUBLE
+    / list_reduce(smat[j // 12 + 1], (a,b) -> a + b)::DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS hq FROM sm),
+m AS (SELECT doc_id, tk, list_transform(range(0, 16), d ->
+  (list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + (j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0) AS mnl FROM hq),
+nr AS (SELECT doc_id, tk, mnl, sqrt(list_reduce(list_transform(mnl, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
+emb AS (SELECT doc_id, tk AS tok, list_transform(mnl, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q69b: smart_resize (qwen3.rs:207-244) as relational arithmetic —
     * ties-to-even rounding to factor multiples, β-shrink/grow via the
     * same double sqrt/div trees the Spark Column expression builds. */
@@ -1386,6 +1416,7 @@ FROM events GROUP BY user_id, event_type"""
     "q70_moe_embed" -> q70_moe_embed(8, 8, 128),
     "q69_vl_patches" -> q69_vl_patches,
     "q69b_smart_resize" -> q69b_smart_resize(4, 256L, 1024L),
+    "q71_vl_window_merge" -> q71_vl_window_merge,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -92,6 +92,47 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("windowed attention: a patch outside the window cannot influence it") {
+    // 192 bytes map 1:1 onto the 8×8×3 fixture pixels (no wraparound).
+    // Perturb only window 3's pixels (merge block ghb=1, gwb=1 → y,x ∈
+    // 4..7): merged tokens 0..2 must be BIT-identical, token 3 must
+    // change — attention is structurally confined to the window
+    // (qwen3_vl.rs:288-300 iterates cu_seqlens chunks; no cross term).
+    import spark.implicits._
+    val a = Array.tabulate(192)(i => ((i * 37 + 11) % 251).toByte)
+    val b = a.clone()
+    for (y <- 4 until 8; x <- 4 until 8; c <- 0 until 3)
+      b(3 * (y * 8 + x) + c) = ((a(3 * (y * 8 + x) + c) + 101) % 251).toByte
+    def merged(bytes: Array[Byte]): Map[(Long, Long), Double] =
+      graft.operators.VlPreprocess.windowedMergeTokens(
+        Seq((1L, ImagePipeline.pngFixture(bytes))).toDF("doc_id", "png"), "doc_id", "png")
+        .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val ma = merged(a)
+    val mb = merged(b)
+    for (tok <- 0L until 3L; d <- 0L until 16L)
+      assert(ma((tok, d)) == mb((tok, d)), s"window $tok leaked (dim $d)")
+    assert((0L until 16L).exists(d => ma((3L, d)) != mb((3L, d))),
+      "perturbing window 3's pixels must change its own merged token")
+  }
+
+  test("PatchMerger is position-indexed: permuted values change the output") {
+    // swap two same-channel pixels inside one patch: a mean-pool would
+    // collapse them, the merger's j-indexed projection must not
+    import spark.implicits._
+    val a = Array.tabulate(192)(i => ((i * 37 + 11) % 251).toByte)
+    val b = a.clone()
+    val i0 = 3 * (0 * 8 + 0) + 0 // pixel (0,0) R — patch 0, pw=0
+    val i1 = 3 * (0 * 8 + 1) + 0 // pixel (0,1) R — patch 0, pw=1
+    b(i0) = a(i1); b(i1) = a(i0)
+    assert(a.toSeq != b.toSeq)
+    def merged(bytes: Array[Byte]) =
+      graft.operators.VlPreprocess.windowedMergeTokens(
+        Seq((1L, ImagePipeline.pngFixture(bytes))).toDF("doc_id", "png"), "doc_id", "png")
+        .filter(col("tok") === 0).orderBy(col("dim"))
+        .collect().map(_.getDouble(3)).toSeq
+    assert(merged(a) != merged(b))
+  }
+
   test("patch plan is narrow: no exchange") {
     import spark.implicits._
     val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
