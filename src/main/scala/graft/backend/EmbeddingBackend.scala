@@ -75,6 +75,19 @@ object BackendRegistry {
     cache.computeIfAbsent(key, _ => create())
 }
 
+/** Registry-driven backend construction (the S5/A4 wiring for the
+  * sequence-dependent backends): model name → the per-executor backend
+  * the [[BackendEmbedder]] instantiates — the analogue of the
+  * reference's registry → session init
+  * (/root/reference/src/text_embedding/init.rs:88-138). */
+object Backends {
+  def forModel(name: String): EmbeddingBackend = name match {
+    case "graft-transformer-8" => TransformerBackend(dim = 8)
+    case "graft-moe-8" => MoEBackend(dim = 8)
+    case other => HashingBackend(graft.model.ModelRegistry(other).dim)
+  }
+}
+
 /** The mapPartitions inference operator (I1 analogue,
   * /root/reference/src/text_embedding/impl.rs:352-416): iterate a
   * partition in micro-batches of `batchSize` (reference default 256,

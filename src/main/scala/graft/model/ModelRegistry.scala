@@ -71,7 +71,13 @@ object ModelRegistry {
     ModelInfo("graft-image-16", 16, "pixel hash projector, CLIP preprocessing",
       Pooling.Mean, kind = ModelKind.Image),
     ModelInfo("graft-hash-64-sentemb", 64, "pooled-output model (sentence_embedding key, Gemma role)",
-      Pooling.Mean, outputKey = Some("sentence_embedding"))
+      Pooling.Mean, outputKey = Some("sentence_embedding")),
+    ModelInfo("graft-transformer-8", 8,
+      "transformer-contract backend: left-pad batch-longest, causal+pad mask, last-token pooling (Qwen3 role)",
+      Pooling.Last),
+    ModelInfo("graft-moe-8", 8,
+      "MoE-routing backend: top-2 expert dispatch, shared output bias (NomicBert-MoE role)",
+      Pooling.Mean)
   ).map(m => m.name -> m).toMap
 
   @volatile private var userModels: Map[String, ModelInfo] = Map.empty

@@ -46,4 +46,14 @@ class RegistrySpec extends AnyFunSuite {
       assert(ModelRegistry(m.name).dim == m.dim)
     }
   }
+
+  test("Backends.forModel constructs the registered backends (S5/A4 wiring)") {
+    assert(graft.backend.Backends.forModel("graft-transformer-8") ==
+      graft.backend.TransformerBackend(dim = 8))
+    assert(graft.backend.Backends.forModel("graft-moe-8") ==
+      graft.backend.MoEBackend(dim = 8))
+    assert(graft.backend.Backends.forModel("graft-hash-64-mean") ==
+      graft.backend.HashingBackend(64))
+    intercept[NoSuchElementException](graft.backend.Backends.forModel("nope"))
+  }
 }
