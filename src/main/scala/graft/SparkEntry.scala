@@ -587,6 +587,31 @@ object SparkEntry {
       VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
     }),
 
+    // I7 fusion contract: plant a 4-token image-pad span in each doc's
+    // token sequence in-plan, then splice the doc's vision tokens (q71's
+    // merged tokens, dim 0) over the span in position order — text
+    // positions keep their own embedding value
+    "q72_mm_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 24))
+        .filter(size(col("tids")) > 0)
+        .withColumn("__k", least(lit(3), size(col("tids"))))
+        .withColumn("tids", concat(
+          slice(col("tids"), lit(1), col("__k")),
+          array_repeat(lit(K.M), lit(4)),
+          slice(col("tids"), col("__k") + lit(1), size(col("tids")) - col("__k"))))
+        .select(col("doc_id"), col("tids"))
+      val pngs = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
+        .toDF("doc_id", "png")
+      val vis = VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
+        .filter(col("dim") === 0).select(col("doc_id"), col("tok"), col("val"))
+      VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
+    }),
+
     // P13 smart resize as pure relational arithmetic: synthetic dims
     // derived from doc_id exercise all three branches (round-to-factor,
     // β-shrink past max_pixels, β-grow under min_pixels) + the grid /

@@ -251,6 +251,45 @@ object VlPreprocess {
       .toDF(idCol, "tok", "dim", "val")
   }
 
+  /** I7 (parity-sliceable part): multimodal fusion — splice vision
+    * tokens into the image-pad spans of a text token sequence
+    * (/root/reference/src/models/qwen3.rs:176-191 `find_token_spans`,
+    * :1397-1418 `slice_assign` injection). The reference walks image-pad
+    * runs per batch row, consuming vision embeddings in POSITION ORDER
+    * from a running offset; here the same consumption order falls out of
+    * a row_number over (doc, is-image) ordered by position, so multiple
+    * spans per doc splice correctly too. Text positions keep their own
+    * embedding value; image positions take the doc's next vision value —
+    * a LEFT join, so an over-long span (more pad positions than vision
+    * tokens, the reference's "Unconsumed image embeddings" error class)
+    * surfaces as nulls rather than silently dropping.
+    *
+    * One shuffle by doc id (the fusion inherently co-locates a doc's
+    * text and vision tokens); vision side is |docs|·nTok rows —
+    * join-key-partitioned, never broadcast-dependent. Output:
+    * (idCol, pos, is_image, val). */
+  def fuseImageSpans(tokens: DataFrame, idCol: String, tidsCol: String,
+                     vision: DataFrame, vTokCol: String, vValCol: String,
+                     imgTokenId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{K, Kernel}
+    val exploded = tokens
+      .select(col(idCol), posexplode(col(tidsCol)).as(Seq("pos", "__t")))
+      .withColumn("is_image", (col("__t") === lit(imgTokenId)).cast("long"))
+    val w = Window.partitionBy(col(idCol), col("is_image")).orderBy(col("pos"))
+    val withIdx = exploded.withColumn("__img_idx", row_number().over(w) - 1)
+    val textVal = Kernel.cell(col("__t"), lit(0)).cast("double") /
+      lit(K.M.toDouble) * lit(2.0) - lit(1.0)
+    val visionSel = vision.select(col(idCol).as("__vid"),
+      col(vTokCol).cast("long").as("__vtok"), col(vValCol).as("__vval"))
+    withIdx.join(visionSel,
+        col(idCol) === col("__vid") &&
+          col("is_image") === lit(1L) && col("__img_idx") === col("__vtok"),
+        "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("is_image"),
+        when(col("is_image") === lit(1L), col("__vval")).otherwise(textVal).as("val"))
+  }
+
   /** Patch extraction (qwen3.rs:282-336): decode → smart resize →
     * flatten merge-ordered patch tokens. Output one row per patch value:
     * (idCol, tok, idx, val) where `tok` is the patch-token index in the

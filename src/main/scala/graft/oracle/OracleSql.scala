@@ -1286,6 +1286,28 @@ emb AS (SELECT doc_id, tk AS tok, list_transform(mnl, x -> x / (nv + 1e-12)) AS 
 SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q72: multimodal fusion (qwen3.rs:176-191 find_token_spans +
+    * :1397-1418 slice_assign): a 4-token image-pad span planted after
+    * the first min(3, n) tokens, vision tokens (the q71 chain, dim 0)
+    * consumed over it in position order via row_number; text positions
+    * keep their token-cell value. */
+  def q72_mm_fusion(maxLen: Int = 24, nImg: Int = 4): String = {
+    val img = M // the planted image-pad id — outside the [0, M) token range
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+aug AS (SELECT doc_id, list_concat(list_concat(
+  list_slice(tids, 1, least(3, n)), [${Seq.fill(nImg)(img).mkString(", ")}]),
+  list_slice(tids, least(3, n) + 1, n)) AS a FROM sel),
+e AS (SELECT doc_id, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS pos, unnest(a) AS t FROM aug),
+f AS (SELECT doc_id, pos, t, CAST(CASE WHEN t = $img THEN 1 ELSE 0 END AS BIGINT) AS is_image,
+  CAST(row_number() OVER (PARTITION BY doc_id, CASE WHEN t = $img THEN 1 ELSE 0 END ORDER BY pos) - 1 AS BIGINT) AS img_idx FROM e),
+vis AS (SELECT doc_id AS vid, tok AS vtok, val AS vval FROM ($q71_vl_window_merge) q71sub WHERE dim = 0)
+SELECT f.doc_id, f.pos, f.is_image,
+  CASE WHEN f.is_image = 1 THEN v.vval
+       ELSE ((f.t * $A + 0 * $B + $C) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 END AS val
+FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.vtok"""
+  }
+
   /** q69b: smart_resize (qwen3.rs:207-244) as relational arithmetic —
     * ties-to-even rounding to factor multiples, β-shrink/grow via the
     * same double sqrt/div trees the Spark Column expression builds. */
@@ -1417,6 +1439,7 @@ FROM events GROUP BY user_id, event_type"""
     "q69_vl_patches" -> q69_vl_patches,
     "q69b_smart_resize" -> q69b_smart_resize(4, 256L, 1024L),
     "q71_vl_window_merge" -> q71_vl_window_merge,
+    "q72_mm_fusion" -> q72_mm_fusion(24, 4),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -133,6 +133,41 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(merged(a) != merged(b))
   }
 
+  test("fusion: vision tokens splice over the pad span in position order") {
+    import spark.implicits._
+    val toks = Seq((7L, Array(10L, 20L, 999L, 999L, 999L, 30L)))
+      .toDF("doc_id", "tids")
+    val vis = Seq((7L, 0L, 0.5), (7L, 1L, 0.6), (7L, 2L, 0.7)).toDF("doc_id", "tok", "val")
+    val got = graft.operators.VlPreprocess
+      .fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", 999L)
+      .orderBy(col("pos"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.length == 6)
+    // image positions 2..4 take vision values 0.5, 0.6, 0.7 in order
+    assert(got(2) == ((2L, 1L, Some(0.5))))
+    assert(got(3) == ((3L, 1L, Some(0.6))))
+    assert(got(4) == ((4L, 1L, Some(0.7))))
+    // text positions keep deterministic text-cell values
+    assert(got(0)._2 == 0L && got(0)._3.isDefined)
+    assert(got(5)._2 == 0L && got(5)._3.isDefined)
+  }
+
+  test("fusion: a pad span longer than the vision supply surfaces as null") {
+    // the reference errors on unconsumed/missing embeddings
+    // (qwen3.rs:1416-1420); relationally the mismatch must be VISIBLE
+    // (null), never silently dropped
+    import spark.implicits._
+    val toks = Seq((7L, Array(10L, 999L, 999L))).toDF("doc_id", "tids")
+    val vis = Seq((7L, 0L, 0.5)).toDF("doc_id", "tok", "val") // only 1 of 2
+    val got = graft.operators.VlPreprocess
+      .fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", 999L)
+      .orderBy(col("pos")).collect()
+    assert(got.length == 3)
+    assert(!got(1).isNullAt(3) && got(1).getDouble(3) == 0.5)
+    assert(got(2).isNullAt(3), "missing vision token must surface as null")
+  }
+
   test("patch plan is narrow: no exchange") {
     import spark.implicits._
     val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
