@@ -612,6 +612,27 @@ object SparkEntry {
       VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
     }),
 
+    // I7's MRoPE position ids over the q72 fused layout: 3-D (t, h, w)
+    // ids for the planted image span (grid 1×2×2 — q71's merged tokens),
+    // sequential ids before, resume-from-max after — exact integers
+    "q73_mrope_ids" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 24))
+        .filter(size(col("tids")) > 0)
+        .withColumn("__k", least(lit(3), size(col("tids"))))
+        .withColumn("tids", concat(
+          slice(col("tids"), lit(1), col("__k")),
+          array_repeat(lit(K.M), lit(4)),
+          slice(col("tids"), col("__k") + lit(1), size(col("tids")) - col("__k"))))
+      toks.select(col("doc_id"), col("__k"),
+          posexplode(col("tids")).as(Seq("pos", "__t")))
+        .withColumn("pid", VlPreprocess.mropePositionIds(
+          col("pos").cast("long"), col("__k").cast("long"), 1, 2, 2))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("pid.pid_t").as("pid_t"), col("pid.pid_h").as("pid_h"),
+          col("pid.pid_w").as("pid_w"))
+    }),
+
     // P13 smart resize as pure relational arithmetic: synthetic dims
     // derived from doc_id exercise all three branches (round-to-factor,
     // β-shrink past max_pixels, β-grow under min_pixels) + the grid /

@@ -290,6 +290,41 @@ object VlPreprocess {
         when(col("is_image") === lit(1L), col("__vval")).otherwise(textVal).as("val"))
   }
 
+  /** I7: 3-D MRoPE position ids
+    * (/root/reference/src/models/qwen3.rs:366-467
+    * `build_image_position_ids`) as a pure Column expression over
+    * (position, span start) with a static LLM grid:
+    *
+    *  - before the image span, all three dims equal the position;
+    *  - inside it, the j-th image token (j = pos − start) gets
+    *    (start + t, start + h, start + w) from the nested
+    *    t-outer/h/w-inner grid walk (qwen3.rs:439-449);
+    *  - after it, ids resume from max(prefix max, image max) + 1
+    *    (qwen3.rs:456-458) — so text after an image continues from the
+    *    LARGEST id the image consumed in any dimension, not from the
+    *    span's raw length.
+    *
+    * All integer arithmetic — the q73 gate is exact by construction. */
+  def mropePositionIds(pos: Column, spanStart: Column,
+                       gridT: Int, llmH: Int, llmW: Int): Column = {
+    val imageLen = gridT * llmH * llmW
+    val local = pos - spanStart
+    val inPrefix = pos < spanStart
+    val inImage = !inPrefix && pos < spanStart + lit(imageLen.toLong)
+    // st_idx = max(start−1 (saturating), start + max(T,H,W) − 1) + 1
+    val maxDim = math.max(gridT, math.max(llmH, llmW))
+    val stIdx = greatest(greatest(spanStart - lit(1L), lit(0L)),
+      spanStart + lit(maxDim.toLong - 1L)) + lit(1L)
+    val tail = stIdx + (pos - (spanStart + lit(imageLen.toLong)))
+    def dim(imageVal: Column): Column =
+      when(inPrefix, pos).when(inImage, imageVal).otherwise(tail)
+    // local ≥ 0 inside the image branch, so floor(a/b) ≡ integer division
+    struct(
+      dim(spanStart + floor(local / lit((llmH * llmW).toDouble))).as("pid_t"),
+      dim(spanStart + floor(local / lit(llmW.toDouble)) % lit(llmH.toLong)).as("pid_h"),
+      dim(spanStart + local % lit(llmW.toLong)).as("pid_w"))
+  }
+
   /** Patch extraction (qwen3.rs:282-336): decode → smart resize →
     * flatten merge-ordered patch tokens. Output one row per patch value:
     * (idCol, tok, idx, val) where `tok` is the patch-token index in the

@@ -1308,6 +1308,29 @@ SELECT f.doc_id, f.pos, f.is_image,
 FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.vtok"""
   }
 
+  /** q73: 3-D MRoPE position ids (qwen3.rs:366-467) over the q72 fused
+    * layout — prefix sequential, image span (start+t, start+h, start+w)
+    * from the t/h/w grid walk, tail resumes from
+    * max(prefix max, image max) + 1. Grid 1×2×2, span length 4. */
+  def q73_mrope_ids(maxLen: Int = 24): String = {
+    val img = M
+    // st_idx = max(max(start−1, 0), start + maxDim − 1) + 1; maxDim = 2
+    val st = "greatest(greatest(k - 1, 0), k + 1) + 1"
+    def dim(imageVal: String): String =
+      s"CASE WHEN pos < k THEN pos WHEN pos < k + 4 THEN $imageVal ELSE $st + (pos - (k + 4)) END"
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+aug AS (SELECT doc_id, least(3, n) AS k, list_concat(list_concat(
+  list_slice(tids, 1, least(3, n)), [$img, $img, $img, $img]),
+  list_slice(tids, least(3, n) + 1, n)) AS a FROM sel),
+e AS (SELECT doc_id, k, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS pos, unnest(a) AS t FROM aug)
+SELECT doc_id, pos,
+  ${dim("k + (pos - k) // 4")} AS pid_t,
+  ${dim("k + ((pos - k) // 2) % 2")} AS pid_h,
+  ${dim("k + (pos - k) % 2")} AS pid_w
+FROM e"""
+  }
+
   /** q69b: smart_resize (qwen3.rs:207-244) as relational arithmetic —
     * ties-to-even rounding to factor multiples, β-shrink/grow via the
     * same double sqrt/div trees the Spark Column expression builds. */
@@ -1440,6 +1463,7 @@ FROM events GROUP BY user_id, event_type"""
     "q69b_smart_resize" -> q69b_smart_resize(4, 256L, 1024L),
     "q71_vl_window_merge" -> q71_vl_window_merge,
     "q72_mm_fusion" -> q72_mm_fusion(24, 4),
+    "q73_mrope_ids" -> q73_mrope_ids(24),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

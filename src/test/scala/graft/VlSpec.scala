@@ -168,6 +168,41 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(2).isNullAt(3), "missing vision token must surface as null")
   }
 
+  test("MRoPE position ids ≡ the reference loop (qwen3.rs:430-466)") {
+    import spark.implicits._
+    // direct port of build_image_position_ids for one row, grid (t,h,w)
+    def reference(visibleLen: Int, start: Int, gridT: Int, llmH: Int, llmW: Int):
+        Seq[(Long, Long, Long)] = {
+      val out = Array.fill(visibleLen)((0L, 0L, 0L))
+      for (pos <- 0 until start) out(pos) = (pos.toLong, pos.toLong, pos.toLong)
+      var seqPos = start
+      for (t <- 0 until gridT; h <- 0 until llmH; w <- 0 until llmW) {
+        out(seqPos) = ((start + t).toLong, (start + h).toLong, (start + w).toLong)
+        seqPos += 1
+      }
+      val end = start + gridT * llmH * llmW
+      val prefixMax = math.max(start - 1, 0)
+      val imageMax = start + math.max(gridT, math.max(llmH, llmW)) - 1
+      val stIdx = math.max(prefixMax, imageMax) + 1
+      for (off <- 0 until (visibleLen - end))
+        out(end + off) = ((stIdx + off).toLong, (stIdx + off).toLong, (stIdx + off).toLong)
+      out.toSeq
+    }
+    // several span starts (including 0) and tail lengths
+    for ((start, len) <- Seq((0, 6), (1, 8), (3, 12), (5, 9))) {
+      val df = spark.range(0, len)
+        .select(col("id").as("pos"), lit(start.toLong).as("k"))
+        .withColumn("pid", graft.operators.VlPreprocess.mropePositionIds(
+          col("pos"), col("k"), 1, 2, 2))
+        .orderBy(col("pos"))
+        .select(col("pid.pid_t"), col("pid.pid_h"), col("pid.pid_w"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(df == reference(len, start, 1, 2, 2), s"start=$start len=$len")
+    }
+  }
+
   test("patch plan is narrow: no exchange") {
     import spark.implicits._
     val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
