@@ -633,6 +633,29 @@ object SparkEntry {
           col("pid.pid_w").as("pid_w"))
     }),
 
+    // I6's interpolated position embeddings over the q69b geometry:
+    // per-patch bilinear blend of a deterministic side=8 table at
+    // linspace sample points, positions in the merge-permuted layout —
+    // double-exact vs the oracle
+    "q74_pos_interp" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          (col("doc_id").cast("long") % 97 + 1).as("h"),
+          ((col("doc_id").cast("long") * 7) % 103 + 1).as("w"))
+        .withColumn("sr", VlPreprocess.smartResizeCols(col("h"), col("w"), 4, 256L, 1024L))
+        .withColumn("grid_h", expr("sr.h_bar div 2"))
+        .withColumn("grid_w", expr("sr.w_bar div 2"))
+      base.select(col("doc_id"), col("grid_h"), col("grid_w"),
+          explode(sequence(lit(0L), col("grid_h") * col("grid_w") - 1)).as("p"))
+        // decode the merge-permuted output position back to grid (gh, gw)
+        .withColumn("gh", expr("(p div 4) div (grid_w div 2) * 2 + (p % 4) div 2"))
+        .withColumn("gw", expr("((p div 4) % (grid_w div 2)) * 2 + (p % 4) % 2"))
+        .withColumn("dim", explode(sequence(lit(0L), lit(1L))))
+        .select(col("doc_id"), col("p").as("pos"), col("dim"),
+          VlPreprocess.posEmbedInterp(col("gh"), col("gw"),
+            col("grid_h"), col("grid_w"), 8, col("dim")).as("val"))
+    }),
+
     // P13 smart resize as pure relational arithmetic: synthetic dims
     // derived from doc_id exercise all three branches (round-to-factor,
     // β-shrink past max_pixels, β-grow under min_pixels) + the grid /

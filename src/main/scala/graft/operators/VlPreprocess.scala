@@ -325,6 +325,43 @@ object VlPreprocess {
       dim(spanStart + local % lit(llmW.toLong)).as("pid_w"))
   }
 
+  /** I6: bilinear position-embedding interpolation
+    * (/root/reference/src/models/qwen3_vl.rs:515-631
+    * `linspace_points` + `fast_pos_embed_interpolate`) as a pure Column
+    * expression: the patch at grid cell (gh, gw) of a gridH×gridW image
+    * samples the side×side embedding table at linspace point
+    * (gh·(side−1)/(gridH−1), ·), blending the four surrounding table
+    * rows with bilinear weights (1−dh)(1−dw) … dh·dw in the reference's
+    * corner order (00, 01, 10, 11). The table itself is the
+    * deterministic M3-stream cell (index range 4096+) scaled into
+    * (−1, 1) — a learned `Embedding` would slot in identically. All
+    * doubles follow one fixed expression tree, mirrored in the q74
+    * oracle. */
+  def posEmbedInterp(gh: Column, gw: Column, gridH: Column, gridW: Column,
+                     side: Int, d: Column): Column = {
+    import graft.functions.K
+    val maxV = lit((side - 1).toDouble)
+    def pts(i: Column, steps: Column): Column =
+      when(steps === lit(1L), lit(0.0))
+        .otherwise(i.cast("double") * (maxV / (steps - lit(1L)).cast("double")))
+    val hv = pts(gh, gridH)
+    val wv = pts(gw, gridW)
+    val hf = floor(hv)
+    val hc = least(ceil(hv), lit((side - 1).toLong))
+    val wf = floor(wv)
+    val wc = least(ceil(wv), lit((side - 1).toLong))
+    val dh = hv - hf.cast("double")
+    val dw = wv - wf.cast("double")
+    def p(idx: Column): Column =
+      ((idx * lit(K.A3) + (lit(4096L) + d) * lit(K.B3) + lit(K.C3)) % lit(K.M3))
+        .cast("double") / lit(K.M3.toDouble) * lit(2.0) - lit(1.0)
+    val s = lit(side.toLong)
+    (lit(1.0) - dh) * (lit(1.0) - dw) * p(hf * s + wf) +
+      (lit(1.0) - dh) * dw * p(hf * s + wc) +
+      dh * (lit(1.0) - dw) * p(hc * s + wf) +
+      dh * dw * p(hc * s + wc)
+  }
+
   /** Patch extraction (qwen3.rs:282-336): decode → smart resize →
     * flatten merge-ordered patch tokens. Output one row per patch value:
     * (idCol, tok, idx, val) where `tok` is the patch-token index in the

@@ -1331,6 +1331,34 @@ SELECT doc_id, pos,
 FROM e"""
   }
 
+  /** q74: bilinear position-embedding interpolation
+    * (qwen3_vl.rs:515-631) over the q69b grids — linspace sample
+    * points, four-corner bilinear blend of the deterministic side=8
+    * table, merge-permuted output positions. */
+  def q74_pos_interp(side: Int = 8): String = {
+    val sm = side - 1
+    def pcell(idx: String): String =
+      s"((($idx) * $A3 + (4096 + dim) * $B3 + $C3) % $M3)::DOUBLE / $M3.0 * 2.0 - 1.0"
+    s"""WITH g AS (SELECT doc_id, grid_h, grid_w FROM (${q69b_smart_resize(4, 256L, 1024L)}) q69b WHERE doc_id < 100),
+e AS (SELECT doc_id, grid_h, grid_w, unnest(range(0, grid_h * grid_w)) AS p FROM g),
+d2 AS (SELECT doc_id, grid_h, grid_w, p, unnest(range(0, 2)) AS dim FROM e),
+c AS (SELECT doc_id, grid_h, grid_w, p, dim,
+  (p // 4) // (grid_w // 2) * 2 + (p % 4) // 2 AS gh,
+  ((p // 4) % (grid_w // 2)) * 2 + (p % 4) % 2 AS gw FROM d2),
+v AS (SELECT doc_id, p, dim,
+  CASE WHEN grid_h = 1 THEN 0.0 ELSE gh::DOUBLE * ($sm.0 / (grid_h - 1)::DOUBLE) END AS hv,
+  CASE WHEN grid_w = 1 THEN 0.0 ELSE gw::DOUBLE * ($sm.0 / (grid_w - 1)::DOUBLE) END AS wv FROM c),
+k AS (SELECT doc_id, p, dim, hv, wv,
+  CAST(floor(hv) AS BIGINT) AS hf, least(CAST(ceil(hv) AS BIGINT), $sm) AS hc,
+  CAST(floor(wv) AS BIGINT) AS wf, least(CAST(ceil(wv) AS BIGINT), $sm) AS wc FROM v)
+SELECT doc_id, p AS pos, dim,
+  (1.0 - (hv - floor(hv))) * (1.0 - (wv - floor(wv))) * (${pcell(s"hf * $side + wf")})
+  + (1.0 - (hv - floor(hv))) * (wv - floor(wv)) * (${pcell(s"hf * $side + wc")})
+  + (hv - floor(hv)) * (1.0 - (wv - floor(wv))) * (${pcell(s"hc * $side + wf")})
+  + (hv - floor(hv)) * (wv - floor(wv)) * (${pcell(s"hc * $side + wc")}) AS val
+FROM k"""
+  }
+
   /** q69b: smart_resize (qwen3.rs:207-244) as relational arithmetic —
     * ties-to-even rounding to factor multiples, β-shrink/grow via the
     * same double sqrt/div trees the Spark Column expression builds. */
@@ -1464,6 +1492,7 @@ FROM events GROUP BY user_id, event_type"""
     "q71_vl_window_merge" -> q71_vl_window_merge,
     "q72_mm_fusion" -> q72_mm_fusion(24, 4),
     "q73_mrope_ids" -> q73_mrope_ids(24),
+    "q74_pos_interp" -> q74_pos_interp(8),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

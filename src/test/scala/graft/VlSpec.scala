@@ -203,6 +203,38 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("pos-embed interpolation: exact at table points, bilinear between") {
+    import graft.functions.K
+    def table(idx: Long, d: Long): Double =
+      ((idx * K.A3 + (4096L + d) * K.B3 + K.C3) % K.M3).toDouble / K.M3.toDouble * 2.0 - 1.0
+    // grid 8×8 on a side-8 table: linspace step is exactly 1, so every
+    // patch lands ON a table point — interpolation must return the cell
+    val exact = spark.range(0, 64)
+      .select((col("id") / 8).cast("long").as("gh"), (col("id") % 8).as("gw"))
+      .withColumn("v", graft.operators.VlPreprocess.posEmbedInterp(
+        col("gh"), col("gw"), lit(8L), lit(8L), 8, lit(0L)))
+      .collect()
+    exact.foreach { r =>
+      val expect = table(r.getLong(0) * 8 + r.getLong(1), 0L)
+      assert(r.getDouble(2) == expect, s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // grid 2×2: patches at the table corners (linspace 0, 7)
+    val corners = spark.range(0, 1)
+      .select(graft.operators.VlPreprocess.posEmbedInterp(
+        lit(1L), lit(1L), lit(2L), lit(2L), 8, lit(1L)).as("v"))
+      .head().getDouble(0)
+    assert(corners == table(7L * 8 + 7L, 1L))
+    // grid 3×3 center: midpoint 3.5 between rows/cols 3 and 4 — the
+    // even bilinear blend of the four corners
+    val mid = spark.range(0, 1)
+      .select(graft.operators.VlPreprocess.posEmbedInterp(
+        lit(1L), lit(1L), lit(3L), lit(3L), 8, lit(0L)).as("v"))
+      .head().getDouble(0)
+    val blend = 0.25 * table(3 * 8 + 3, 0) + 0.25 * table(3 * 8 + 4, 0) +
+      0.25 * table(4 * 8 + 3, 0) + 0.25 * table(4 * 8 + 4, 0)
+    assert(math.abs(mid - blend) < 1e-12)
+  }
+
   test("patch plan is narrow: no exchange") {
     import spark.implicits._
     val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
