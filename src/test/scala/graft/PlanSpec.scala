@@ -26,6 +26,21 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("VL relational queries are narrow codegen'd Column trees") {
+    // smart resize, MRoPE ids, pos-embed interpolation: pure arithmetic
+    // over the scan — no shuffle, no UDF boundary, inside
+    // WholeStageCodegen. These are the claims that let the VL front run
+    // as a map-only stage over a 100 TB scan.
+    Seq("q69b_smart_resize", "q73_mrope_ids", "q74_pos_interp").foreach { name =>
+      val plan = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      // "*(n)" prefixes mark WholeStageCodegen stages in executedPlan
+      assert(plan.contains("*(1)"), s"$name fell out of codegen:\n$plan")
+      assert(!plan.contains("BatchEval") && !plan.contains("ScalaUDF"),
+        s"$name must not use a UDF:\n$plan")
+    }
+  }
+
   test("dense embed: scan prunes to (doc_id, text) out of 5 columns") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     assert(docs.schema.fields.length == 5)

@@ -31,6 +31,31 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val text: Gen[String] = Gen.chooseNum(0, 80)
     .flatMap(n => Gen.listOfN(n, anyChar).map(_.mkString))
 
+  test("property: smartResize dims are factor multiples inside the budget") {
+    import graft.operators.VlPreprocess
+    val dims = Gen.zip(Gen.chooseNum(1, 300), Gen.chooseNum(1, 300))
+      .suchThat { case (h, w) =>
+        math.max(h, w).toDouble / math.min(h, w).toDouble <= 200.0
+      }
+    forAllSeeded(Gen.listOfN(50, dims), trials = 6) { pairs =>
+      pairs.foreach { case (h, w) =>
+        val factor = 4
+        val (minPx, maxPx) = (256L, 4096L)
+        val (hb, wb) = VlPreprocess.smartResize(h, w, factor, minPx, maxPx)
+        assert(hb % factor == 0 && wb % factor == 0, s"($h,$w) → ($hb,$wb) not snapped")
+        assert(hb >= factor && wb >= factor)
+        // the β-shrink branch lands at or under max_pixels (floor only
+        // shrinks); the grow branch lands at or over min_pixels (ceil
+        // only grows) — except when the factor floor dominates
+        val area = hb.toLong * wb.toLong
+        val hb0 = math.max(VlPreprocess.roundTiesToEven(h / 4.0) * 4, 4L)
+        val wb0 = math.max(VlPreprocess.roundTiesToEven(w / 4.0) * 4, 4L)
+        if (hb0 * wb0 > maxPx) assert(area <= maxPx, s"($h,$w) shrink overshot: $area")
+        if (hb0 * wb0 < minPx) assert(area >= minPx, s"($h,$w) grow undershot: $area")
+      }
+    }
+  }
+
   test("property: TokenIds == lower+regexp HOF for arbitrary strings") {
     forAllSeeded(Gen.listOfN(40, text)) { (texts: List[String]) =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
