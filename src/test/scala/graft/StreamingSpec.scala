@@ -38,6 +38,38 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("sequence-dependent backends stream: micro-batch splits ≡ batch") {
+    // the transformer backend pads per MICRO-batch — streaming delivery
+    // re-chunks rows arbitrarily, so equality with the batch run is the
+    // streaming form of the batch-size-invariance contract
+    val ms = MemoryStream[(Long, String)]
+    val be = graft.backend.TransformerBackend(dim = 8)
+    def withTids(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tids", graft.functions.Kernel.tokenIds($"text"))
+      .filter(size($"tids") > 0)
+      .select($"doc_id", $"tids")
+    val out = graft.backend.BackendEmbedder.embed(
+      withTids(ms.toDF().toDF("doc_id", "text")), "doc_id", "tids", be, batchSize = 2)
+    val q = out.writeStream.format("memory").queryName("graft_tf_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((0L, "spark query engine"), (1L, "hash join"),
+        (2L, "broadcast the small side of the join"), (3L, "a"), (4L, "partition pruning"))
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_tf_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      val batch = graft.backend.BackendEmbedder.embed(
+        withTids(rows.toDF("doc_id", "text")), "doc_id", "tids", be, batchSize = 256)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      assert(streamed == batch)
+      assert(streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("dedupExactStream keeps first occurrence across micro-batches") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.dedupExactStream(
