@@ -51,6 +51,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .filter(!org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(_))
         .foreach(_.unpersist(blocking = true))
+      // skipped localCheckpoint blocks release via the ContextCleaner
+      // once their RDDs are collected — force the collection HERE, in
+      // the untimed gap, so their eviction pressure can't land inside
+      // the next query's measurement
+      System.gc()
     }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

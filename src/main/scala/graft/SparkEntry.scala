@@ -23,6 +23,28 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").select(col("doc_id"), col("text"))
 
+  /** The PNG fixture frame shared by the real-decode image gates
+    * (q23b/q23d/q69/q71/q72): each doc's UTF-8 bytes wrapped into a
+    * losslessly round-tripping 8×8 PNG. */
+  private def pngDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
+      .toDF("doc_id", "png")
+  }
+
+  /** The q72/q73 shared layout: a 4-token image-pad span (id = K.M,
+    * outside the token range) planted after the first min(3, n) tokens.
+    * Keeps `__k` (the span start) as a column. */
+  private def plantImageSpan(df: DataFrame): DataFrame =
+    df.withColumn("__k", least(lit(3), size(col("tids"))))
+      .withColumn("tids", concat(
+        slice(col("tids"), lit(1), col("__k")),
+        array_repeat(lit(K.M), lit(4)),
+        slice(col("tids"), col("__k") + lit(1), size(col("tids")) - col("__k"))))
+
   /** The q23b/q23c preprocessing chain, built through the S8 config
     * parser (CLIPImageProcessor dialect): resize (4,4) Catmull-Rom →
     * center crop (2,2) → rescale 1/255 → CLIP normalize. */
@@ -563,51 +585,27 @@ object SparkEntry {
     // imageio decode → smart resize (identity at 8×8, factor 4) →
     // merge-block-ordered patch tokens with CLIP normalize — the
     // Qwen3-VL vision front's tensor layout, value-exact vs the oracle
-    "q69_vl_patches" -> ((s, dir) => {
-      import s.implicits._
-      val pngs = docs(s, dir)
-        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
-        .as[(Long, Array[Byte])]
-        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
-        .toDF("doc_id", "png")
-      VlPreprocess.patchTokens(pngs, "doc_id", "png")
-    }),
+    "q69_vl_patches" -> ((s, dir) =>
+      VlPreprocess.patchTokens(pngDocs(s, dir), "doc_id", "png")),
 
     // I6/I7 vision-tower skeleton: windowed attention (attention is
     // STRUCTURALLY confined to each merge-block window — no cross-window
     // term exists) + PatchMerger (merge² consecutive tokens concat and
     // project position-indexed to the LLM width) — integer-exact, gated
-    "q71_vl_window_merge" -> ((s, dir) => {
-      import s.implicits._
-      val pngs = docs(s, dir)
-        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
-        .as[(Long, Array[Byte])]
-        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
-        .toDF("doc_id", "png")
-      VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
-    }),
+    "q71_vl_window_merge" -> ((s, dir) =>
+      VlPreprocess.windowedMergeTokens(pngDocs(s, dir), "doc_id", "png")),
 
     // I7 fusion contract: plant a 4-token image-pad span in each doc's
     // token sequence in-plan, then splice the doc's vision tokens (q71's
     // merged tokens, dim 0) over the span in position order — text
     // positions keep their own embedding value
     "q72_mm_fusion" -> ((s, dir) => {
-      import s.implicits._
-      val toks = docs(s, dir)
-        .withColumn("tids", Kernel.tokenIds(col("text"), 24))
-        .filter(size(col("tids")) > 0)
-        .withColumn("__k", least(lit(3), size(col("tids"))))
-        .withColumn("tids", concat(
-          slice(col("tids"), lit(1), col("__k")),
-          array_repeat(lit(K.M), lit(4)),
-          slice(col("tids"), col("__k") + lit(1), size(col("tids")) - col("__k"))))
+      val toks = plantImageSpan(
+        docs(s, dir)
+          .withColumn("tids", Kernel.tokenIds(col("text"), 24))
+          .filter(size(col("tids")) > 0))
         .select(col("doc_id"), col("tids"))
-      val pngs = docs(s, dir)
-        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
-        .as[(Long, Array[Byte])]
-        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
-        .toDF("doc_id", "png")
-      val vis = VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
+      val vis = VlPreprocess.windowedMergeTokens(pngDocs(s, dir), "doc_id", "png")
         .filter(col("dim") === 0).select(col("doc_id"), col("tok"), col("val"))
       VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
     }),
@@ -616,14 +614,10 @@ object SparkEntry {
     // ids for the planted image span (grid 1×2×2 — q71's merged tokens),
     // sequential ids before, resume-from-max after — exact integers
     "q73_mrope_ids" -> ((s, dir) => {
-      val toks = docs(s, dir)
-        .withColumn("tids", Kernel.tokenIds(col("text"), 24))
-        .filter(size(col("tids")) > 0)
-        .withColumn("__k", least(lit(3), size(col("tids"))))
-        .withColumn("tids", concat(
-          slice(col("tids"), lit(1), col("__k")),
-          array_repeat(lit(K.M), lit(4)),
-          slice(col("tids"), col("__k") + lit(1), size(col("tids")) - col("__k"))))
+      val toks = plantImageSpan(
+        docs(s, dir)
+          .withColumn("tids", Kernel.tokenIds(col("text"), 24))
+          .filter(size(col("tids")) > 0))
       toks.select(col("doc_id"), col("__k"),
           posexplode(col("tids")).as(Seq("pos", "__t")))
         .withColumn("pid", VlPreprocess.mropePositionIds(
@@ -687,35 +681,22 @@ object SparkEntry {
     // 8→4, center crop 4→2, CLIP rescale+normalize) → quantize →
     // projection. The oracle rebuilds the resize weights with identical
     // double arithmetic, so the whole P6/P7/P8/P12/S8 chain hash-matches.
-    "q23b_image_compose" -> ((s, dir) => {
-      import s.implicits._
-      val pngs = docs(s, dir)
-        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
-        .as[(Long, Array[Byte])]
-        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
-        .toDF("doc_id", "png")
-      ImagePipeline.embedImagesCompose(pngs, "doc_id", "png", q23bCompose, dim = 16)
+    "q23b_image_compose" -> ((s, dir) =>
+      ImagePipeline.embedImagesCompose(pngDocs(s, dir), "doc_id", "png", q23bCompose, dim = 16)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
-        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
-    }),
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
     // the ConvNext preprocessor dialect (S8's second branch): shortest
     // edge 6 with crop_pct 0.75 → resize (8,8) (identity at ratio 1) +
     // center crop (6,6) + rescale/normalize, parsed from config JSON
     "q23d_image_convnext" -> ((s, dir) => {
-      import s.implicits._
       val convnext = Preprocess.Compose.fromJson(
         """{"image_processor_type": "ConvNextFeatureExtractor",
            |"size": {"shortest_edge": 6}, "crop_pct": 0.75,
            |"do_normalize": true,
            |"image_mean": [0.48145466, 0.4578275, 0.40821073],
            |"image_std": [0.26862954, 0.26130258, 0.27577711]}""".stripMargin)
-      val pngs = docs(s, dir)
-        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
-        .as[(Long, Array[Byte])]
-        .map { case (id, b) => (id, ImagePipeline.pngFixture(b)) }
-        .toDF("doc_id", "png")
-      ImagePipeline.embedImagesCompose(pngs, "doc_id", "png", convnext, dim = 16)
+      ImagePipeline.embedImagesCompose(pngDocs(s, dir), "doc_id", "png", convnext, dim = 16)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),

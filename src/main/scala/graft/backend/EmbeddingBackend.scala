@@ -81,10 +81,16 @@ object BackendRegistry {
   * reference's registry → session init
   * (/root/reference/src/text_embedding/init.rs:88-138). */
 object Backends {
-  def forModel(name: String): EmbeddingBackend = name match {
-    case "graft-transformer-8" => TransformerBackend(dim = 8)
-    case "graft-moe-8" => MoEBackend(dim = 8)
-    case other => HashingBackend(graft.model.ModelRegistry(other).dim)
+  def forModel(name: String): EmbeddingBackend = {
+    val info = graft.model.ModelRegistry(name) // throws on unknown names
+    require(info.kind == graft.model.ModelKind.Dense,
+      s"no embedding backend for ${info.kind} model '$name'")
+    // dim always comes from the registry — one source of truth
+    name match {
+      case "graft-transformer-8" => TransformerBackend(dim = info.dim)
+      case "graft-moe-8" => MoEBackend(dim = info.dim)
+      case _ => HashingBackend(info.dim)
+    }
   }
 }
 

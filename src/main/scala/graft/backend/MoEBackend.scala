@@ -46,12 +46,20 @@ final case class MoEBackend(
   @inline private def cell(t: Long, i: Int): Long =
     ((t % M3) * A3 + i.toLong * B3 + C3) % M3
 
-  /** The token's top-k experts as (expertIndex, rawScore), by the
-    * reference's rule: score descending, ties → lower index (the stable
-    * sort of nomic_v2_moe.rs:352-355). The packed key s·E + (E−1−e)
-    * makes both orderings one integer max per rank. */
-  private[graft] def routeTopK(t: Long): Array[(Int, Long)] = {
-    val sel = new Array[(Int, Long)](topK)
+  /** Router scores of token t, computed ONCE per token — denominator
+    * and top-k selection both derive from this array. */
+  private def routerScores(t: Long): Array[Long] = {
+    val s = new Array[Long](nExperts)
+    var e = 0
+    while (e < nExperts) { s(e) = cell(t, OffRouter + e); e += 1 }
+    s
+  }
+
+  /** Top-k expert INDICES from the score array, by the reference's
+    * rule: score descending, ties → lower index (the stable sort of
+    * nomic_v2_moe.rs:352-355). The packed key s·E + (E−1−e) makes both
+    * orderings one integer max per rank. Writes into `selE`. */
+  private def selectTopK(scores: Array[Long], selE: Array[Int]): Unit = {
     val taken = new Array[Boolean](nExperts)
     var r = 0
     while (r < topK) {
@@ -59,17 +67,24 @@ final case class MoEBackend(
       var e = 0
       while (e < nExperts) {
         if (!taken(e)) {
-          val key = cell(t, OffRouter + e) * nExperts + (nExperts - 1 - e)
+          val key = scores(e) * nExperts + (nExperts - 1 - e)
           if (key > bestKey) bestKey = key
         }
         e += 1
       }
       val eSel = (nExperts - 1 - (bestKey % nExperts)).toInt
       taken(eSel) = true
-      sel(r) = (eSel, bestKey / nExperts)
+      selE(r) = eSel
       r += 1
     }
-    sel
+  }
+
+  /** Spec surface: the token's top-k as (expertIndex, rawScore). */
+  private[graft] def routeTopK(t: Long): Array[(Int, Long)] = {
+    val scores = routerScores(t)
+    val selE = new Array[Int](topK)
+    selectTopK(scores, selE)
+    selE.map(e => (e, scores(e)))
   }
 
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = batch.map { tids =>
@@ -78,22 +93,23 @@ final case class MoEBackend(
     if (n == 0) out
     else {
       val sums = new Array[Long](dim)
+      val selE = new Array[Int](topK)
       var i = 0
       while (i < n) {
         val t = tids(i)
-        // full-distribution denominator: Σ_e (score_e + 1)
+        // score every expert ONCE; denominator and routing share it
+        val scores = routerScores(t)
         var denom = 0L
         var e = 0
-        while (e < nExperts) { denom += cell(t, OffRouter + e) + 1L; e += 1 }
-        // expert dispatch: route once per token, mix per dim
-        val routes = routeTopK(t)
+        while (e < nExperts) { denom += scores(e) + 1L; e += 1 }
+        selectTopK(scores, selE)
         var d = 0
         while (d < dim) {
           var num = 0L
           var r = 0
           while (r < topK) {
-            val (eSel, sSel) = routes(r)
-            num += (sSel + 1L) * cell(t, OffExperts + eSel * dim + d)
+            val eSel = selE(r)
+            num += (scores(eSel) + 1L) * cell(t, OffExperts + eSel * dim + d)
             r += 1
           }
           val bias = cell(1L, OffBias + d)

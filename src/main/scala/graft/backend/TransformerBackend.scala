@@ -14,9 +14,10 @@ import graft.functions.K
   *  - **Additive causal + padding mask** (qwen3.rs:122-147
   *    `build_attention_mask_4d`): a causal term (key after query) and an
   *    inverted-pad term, both ADDED to the raw attention score. The
-  *    reference adds −1e4 and lets softmax underflow; here the additive
-  *    value is −1e9 and the rational weight map `max(0, ·)` sends masked
-  *    scores to EXACTLY zero — same semantics, bit-reproducible.
+  *    reference adds −1e4 and lets softmax underflow; here the rational
+  *    weight map `max(0, s + mask)` sends masked scores to EXACTLY zero
+  *    (implemented as the algebraically-identical position skip, since
+  *    an unmasked score is always ≥ 1) — same semantics, bit-reproducible.
   *  - **Mask-derived position ids**: positions are the cumulative sum of
   *    the attention mask minus one (the standard left-pad position rule),
   *    so a token's position is its rank among REAL tokens — this is what
@@ -53,10 +54,6 @@ final case class TransformerBackend(
   require(dim % 2 == 0, s"dim must be even for pairwise rotation, got $dim")
 
   import K.{M3, A3, B3, C3}
-
-  /** Additive mask value — any single unmasked score is < M3+1, so one
-    * mask term drives the max(0,·) weight to exactly 0. */
-  private val MaskVal: Long = -1000000000L
 
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = {
     if (batch.isEmpty) return Seq.empty
@@ -129,17 +126,19 @@ final case class TransformerBackend(
     var tw = 0L
     var j = 0
     while (j < seqLen) {
-      rotInto(ids(j), pos(j), kk)
-      var s = 0L
-      var d = 0
-      while (d < dim) { s += qq(d) * kk(d); d += 1 }
-      // raw weight in [1, M3], then the additive causal + padding mask
-      // (qwen3.rs:122-147) and the rational "softmax": max(0, ·)
-      var w = (s % M3) + 1L
-      if (j > qi) w += MaskVal
-      if (maskPadding && mask(j) == 0) w += MaskVal
-      if (w < 0L) w = 0L
-      if (w > 0L) {
+      // the additive causal + padding mask (qwen3.rs:122-147): a masked
+      // score s gets MaskVal added and the rational "softmax" max(0, ·)
+      // clamps it to EXACTLY zero — algebraically identical to skipping
+      // the position outright, so the rotation and dot product of a
+      // masked key are dead work we hoist past (an unmasked score is
+      // always ≥ 1, so no other branch can reach the clamp)
+      val masked = j > qi || (maskPadding && mask(j) == 0)
+      if (!masked) {
+        rotInto(ids(j), pos(j), kk)
+        var s = 0L
+        var d = 0
+        while (d < dim) { s += qq(d) * kk(d); d += 1 }
+        val w = (s % M3) + 1L
         var d2 = 0
         while (d2 < dim) { y(d2) += w * emb(ids(j), d2); d2 += 1 }
         tw += w

@@ -46,7 +46,9 @@ object Safetensors {
   def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= 8, s"truncated safetensors: ${bytes.length} bytes")
     val headerLen = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
-    require(headerLen > 0 && 8 + headerLen <= bytes.length,
+    // subtraction, not 8 + headerLen: a crafted headerLen near
+    // Long.MaxValue would overflow the addition past the guard
+    require(headerLen > 0 && headerLen <= bytes.length - 8L,
       s"header length $headerLen exceeds file of ${bytes.length} bytes")
     val json = new String(bytes, 8, headerLen.toInt, java.nio.charset.StandardCharsets.UTF_8)
     import org.json4s._
@@ -132,7 +134,10 @@ object Safetensors {
       off = end
     }
     val json = entries.mkString("{", ",", "}").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val out = ByteBuffer.allocate(8 + json.length + off.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    val total = 8L + json.length + off
+    require(total <= Int.MaxValue,
+      s"safetensors write of $total bytes exceeds the 2 GiB single-buffer limit")
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     out.putLong(json.length.toLong)
     out.put(json)
     out.order(ByteOrder.LITTLE_ENDIAN)

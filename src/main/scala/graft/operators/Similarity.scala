@@ -487,6 +487,10 @@ object Similarity {
                      quantScale: Long = 1000000L): DataFrame =
     df.groupBy(col(labelCol))
       .agg(graft.functions.VecSumAgg.vecSum(col(vecCol), quantScale).as("__sn"))
+      // a label whose vectors were all null has an empty buffer — drop
+      // it, matching the exploded formulation this replaced (an empty
+      // centroid would win every NearestCell distance at 0.0)
+      .filter(size(col("__sn.sums")) > 0)
       .select(col(labelCol),
         zip_with(col("__sn.sums"), col("__sn.ns"),
           (s, n) => s.cast("double") / (n * lit(quantScale)).cast("double"))

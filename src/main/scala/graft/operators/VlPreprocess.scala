@@ -138,52 +138,14 @@ object VlPreprocess {
           val img0 = Preprocess.Img(w, h, px)
           val img = if (hBar == h && wBar == w) img0
                     else Preprocess.resizeExact(img0, wBar, hBar)
-          val gridH = hBar / patchSize
-          val gridW = wBar / patchSize
-          val nTok = gridH * gridW
           val patchDim = 3 * patchSize * patchSize
+          // quantized patch values in merge-block order (= window order)
+          val qs = mergeOrderedPatchValues(img, patchSize, mergeSize, mean, std)
+            .map(_.map(ImagePipeline.quantize))
+          val nTok = qs.length
           // the merger's divisibility bail (qwen3_vl.rs:407-411)
           require(nTok % unit == 0,
             s"Sequence length $nTok is not divisible by spatial merge unit $unit")
-          // quantized patch values in merge-block order (= window order)
-          val qs = Array.ofDim[Long](nTok, patchDim)
-          var tok = 0
-          var ghb = 0
-          while (ghb < gridH / mergeSize) {
-            var gwb = 0
-            while (gwb < gridW / mergeSize) {
-              var mh = 0
-              while (mh < mergeSize) {
-                var mw = 0
-                while (mw < mergeSize) {
-                  val gh = ghb * mergeSize + mh
-                  val gw = gwb * mergeSize + mw
-                  var i = 0
-                  var c = 0
-                  while (c < 3) {
-                    var ph = 0
-                    while (ph < patchSize) {
-                      var pw = 0
-                      while (pw < patchSize) {
-                        val v = img(c, gh * patchSize + ph, gw * patchSize + pw).toDouble *
-                          ImagePipeline.Rescale
-                        qs(tok)(i) = ImagePipeline.quantize((v - mean(c)) / std(c))
-                        i += 1
-                        pw += 1
-                      }
-                      ph += 1
-                    }
-                    c += 1
-                  }
-                  tok += 1
-                  mw += 1
-                }
-                mh += 1
-              }
-              gwb += 1
-            }
-            ghb += 1
-          }
           // per window: bidirectional attention among its unit patches,
           // then concat + position-indexed projection to outDim
           val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)](
@@ -385,56 +347,85 @@ object VlPreprocess {
           val img0 = Preprocess.Img(w, h, px)
           val img = if (hBar == h && wBar == w) img0
                     else Preprocess.resizeExact(img0, wBar, hBar)
-          val gridH = hBar / patchSize
-          val gridW = wBar / patchSize
           // hBar/wBar are factor multiples, so grid divides by merge
+          val vals = mergeOrderedPatchValues(img, patchSize, mergeSize, mean, std)
+          val pp = patchSize * patchSize
           val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)](
-            gridH * gridW * 3 * temporalPatch * patchSize * patchSize)
-          var tok = 0L
-          var ghb = 0
-          while (ghb < gridH / mergeSize) {
-            var gwb = 0
-            while (gwb < gridW / mergeSize) {
-              var mh = 0
-              while (mh < mergeSize) {
-                var mw = 0
-                while (mw < mergeSize) {
-                  val gh = ghb * mergeSize + mh
-                  val gw = gwb * mergeSize + mw
-                  var idx = 0L
-                  var c = 0
-                  while (c < 3) {
-                    var tp = 0
-                    while (tp < temporalPatch) {
-                      var ph = 0
-                      while (ph < patchSize) {
-                        var pw = 0
-                        while (pw < patchSize) {
-                          val y = gh * patchSize + ph
-                          val x = gw * patchSize + pw
-                          val v = img(c, y, x).toDouble * ImagePipeline.Rescale
-                          rows += ((id, tok, idx, (v - mean(c)) / std(c)))
-                          idx += 1
-                          pw += 1
-                        }
-                        ph += 1
-                      }
-                      tp += 1
-                    }
-                    c += 1
-                  }
-                  tok += 1
-                  mw += 1
+            vals.length * 3 * temporalPatch * pp)
+          var tok = 0
+          while (tok < vals.length) {
+            // idx walks (channel, temporal, py, px); the temporal axis
+            // repeats the spatial values (grid_t = 1 source)
+            var c = 0
+            while (c < 3) {
+              var tp = 0
+              while (tp < temporalPatch) {
+                var k = 0
+                while (k < pp) {
+                  rows += ((id, tok.toLong,
+                    ((c * temporalPatch + tp) * pp + k).toLong, vals(tok)(c * pp + k)))
+                  k += 1
                 }
-                mh += 1
+                tp += 1
               }
-              gwb += 1
+              c += 1
             }
-            ghb += 1
+            tok += 1
           }
           rows
         }
       }
       .toDF(idCol, "tok", "idx", "val")
+  }
+
+  /** Normalized CLIP values of every patch of `img`, in the reference's
+    * merge-block token order (qwen3_vl patch layout): result(tok)(i)
+    * with i over (channel, py, px). The intricate merge-order index walk
+    * lives HERE once — [[patchTokens]] expands the temporal axis over
+    * it, [[windowedMergeTokens]] quantizes it. */
+  private def mergeOrderedPatchValues(img: Preprocess.Img, patchSize: Int, mergeSize: Int,
+                                      mean: Array[Double], std: Array[Double]): Array[Array[Double]] = {
+    val gridH = img.h / patchSize
+    val gridW = img.w / patchSize
+    val patchDim = 3 * patchSize * patchSize
+    val out = Array.ofDim[Double](gridH * gridW, patchDim)
+    var tok = 0
+    var ghb = 0
+    while (ghb < gridH / mergeSize) {
+      var gwb = 0
+      while (gwb < gridW / mergeSize) {
+        var mh = 0
+        while (mh < mergeSize) {
+          var mw = 0
+          while (mw < mergeSize) {
+            val gh = ghb * mergeSize + mh
+            val gw = gwb * mergeSize + mw
+            var i = 0
+            var c = 0
+            while (c < 3) {
+              var ph = 0
+              while (ph < patchSize) {
+                var pw = 0
+                while (pw < patchSize) {
+                  val v = img(c, gh * patchSize + ph, gw * patchSize + pw).toDouble *
+                    ImagePipeline.Rescale
+                  out(tok)(i) = (v - mean(c)) / std(c)
+                  i += 1
+                  pw += 1
+                }
+                ph += 1
+              }
+              c += 1
+            }
+            tok += 1
+            mw += 1
+          }
+          mh += 1
+        }
+        gwb += 1
+      }
+      ghb += 1
+    }
+    out
   }
 }
