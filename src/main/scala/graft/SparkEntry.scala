@@ -610,6 +610,28 @@ object SparkEntry {
       VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
     }),
 
+    // I6/I7 deepstack injection: image positions carry the main merged
+    // token PLUS the deepstack merger's additive per-layer feature (raw
+    // window values through a distinct projection slice) — the
+    // slice_assign-and-add of deepstack features over the image span
+    "q75_mm_deepstack" -> ((s, dir) => {
+      val toks = plantImageSpan(
+        docs(s, dir)
+          .withColumn("tids", Kernel.tokenIds(col("text"), 24))
+          .filter(size(col("tids")) > 0))
+        .select(col("doc_id"), col("tids"))
+      val pngs = pngDocs(s, dir)
+      val main = VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
+        .filter(col("dim") === 0)
+        .select(col("doc_id"), col("tok"), col("val").as("__v1"))
+      val deep = VlPreprocess.deepstackMergeTokens(pngs, "doc_id", "png")
+        .filter(col("dim") === 0)
+        .select(col("doc_id"), col("tok"), col("val").as("__v2"))
+      val vis = main.join(deep, Seq("doc_id", "tok"))
+        .select(col("doc_id"), col("tok"), (col("__v1") + col("__v2")).as("val"))
+      VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
+    }),
+
     // I7's MRoPE position ids over the q72 fused layout: 3-D (t, h, w)
     // ids for the planted image span (grid 1×2×2 — q71's merged tokens),
     // sequential ids before, resume-from-max after — exact integers

@@ -124,7 +124,8 @@ object VlPreprocess {
                           patchSize: Int = 2, mergeSize: Int = 2, outDim: Int = 16,
                           minPixels: Long = 1L, maxPixels: Long = 10000000L,
                           mean: Array[Double] = ImagePipeline.ClipMean,
-                          std: Array[Double] = ImagePipeline.ClipStd): DataFrame = {
+                          std: Array[Double] = ImagePipeline.ClipStd,
+                          attend: Boolean = true, cellBase: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val factor = patchSize * mergeSize
@@ -153,41 +154,50 @@ object VlPreprocess {
           var wdx = 0
           while (wdx < nTok / unit) {
             val base = wdx * unit
-            // attended, re-quantized window-local hidden values hq[j],
-            // j = p·patchDim + i over the window's concatenated patches
-            val hq = new Array[Long](unit * patchDim)
-            var p = 0
-            while (p < unit) {
-              var den = 0L
-              val sRow = new Array[Long](unit)
-              var q = 0
-              while (q < unit) {
-                var s = 0L
+            val nVals = unit * patchDim
+            // window-local hidden values hq[j], j = p·patchDim + i over
+            // the window's concatenated patches
+            val hq = new Array[Long](nVals)
+            if (attend) {
+              // attended, re-quantized (the vision block route)
+              var p = 0
+              while (p < unit) {
+                var den = 0L
+                val sRow = new Array[Long](unit)
+                var q = 0
+                while (q < unit) {
+                  var s = 0L
+                  var i = 0
+                  while (i < patchDim) { s += qs(base + p)(i) * qs(base + q)(i); i += 1 }
+                  sRow(q) = (s % K.M3) + 1L
+                  den += sRow(q)
+                  q += 1
+                }
                 var i = 0
-                while (i < patchDim) { s += qs(base + p)(i) * qs(base + q)(i); i += 1 }
-                sRow(q) = (s % K.M3) + 1L
-                den += sRow(q)
-                q += 1
+                while (i < patchDim) {
+                  var num = 0L
+                  var q2 = 0
+                  while (q2 < unit) { num += sRow(q2) * qs(base + q2)(i); q2 += 1 }
+                  hq(p * patchDim + i) =
+                    math.floor((num.toDouble / den.toDouble) * 1000.0 + 0.5).toLong
+                  i += 1
+                }
+                p += 1
               }
-              var i = 0
-              while (i < patchDim) {
-                var num = 0L
-                var q2 = 0
-                while (q2 < unit) { num += sRow(q2) * qs(base + q2)(i); q2 += 1 }
-                hq(p * patchDim + i) =
-                  math.floor((num.toDouble / den.toDouble) * 1000.0 + 0.5).toLong
-                i += 1
-              }
-              p += 1
+            } else {
+              // the deepstack ("postshuffle norm") variant: the merger
+              // consumes the window's RAW concatenated patch values —
+              // no attention pass (qwen3_vl.rs:374-386, 716-722)
+              var j = 0
+              while (j < nVals) { hq(j) = qs(base + j / patchDim)(j % patchDim); j += 1 }
             }
             // merger projection: position-indexed integer cells, exact sums
-            val nVals = unit * patchDim
             var d = 0
             while (d < outDim) {
               var sum = 0L
               var j = 0
               while (j < nVals) {
-                sum += (hq(j) * K.A + (j.toLong * outDim + d) * K.B + K.C) % K.M
+                sum += (hq(j) * K.A + (cellBase + j.toLong * outDim + d) * K.B + K.C) % K.M
                 j += 1
               }
               val mn = (sum.toDouble / nVals.toDouble / K.M.toDouble) * 2.0 - 1.0
@@ -212,6 +222,27 @@ object VlPreprocess {
       }
       .toDF(idCol, "tok", "dim", "val")
   }
+
+  /** The deepstack merger cell-index base — a disjoint slice of the
+    * projection index space, so deepstack features come from a DIFFERENT
+    * "linear layer" than the main merger (distinct weights per merger,
+    * qwen3_vl.rs deepstack_mergers). */
+  val DeepstackCellBase = 8192L
+
+  /** I6 deepstack feature merger (qwen3_vl.rs:374-386 postshuffle-norm
+    * PatchMerger, collected at designated layers :716-722): same
+    * merge-block grouping and projection as [[windowedMergeTokens]], but
+    * over the window's RAW (pre-attention) patch values and through a
+    * different projection slice — the per-layer feature stream that
+    * ADDS onto the LLM hidden states at image positions
+    * (qwen3.rs:1421-1448). */
+  def deepstackMergeTokens(df: DataFrame, idCol: String, bytesCol: String,
+                           patchSize: Int = 2, mergeSize: Int = 2, outDim: Int = 16,
+                           minPixels: Long = 1L, maxPixels: Long = 10000000L,
+                           mean: Array[Double] = ImagePipeline.ClipMean,
+                           std: Array[Double] = ImagePipeline.ClipStd): DataFrame =
+    windowedMergeTokens(df, idCol, bytesCol, patchSize, mergeSize, outDim,
+      minPixels, maxPixels, mean, std, attend = false, cellBase = DeepstackCellBase)
 
   /** I7 (parity-sliceable part): multimodal fusion — splice vision
     * tokens into the image-pad spans of a text token sequence

@@ -1263,35 +1263,49 @@ FROM p, cst"""
     * 4-token merge window (integer scores, one rational division per
     * attended value, re-quantized), then each window's 48 concatenated
     * values project through position-indexed hash cells to 16 dims. */
-  def q71_vl_window_merge: String = {
+  /** Shared merged-token SQL of the vision tower: `attend = true` is the
+    * main (windowed-attention) route, `false` the deepstack raw-value
+    * route; `cellBase` selects the merger's projection slice. Mirrors
+    * `VlPreprocess.windowedMergeTokens` parameter for parameter. */
+  private def vlMergedTokensSql(attend: Boolean, cellBase: Long): String = {
     // quantized patch value i of merge-ordered patch `tok` (q69 byte map)
     val qcell =
       s"""CAST(floor(((bs[(3 * (((tok2 // 8) * 2 + (tok2 // 2) % 2) * 2 + (i % 4) // 2) * 8
  + (3 * ((((tok2 // 4) % 2) * 2 + tok2 % 2) * 2 + i % 2) + i // 4)) % len(bs) + 1]::DOUBLE
  * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[i // 4 + 1]::DOUBLE) / sd[i // 4 + 1]::DOUBLE) * 1000.0 + 0.5) AS BIGINT) + 2000"""
-    s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
-b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
-qs AS (SELECT doc_id, list_transform(range(0, 16), tok2 -> list_transform(range(0, 12), i -> $qcell)) AS qs FROM b, cst),
-w1 AS (SELECT doc_id, qs, unnest(range(0, 4)) AS tk FROM qs),
-sm AS (SELECT doc_id, qs, tk,
+    val hqCtes =
+      if (attend)
+        s"""sm AS (SELECT doc_id, qs, tk,
   list_transform(range(0, 4), p -> list_transform(range(0, 4), q ->
     (list_reduce(list_transform(range(1, 13), i -> qs[4*tk + p + 1][i] * qs[4*tk + q + 1][i]), (a,b) -> a + b) % $M3) + 1)) AS smat FROM w1),
 hq AS (SELECT doc_id, tk, list_transform(range(0, 48), j ->
   CAST(floor((list_reduce(list_transform(range(0, 4), q -> smat[j // 12 + 1][q + 1] * qs[4*tk + q + 1][j % 12 + 1]), (a,b) -> a + b)::DOUBLE
-    / list_reduce(smat[j // 12 + 1], (a,b) -> a + b)::DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS hq FROM sm),
+    / list_reduce(smat[j // 12 + 1], (a,b) -> a + b)::DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS hq FROM sm)"""
+      else
+        s"""hq AS (SELECT doc_id, tk, list_transform(range(0, 48), j ->
+  qs[4*tk + j // 12 + 1][j % 12 + 1]) AS hq FROM w1)"""
+    s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
+b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+qs AS (SELECT doc_id, list_transform(range(0, 16), tok2 -> list_transform(range(0, 12), i -> $qcell)) AS qs FROM b, cst),
+w1 AS (SELECT doc_id, qs, unnest(range(0, 4)) AS tk FROM qs),
+$hqCtes,
 m AS (SELECT doc_id, tk, list_transform(range(0, 16), d ->
-  (list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + (j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0) AS mnl FROM hq),
+  (list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + ($cellBase + j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0) AS mnl FROM hq),
 nr AS (SELECT doc_id, tk, mnl, sqrt(list_reduce(list_transform(mnl, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
 emb AS (SELECT doc_id, tk AS tok, list_transform(mnl, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
+
+  def q71_vl_window_merge: String = vlMergedTokensSql(attend = true, cellBase = 0L)
 
   /** q72: multimodal fusion (qwen3.rs:176-191 find_token_spans +
     * :1397-1418 slice_assign): a 4-token image-pad span planted after
     * the first min(3, n) tokens, vision tokens (the q71 chain, dim 0)
     * consumed over it in position order via row_number; text positions
     * keep their token-cell value. */
-  def q72_mm_fusion(maxLen: Int = 24, nImg: Int = 4): String = {
+  /** Shared fused-span SQL: the q72 text/span layout with a pluggable
+    * vision-value subquery `(vid, vtok, vval)`. */
+  private def fusedSpanSql(visSql: String, maxLen: Int, nImg: Int): String = {
     val img = M // the planted image-pad id — outside the [0, M) token range
     s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
 sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
@@ -1301,12 +1315,30 @@ aug AS (SELECT doc_id, list_concat(list_concat(
 e AS (SELECT doc_id, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS pos, unnest(a) AS t FROM aug),
 f AS (SELECT doc_id, pos, t, CAST(CASE WHEN t = $img THEN 1 ELSE 0 END AS BIGINT) AS is_image,
   CAST(row_number() OVER (PARTITION BY doc_id, CASE WHEN t = $img THEN 1 ELSE 0 END ORDER BY pos) - 1 AS BIGINT) AS img_idx FROM e),
-vis AS (SELECT doc_id AS vid, tok AS vtok, val AS vval FROM ($q71_vl_window_merge) q71sub WHERE dim = 0)
+vis AS ($visSql)
 SELECT f.doc_id, f.pos, f.is_image,
   CASE WHEN f.is_image = 1 THEN v.vval
        ELSE ((f.t * $A + 0 * $B + $C) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 END AS val
 FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.vtok"""
   }
+
+  def q72_mm_fusion(maxLen: Int = 24, nImg: Int = 4): String =
+    fusedSpanSql(
+      s"SELECT doc_id AS vid, tok AS vtok, val AS vval FROM ($q71_vl_window_merge) q71sub WHERE dim = 0",
+      maxLen, nImg)
+
+  /** q75: deepstack injection (qwen3.rs:1421-1448): image positions
+    * carry the main merged token PLUS the deepstack merger's additive
+    * feature (both dim 0), mirroring the per-layer slice_assign-and-add
+    * of deepstack features over the image span. */
+  def q75_mm_deepstack(maxLen: Int = 24, nImg: Int = 4): String =
+    fusedSpanSql(
+      s"""SELECT v1.doc_id AS vid, v1.tok AS vtok, v1.val + v2.val AS vval
+  FROM (${vlMergedTokensSql(attend = true, cellBase = 0L)}) v1
+  JOIN (${vlMergedTokensSql(attend = false, cellBase = 8192L)}) v2
+    ON v1.doc_id = v2.doc_id AND v1.tok = v2.tok AND v1.dim = v2.dim
+  WHERE v1.dim = 0""",
+      maxLen, nImg)
 
   /** q73: 3-D MRoPE position ids (qwen3.rs:366-467) over the q72 fused
     * layout — prefix sequential, image span (start+t, start+h, start+w)
@@ -1493,6 +1525,7 @@ FROM events GROUP BY user_id, event_type"""
     "q72_mm_fusion" -> q72_mm_fusion(24, 4),
     "q73_mrope_ids" -> q73_mrope_ids(24),
     "q74_pos_interp" -> q74_pos_interp(8),
+    "q75_mm_deepstack" -> q75_mm_deepstack(24, 4),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

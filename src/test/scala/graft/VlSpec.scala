@@ -235,6 +235,27 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(mid - blend) < 1e-12)
   }
 
+  test("deepstack merger: same layout, different stream from the main merger") {
+    import spark.implicits._
+    val df = Seq((1L, ImagePipeline.pngFixture(
+      Array.tabulate(192)(i => ((i * 37 + 11) % 251).toByte)))).toDF("doc_id", "png")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val main = toMap(graft.operators.VlPreprocess.windowedMergeTokens(df, "doc_id", "png"))
+    val deep = toMap(graft.operators.VlPreprocess.deepstackMergeTokens(df, "doc_id", "png"))
+    // identical token/dim layout (4 merged tokens × 16 dims)...
+    assert(main.keySet == deep.keySet && main.size == 64)
+    // ...but a genuinely different feature stream (no attention, its own
+    // projection slice) — unit vectors in both cases
+    assert(main != deep)
+    (0L until 4L).foreach { tok =>
+      def norm(m: Map[(Long, Long), Double]) =
+        math.sqrt((0L until 16L).map(d => m((tok, d)) * m((tok, d))).sum)
+      assert(math.abs(norm(main) - 1.0) < 1e-9)
+      assert(math.abs(norm(deep) - 1.0) < 1e-9)
+    }
+  }
+
   test("patch plan is narrow: no exchange") {
     import spark.implicits._
     val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
