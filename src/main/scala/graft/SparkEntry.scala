@@ -620,15 +620,9 @@ object SparkEntry {
           .withColumn("tids", Kernel.tokenIds(col("text"), 24))
           .filter(size(col("tids")) > 0))
         .select(col("doc_id"), col("tids"))
-      val pngs = pngDocs(s, dir)
-      val main = VlPreprocess.windowedMergeTokens(pngs, "doc_id", "png")
-        .filter(col("dim") === 0)
-        .select(col("doc_id"), col("tok"), col("val").as("__v1"))
-      val deep = VlPreprocess.deepstackMergeTokens(pngs, "doc_id", "png")
-        .filter(col("dim") === 0)
-        .select(col("doc_id"), col("tok"), col("val").as("__v2"))
-      val vis = main.join(deep, Seq("doc_id", "tok"))
-        .select(col("doc_id"), col("tok"), (col("__v1") + col("__v2")).as("val"))
+      // one decode pass emits main + deepstack summed — no join
+      val vis = VlPreprocess.mergedWithDeepstack(pngDocs(s, dir), "doc_id", "png")
+        .filter(col("dim") === 0).select(col("doc_id"), col("tok"), col("val"))
       VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
     }),
 

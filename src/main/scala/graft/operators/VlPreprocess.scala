@@ -130,7 +130,9 @@ object VlPreprocess {
     import spark.implicits._
     val factor = patchSize * mergeSize
     val unit = mergeSize * mergeSize
-    import graft.functions.K
+    if (cellBase == DeepstackCellBase)
+      require(unit.toLong * (3 * patchSize * patchSize) * outDim <= DeepstackCellBase,
+        s"outDim $outDim overlaps the deepstack projection slice at base $DeepstackCellBase")
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
@@ -153,67 +155,13 @@ object VlPreprocess {
             (nTok / unit) * outDim)
           var wdx = 0
           while (wdx < nTok / unit) {
-            val base = wdx * unit
-            val nVals = unit * patchDim
-            // window-local hidden values hq[j], j = p·patchDim + i over
-            // the window's concatenated patches
-            val hq = new Array[Long](nVals)
-            if (attend) {
-              // attended, re-quantized (the vision block route)
-              var p = 0
-              while (p < unit) {
-                var den = 0L
-                val sRow = new Array[Long](unit)
-                var q = 0
-                while (q < unit) {
-                  var s = 0L
-                  var i = 0
-                  while (i < patchDim) { s += qs(base + p)(i) * qs(base + q)(i); i += 1 }
-                  sRow(q) = (s % K.M3) + 1L
-                  den += sRow(q)
-                  q += 1
-                }
-                var i = 0
-                while (i < patchDim) {
-                  var num = 0L
-                  var q2 = 0
-                  while (q2 < unit) { num += sRow(q2) * qs(base + q2)(i); q2 += 1 }
-                  hq(p * patchDim + i) =
-                    math.floor((num.toDouble / den.toDouble) * 1000.0 + 0.5).toLong
-                  i += 1
-                }
-                p += 1
-              }
-            } else {
-              // the deepstack ("postshuffle norm") variant: the merger
-              // consumes the window's RAW concatenated patch values —
-              // no attention pass (qwen3_vl.rs:374-386, 716-722)
-              var j = 0
-              while (j < nVals) { hq(j) = qs(base + j / patchDim)(j % patchDim); j += 1 }
-            }
-            // merger projection: position-indexed integer cells, exact sums
+            val hq = if (attend) attendedWindow(qs, wdx * unit, unit, patchDim)
+                     else rawWindow(qs, wdx * unit, unit, patchDim)
+            val out = projectNormalized(hq, outDim, cellBase)
             var d = 0
             while (d < outDim) {
-              var sum = 0L
-              var j = 0
-              while (j < nVals) {
-                sum += (hq(j) * K.A + (cellBase + j.toLong * outDim + d) * K.B + K.C) % K.M
-                j += 1
-              }
-              val mn = (sum.toDouble / nVals.toDouble / K.M.toDouble) * 2.0 - 1.0
-              rows += ((id, wdx.toLong, d.toLong, mn))
+              rows += ((id, wdx.toLong, d.toLong, out(d)))
               d += 1
-            }
-            // l2 normalize the merged token in place
-            var ss = 0.0
-            var r = rows.length - outDim
-            while (r < rows.length) { ss += rows(r)._4 * rows(r)._4; r += 1 }
-            val nv = math.sqrt(ss) + K.Eps
-            r = rows.length - outDim
-            while (r < rows.length) {
-              val t = rows(r)
-              rows(r) = (t._1, t._2, t._3, t._4 / nv)
-              r += 1
             }
             wdx += 1
           }
@@ -226,8 +174,134 @@ object VlPreprocess {
   /** The deepstack merger cell-index base — a disjoint slice of the
     * projection index space, so deepstack features come from a DIFFERENT
     * "linear layer" than the main merger (distinct weights per merger,
-    * qwen3_vl.rs deepstack_mergers). */
+    * qwen3_vl.rs deepstack_mergers). Disjointness is guarded at the
+    * operator level: nVals·outDim must fit below this base. */
   val DeepstackCellBase = 8192L
+
+  import graft.functions.K
+
+  /** Attended, re-quantized window-local hidden values hq[j],
+    * j = p·patchDim + i over the window's concatenated patches (the
+    * vision block route). */
+  private def attendedWindow(qs: Array[Array[Long]], base: Int,
+                             unit: Int, patchDim: Int): Array[Long] = {
+    val hq = new Array[Long](unit * patchDim)
+    var p = 0
+    while (p < unit) {
+      var den = 0L
+      val sRow = new Array[Long](unit)
+      var q = 0
+      while (q < unit) {
+        var s = 0L
+        var i = 0
+        while (i < patchDim) { s += qs(base + p)(i) * qs(base + q)(i); i += 1 }
+        sRow(q) = (s % K.M3) + 1L
+        den += sRow(q)
+        q += 1
+      }
+      var i = 0
+      while (i < patchDim) {
+        var num = 0L
+        var q2 = 0
+        while (q2 < unit) { num += sRow(q2) * qs(base + q2)(i); q2 += 1 }
+        hq(p * patchDim + i) =
+          math.floor((num.toDouble / den.toDouble) * 1000.0 + 0.5).toLong
+        i += 1
+      }
+      p += 1
+    }
+    hq
+  }
+
+  /** The deepstack ("postshuffle norm") window values: the merger
+    * consumes the window's RAW concatenated patch values — no attention
+    * pass (qwen3_vl.rs:374-386, 716-722). */
+  private def rawWindow(qs: Array[Array[Long]], base: Int,
+                        unit: Int, patchDim: Int): Array[Long] = {
+    val nVals = unit * patchDim
+    val hq = new Array[Long](nVals)
+    var j = 0
+    while (j < nVals) { hq(j) = qs(base + j / patchDim)(j % patchDim); j += 1 }
+    hq
+  }
+
+  /** Merger projection: position-indexed integer cells, exact sums,
+    * mean-scaled into (−1, 1), l2-normalized. */
+  private def projectNormalized(hq: Array[Long], outDim: Int, cellBase: Long): Array[Double] = {
+    val nVals = hq.length
+    val out = new Array[Double](outDim)
+    var d = 0
+    while (d < outDim) {
+      var sum = 0L
+      var j = 0
+      while (j < nVals) {
+        sum += (hq(j) * K.A + (cellBase + j.toLong * outDim + d) * K.B + K.C) % K.M
+        j += 1
+      }
+      out(d) = (sum.toDouble / nVals.toDouble / K.M.toDouble) * 2.0 - 1.0
+      d += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < outDim) { ss += out(j) * out(j); j += 1 }
+    val nv = math.sqrt(ss) + K.Eps
+    var k = 0
+    while (k < outDim) { out(k) = out(k) / nv; k += 1 }
+    out
+  }
+
+  /** One-pass fused vision stream for deepstack injection: per merged
+    * token, the main (attended) merger value PLUS the deepstack (raw)
+    * merger value — both from the SAME decoded/quantized qs pass, so the
+    * image decodes once and no join is needed (the two-scan
+    * windowedMergeTokens ⋈ deepstackMergeTokens formulation doubles
+    * decode CPU and adds an exchange; value-identity with it is
+    * spec-pinned). Output (idCol, tok, dim, val). */
+  def mergedWithDeepstack(df: DataFrame, idCol: String, bytesCol: String,
+                          patchSize: Int = 2, mergeSize: Int = 2, outDim: Int = 16,
+                          minPixels: Long = 1L, maxPixels: Long = 10000000L,
+                          mean: Array[Double] = ImagePipeline.ClipMean,
+                          std: Array[Double] = ImagePipeline.ClipStd): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val factor = patchSize * mergeSize
+    val unit = mergeSize * mergeSize
+    require(unit.toLong * (3 * patchSize * patchSize) * outDim <= DeepstackCellBase,
+      s"outDim $outDim overlaps the deepstack projection slice at base $DeepstackCellBase")
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ImagePipeline.decodeImage(bytes).toSeq.flatMap { case (w, h, _, px) =>
+          val (hBar, wBar) = smartResize(h, w, factor, minPixels, maxPixels)
+          val img0 = Preprocess.Img(w, h, px)
+          val img = if (hBar == h && wBar == w) img0
+                    else Preprocess.resizeExact(img0, wBar, hBar)
+          val patchDim = 3 * patchSize * patchSize
+          val qs = mergeOrderedPatchValues(img, patchSize, mergeSize, mean, std)
+            .map(_.map(ImagePipeline.quantize))
+          val nTok = qs.length
+          require(nTok % unit == 0,
+            s"Sequence length $nTok is not divisible by spatial merge unit $unit")
+          val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)](
+            (nTok / unit) * outDim)
+          var wdx = 0
+          while (wdx < nTok / unit) {
+            val main = projectNormalized(
+              attendedWindow(qs, wdx * unit, unit, patchDim), outDim, 0L)
+            val deep = projectNormalized(
+              rawWindow(qs, wdx * unit, unit, patchDim), outDim, DeepstackCellBase)
+            var d = 0
+            while (d < outDim) {
+              rows += ((id, wdx.toLong, d.toLong, main(d) + deep(d)))
+              d += 1
+            }
+            wdx += 1
+          }
+          rows
+        }
+      }
+      .toDF(idCol, "tok", "dim", "val")
+  }
 
   /** I6 deepstack feature merger (qwen3_vl.rs:374-386 postshuffle-norm
     * PatchMerger, collected at designated layers :716-722): same

@@ -1256,13 +1256,6 @@ SELECT doc_id, tok, idx,
   (px::DOUBLE * (CAST(1 AS DOUBLE)/CAST(255 AS DOUBLE)) - mn[c + 1]::DOUBLE) / sd[c + 1]::DOUBLE AS val
 FROM p, cst"""
 
-  /** q71: windowed attention + PatchMerger
-    * ([[graft.operators.VlPreprocess.windowedMergeTokens]]) recomputed
-    * relationally: per doc, the 16 merge-ordered patch tokens quantize
-    * (q23's floor(v·1000+0.5)+2000), attend bidirectionally WITHIN their
-    * 4-token merge window (integer scores, one rational division per
-    * attended value, re-quantized), then each window's 48 concatenated
-    * values project through position-indexed hash cells to 16 dims. */
   /** Shared merged-token SQL of the vision tower: `attend = true` is the
     * main (windowed-attention) route, `false` the deepstack raw-value
     * route; `cellBase` selects the merger's projection slice. Mirrors
@@ -1296,13 +1289,15 @@ emb AS (SELECT doc_id, tk AS tok, list_transform(mnl, x -> x / (nv + 1e-12)) AS 
 SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q71: windowed attention + PatchMerger
+    * ([[graft.operators.VlPreprocess.windowedMergeTokens]]) recomputed
+    * relationally: per doc, the 16 merge-ordered patch tokens quantize
+    * (q23's floor(v·1000+0.5)+2000), attend bidirectionally WITHIN their
+    * 4-token merge window (integer scores, one rational division per
+    * attended value, re-quantized), then each window's 48 concatenated
+    * values project through position-indexed hash cells to 16 dims. */
   def q71_vl_window_merge: String = vlMergedTokensSql(attend = true, cellBase = 0L)
 
-  /** q72: multimodal fusion (qwen3.rs:176-191 find_token_spans +
-    * :1397-1418 slice_assign): a 4-token image-pad span planted after
-    * the first min(3, n) tokens, vision tokens (the q71 chain, dim 0)
-    * consumed over it in position order via row_number; text positions
-    * keep their token-cell value. */
   /** Shared fused-span SQL: the q72 text/span layout with a pluggable
     * vision-value subquery `(vid, vtok, vval)`. */
   private def fusedSpanSql(visSql: String, maxLen: Int, nImg: Int): String = {
@@ -1322,6 +1317,11 @@ SELECT f.doc_id, f.pos, f.is_image,
 FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.vtok"""
   }
 
+  /** q72: multimodal fusion (qwen3.rs:176-191 find_token_spans +
+    * :1397-1418 slice_assign): a 4-token image-pad span planted after
+    * the first min(3, n) tokens, vision tokens (the q71 chain, dim 0)
+    * consumed over it in position order via row_number; text positions
+    * keep their token-cell value. */
   def q72_mm_fusion(maxLen: Int = 24, nImg: Int = 4): String =
     fusedSpanSql(
       s"SELECT doc_id AS vid, tok AS vtok, val AS vval FROM ($q71_vl_window_merge) q71sub WHERE dim = 0",
@@ -1335,7 +1335,8 @@ FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.
     fusedSpanSql(
       s"""SELECT v1.doc_id AS vid, v1.tok AS vtok, v1.val + v2.val AS vval
   FROM (${vlMergedTokensSql(attend = true, cellBase = 0L)}) v1
-  JOIN (${vlMergedTokensSql(attend = false, cellBase = 8192L)}) v2
+  JOIN (${vlMergedTokensSql(attend = false,
+        cellBase = graft.operators.VlPreprocess.DeepstackCellBase)}) v2
     ON v1.doc_id = v2.doc_id AND v1.tok = v2.tok AND v1.dim = v2.dim
   WHERE v1.dim = 0""",
       maxLen, nImg)

@@ -241,18 +241,40 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Array.tabulate(192)(i => ((i * 37 + 11) % 251).toByte)))).toDF("doc_id", "png")
     def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
-    val main = toMap(graft.operators.VlPreprocess.windowedMergeTokens(df, "doc_id", "png"))
-    val deep = toMap(graft.operators.VlPreprocess.deepstackMergeTokens(df, "doc_id", "png"))
+    val vl = graft.operators.VlPreprocess
+    val main = toMap(vl.windowedMergeTokens(df, "doc_id", "png"))
+    val deep = toMap(vl.deepstackMergeTokens(df, "doc_id", "png"))
     // identical token/dim layout (4 merged tokens × 16 dims)...
     assert(main.keySet == deep.keySet && main.size == 64)
-    // ...but a genuinely different feature stream (no attention, its own
-    // projection slice) — unit vectors in both cases
-    assert(main != deep)
+    // ...but each distinguishing knob matters INDEPENDENTLY: dropping
+    // attention alone, or switching the projection slice alone, must
+    // already change the stream (so a regression in either is caught)
+    val rawSameSlice = toMap(vl.windowedMergeTokens(df, "doc_id", "png",
+      attend = false, cellBase = 0L))
+    val attendedDeepSlice = toMap(vl.windowedMergeTokens(df, "doc_id", "png",
+      attend = true, cellBase = vl.DeepstackCellBase))
+    assert(main != rawSameSlice, "attention must matter")
+    assert(main != attendedDeepSlice, "the projection slice must matter")
+    assert(deep != rawSameSlice && deep != attendedDeepSlice)
     (0L until 4L).foreach { tok =>
       def norm(m: Map[(Long, Long), Double]) =
         math.sqrt((0L until 16L).map(d => m((tok, d)) * m((tok, d))).sum)
       assert(math.abs(norm(main) - 1.0) < 1e-9)
       assert(math.abs(norm(deep) - 1.0) < 1e-9)
+    }
+    // the one-pass fused stream ≡ main + deep, bit for bit
+    val fused = toMap(vl.mergedWithDeepstack(df, "doc_id", "png"))
+    assert(fused.keySet == main.keySet)
+    fused.foreach { case (k, v) => assert(v == main(k) + deep(k), s"$k") }
+  }
+
+  test("deepstack slice guard rejects an overlapping outDim") {
+    import spark.implicits._
+    val df = Seq((1L, ImagePipeline.pngFixture(Array[Byte](1, 2, 3)))).toDF("doc_id", "png")
+    intercept[IllegalArgumentException] {
+      // 48 vals × 256 dims = 12288 cells > 8192: the main slice would
+      // bleed into the deepstack slice
+      graft.operators.VlPreprocess.mergedWithDeepstack(df, "doc_id", "png", outDim = 256)
     }
   }
 
