@@ -87,9 +87,16 @@ object Bench {
     // must never read as a fast pass
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
+    // raw per-pass samples, in pass order — medians stay the headline,
+    // but the spread is what separates a methodology change from
+    // environment noise when rounds are compared
+    val passes = results.map { case (k, _, _) =>
+      "\"" + k + "\":" + times.getOrElse(k, scala.collection.mutable.ArrayBuffer.empty[Double])
+        .map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
     // Repeat the total on its own short line (distinct metric name so a
     // line-oriented consumer selecting on "total" matches exactly once):
     // round-5 artifact capture kept only the tail of long lines,

@@ -382,15 +382,14 @@ object SparkEntry {
           posexplode(col("centroid")).as(Seq("dim", "val")))
         .select(col("label"), col("dim").cast("long").as("dim"), col("val"))),
 
-    // nearest-prototype classification: narrow one-pass NearestCell scan
-    // against the broadcast-sized label-centroid bank
+    // nearest-prototype classification: the centroid bank stays IN-PLAN
+    // (1-row broadcast of the aggregated bank — no driver collect), and
+    // the argmin is a narrow per-row fold over it, zero shuffle on the
+    // corpus side
     "q60b_centroid_classify" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val cents = Similarity.labelCentroids(e, "label", "embedding")
-        .collect()
-        .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      Similarity.classifyByCentroids(e, "embedding", cents)
+      Similarity.classifyByCentroidsInPlan(e, "embedding", cents, "label", "centroid")
         .select(col("vec_id"), col("label").cast("long").as("label"), col("pred"))
     }),
 

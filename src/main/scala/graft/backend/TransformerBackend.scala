@@ -118,6 +118,10 @@ final case class TransformerBackend(
     * causal+padding mask applied to each raw score — exposed (not just
     * the pooled row) so specs can pin causality at interior positions. */
   def hiddenAt(ids: Array[Long], mask: Array[Int], pos: Array[Int], qi: Int): Array[Double] = {
+    // a padded query position has every key masked (tw stays 0), so the
+    // scale below would divide by zero — reject it up front rather than
+    // returning NaN/Infinity
+    require(mask(qi) == 1, s"query index $qi is a padded position")
     val seqLen = ids.length
     val qq = new Array[Long](dim)
     val kk = new Array[Long](dim)

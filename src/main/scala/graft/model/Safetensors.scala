@@ -89,10 +89,22 @@ object Safetensors {
           Some(name -> info)
         case (name, v) =>
           throw new IllegalArgumentException(s"tensor '$name': expected object, got $v")
-      }.toMap
+      }
       case v => throw new IllegalArgumentException(s"safetensors header must be an object, got $v")
     }
-    Header(tensors, meta, dataStart, dataLen)
+    // the upstream spec requires distinct names and non-overlapping data
+    // ranges — a file violating either must fail at load, not read the
+    // wrong bytes later (toMap alone would silently keep the last dup)
+    val names = tensors.map(_._1)
+    require(names.distinct.length == names.length,
+      s"duplicate tensor names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val byBegin = tensors.map(_._2).sortBy(_.begin)
+    byBegin.sliding(2).foreach {
+      case Seq(a, b) => require(b.begin >= a.end,
+        s"overlapping tensor ranges: [${a.begin},${a.end}) and [${b.begin},${b.end})")
+      case _ =>
+    }
+    Header(tensors.toMap, meta, dataStart, dataLen)
   }
 
   /** Raw bytes of one tensor. */

@@ -512,6 +512,33 @@ object Similarity {
       graft.functions.CentroidBank.of(df.sparkSession, centroids))))
   }
 
+  /** [[classifyByCentroids]] with the prototype bank kept IN-PLAN: the
+    * centroid frame is folded to ONE row (`collect_list` sorted by
+    * label) and broadcast-cross-joined, so the driver never collects
+    * anything and the corpus side stays a narrow zero-shuffle scan —
+    * the same 100 TB shape, minus the driver hop. The argmin fold
+    * mirrors [[graft.functions.NearestCell]] exactly: squared-L2
+    * accumulated in array order, lexicographic `array_min` over
+    * (dist, label) ⇒ ties go to the lowest label. A label whose rows
+    * were all null never reaches the bank (labelCentroids drops it). */
+  def classifyByCentroidsInPlan(df: DataFrame, vecCol: String,
+                                centroids: DataFrame, labelCol: String,
+                                centCol: String,
+                                outCol: String = "pred"): DataFrame = {
+    val bank = centroids.agg(
+      array_sort(collect_list(struct(
+        col(labelCol).cast("long").as("cl"), col(centCol).as("cv")))).as("__bank"))
+    df.crossJoin(broadcast(bank))
+      .withColumn(outCol,
+        array_min(transform(col("__bank"), b => struct(
+          aggregate(
+            zip_with(col(vecCol), b("cv"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, d2) => acc + d2).as("d"),
+          b("cl").as("cl"))))("cl"))
+      .drop("__bank")
+  }
+
   /** MMR diversity rerank: from each query's candidate rows
     * (cIdCol, relCol = relevance score, vecCol = candidate vector), pick
     * `k` greedily by λ·rel − (1−λ)·max-cosine-to-already-picked — the

@@ -70,10 +70,23 @@ object VlPreprocess {
 
   /** Column form of [[smartResize]]: a struct(h_bar, w_bar) expression
     * over integer dim columns — pure codegen'd arithmetic, the identical
-    * IEEE-754 tree the DuckDB oracle evaluates. Inputs must satisfy the
-    * reference's preconditions (positive dims, aspect ≤ 200). */
+    * IEEE-754 tree the DuckDB oracle evaluates. The reference's
+    * preconditions (positive dims, aspect ≤ 200, qwen3.rs:207-244) are
+    * enforced per-row: an out-of-contract row raises instead of silently
+    * yielding NaN dims through the divide inside sqrt. */
   def smartResizeCols(h: Column, w: Column, factor: Int,
                       minPixels: Long, maxPixels: Long): Column = {
+    // mirror of the JVM mirror's two requires; raise_error is NullType,
+    // cast to long so it can sit in the otherwise branch of a long field
+    val aspectOk =
+      greatest(h, w).cast("double") / least(h, w).cast("double") <= lit(200.0)
+    def guarded(c: Column): Column =
+      when(h <= lit(0) || w <= lit(0),
+        raise_error(concat(lit("Image dimensions must be greater than zero: "),
+          h.cast("string"), lit("x"), w.cast("string"))).cast("long"))
+        .when(!aspectOk,
+          raise_error(lit("Absolute aspect ratio must be <= 200")).cast("long"))
+        .otherwise(c)
     val fL = lit(factor.toLong)
     val fD = lit(factor.toDouble)
     val hBar0 = greatest(rte(h.cast("double") / fD) * fL, fL)
@@ -88,8 +101,8 @@ object VlPreprocess {
     val over = hBar0 * wBar0 > lit(maxPixels)
     val under = hBar0 * wBar0 < lit(minPixels)
     struct(
-      when(over, hShrink).when(under, hGrow).otherwise(hBar0).as("h_bar"),
-      when(over, wShrink).when(under, wGrow).otherwise(wBar0).as("w_bar"))
+      guarded(when(over, hShrink).when(under, hGrow).otherwise(hBar0)).as("h_bar"),
+      guarded(when(over, wShrink).when(under, wGrow).otherwise(wBar0)).as("w_bar"))
   }
 
   /** I6/I7 skeleton: windowed attention + PatchMerger over the patch

@@ -91,12 +91,14 @@ SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY token_id) - 
     * the UTF-8 text tiles into pixel i; x = b*(1/255);
     * v = (x - mean[c])/std[c]; q = floor(v*1000 + 0.5) + 2000.
     *
-    * NOTE q23/q36 reconstruct BYTES from per-character `ascii()`, which
-    * equals the UTF-8 encoding only for non-empty ASCII text. That is a
-    * property of the documents fixture, asserted by the
-    * "documents fixture is non-empty ASCII" spec (OperatorsSpec) — if
-    * the corpus ever gains non-ASCII or empty rows, these two oracles
-    * must switch to a bona-fide byte extraction. */
+    * NOTE q23/q36 — and the VL gates q69/q71/q72/q75 below, which
+    * inherit this CTE shape — reconstruct BYTES from per-character
+    * `ascii()`, which equals the UTF-8 encoding only for non-empty
+    * ASCII text. That is a property of the documents fixture, asserted
+    * by the "documents fixture is non-empty ASCII" spec
+    * (OperatorsSpec) — if the corpus ever gains non-ASCII or empty
+    * rows, all of these oracles must switch to a bona-fide byte
+    * extraction. */
   def q23_image_embed(dim: Int): String =
     s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
 b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),

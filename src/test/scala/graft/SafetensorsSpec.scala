@@ -62,6 +62,31 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  private def fileOf(json: String, data: Array[Byte]): Array[Byte] = {
+    val j = json.getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(8 + j.length + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(j.length.toLong); bb.put(j); bb.put(data); bb.array()
+  }
+
+  test("duplicate tensor names are rejected at parse") {
+    val dup = fileOf(
+      """{"w":{"dtype":"F32","shape":[1],"data_offsets":[0,4]},""" +
+        """"w":{"dtype":"F32","shape":[1],"data_offsets":[4,8]}}""",
+      new Array[Byte](8))
+    val e = intercept[IllegalArgumentException] { Safetensors.parseHeader(dup) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("overlapping tensor data ranges are rejected at parse") {
+    val ovl = fileOf(
+      """{"a":{"dtype":"F32","shape":[2],"data_offsets":[0,8]},""" +
+        """"b":{"dtype":"F32","shape":[2],"data_offsets":[4,12]}}""",
+      new Array[Byte](12))
+    val e = intercept[IllegalArgumentException] { Safetensors.parseHeader(ovl) }
+    assert(e.getMessage.contains("overlapping"))
+  }
+
   test("sharded-checkpoint probe names (qwen3.rs:1040)") {
     assert(Safetensors.shardFileNames(3) == Seq(
       "model-00001-of-00003.safetensors",

@@ -38,6 +38,19 @@ class VlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("Column smartResizeCols raises on out-of-contract dims like the JVM mirror") {
+    def run(h: Int, w: Int): Unit =
+      spark.range(1)
+        .select(VlPreprocess.smartResizeCols(lit(h), lit(w), 4, 256L, 1024L).as("sr"))
+        .select(col("sr.h_bar")).collect()
+    val e1 = intercept[Exception] { run(0, 8) }
+    assert(e1.getMessage.contains("greater than zero") ||
+      Option(e1.getCause).exists(_.getMessage.contains("greater than zero")))
+    val e2 = intercept[Exception] { run(1000, 4) } // aspect 250 > 200
+    assert(e2.getMessage.contains("<= 200") ||
+      Option(e2.getCause).exists(_.getMessage.contains("<= 200")))
+  }
+
   test("Column smartResizeCols ≡ the JVM mirror over a dim sweep") {
     val dims = spark.range(1, 400)
       .select((col("id") % 97 + 1).as("h"), ((col("id") * 13) % 111 + 1).as("w"))
