@@ -625,6 +625,16 @@ object SparkEntry {
       VlPreprocess.fuseImageSpans(toks, "doc_id", "tids", vis, "tok", "val", K.M)
     }),
 
+    // the learned-weight BGE-M3 sparse linear: a REAL F32 bank read out
+    // of a two-shard safetensors checkpoint (S9+S10), quantized back to
+    // its integer grid, and dotted against the per-(token, position)
+    // hidden stream — relu, strictly-positive keep, max-merge
+    "q76_weighted_sparse" -> ((s, dir) => {
+      val (wq, bq) = graft.backend.SparseLinearBank.loadedQuantized
+      SparseEmbedder.weightedExploded(docs(s, dir), "doc_id", "text",
+        wq, bq, graft.backend.SparseLinearBank.Scale)
+    }),
+
     // I7's MRoPE position ids over the q72 fused layout: 3-D (t, h, w)
     // ids for the planted image span (grid 1×2×2 — q71's merged tokens),
     // sequential ids before, resume-from-max after — exact integers

@@ -164,6 +164,56 @@ object Safetensors {
   def shardFileNames(total: Int): Seq[String] =
     (1 to total).map(i => f"model-$i%05d-of-$total%05d.safetensors")
 
+  /** The reference's single-or-sharded weight-file resolution
+    * (qwen3.rs:1033-1056): `model.safetensors` wins outright; otherwise
+    * probe `model-{i:05}-of-{total:05}` for i = 1.. against every total
+    * in 1..maxShards, keep the first hit per i, and stop at the first
+    * i with no hit. Errors (like the reference) when nothing resolves. */
+  def resolveWeightFiles(available: Set[String], maxShards: Int = 20): Seq[String] = {
+    if (available.contains("model.safetensors")) Seq("model.safetensors")
+    else {
+      val files = Iterator.from(1)
+        .map { i =>
+          (1 to maxShards).iterator
+            .map(total => f"model-$i%05d-of-$total%05d.safetensors")
+            .find(available.contains)
+        }
+        .takeWhile(_.isDefined)
+        .flatten
+        .toSeq
+      require(files.nonEmpty,
+        "Could not locate model.safetensors or sharded weight files")
+      files
+    }
+  }
+
+  /** S10: a multi-shard checkpoint view — every shard parsed and
+    * validated up front, tensors resolved by name across shards (a
+    * tensor lives wholly inside one shard; the set of names must be
+    * globally distinct, like candle's `from_mmaped_safetensors` merge,
+    * qwen3.rs:1057). */
+  final case class ShardedWeights(shards: Seq[(Array[Byte], Header)]) {
+    private val byName: Map[String, Int] = {
+      val pairs = shards.zipWithIndex.flatMap { case ((_, h), i) =>
+        h.tensors.keys.map(_ -> i)
+      }
+      val names = pairs.map(_._1)
+      require(names.distinct.length == names.length,
+        s"tensor defined in multiple shards: ${names.diff(names.distinct).distinct.mkString(", ")}")
+      pairs.toMap
+    }
+    def tensorNames: Set[String] = byName.keySet
+    def tensorF32(name: String): Array[Float] = {
+      val i = byName.getOrElse(name,
+        throw new NoSuchElementException(s"Missing '$name' tensor in ${shards.length} shard(s)"))
+      val (bytes, h) = shards(i)
+      Safetensors.tensorF32(bytes, h, name)
+    }
+  }
+
+  def loadShards(files: Seq[Array[Byte]]): ShardedWeights =
+    ShardedWeights(files.map(b => (b, parseHeader(b))))
+
   /** The BGE-M3 sparse-linear consumption shape
     * (bgem3_weights.rs:15-38): a flat `weight` F32 tensor plus a scalar
     * `bias` — token_weight = relu(hidden · weight + bias). */

@@ -119,6 +119,46 @@ object SparseEmbedder {
       .select(col(idCol), col("token_id"), col("__w").as("weight"), col("df"), col("tfidf"))
   }
 
+  /** BGE-M3 LEARNED-WEIGHT sparse extraction — the reference's
+    * `token_weight = relu(hidden · weight + bias)` over a real F32 bank
+    * (/root/reference/src/sparse_text_embedding/bgem3_weights.rs:14-43,
+    * impl.rs:256-304): per unmasked non-special token, dot the
+    * position-dependent hidden state against the bank, add the bias,
+    * relu, keep strictly-positive, and max-merge duplicate token ids.
+    *
+    * `wq`/`bq` are the bank on its integer grid (weights are k/Scale
+    * fixed-point, recovered losslessly from the safetensors bytes by
+    * [[graft.backend.SparseLinearBank.loadedQuantized]]), so the dot
+    * product and the relu both run in exact int64 arithmetic and ONLY
+    * the final `/Scale` produces a double — order-free, hence
+    * partitioning-invariant and bit-identical to the DuckDB oracle.
+    *
+    * Scale shape: the bank rides in the plan as a dim-sized literal
+    * array (Catalyst ships it with the serialized plan — the "broadcast"
+    * of a vector-sized constant), the per-occurrence dot is narrow
+    * codegen'd HOF work, and the only exchange is the same map-side
+    * partial-max groupBy as the unweighted q04 path. */
+  def weightedExploded(df: DataFrame, idCol: String, textCol: String,
+                       wq: Array[Long], bq: Long, scale: Long,
+                       maxLength: Int = K.MaxLength): DataFrame = {
+    val wLit = array(wq.map(lit).toIndexedSeq: _*)
+    val hidden = (d: Column) =>
+      ((col("token_id") % lit(K.M3)) * lit(K.A3) +
+        d.cast("long") * lit(K.B3) +
+        (col("pos") + lit(1L)) * lit(K.C3)) % lit(K.M3)
+    df.select(col(idCol), posexplode(Kernel.tokenIds(col(textCol), maxLength)).as(Seq("pos", "token_id")))
+      .filter(col("token_id") > 3) // XLM-R special ids 0..3 (impl.rs:264)
+      .withColumn("__dotq",
+        aggregate(sequence(lit(0), lit(wq.length - 1)), lit(0L),
+          (acc, d) => acc + hidden(d) * element_at(wLit, d + 1)))
+      .withColumn("__wq", greatest(lit(0L), col("__dotq") + lit(bq)))
+      .filter(col("__wq") > 0)
+      .groupBy(col(idCol), col("token_id"))
+      .agg(max(col("__wq")).as("__mq"))
+      .select(col(idCol), col("token_id"),
+        (col("__mq").cast("double") / lit(scale.toDouble)).as("weight"))
+  }
+
   /** Reference-shaped output: one row per doc with
     * struct(indices: array<bigint> sorted asc, values: array<double>)
     * parallel arrays (src/common.rs:18-22; sort asc impl.rs:296-301).

@@ -1343,6 +1343,30 @@ FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.
   WHERE v1.dim = 0""",
       maxLen, nImg)
 
+  /** q76: the learned-weight BGE-M3 sparse linear
+    * (bgem3_weights.rs:14-43, impl.rs:256-304): integer-grid dot of the
+    * (token, position) hidden stream against the weight bank, + bias,
+    * relu, strictly-positive keep, max-merge per (doc, token). The
+    * oracle recomputes the bank from its generating formula
+    * k(d) = ((d+1)·B3 + A3) mod 4001 − 2000; the Spark side reads the
+    * same values out of the sharded safetensors container bytes —
+    * SparseLinearBankSpec pins the two equal, so a byte-level container
+    * regression breaks the spec while this gate pins the arithmetic. */
+  def q76_weighted_sparse: String = {
+    val dim = graft.backend.SparseLinearBank.Dim
+    val sc = graft.backend.SparseLinearBank.Scale
+    val bq = graft.backend.SparseLinearBank.BiasK
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+e AS (SELECT doc_id, CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos, unnest(tids) AS token_id FROM tok),
+dq AS (SELECT doc_id, token_id,
+  greatest(0, list_reduce(list_transform(range(0, $dim), i ->
+    (((token_id % $M3) * $A3 + i * $B3 + (pos + 1) * $C3) % $M3) * (((i + 1) * $B3 + $A3) % 4001 - 2000)),
+    (a, b) -> a + b) + $bq) AS wq
+  FROM e WHERE token_id > 3)
+SELECT doc_id, token_id, max(wq)::DOUBLE / $sc.0 AS weight
+FROM dq WHERE wq > 0 GROUP BY doc_id, token_id"""
+  }
+
   /** q73: 3-D MRoPE position ids (qwen3.rs:366-467) over the q72 fused
     * layout — prefix sequential, image span (start+t, start+h, start+w)
     * from the t/h/w grid walk, tail resumes from
@@ -1529,6 +1553,7 @@ FROM events GROUP BY user_id, event_type"""
     "q73_mrope_ids" -> q73_mrope_ids(24),
     "q74_pos_interp" -> q74_pos_interp(8),
     "q75_mm_deepstack" -> q75_mm_deepstack(24, 4),
+    "q76_weighted_sparse" -> q76_weighted_sparse,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
