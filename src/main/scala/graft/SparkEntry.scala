@@ -635,6 +635,20 @@ object SparkEntry {
         wq, bq, graft.backend.SparseLinearBank.Scale)
     }),
 
+    // real-vocab tokenization: greedy longest-match WordPiece over the
+    // fixture tokenizer.json (HF format), [CLS]…[SEP]-wrapped — the
+    // S7/P1 learned-vocab upgrade; the hashing tokenizer stays default
+    "q77_wordpiece" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      docs(s, dir)
+        .filter(size(Kernel.tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)))
+            .as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+    }),
+
     // I7's MRoPE position ids over the q72 fused layout: 3-D (t, h, w)
     // ids for the planted image span (grid 1×2×2 — q71's merged tokens),
     // sequential ids before, resume-from-max after — exact integers

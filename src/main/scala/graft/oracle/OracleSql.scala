@@ -1367,6 +1367,45 @@ SELECT doc_id, token_id, max(wq)::DOUBLE / $sc.0 AS weight
 FROM dq WHERE wq > 0 GROUP BY doc_id, token_id"""
   }
 
+  /** q77: greedy longest-match WordPiece over the fixture
+    * tokenizer.json vocab (HF semantics — see graft.model.WordPiece).
+    * The recursive CTE advances one piece per step: the longest match
+    * at the current offset is an argmax over the inlined vocab packed
+    * as `len·1000 + id` (two entries of equal length matching the same
+    * substring cannot both exist, so the key is unique); a position
+    * with no match UNKs the whole word (st = −1). Terminal rows are
+    * st = −1 or st = len(word); the doc sequence is the wpos-ordered
+    * piece concat wrapped in [CLS]…[SEP]. */
+  def q77_wordpiece: String = {
+    val wp = graft.model.WordPiece.fixture
+    val voc = wp.oracleRows
+      .map { case (p, n, c, id) => s"{'p': '$p', 'n': $n, 'c': $c, 'id': $id}" }
+      .mkString("[", ", ", "]")
+    val maxChars = wp.maxInputChars
+    s"""WITH RECURSIVE w0 AS (SELECT doc_id, ${toks("text")} AS ws FROM documents),
+words AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS wpos, unnest(ws) AS word FROM w0 WHERE len(ws) > 0),
+wp AS (
+  SELECT doc_id, wpos, word,
+    CASE WHEN len(word) > $maxChars THEN -1 ELSE 0 END AS st,
+    CASE WHEN len(word) > $maxChars THEN [CAST(${wp.unkId} AS BIGINT)] ELSE CAST([] AS BIGINT[]) END AS ids
+  FROM words
+  UNION ALL
+  SELECT doc_id, wpos, word,
+    CASE WHEN best IS NULL THEN -1 ELSE st + best // 1000 END AS st,
+    CASE WHEN best IS NULL THEN [CAST(${wp.unkId} AS BIGINT)] ELSE list_append(ids, CAST(best % 1000 AS BIGINT)) END AS ids
+  FROM (
+    SELECT doc_id, wpos, word, st, ids,
+      list_aggregate(list_transform($voc, v ->
+        CASE WHEN v.c = (CASE WHEN st = 0 THEN 0 ELSE 1 END)
+              AND substr(word, st + 1, v.n) = v.p
+             THEN v.n * 1000 + v.id ELSE NULL END), 'max') AS best
+    FROM wp WHERE st >= 0 AND st < len(word)) s),
+fin AS (SELECT doc_id, wpos, ids FROM wp WHERE st = -1 OR st >= len(word)),
+perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM fin GROUP BY doc_id),
+sq AS (SELECT doc_id, list_concat(list_concat([CAST(${wp.clsId} AS BIGINT)], body), [CAST(${wp.sepId} AS BIGINT)]) AS s2 FROM perdoc)
+SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq"""
+  }
+
   /** q73: 3-D MRoPE position ids (qwen3.rs:366-467) over the q72 fused
     * layout — prefix sequential, image span (start+t, start+h, start+w)
     * from the t/h/w grid walk, tail resumes from
@@ -1554,6 +1593,7 @@ FROM events GROUP BY user_id, event_type"""
     "q74_pos_interp" -> q74_pos_interp(8),
     "q75_mm_deepstack" -> q75_mm_deepstack(24, 4),
     "q76_weighted_sparse" -> q76_weighted_sparse,
+    "q77_wordpiece" -> q77_wordpiece,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -40,6 +40,10 @@ object GraftFunctions {
       case Seq(text, n) => TokenIds(text, intArg(n, "max_length"))
       case _ => throw new IllegalArgumentException("graft_token_ids(text[, max_length])")
     },
+    "graft_wordpiece_ids" -> {
+      case Seq(text) => WordPieceIds(text, graft.model.WordPiece.fixture)
+      case _ => throw new IllegalArgumentException("graft_wordpiece_ids(text)")
+    },
     "graft_cosine" -> {
       case Seq(a, b) => CosineSim(a, b)
       case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
