@@ -347,14 +347,18 @@ object VlPreprocess {
     * One shuffle by doc id (the fusion inherently co-locates a doc's
     * text and vision tokens); vision side is |docs|·nTok rows —
     * join-key-partitioned, never broadcast-dependent. Output:
-    * (idCol, pos, is_image, val). */
+    * (idCol, carryCols…, pos, is_image, val) — `carryCols` names
+    * doc-level columns of `tokens` to thread through unchanged (the
+    * q78 composition carries the span start for MRoPE). */
   def fuseImageSpans(tokens: DataFrame, idCol: String, tidsCol: String,
                      vision: DataFrame, vTokCol: String, vValCol: String,
-                     imgTokenId: Long): DataFrame = {
+                     imgTokenId: Long,
+                     carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{K, Kernel}
     val exploded = tokens
-      .select(col(idCol), posexplode(col(tidsCol)).as(Seq("pos", "__t")))
+      .select((Seq(col(idCol)) ++ carryCols.map(col) ++
+        Seq(posexplode(col(tidsCol)).as(Seq("pos", "__t")))): _*)
       .withColumn("is_image", (col("__t") === lit(imgTokenId)).cast("long"))
     val w = Window.partitionBy(col(idCol), col("is_image")).orderBy(col("pos"))
     val withIdx = exploded.withColumn("__img_idx", row_number().over(w) - 1)
@@ -366,8 +370,9 @@ object VlPreprocess {
         col(idCol) === col("__vid") &&
           col("is_image") === lit(1L) && col("__img_idx") === col("__vtok"),
         "left")
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("is_image"),
-        when(col("is_image") === lit(1L), col("__vval")).otherwise(textVal).as("val"))
+      .select((Seq(col(idCol)) ++ carryCols.map(col) ++ Seq(
+        col("pos").cast("long").as("pos"), col("is_image"),
+        when(col("is_image") === lit(1L), col("__vval")).otherwise(textVal).as("val"))): _*)
   }
 
   /** I7: 3-D MRoPE position ids

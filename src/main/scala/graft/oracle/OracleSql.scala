@@ -1302,20 +1302,22 @@ SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unne
 
   /** Shared fused-span SQL: the q72 text/span layout with a pluggable
     * vision-value subquery `(vid, vtok, vval)`. */
-  private def fusedSpanSql(visSql: String, maxLen: Int, nImg: Int): String = {
+  private def fusedSpanSql(visSql: String, maxLen: Int, nImg: Int,
+                           withK: Boolean = false): String = {
     val img = M // the planted image-pad id — outside the [0, M) token range
+    val kOut = if (withK) ", f.k" else ""
     s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
 sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
-aug AS (SELECT doc_id, list_concat(list_concat(
+aug AS (SELECT doc_id, CAST(least(3, n) AS BIGINT) AS k, list_concat(list_concat(
   list_slice(tids, 1, least(3, n)), [${Seq.fill(nImg)(img).mkString(", ")}]),
   list_slice(tids, least(3, n) + 1, n)) AS a FROM sel),
-e AS (SELECT doc_id, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS pos, unnest(a) AS t FROM aug),
-f AS (SELECT doc_id, pos, t, CAST(CASE WHEN t = $img THEN 1 ELSE 0 END AS BIGINT) AS is_image,
+e AS (SELECT doc_id, k, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS pos, unnest(a) AS t FROM aug),
+f AS (SELECT doc_id, k, pos, t, CAST(CASE WHEN t = $img THEN 1 ELSE 0 END AS BIGINT) AS is_image,
   CAST(row_number() OVER (PARTITION BY doc_id, CASE WHEN t = $img THEN 1 ELSE 0 END ORDER BY pos) - 1 AS BIGINT) AS img_idx FROM e),
 vis AS ($visSql)
 SELECT f.doc_id, f.pos, f.is_image,
   CASE WHEN f.is_image = 1 THEN v.vval
-       ELSE ((f.t * $A + 0 * $B + $C) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 END AS val
+       ELSE ((f.t * $A + 0 * $B + $C) % $M)::DOUBLE / $M.0 * 2.0 - 1.0 END AS val$kOut
 FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.vtok"""
   }
 
@@ -1342,6 +1344,63 @@ FROM f LEFT JOIN vis v ON f.doc_id = v.vid AND f.is_image = 1 AND f.img_idx = v.
     ON v1.doc_id = v2.doc_id AND v1.tok = v2.tok AND v1.dim = v2.dim
   WHERE v1.dim = 0""",
       maxLen, nImg)
+
+  /** q78: the `embed_image` end-to-end composition
+    * (qwen3.rs:1397-1452): the q75 fused-with-deepstack sequence,
+    * quantized into [0, M3) pseudo-ids, walked through ONE q68-style
+    * integer attention forward whose rotation position for head-dim
+    * pair h comes from MRoPE plane h mod 3 (the t/h/w ids of q73's
+    * grid), last-token pooled and l2-normalized. Mirrors
+    * [[graft.backend.VlForward.embed]] term for term. */
+  def q78_vl_embed(dim: Int = 8, maxLen: Int = 24, nImg: Int = 4): String = {
+    val fused = fusedSpanSql(
+      s"""SELECT v1.doc_id AS vid, v1.tok AS vtok, v1.val + v2.val AS vval
+  FROM (${vlMergedTokensSql(attend = true, cellBase = 0L)}) v1
+  JOIN (${vlMergedTokensSql(attend = false,
+        cellBase = graft.operators.VlPreprocess.DeepstackCellBase)}) v2
+    ON v1.doc_id = v2.doc_id AND v1.tok = v2.tok AND v1.dim = v2.dim
+  WHERE v1.dim = 0""",
+      maxLen, nImg, withK = true)
+    def emb(t: String, d: String): String =
+      s"((($t) % $M3) * $A3 + ($d) * $B3 + $C3) % $M3"
+    // qk(j): rotated cell at lambda var d; the rotation position is the
+    // (d//2 mod 3)-th MRoPE plane of sequence index j
+    def qk(j: String): String = {
+      val p = s"(CASE (d // 2) % 3 WHEN 0 THEN ptl[$j] WHEN 1 THEN phl[$j] ELSE pwl[$j] END)"
+      val u = s"($p + (d // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = emb(s"fl[$j]", "d - (d % 2)")
+      val e1 = emb(s"fl[$j]", "d - (d % 2) + 1")
+      s"(CASE WHEN d % 2 = 0 THEN (((($e0) * $c - ($e1) * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE (((($e0) * $sn + ($e1) * $c) % $M3) + $M3) % $M3 END)"
+    }
+    val st = "greatest(greatest(k - 1, 0), k + 1) + 1"
+    def pid(imageVal: String): String =
+      s"CASE WHEN pos < k THEN pos WHEN pos < k + $nImg THEN $imageVal ELSE $st + (pos - (k + $nImg)) END"
+    s"""WITH fused AS (SELECT * FROM ($fused) fsub),
+fz AS (SELECT doc_id, pos,
+  ((CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) % $M3) + $M3) % $M3 AS fid,
+  ${pid("k + (pos - k) // 4")} AS pt,
+  ${pid("k + ((pos - k) // 2) % 2")} AS ph,
+  ${pid("k + (pos - k) % 2")} AS pw
+  FROM fused),
+gl AS (SELECT doc_id, list(fid ORDER BY pos) AS fl, list(pt ORDER BY pos) AS ptl,
+  list(ph ORDER BY pos) AS phl, list(pw ORDER BY pos) AS pwl, count(*)::BIGINT AS n
+  FROM fz GROUP BY doc_id),
+qv AS (SELECT doc_id, fl, ptl, phl, pwl, n,
+  list_transform(range(0, $dim), d -> ${qk("n")}) AS ql FROM gl),
+ws AS (SELECT doc_id, fl, n,
+  list_transform(range(1, n + 1), j ->
+    (list_reduce(list_transform(range(0, $dim), d -> ${qk("j")} * ql[d + 1]), (a,b) -> a + b) % $M3) + 1) AS w FROM qv),
+ys AS (SELECT doc_id, fl, n, list_reduce(w, (a,b) -> a + b) AS tw,
+  list_transform(range(0, $dim), d ->
+    list_reduce(list_transform(range(1, n + 1), j -> w[j] * (${emb("fl[j]", "d")})), (a,b) -> a + b)) AS y FROM ws),
+m AS (SELECT doc_id, list_transform(y, yv -> (yv::DOUBLE / tw::DOUBLE / $M3.0) * 2.0 - 1.0) AS mn FROM ys),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
 
   /** q76: the learned-weight BGE-M3 sparse linear
     * (bgem3_weights.rs:14-43, impl.rs:256-304): integer-grid dot of the
@@ -1594,6 +1653,7 @@ FROM events GROUP BY user_id, event_type"""
     "q75_mm_deepstack" -> q75_mm_deepstack(24, 4),
     "q76_weighted_sparse" -> q76_weighted_sparse,
     "q77_wordpiece" -> q77_wordpiece,
+    "q78_vl_embed" -> q78_vl_embed(8, 24, 4),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -81,8 +81,9 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // of builders is identical to what register() used, and that each
     // builder constructs a working expression
     assert(graft.sql.GraftFunctions.all.map(_._1).toSet == Set(
-      "graft_token_ids", "graft_cosine", "graft_pooled_sums", "graft_simhash",
-      "graft_shingles", "graft_sparse_pairs", "graft_lang_id", "graft_text_norm",
+      "graft_token_ids", "graft_wordpiece_ids", "graft_cosine",
+      "graft_pooled_sums", "graft_simhash", "graft_shingles",
+      "graft_sparse_pairs", "graft_lang_id", "graft_text_norm",
       "graft_maxsim", "graft_jaccard"))
     val ms = spark.sql(
       """SELECT graft_maxsim(array(array(1.0D, 0.0D)), array(array(0.5D, 0.5D))) AS m,
