@@ -32,8 +32,11 @@ object ModelKind {
 /** Model descriptor — the analogue of the reference's `ModelInfo`
   * (/root/reference/src/models/model_info.rs:4-14): name, dim,
   * description, pooling default (src/text_embedding/impl.rs:158-218),
-  * quantization, truncation cap, kind, and output-key override
-  * (src/models/text_embedding.rs:423 `sentence_embedding` for Gemma). */
+  * quantization, truncation cap, kind, output-key override
+  * (src/models/text_embedding.rs:423 `sentence_embedding` for Gemma),
+  * and external-initializer side files (`additional_files`,
+  * src/models/reranking.rs:32 — `model.onnx.data` for the >2 GiB ONNX
+  * external-data layout). */
 final case class ModelInfo(
     name: String,
     dim: Int,
@@ -42,7 +45,8 @@ final case class ModelInfo(
     quantization: Quantization = Quantization.None,
     maxLength: Int = K.MaxLength,
     kind: ModelKind = ModelKind.Dense,
-    outputKey: Option[String] = None)
+    outputKey: Option[String] = None,
+    additionalFiles: Seq[String] = Nil)
 
 /** Static in-memory registry, the analogue of the reference's
   * `OnceLock<HashMap<Model, ModelInfo>>`
@@ -67,7 +71,10 @@ object ModelRegistry {
     ModelInfo("graft-bgem3-64", 64, "joint dense+sparse+colbert (BGE-M3 role)",
       Pooling.Mean, kind = ModelKind.Bgem3),
     ModelInfo("graft-rerank-jaccard", 1, "token-set Jaccard cross-encoder role",
-      Pooling.Mean, kind = ModelKind.Rerank),
+      Pooling.Mean, kind = ModelKind.Rerank,
+      // the reference's BGE v2-m3 reranker ships its weights as ONNX
+      // external data beside the graph (reranking.rs:32)
+      additionalFiles = Seq("model.onnx.data")),
     ModelInfo("graft-image-16", 16, "pixel hash projector, CLIP preprocessing",
       Pooling.Mean, kind = ModelKind.Image),
     ModelInfo("graft-hash-64-sentemb", 64, "pooled-output model (sentence_embedding key, Gemma role)",
@@ -95,6 +102,24 @@ object ModelRegistry {
     * own `list_supported_models`. */
   def listSupportedModels(kind: ModelKind): Seq[ModelInfo] =
     listSupportedModels().filter(_.kind == kind)
+
+  /** S6 staging probe: every `additional_files` entry must stage next
+    * to the model file before a session opens — the reference fetches
+    * each at init and errors on a miss
+    * (text_embedding/impl.rs:58-64, reranking/impl.rs:68-73,
+    * sparse_text_embedding/impl.rs:56-61). Zero-egress: presence is
+    * validated against a caller-supplied listing (the S4/S10
+    * treatment); the return value is the cache path each file stages
+    * at, in declaration order. A miss errors with the reference's
+    * "Failed to retrieve {file}" message. */
+  def stageAdditionalFiles(model: String, available: Set[String],
+                           env: String => Option[String] = sys.env.get): Seq[String] = {
+    val info = apply(model)
+    info.additionalFiles.map { f =>
+      require(available.contains(f), s"Failed to retrieve $f")
+      CacheDir.modelDir(model, env) + "/" + f
+    }
+  }
 
   /** S4 cache-dir surface: where a hub fetch would land model files.
     * Pure no-network resolution — the zero-egress stand-in for the

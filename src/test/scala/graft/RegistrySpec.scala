@@ -41,6 +41,25 @@ class RegistrySpec extends AnyFunSuite {
       "/c/models--Qdrant--all-MiniLM-L6-v2-onnx")
   }
 
+  test("S6: additional_files stage next to the model or the init fails") {
+    // the reranker role mirrors reranking.rs:32 (model.onnx.data)
+    assert(ModelRegistry("graft-rerank-jaccard").additionalFiles ==
+      Seq("model.onnx.data"))
+    // present: returns the cache path each side file stages at
+    assert(ModelRegistry.stageAdditionalFiles("graft-rerank-jaccard",
+      Set("model.onnx", "model.onnx.data"), env("HF_HOME" -> "/c")) ==
+      Seq("/c/models--graft-rerank-jaccard/model.onnx.data"))
+    // absent: the reference's "Failed to retrieve {file}" error class
+    val e = intercept[IllegalArgumentException] {
+      ModelRegistry.stageAdditionalFiles("graft-rerank-jaccard",
+        Set("model.onnx"), env())
+    }
+    assert(e.getMessage.contains("Failed to retrieve model.onnx.data"))
+    // a model with no side files stages nothing, vacuously
+    assert(ModelRegistry.stageAdditionalFiles("graft-hash-64-mean",
+      Set.empty, env()).isEmpty)
+  }
+
   test("registry lookup still resolves every builtin") {
     ModelRegistry.listSupportedModels().foreach { m =>
       assert(ModelRegistry(m.name).dim == m.dim)
