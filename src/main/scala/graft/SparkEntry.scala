@@ -641,12 +641,30 @@ object SparkEntry {
     "q77_wordpiece" -> ((s, dir) => {
       val bridge = org.apache.spark.sql.graftbridge.Bridge
       docs(s, dir)
-        .filter(size(Kernel.tokens(col("text"))) > 0)
         .select(col("doc_id"),
-          posexplode(bridge.column(graft.functions.WordPieceIds(
-            bridge.expression(col("text")), graft.model.WordPiece.fixture)))
-            .as(Seq("pos", "token_id")))
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("__ids"))
+        // a no-word doc encodes to bare [CLS][SEP] (size 2) — one
+        // tokenization pass serves both the filter and the explode
+        .filter(size(col("__ids")) > 2)
+        .select(col("doc_id"), posexplode(col("__ids")).as(Seq("pos", "token_id")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+    }),
+
+    // the tokenizer-swap composition: the flagship dense tail (q01's
+    // project → exact-integer mean → l2) over WORDPIECE ids — any id
+    // stream feeds the same chain, like the reference swapping
+    // tokenizer.json files under one forward
+    "q79_wordpiece_dense" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("__ids"))
+        .filter(size(col("__ids")) > 2) // ≥ 1 real word beyond [CLS][SEP]
+      TextEmbedder.embedTokens(withIds, "__ids", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
     // the embed_image END-TO-END composition: fused-with-deepstack

@@ -82,6 +82,16 @@ object TextEmbedder {
       .drop(sums, mean, nrm)
   }
 
+  /** Dense-embed a PRE-TOKENIZED id column through the same tail — the
+    * tokenizer-swap surface: any id stream (hashing, WordPiece vocab,
+    * a future BPE) feeds the identical project→mean→normalize chain,
+    * exactly like the reference swaps tokenizer.json files under one
+    * forward (/root/reference/src/common.rs:57-157). Rows with empty
+    * id arrays are dropped (nothing to pool). */
+  def embedTokens(df: DataFrame, tidsCol: String, outCol: String,
+                  dim: Int = K.Dim): DataFrame =
+    denseTail(df.filter(size(col(tidsCol)) > 0), tidsCol, outCol, dim)
+
   /** RAG-style chunk embedding: split each doc's token stream into
     * fixed-`budget` windows whose starts step by `budget - overlap`
     * (consecutive chunks share `overlap` tokens of context), and embed

@@ -1435,7 +1435,13 @@ FROM dq WHERE wq > 0 GROUP BY doc_id, token_id"""
     * with no match UNKs the whole word (st = −1). Terminal rows are
     * st = −1 or st = len(word); the doc sequence is the wpos-ordered
     * piece concat wrapped in [CLS]…[SEP]. */
-  def q77_wordpiece: String = {
+  def q77_wordpiece: String =
+    s"""${wordpieceCtes()}
+SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq"""
+
+  /** The shared WordPiece encoding chain, ending in `sq(doc_id, s2)` —
+    * s2 is the [CLS]-wrapped piece-id list. */
+  private def wordpieceCtes(): String = {
     val wp = graft.model.WordPiece.fixture
     val voc = wp.oracleRows
       .map { case (p, n, c, id) => s"{'p': '$p', 'n': $n, 'c': $c, 'id': $id}" }
@@ -1461,9 +1467,19 @@ wp AS (
     FROM wp WHERE st >= 0 AND st < len(word)) s),
 fin AS (SELECT doc_id, wpos, ids FROM wp WHERE st = -1 OR st >= len(word)),
 perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM fin GROUP BY doc_id),
-sq AS (SELECT doc_id, list_concat(list_concat([CAST(${wp.clsId} AS BIGINT)], body), [CAST(${wp.sepId} AS BIGINT)]) AS s2 FROM perdoc)
-SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq"""
+sq AS (SELECT doc_id, list_concat(list_concat([CAST(${wp.clsId} AS BIGINT)], body), [CAST(${wp.sepId} AS BIGINT)]) AS s2 FROM perdoc)"""
   }
+
+  /** q79: the tokenizer-swap composition — the flagship dense chain
+    * (hash projection → exact integer mean → l2 normalize, the q01
+    * tail) running over WORDPIECE ids instead of hashing ids, specials
+    * included in the pool like a mean-pooled BERT. */
+  def q79_wordpiece_dense(dim: Int = Dim): String =
+    s"""${wordpieceCtes()},
+m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(s2, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(s2)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM sq),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
 
   /** q73: 3-D MRoPE position ids (qwen3.rs:366-467) over the q72 fused
     * layout — prefix sequential, image span (start+t, start+h, start+w)
@@ -1654,6 +1670,7 @@ FROM events GROUP BY user_id, event_type"""
     "q76_weighted_sparse" -> q76_weighted_sparse,
     "q77_wordpiece" -> q77_wordpiece,
     "q78_vl_embed" -> q78_vl_embed(8, 24, 4),
+    "q79_wordpiece_dense" -> q79_wordpiece_dense(),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

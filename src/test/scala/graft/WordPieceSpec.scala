@@ -79,6 +79,23 @@ class WordPieceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("embedTokens is the same tail embed() runs — tokenizer swap is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, "the customer scan"), (1L, "window order column value"))
+      .toDF("doc_id", "text")
+    val viaText = graft.operators.TextEmbedder()
+      .embed(df, "text", "emb")
+      .select(col("doc_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaTokens = graft.operators.TextEmbedder.embedTokens(
+        df.withColumn("__t", graft.functions.Kernel.tokenIds(col("text"))),
+        "__t", "emb")
+      .select(col("doc_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaText == viaTokens)
+  }
+
   test("SQL surface: graft_wordpiece_ids registers and runs") {
     graft.sql.GraftFunctions.register(spark)
     val r = spark.sql(
