@@ -667,6 +667,26 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // P2 over the real vocab: [CLS] query [SEP] doc [SEP] with segment
+    // ids, only-the-doc-side truncation — the cross-encoder input shape
+    // built from the WordPiece vocab
+    "q80_wordpiece_pair" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val qWords = "spark hash join query plan".split(" ").toSeq
+      val pe = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("__ids"))
+        .filter(size(col("__ids")) > 2)
+        .withColumn("__pe", Reranker.wordPiecePairEncode(
+          qWords, col("__ids"), graft.model.WordPiece.fixture, 16))
+      pe.select(col("doc_id"),
+          posexplode(zip_with(col("__pe.input_ids"), col("__pe.token_type_ids"),
+            (i, t) => struct(i.as("i"), t.as("t")))).as(Seq("pos", "z")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("z.i").as("token_id"), col("z.t").as("token_type"))
+    }),
+
     // the embed_image END-TO-END composition: fused-with-deepstack
     // sequence (q75) → quantized pseudo-ids → 3-D MRoPE ids (q73) →
     // one sectioned-rotation transformer forward (q68's attention with

@@ -69,6 +69,24 @@ final case class WordPieceModel(
   def encodeWords(words: Seq[String]): Array[Long] =
     (clsId +: words.flatMap(tokenizeWord) :+ sepId).toArray
 
+  /** BERT-style pair encoding with the "only_second" truncation
+    * dialect the reference's rerank tokenizers configure
+    * (src/reranking/impl.rs:123-148 via tokenizers' TruncationParams):
+    * `[CLS] A [SEP] B [SEP]`, segment 0 through the first [SEP],
+    * segment 1 after; the SECOND sequence alone is truncated so the
+    * total fits `maxLen`, then the closing [SEP] is appended. Returns
+    * (input_ids, token_type_ids) parallel arrays. */
+  def encodePair(wordsA: Seq[String], wordsB: Seq[String],
+                 maxLen: Int): (Array[Long], Array[Long]) = {
+    val a = wordsA.flatMap(tokenizeWord)
+    val budgetB = maxLen - a.length - 3
+    require(budgetB > 0, s"maxLen $maxLen leaves no room for the second sequence")
+    val b = wordsB.flatMap(tokenizeWord).take(budgetB)
+    val ids = (clsId +: a :+ sepId) ++ (b :+ sepId)
+    val tts = Seq.fill(a.length + 2)(0L) ++ Seq.fill(b.length + 1)(1L)
+    (ids.toArray, tts.toArray)
+  }
+
   /** The non-special vocab as (core, coreLen, isCont, id) rows — what
     * the DuckDB oracle inlines as its vocab literal. */
   def oracleRows: Seq[(String, Int, Int, Long)] = {

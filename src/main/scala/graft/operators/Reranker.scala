@@ -43,6 +43,29 @@ object Reranker {
         1, maxLen).as("token_type_ids"))
   }
 
+  /** P2 over the REAL vocab: BERT-style pair encoding
+    * `[CLS] A [SEP] B [SEP]` with segment ids and the "only_second"
+    * truncation dialect (src/reranking/impl.rs:123-148 — only the
+    * document side shrinks to fit the budget; the closing [SEP] is
+    * appended after). `docEncoded` is a [[graft.functions.WordPieceIds]]
+    * output column ([CLS] body [SEP]); the query side is constant per
+    * plan, so its pieces ride as literals. Mirrors
+    * [[graft.model.WordPieceModel.encodePair]] exactly (spec-pinned). */
+  def wordPiecePairEncode(queryWords: Seq[String], docEncoded: Column,
+                          model: graft.model.WordPieceModel,
+                          maxLen: Int): Column = {
+    val qIds = queryWords.flatMap(model.tokenizeWord)
+    val budgetB = maxLen - qIds.length - 3
+    require(budgetB > 0, s"maxLen $maxLen leaves no room for the second sequence")
+    val body = slice(docEncoded, lit(2), size(docEncoded) - 2) // strip [CLS]/[SEP]
+    val bTr = slice(body, 1, budgetB)
+    val head = array((model.clsId +: qIds :+ model.sepId).map(lit): _*)
+    val zeros = array(Seq.fill(qIds.length + 2)(lit(0L)): _*)
+    struct(
+      concat(head, bTr, array(lit(model.sepId))).as("input_ids"),
+      concat(zeros, transform(bTr, _ => lit(1L)), array(lit(1L))).as("token_type_ids"))
+  }
+
   /** Token-set Jaccard scorer as one native pass
     * ([[graft.functions.TokenSetJaccard]]) — exact integer set sizes,
     * bit-identical to the distinct/intersect/union HOF chain. */

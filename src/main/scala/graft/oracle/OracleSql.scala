@@ -1481,6 +1481,30 @@ nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -
 emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
 
+  /** q80: P2 over the real vocab — BERT-style pair encoding
+    * `[CLS] query [SEP] doc [SEP]` with segment ids and the
+    * "only_second" truncation dialect (reranking/impl.rs:123-148):
+    * only the doc side shrinks to fit, the closing [SEP] appends
+    * after. The constant query's pieces are encoded driver-side by the
+    * same model and inlined. */
+  def q80_wordpiece_pair(queryText: String, maxLen: Int): String = {
+    val wp = graft.model.WordPiece.fixture
+    val qWords = queryText.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val qIds = qWords.flatMap(wp.tokenizeWord)
+    val budgetB = maxLen - qIds.length - 3
+    require(budgetB > 0, s"maxLen $maxLen leaves no room for the second sequence")
+    val head = (wp.clsId +: qIds :+ wp.sepId)
+      .map(i => s"CAST($i AS BIGINT)").mkString("[", ", ", "]")
+    val zeros = Seq.fill(qIds.length + 2)("CAST(0 AS BIGINT)").mkString("[", ", ", "]")
+    s"""${wordpieceCtes()},
+pe AS (SELECT doc_id,
+  list_concat(list_concat($head, list_slice(list_slice(s2, 2, len(s2) - 1), 1, $budgetB)), [CAST(${wp.sepId} AS BIGINT)]) AS ids,
+  list_concat(list_concat($zeros, list_transform(list_slice(list_slice(s2, 2, len(s2) - 1), 1, $budgetB), x -> CAST(1 AS BIGINT))), [CAST(1 AS BIGINT)]) AS tts
+  FROM sq)
+SELECT doc_id, CAST(generate_subscripts(ids, 1) - 1 AS BIGINT) AS pos, unnest(ids) AS token_id, unnest(tts) AS token_type FROM pe"""
+  }
+
   /** q73: 3-D MRoPE position ids (qwen3.rs:366-467) over the q72 fused
     * layout — prefix sequential, image span (start+t, start+h, start+w)
     * from the t/h/w grid walk, tail resumes from
@@ -1671,6 +1695,7 @@ FROM events GROUP BY user_id, event_type"""
     "q77_wordpiece" -> q77_wordpiece,
     "q78_vl_embed" -> q78_vl_embed(8, 24, 4),
     "q79_wordpiece_dense" -> q79_wordpiece_dense(),
+    "q80_wordpiece_pair" -> q80_wordpiece_pair("spark hash join query plan", 16),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

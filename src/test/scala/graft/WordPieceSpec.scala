@@ -96,6 +96,37 @@ class WordPieceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaText == viaTokens)
   }
 
+  test("encodePair: only_second truncation, segments, closing [SEP] appended") {
+    // query "the scan" → [5, 9]; budget for B = 12 − 2 − 3 = 7
+    val (ids, tts) = wp.encodePair(Seq("the", "scan"),
+      Seq("window", "order", "column", "customer", "value"), 12)
+    // B pieces: win ##d ##ow or ##der col ##umn custom ##er value → 10, cut at 7
+    assert(ids.toSeq == Seq(1L, 5L, 9L, 2L, 14L, 15L, 16L, 28L, 29L, 23L, 24L, 2L))
+    assert(tts.toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    assert(ids.length == 12 && tts.length == ids.length)
+    intercept[IllegalArgumentException] { wp.encodePair(Seq("the"), Seq("a"), 4) }
+  }
+
+  test("Column pair encode ≡ the JVM mirror (truncated and untruncated)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("window order column customer value", "the scan", "vector")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val qWords = Seq("the", "scan")
+    val got = df
+      .select(col("id"), bridge.column(graft.functions.WordPieceIds(
+        bridge.expression(col("text")), wp)).as("__ids"))
+      .withColumn("pe", graft.operators.Reranker.wordPiecePairEncode(qWords, col("__ids"), wp, 12))
+      .select(col("id"), col("pe.input_ids"), col("pe.token_type_ids"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.split(" ").toSeq
+      val (ids, tts) = wp.encodePair(qWords, words, 12)
+      assert(got(i.toLong) == ((ids.toSeq, tts.toSeq)), s"text '$t'")
+    }
+  }
+
   test("SQL surface: graft_wordpiece_ids registers and runs") {
     graft.sql.GraftFunctions.register(spark)
     val r = spark.sql(
