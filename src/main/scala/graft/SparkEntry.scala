@@ -919,6 +919,16 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // the Qwen3 instruct template (P5): "Instruct: {task}\nQuery:{q}"
+    // feeding the dense pipeline — the reference-score test's exact
+    // query-side convention (tests/qwen3.rs:67-74)
+    "q81_instruct_embed" -> ((s, dir) =>
+      TextEmbedder()
+        .embed(docs(s, dir).withColumn("text",
+          Templating.asInstruct(Templating.DefaultTask, col("text"))), "text", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
+
     // the SQL function surface end-to-end: the 60-bit default simhash,
     // expressed in pure SQL via the registered graft_* functions
     "q35_sql_simhash" -> ((s, dir) => {

@@ -55,6 +55,12 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 
   /** q32: the "query: " prefix convention folded into the dense pipeline. */
   val q32_prefixed_embed: String = denseSelect("tids0", Dim, "'query: ' || text")
+
+  /** q81: the Qwen3 instruct template (tests/qwen3.rs:67-74 — no space
+    * after `Query:`) folded into the dense pipeline. */
+  def q81_instruct_embed(task: String): String =
+    denseSelect("tids0", Dim,
+      s"'Instruct: ' || '$task' || chr(10) || 'Query:' || text")
   val q02_cls_embed: String = denseSelect("list_slice(tids0, 1, 1)", Dim)
   val q03_last_embed: String = denseSelect("list_slice(tids0, len(tids0), len(tids0))", Dim)
 
@@ -1696,6 +1702,7 @@ FROM events GROUP BY user_id, event_type"""
     "q78_vl_embed" -> q78_vl_embed(8, 24, 4),
     "q79_wordpiece_dense" -> q79_wordpiece_dense(),
     "q80_wordpiece_pair" -> q80_wordpiece_pair("spark hash join query plan", 16),
+    "q81_instruct_embed" -> q81_instruct_embed(graft.operators.Templating.DefaultTask),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
