@@ -929,6 +929,19 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
 
+    // the learned dense projection head: a real [16 x 64] F32 matrix
+    // from the single-file model.safetensors (the non-sharded branch of
+    // the S10 resolution), y = W.sums in exact int64, l2-normalized
+    "q82_dense_proj" -> ((s, dir) => {
+      val wq = graft.backend.ProjectionBank.loadedQuantized
+      val withTids = docs(s, dir)
+        .withColumn("__tids", Kernel.tokenIds(col("text")))
+      TextEmbedder.embedProjectedTokens(withTids, "__tids", "emb",
+        wq, graft.backend.ProjectionBank.DimIn, graft.backend.ProjectionBank.DimOut)
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the SQL function surface end-to-end: the 60-bit default simhash,
     // expressed in pure SQL via the registered graft_* functions
     "q35_sql_simhash" -> ((s, dir) => {

@@ -92,6 +92,38 @@ object TextEmbedder {
                   dim: Int = K.Dim): DataFrame =
     denseTail(df.filter(size(col(tidsCol)) > 0), tidsCol, outCol, dim)
 
+  /** Dense embedding through a LEARNED projection head: the pooled
+    * integer sums are projected by a real [dimOut × dimIn] weight
+    * matrix (row-major `wqFlat`, on its integer grid — see
+    * [[graft.backend.ProjectionBank]]) and the projected vector is l2
+    * normalized directly. y = W·sums stays in exact int64 — both the
+    * matrix entries' 1/Scale and the mean's 1/n are COMMON scalar
+    * factors the normalization divides out, so no intermediate float
+    * scaling exists at all. Narrow, zero shuffle; the bank rides as a
+    * dimOut·dimIn literal array. */
+  def embedProjectedTokens(df: DataFrame, tidsCol: String, outCol: String,
+                           wqFlat: Array[Long], dimIn: Int,
+                           dimOut: Int): DataFrame = {
+    require(wqFlat.length == dimIn * dimOut,
+      s"bank of ${wqFlat.length} != $dimOut x $dimIn")
+    val wLit = array(wqFlat.map(lit).toIndexedSeq: _*)
+    val sums = "__graft_sums"
+    val proj = "__graft_proj"
+    val nrm = "__graft_norm"
+    df.filter(size(col(tidsCol)) > 0)
+      .withColumn(sums, Kernel.pooledSums(col(tidsCol), dimIn))
+      .withColumn(proj,
+        transform(sequence(lit(0), lit(dimOut - 1)), d =>
+          aggregate(sequence(lit(0), lit(dimIn - 1)), lit(0L),
+            (acc, e) => acc + element_at(col(sums), e + 1) *
+              element_at(wLit, d * lit(dimIn) + e + 1)).cast("double")))
+      .withColumn(nrm, Kernel.l2norm(col(proj)))
+      .withColumn(outCol,
+        zip_with(col(proj), array_repeat(col(nrm) + lit(K.Eps), lit(dimOut)),
+          (x, n) => x / n))
+      .drop(sums, proj, nrm)
+  }
+
   /** RAG-style chunk embedding: split each doc's token stream into
     * fixed-`budget` windows whose starts step by `budget - overlap`
     * (consecutive chunks share `overlap` tokens of context), and embed

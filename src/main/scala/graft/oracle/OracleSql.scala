@@ -61,6 +61,21 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
   def q81_instruct_embed(task: String): String =
     denseSelect("tids0", Dim,
       s"'Instruct: ' || '$task' || chr(10) || 'Query:' || text")
+
+  /** q82: the learned dense PROJECTION head — y = W·pooledSums in exact
+    * int64 (W recomputed from its generating formula; the Spark side
+    * reads the same values from the single-file model.safetensors,
+    * ProjectionBankSpec pins them equal), l2-normalized directly: the
+    * 1/Scale and 1/n factors are common scalars the norm divides out. */
+  def q82_dense_proj(dimIn: Int, dimOut: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+sel2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
+s AS (SELECT doc_id, list_transform(range(0, $dimIn), e -> list_reduce(list_transform(tids, t -> (t*$A + e*$B + $C) % $M), (a,b) -> a+b)) AS sums FROM sel2),
+y AS (SELECT doc_id, list_transform(range(0, $dimOut), d ->
+  list_reduce(list_transform(range(0, $dimIn), e -> (((d * $dimIn + e + 1) * $B3 + $A3) % 4001 - 2000) * sums[e + 1]), (a,b) -> a+b)::DOUBLE) AS yv FROM s),
+nr AS (SELECT doc_id, yv, sqrt(list_reduce(list_transform(yv, v -> v*v), (a,b) -> a+b)) AS nv FROM y),
+emb AS (SELECT doc_id, list_transform(yv, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   val q02_cls_embed: String = denseSelect("list_slice(tids0, 1, 1)", Dim)
   val q03_last_embed: String = denseSelect("list_slice(tids0, len(tids0), len(tids0))", Dim)
 
@@ -1703,6 +1718,8 @@ FROM events GROUP BY user_id, event_type"""
     "q79_wordpiece_dense" -> q79_wordpiece_dense(),
     "q80_wordpiece_pair" -> q80_wordpiece_pair("spark hash join query plan", 16),
     "q81_instruct_embed" -> q81_instruct_embed(graft.operators.Templating.DefaultTask),
+    "q82_dense_proj" -> q82_dense_proj(
+      graft.backend.ProjectionBank.DimIn, graft.backend.ProjectionBank.DimOut),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
