@@ -56,6 +56,22 @@ object Graft {
     SparseEmbedder.sparseStruct(df, idCol, textCol, maxLen)
   }
 
+  /** The LEARNED-WEIGHT sparse route the reference's
+    * `SparseTextEmbedding` actually runs for BGE-M3 — the
+    * `relu(hidden·w + bias)` head over the safetensors bank
+    * (sparse_text_embedding/impl.rs:256-304, bgem3_weights.rs:14-43):
+    * (idCol, token_id, weight) rows, duplicate ids max-merged, special
+    * ids skipped. The bank loads once on the driver (dim-sized) and
+    * rides in the plan. */
+  def sparseTextEmbeddingWeighted(df: DataFrame, idCol: String, textCol: String,
+                                  opts: InitOptions = InitOptions(modelName = "graft-sparse-64"))
+      : DataFrame = {
+    val (_, maxLen) = resolved(opts)
+    val (wq, bq) = graft.backend.SparseLinearBank.loadedQuantized
+    SparseEmbedder.weightedExploded(df, idCol, textCol,
+      wq, bq, graft.backend.SparseLinearBank.Scale, maxLen)
+  }
+
   /** `Bgem3Embedding` analogue: one narrow pass to
     * struct(dense, sparse, colbert). */
   def bgem3Embedding(df: DataFrame, idCol: String, textCol: String,

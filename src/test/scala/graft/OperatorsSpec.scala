@@ -135,6 +135,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaFacade == TextEmbedder(maxLength = 8))
     val sparse = Graft.sparseTextEmbedding(docs, "doc_id", "text")
     assert(sparse.columns.toSeq == Seq("doc_id", "sparse"))
+    val weighted = Graft.sparseTextEmbeddingWeighted(docs, "doc_id", "text")
+    assert(weighted.columns.toSeq == Seq("doc_id", "token_id", "weight"))
+    assert(weighted.limit(1).count() == 1)
     val joint = Graft.bgem3Embedding(docs, "doc_id", "text")
     assert(joint.select(col("bgem3.dense")).head().getSeq[Double](0).length == 64)
     val rr = Graft.textRerank(spark, docs, "doc_id", "text", "example passage")
