@@ -580,6 +580,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the learned-expert MoE dispatch: same routing/gates/bias as q70,
+    // but each expert is a real [8 x 8] matrix from a one-shard-per-
+    // expert safetensors checkpoint (the deep multi-shard walk)
+    "q83_moe_weighted" -> ((s, dir) => {
+      val bank = graft.backend.ExpertBank.loadedQuantized
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.MoEBackend(dim = 8, expertBank = Some(bank)))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // P14 patch extraction on the real PNG route: fixture bytes →
     // imageio decode → smart resize (identity at 8×8, factor 4) →
     // merge-block-ordered patch tokens with CLIP normalize — the

@@ -35,8 +35,17 @@ import graft.functions.K
 final case class MoEBackend(
     dim: Int = 8,
     nExperts: Int = 8,
-    topK: Int = 2) extends EmbeddingBackend {
+    topK: Int = 2,
+    // Some(flat expert-major [nExperts·dim·hiddenDim] integer bank) →
+    // LEARNED experts: expertₑ(token)[d] = Σ_h Wₑ[d][h]·hid(t,h) over
+    // the token's hidden cells, the real per-expert matmul of
+    // nomic_v2_moe.rs:405-470 (bank from [[ExpertBank.loadedQuantized]]);
+    // None → the hash-cell contract experts
+    expertBank: Option[IndexedSeq[Long]] = None,
+    hiddenDim: Int = 8) extends EmbeddingBackend {
   require(topK >= 1 && topK <= nExperts, s"topK $topK out of range for $nExperts experts")
+  expertBank.foreach(w => require(w.length == nExperts * dim * hiddenDim,
+    s"expert bank of ${w.length} != $nExperts x $dim x $hiddenDim"))
 
   import K.{M3, A3, B3, C3}
   import MoEBackend._
@@ -79,6 +88,19 @@ final case class MoEBackend(
     }
   }
 
+  /** Expert e's output at dim d for token t: hash cell (contract
+    * experts) or the learned [dim × hidden] row dotted with the token's
+    * hidden cells (weighted experts). */
+  @inline private def expertOut(t: Long, e: Int, d: Int): Long = expertBank match {
+    case None => cell(t, OffExperts + e * dim + d)
+    case Some(w) =>
+      var s = 0L
+      var h = 0
+      val base = (e * dim + d) * hiddenDim
+      while (h < hiddenDim) { s += w(base + h) * cell(t, h); h += 1 }
+      s
+  }
+
   /** Spec surface: the token's top-k as (expertIndex, rawScore). */
   private[graft] def routeTopK(t: Long): Array[(Int, Long)] = {
     val scores = routerScores(t)
@@ -109,7 +131,7 @@ final case class MoEBackend(
           var r = 0
           while (r < topK) {
             val eSel = selE(r)
-            num += (scores(eSel) + 1L) * cell(t, OffExperts + eSel * dim + d)
+            num += (scores(eSel) + 1L) * expertOut(t, eSel, d)
             r += 1
           }
           val bias = cell(1L, OffBias + d)

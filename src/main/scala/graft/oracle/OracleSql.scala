@@ -1230,11 +1230,34 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     * rational gate weights (s+1)/Σ(s+1), add the shared bias, quantize;
     * per doc: exact integer mean over tokens, scale, l2 normalize. */
   def q70_moe_embed(dim: Int = 8, nExperts: Int = 8, maxLen: Int = 128): String = {
-    val offR = graft.backend.MoEBackend.OffRouter
     val offE = graft.backend.MoEBackend.OffExperts
+    moeEmbedSql(dim, nExperts, maxLen,
+      e => s"${moeCell("t", s"$offE + ($e) * $dim + d")}")
+  }
+
+  /** q83: q70's routing (same keys, gates, bias, quantization) with the
+    * LEARNED expert dispatch — expert e's output at dim d is its real
+    * [dim × hidden] row dotted with the token's hidden cells, the bank
+    * recomputed from its generating formula (the Spark side reads the
+    * same values from the one-shard-per-expert checkpoint;
+    * ExpertBankSpec pins them equal). */
+  def q83_moe_weighted(dim: Int = 8, nExperts: Int = 8, maxLen: Int = 128): String = {
+    val hid = graft.backend.ExpertBank.HiddenDim
+    moeEmbedSql(dim, nExperts, maxLen,
+      e => s"list_reduce(list_transform(range(0, $hid), h -> (((((($e) * $dim + d) * $hid + h + 1) * $A3 + $C3) % 4001) - 2000) * (${moeCell("t", "h")})), (a,b) -> a + b)")
+  }
+
+  private def moeCell(t: String, i: String): String =
+    s"((($t) % $M3) * $A3 + ($i) * $B3 + $C3) % $M3"
+
+  /** Shared MoE oracle: per-token top-2 routing via packed keys, gate
+    * mix of `expertTerm(expertIndexExpr)` outputs, shared bias,
+    * quantized exact mean pool ([[graft.backend.MoEBackend]]). */
+  private def moeEmbedSql(dim: Int, nExperts: Int, maxLen: Int,
+                          expertTerm: String => String): String = {
+    val offR = graft.backend.MoEBackend.OffRouter
     val offB = graft.backend.MoEBackend.OffBias
-    def cell(t: String, i: String): String =
-      s"((($t) % $M3) * $A3 + ($i) * $B3 + $C3) % $M3"
+    def cell(t: String, i: String): String = moeCell(t, i)
     val keyList =
       s"list_transform(range(0, $nExperts), e -> (${cell("t", s"$offR + e")}) * $nExperts + ($nExperts - 1 - e))"
     s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
@@ -1247,8 +1270,8 @@ r2 AS (SELECT doc_id, n, t, denom, k1,
   list_reduce(list_filter($keyList, x -> x != k1), (a,b) -> greatest(a,b)) AS k2 FROM r),
 v AS (SELECT doc_id, n, t, denom, k1, k2, unnest(range(0, $dim)) AS d FROM r2),
 vq AS (SELECT doc_id, n, d,
-  CAST(floor((((k1 // $nExperts + 1) * (${cell("t", s"$offE + ($nExperts - 1 - k1 % $nExperts) * $dim + d")})
-     + (k2 // $nExperts + 1) * (${cell("t", s"$offE + ($nExperts - 1 - k2 % $nExperts) * $dim + d")})
+  CAST(floor((((k1 // $nExperts + 1) * (${expertTerm(s"$nExperts - 1 - k1 % $nExperts")})
+     + (k2 // $nExperts + 1) * (${expertTerm(s"$nExperts - 1 - k2 % $nExperts")})
      + (${cell("1", s"$offB + d")}) * denom)::DOUBLE / denom::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q FROM v),
 s AS (SELECT doc_id, d, sum(q) AS sv, max(n) AS n FROM vq GROUP BY doc_id, d),
 m AS (SELECT doc_id, d, (sv::DOUBLE / n::DOUBLE / 1000000.0 / (2.0 * $M3.0)) * 2.0 - 1.0 AS mn FROM s),
@@ -1720,6 +1743,7 @@ FROM events GROUP BY user_id, event_type"""
     "q81_instruct_embed" -> q81_instruct_embed(graft.operators.Templating.DefaultTask),
     "q82_dense_proj" -> q82_dense_proj(
       graft.backend.ProjectionBank.DimIn, graft.backend.ProjectionBank.DimOut),
+    "q83_moe_weighted" -> q83_moe_weighted(),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
