@@ -595,6 +595,23 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the transformer forward over a LEARNED embed_tokens table,
+    // composed with the WordPiece tokenizer: every gated id is
+    // in-vocab, so the whole forward runs on real looked-up embeddings
+    "q84_table_embed" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("tids"))
+        .filter(size(col("tids")) > 2)
+      BackendEmbedder.embed(withIds, "doc_id", "tids",
+        graft.backend.TransformerBackend(dim = 8,
+          embTable = Some(graft.backend.EmbTableBank.loadedQuantized)))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // P14 patch extraction on the real PNG route: fixture bytes →
     // imageio decode → smart resize (identity at 8×8, factor 4) →
     // merge-block-ordered patch tokens with CLIP normalize — the

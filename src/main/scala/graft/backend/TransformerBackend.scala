@@ -50,8 +50,18 @@ final case class TransformerBackend(
     dim: Int = 8,
     padId: Long = 0L,
     maskPadding: Boolean = true,
-    maskDerivedPositions: Boolean = true) extends EmbeddingBackend {
+    maskDerivedPositions: Boolean = true,
+    // Some(flat [vocab·dim] integer table) → LEARNED token embeddings:
+    // in-vocab ids look their row up (the reference's embed_tokens
+    // lookup, qwen3.rs:892-925, bank from
+    // [[EmbTableBank.loadedQuantized]]), mapped into [0, M3) to keep
+    // the attention overflow bounds; out-of-table ids fall back to the
+    // hash stream. None → hash embeddings throughout.
+    embTable: Option[IndexedSeq[Long]] = None,
+    vocabSize: Int = 64) extends EmbeddingBackend {
   require(dim % 2 == 0, s"dim must be even for pairwise rotation, got $dim")
+  embTable.foreach(t => require(t.length == vocabSize * dim,
+    s"embedding table of ${t.length} != $vocabSize x $dim"))
 
   import K.{M3, A3, B3, C3}
 
@@ -90,10 +100,15 @@ final case class TransformerBackend(
     }
   }
 
-  /** Token-embedding cell: dim `d` of token `t` in [0, M3). Identical
-    * expression to the oracle (t ≥ 0 on every gated path). */
-  @inline private def emb(t: Long, d: Int): Long =
-    ((t % M3) * A3 + d.toLong * B3 + C3) % M3
+  /** Token-embedding cell: dim `d` of token `t` in [0, M3) — the
+    * learned table row when present and in-vocab (|k| ≤ 2000 < M3, so
+    * one `+M3 %M3` lands it in range), the hash stream otherwise.
+    * Identical expression to the oracle (t ≥ 0 on every gated path). */
+  @inline private def emb(t: Long, d: Int): Long = embTable match {
+    case Some(w) if t >= 0 && t < vocabSize =>
+      (w((t * dim).toInt + d) % M3 + M3) % M3
+    case _ => ((t % M3) * A3 + d.toLong * B3 + C3) % M3
+  }
 
   /** RoPE-style rotated query/key vector of token `t` at position `p`,
     * written into `out`: pair h = (2h, 2h+1) rotates by the exact

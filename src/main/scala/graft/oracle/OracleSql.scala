@@ -1190,11 +1190,37 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
     * raw score = Σ_d q·k reduced to [1, M3]; pooled value
     * y_d = Σ_j w_j·emb(t_j, d); out = (y / W / M3)·2 − 1, then the
     * standard l2 normalization. */
-  def q68_transformer_embed(dim: Int = 8): String = {
-    // emb(t, d): token-embedding cell — identical expression to
-    // TransformerBackend.emb
-    def emb(t: String, d: String): String =
-      s"((($t) % $M3) * $A3 + ($d) * $B3 + $C3) % $M3"
+  def q68_transformer_embed(dim: Int = 8): String =
+    transformerForwardSql(
+      s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0)""",
+      (t, d) => s"((($t) % $M3) * $A3 + ($d) * $B3 + $C3) % $M3",
+      dim)
+
+  /** q84: the transformer forward over the LEARNED `embed_tokens`
+    * table (qwen3.rs:892-925), composed with the WordPiece tokenizer —
+    * every gated id is in-vocab, so each looks its table row up (the
+    * formula-recomputed bank, mapped into [0, M3)); the hash fallback
+    * for out-of-table ids is spec-pinned JVM-side. */
+  def q84_table_embed(dim: Int = 8): String = {
+    val v = graft.backend.EmbTableBank.VocabSize
+    transformerForwardSql(
+      s"""${wordpieceCtes()},
+sel AS (SELECT doc_id, s2 AS tids, len(s2) AS n FROM sq WHERE len(s2) > 0)""",
+      (t, d) =>
+        s"(CASE WHEN ($t) < $v THEN (((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000 + $M3) % $M3" +
+          s" ELSE ((($t) % $M3) * $A3 + ($d) * $B3 + $C3) % $M3 END)",
+      dim)
+  }
+
+  /** The shared q68-shape forward: `inputCtes` must end in
+    * `sel(doc_id, tids, n)`; `emb(t, d)` is the token-embedding cell
+    * expression ([[graft.backend.TransformerBackend]] semantics —
+    * causal attention at the last index, rational RoPE rotation,
+    * last-token pool, l2 normalize). */
+  private def transformerForwardSql(inputCtes: String,
+                                    emb: (String, String) => String,
+                                    dim: Int): String = {
     // qk(t, p): the rotated query/key cell at lambda var d (0-based)
     def qk(t: String, p: String): String = {
       val u = s"(($p) + (d // 2) + 2)"
@@ -1205,8 +1231,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
       s"(CASE WHEN d % 2 = 0 THEN (((($e0) * $c - ($e1) * $sn) % $M3) + $M3) % $M3" +
         s" ELSE (((($e0) * $sn + ($e1) * $c) % $M3) + $M3) % $M3 END)"
     }
-    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
-sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+    s"""$inputCtes,
 qv AS (SELECT doc_id, tids, n,
   list_transform(range(0, $dim), d -> ${qk("tids[n]", "n - 1")}) AS ql FROM sel),
 ws AS (SELECT doc_id, tids, n,
@@ -1744,6 +1769,7 @@ FROM events GROUP BY user_id, event_type"""
     "q82_dense_proj" -> q82_dense_proj(
       graft.backend.ProjectionBank.DimIn, graft.backend.ProjectionBank.DimOut),
     "q83_moe_weighted" -> q83_moe_weighted(),
+    "q84_table_embed" -> q84_table_embed(),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
