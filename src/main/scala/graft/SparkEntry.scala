@@ -612,6 +612,13 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the vision tower's LEARNED PatchMerger: windowed attention as in
+    // q71, then each window's 48 concatenated values project through a
+    // real [16 x 48] F32 MLP row instead of hash cells
+    "q85_vl_learned_merger" -> ((s, dir) =>
+      VlPreprocess.windowedMergeTokens(pngDocs(s, dir), "doc_id", "png",
+        mergerBank = Some(graft.backend.MergerBank.loadedQuantized))),
+
     // P14 patch extraction on the real PNG route: fixture bytes →
     // imageio decode → smart resize (identity at 8×8, factor 4) →
     // merge-block-ordered patch tokens with CLIP normalize — the

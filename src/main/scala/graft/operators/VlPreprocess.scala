@@ -138,7 +138,12 @@ object VlPreprocess {
                           minPixels: Long = 1L, maxPixels: Long = 10000000L,
                           mean: Array[Double] = ImagePipeline.ClipMean,
                           std: Array[Double] = ImagePipeline.ClipStd,
-                          attend: Boolean = true, cellBase: Long = 0L): DataFrame = {
+                          attend: Boolean = true, cellBase: Long = 0L,
+                          // Some(flat [outDim·nVals] integer bank) →
+                          // LEARNED merger: out = l2norm(W·hq), the real
+                          // PatchMerger MLP (graft.backend.MergerBank);
+                          // None → position-indexed hash projection
+                          mergerBank: Option[IndexedSeq[Long]] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val factor = patchSize * mergeSize
@@ -146,6 +151,8 @@ object VlPreprocess {
     if (cellBase == DeepstackCellBase)
       require(unit.toLong * (3 * patchSize * patchSize) * outDim <= DeepstackCellBase,
         s"outDim $outDim overlaps the deepstack projection slice at base $DeepstackCellBase")
+    mergerBank.foreach(w => require(w.length == outDim * unit * 3 * patchSize * patchSize,
+      s"merger bank of ${w.length} != $outDim x ${unit * 3 * patchSize * patchSize}"))
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
@@ -170,7 +177,7 @@ object VlPreprocess {
           while (wdx < nTok / unit) {
             val hq = if (attend) attendedWindow(qs, wdx * unit, unit, patchDim)
                      else rawWindow(qs, wdx * unit, unit, patchDim)
-            val out = projectNormalized(hq, outDim, cellBase)
+            val out = projectNormalized(hq, outDim, cellBase, mergerBank)
             var d = 0
             while (d < outDim) {
               rows += ((id, wdx.toLong, d.toLong, out(d)))
@@ -240,18 +247,27 @@ object VlPreprocess {
 
   /** Merger projection: position-indexed integer cells, exact sums,
     * mean-scaled into (−1, 1), l2-normalized. */
-  private def projectNormalized(hq: Array[Long], outDim: Int, cellBase: Long): Array[Double] = {
+  private def projectNormalized(hq: Array[Long], outDim: Int, cellBase: Long,
+                                mergerBank: Option[IndexedSeq[Long]] = None): Array[Double] = {
     val nVals = hq.length
     val out = new Array[Double](outDim)
     var d = 0
     while (d < outDim) {
       var sum = 0L
       var j = 0
-      while (j < nVals) {
-        sum += (hq(j) * K.A + (cellBase + j.toLong * outDim + d) * K.B + K.C) % K.M
-        j += 1
+      mergerBank match {
+        case Some(w) =>
+          // the learned MLP row: exact int64 dot; the 1/Scale is a
+          // common factor the l2 normalize divides out
+          while (j < nVals) { sum += w(d * nVals + j) * hq(j); j += 1 }
+          out(d) = sum.toDouble
+        case None =>
+          while (j < nVals) {
+            sum += (hq(j) * K.A + (cellBase + j.toLong * outDim + d) * K.B + K.C) % K.M
+            j += 1
+          }
+          out(d) = (sum.toDouble / nVals.toDouble / K.M.toDouble) * 2.0 - 1.0
       }
-      out(d) = (sum.toDouble / nVals.toDouble / K.M.toDouble) * 2.0 - 1.0
       d += 1
     }
     var ss = 0.0

@@ -1331,7 +1331,8 @@ FROM p, cst"""
     * main (windowed-attention) route, `false` the deepstack raw-value
     * route; `cellBase` selects the merger's projection slice. Mirrors
     * `VlPreprocess.windowedMergeTokens` parameter for parameter. */
-  private def vlMergedTokensSql(attend: Boolean, cellBase: Long): String = {
+  private def vlMergedTokensSql(attend: Boolean, cellBase: Long,
+                                learnedMerger: Boolean = false): String = {
     // quantized patch value i of merge-ordered patch `tok` (q69 byte map)
     val qcell =
       s"""CAST(floor(((bs[(3 * (((tok2 // 8) * 2 + (tok2 // 2) % 2) * 2 + (i % 4) // 2) * 8
@@ -1354,7 +1355,10 @@ qs AS (SELECT doc_id, list_transform(range(0, 16), tok2 -> list_transform(range(
 w1 AS (SELECT doc_id, qs, unnest(range(0, 4)) AS tk FROM qs),
 $hqCtes,
 m AS (SELECT doc_id, tk, list_transform(range(0, 16), d ->
-  (list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + ($cellBase + j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0) AS mnl FROM hq),
+  ${if (learnedMerger)
+      s"list_reduce(list_transform(range(0, 48), j -> (((d * 48 + j + 1) * $B3 + $C3) % 4001 - 2000) * hq[j + 1]), (a,b) -> a + b)::DOUBLE"
+    else
+      s"(list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + ($cellBase + j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0"}) AS mnl FROM hq),
 nr AS (SELECT doc_id, tk, mnl, sqrt(list_reduce(list_transform(mnl, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
 emb AS (SELECT doc_id, tk AS tok, list_transform(mnl, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
@@ -1368,6 +1372,13 @@ SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unne
     * attended value, re-quantized), then each window's 48 concatenated
     * values project through position-indexed hash cells to 16 dims. */
   def q71_vl_window_merge: String = vlMergedTokensSql(attend = true, cellBase = 0L)
+
+  /** q85: the windowed-attention chain with the LEARNED PatchMerger
+    * MLP — out = l2norm(W·hq) in exact int64, bank recomputed from its
+    * formula (the Spark side reads model.safetensors, MergerBankSpec
+    * pins them equal). */
+  def q85_vl_learned_merger: String =
+    vlMergedTokensSql(attend = true, cellBase = 0L, learnedMerger = true)
 
   /** Shared fused-span SQL: the q72 text/span layout with a pluggable
     * vision-value subquery `(vid, vtok, vval)`. */
@@ -1770,6 +1781,7 @@ FROM events GROUP BY user_id, event_type"""
       graft.backend.ProjectionBank.DimIn, graft.backend.ProjectionBank.DimOut),
     "q83_moe_weighted" -> q83_moe_weighted(),
     "q84_table_embed" -> q84_table_embed(),
+    "q85_vl_learned_merger" -> q85_vl_learned_merger,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
