@@ -612,6 +612,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // learned GQA attention: the hidden vector projects through real
+    // q/k/v/o Linear weights from a two-shard safetensors checkpoint;
+    // 2 query heads share 1 kv head (repeat_kv), per-head rotation and
+    // scores, quantized per-head mix, then the learned o_proj matmul
+    "q86_gqa_attention" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.GqaAttentionBackend.fromBank())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

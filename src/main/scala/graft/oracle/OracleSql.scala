@@ -1246,6 +1246,76 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q86: the learned-projection GQA attention forward
+    * ([[graft.backend.GqaAttentionBackend]]), computed pad-free like
+    * q68: per doc, the o_proj output at the LAST real token. The four
+    * q/k/v/o banks are recomputed from their generating formula (the
+    * Spark side reads the same values from the two-shard checkpoint;
+    * AttnBankSpec pins them equal). Per head n: scores use the
+    * head-locally rotated q/k projections with query head n reading kv
+    * head n // groups (repeat_kv); values are the UN-rotated v_proj
+    * rows; the per-head mix scales into (−1, 1), quantizes to
+    * fixed-point longs, and the o_proj matmul runs in exact int64. */
+  def q86_gqa_attention: String = {
+    val H = graft.backend.AttnBank.Hidden
+    val NH = graft.backend.AttnBank.NHeads
+    val D = graft.backend.AttnBank.HeadDim
+    val NKV = graft.backend.AttnBank.NKvHeads
+    val qOut = NH * D
+    val kvOut = NKV * D
+    val g = NH / NKV
+    val offK = qOut * H
+    val offV = offK + kvOut * H
+    val offO = offV + kvOut * H
+    val qs = "1000000.0" // GqaAttentionBackend.QuantScale
+    // the AttnBank generating formula at flat index expression i
+    def wk(i: String) = s"((($i) + 1) * $A3 + $B3) % 4001 - 2000"
+    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    // projected cell d of the [out x H] weight block at bank offset off
+    def proj(t: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wk(s"($off) + ($d) * $H + e")}) * (${embc(t, "e")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    // rotated projected cell at lambda var i (0-based within the block):
+    // head-local pair hh = (i % D) // 2, u = p + hh + 2
+    def rot(t: String, p: String, off: String) = {
+      val u = s"(($p) + ((i % $D) // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = proj(t, off, s"i - (i % 2)")
+      val e1 = proj(t, off, s"i - (i % 2) + 1")
+      s"(CASE WHEN i % 2 = 0 THEN ((($e0 * $c - $e1 * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE ((($e0 * $sn + $e1 * $c) % $M3) + $M3) % $M3 END)"
+    }
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+qv AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $qOut), i -> ${rot("tids[n]", "n - 1", "0")}) AS ql FROM sel),
+kv AS (SELECT doc_id, tids, n, ql,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${rot("tids[j]", "j - 1", offK.toString)})) AS kl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${proj("tids[j]", offV.toString, "i")})) AS vl FROM qv),
+ws AS (SELECT doc_id, tids, n, vl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $NH), hn ->
+      (list_reduce(list_transform(range(0, $D), d ->
+        ql[hn * $D + d + 1] * kl[j][(hn // $g) * $D + d + 1]), (a,b) -> a + b) % $M3) + 1)) AS w FROM kv),
+ys AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $NH), hn ->
+    list_reduce(list_transform(range(1, n + 1), j -> w[j][hn + 1]), (a,b) -> a + b)) AS tw,
+  list_transform(range(0, $qOut), i ->
+    list_reduce(list_transform(range(1, n + 1), j ->
+      w[j][(i // $D) + 1] * vl[j][((i // $D) // $g) * $D + (i % $D) + 1]), (a,b) -> a + b)) AS y FROM ws),
+zq AS (SELECT doc_id,
+  list_transform(range(0, $qOut), i ->
+    CAST(floor(((y[i + 1]::DOUBLE / tw[(i // $D) + 1]::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT)) AS z FROM ys),
+ov AS (SELECT doc_id,
+  list_transform(range(0, $H), dd ->
+    list_reduce(list_transform(range(0, $qOut), e -> (${wk(s"$offO + dd * $qOut + e")}) * z[e + 1]), (a,b) -> a + b)::DOUBLE / $qs) AS mn FROM zq),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM ov),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
     * RELATIONAL recompute — legal because each token's mixed expert
     * output is quantized to an exact long before the cross-token sum, so
@@ -1782,6 +1852,7 @@ FROM events GROUP BY user_id, event_type"""
     "q83_moe_weighted" -> q83_moe_weighted(),
     "q84_table_embed" -> q84_table_embed(),
     "q85_vl_learned_merger" -> q85_vl_learned_merger,
+    "q86_gqa_attention" -> q86_gqa_attention,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
