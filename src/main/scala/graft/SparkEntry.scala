@@ -627,6 +627,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the learned gated MLP: down(act(gate(x)) * up(x)) with real
+    // expansion-shaped Linear weights (intermediate = 2 x hidden) from
+    // a single-file checkpoint; centered rational ReLU as the gate,
+    // exact integer mean pooling over tokens
+    "q87_gated_mlp" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.GatedMlpBackend.fromBank())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

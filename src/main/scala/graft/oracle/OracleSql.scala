@@ -1316,6 +1316,38 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q87: the learned gated-MLP forward
+    * ([[graft.backend.GatedMlpBackend]]) — per token,
+    * `down(act(gate(x)) * up(x))` with the banks recomputed from their
+    * generating formula and the centered rational ReLU
+    * `greatest(g − (M3−1)/2, 0)` as the activation; per doc, the exact
+    * integer mean over tokens, then l2 normalize. */
+  def q87_gated_mlp: String = {
+    val H = graft.backend.MlpBank.Hidden
+    val I = graft.backend.MlpBank.Inter
+    val offUp = I * H
+    val offDown = 2 * I * H
+    val center = graft.backend.GatedMlpBackend.Center
+    def wk(i: String) = s"((($i) + 1) * $C3 + $A3) % 4001 - 2000"
+    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    def proj(t: String, off: String, i: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wk(s"($off) + ($i) * $H + e")}) * (${embc(t, "e")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+av AS (SELECT doc_id, tids, n,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $I), i ->
+      greatest(${proj("tids[j]", "0", "i")} - $center, 0) * ${proj("tids[j]", offUp.toString, "i")})) AS al FROM sel),
+ys AS (SELECT doc_id, n,
+  list_transform(range(0, $H), d ->
+    list_reduce(list_transform(range(1, n + 1), j ->
+      list_reduce(list_transform(range(0, $I), i -> (${wk(s"$offDown + d * $I + i")}) * al[j][i + 1]), (a,b) -> a + b)), (a,b) -> a + b)) AS y FROM av),
+m AS (SELECT doc_id, list_transform(y, yv -> yv::DOUBLE / n::DOUBLE) AS mn FROM ys),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
     * RELATIONAL recompute — legal because each token's mixed expert
     * output is quantized to an exact long before the cross-token sum, so
@@ -1853,6 +1885,7 @@ FROM events GROUP BY user_id, event_type"""
     "q84_table_embed" -> q84_table_embed(),
     "q85_vl_learned_merger" -> q85_vl_learned_merger,
     "q86_gqa_attention" -> q86_gqa_attention,
+    "q87_gated_mlp" -> q87_gated_mlp,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
