@@ -642,6 +642,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the COMPLETE learned decoder layer from one three-shard
+    // checkpoint: input_layernorm -> GQA attention -> residual ->
+    // post_attention_layernorm -> gated MLP -> residual -> final model
+    // norm -> last-token pool, every weight loaded from safetensors
+    "q88_decoder_layer" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.DecoderLayerBackend.fromBank())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

@@ -1348,6 +1348,101 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q88: the COMPLETE learned decoder layer
+    * ([[graft.backend.DecoderLayerBackend]]) pad-free — per doc, the
+    * reference's pre-norm layer composition at the last real token:
+    * s0 → input_layernorm → GQA attention (q86 semantics over the
+    * normalized states) → residual → post_attention_layernorm → gated
+    * MLP (q87 semantics) → residual → final model norm → l2. Every
+    * double stage is one fixed parenthesization quantized back to the
+    * int64 residual stream before crossing elements, so the layer is
+    * bit-exact end-to-end. */
+  def q88_decoder_layer: String = {
+    val H = graft.backend.AttnBank.Hidden
+    val NH = graft.backend.AttnBank.NHeads
+    val D = graft.backend.AttnBank.HeadDim
+    val NKV = graft.backend.AttnBank.NKvHeads
+    val qOut = NH * D
+    val kvOut = NKV * D
+    val g = NH / NKV
+    val offK = qOut * H
+    val offV = offK + kvOut * H
+    val offO = offV + kvOut * H
+    val I = graft.backend.MlpBank.Inter
+    val offUp = I * H
+    val offDown = 2 * I * H
+    val center = graft.backend.GatedMlpBackend.Center
+    val qs = "1000000.0"
+    val qsl = "1000000"
+    // generating formulas: attention (A3·B3 stream), mlp (C3·A3), gains
+    def wa(i: String) = s"((($i) + 1) * $A3 + $B3) % 4001 - 2000"
+    def wm(i: String) = s"((($i) + 1) * $C3 + $A3) % 4001 - 2000"
+    def gain(i: String) = s"(2048 + ((($i) + 1) * $A3 + $C3) % 2049 - 1024)"
+    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    // learned RMSNorm of list expr sv with gain base gb, quantized
+    def rmsq(sv: String, gb: Int) =
+      s"""list_transform(range(0, $H), e2 -> CAST(floor(((($sv)[e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform($sv, v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"$gb + e2")})::DOUBLE / 2048.0) * $qs + 0.5) AS BIGINT))"""
+    // attention projection of state-list sv: cell d of block at off
+    def projA(sv: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wa(s"($off) + ($d) * $H + e")}) * ($sv)[e + 1]), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    def projM(sv: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wm(s"($off) + ($d) * $H + e")}) * ($sv)[e + 1]), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    // head-locally rotated attention projection at lambda var i
+    def rot(sv: String, p: String, off: String) = {
+      val u = s"(($p) + ((i % $D) // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = projA(sv, off, s"i - (i % 2)")
+      val e1 = projA(sv, off, s"i - (i % 2) + 1")
+      s"(CASE WHEN i % 2 = 0 THEN ((($e0 * $c - $e1 * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE ((($e0 * $sn + $e1 * $c) % $M3) + $M3) % $M3 END)"
+    }
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+st AS (SELECT doc_id, tids, n,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $H), e -> ((${embc("tids[j]", "e")}) * $qsl) // $M3)) AS s0l FROM sel),
+x1 AS (SELECT doc_id, n, s0l,
+  list_transform(range(1, n + 1), j -> ${rmsq("s0l[j]", 0)}) AS x1l FROM st),
+qv AS (SELECT doc_id, n, s0l, x1l,
+  list_transform(range(0, $qOut), i -> ${rot("x1l[n]", "n - 1", "0")}) AS ql FROM x1),
+kv AS (SELECT doc_id, n, s0l, x1l, ql,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${rot("x1l[j]", "j - 1", offK.toString)})) AS kl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${projA("x1l[j]", offV.toString, "i")})) AS vl FROM qv),
+ws AS (SELECT doc_id, n, s0l, x1l, vl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $NH), hn ->
+      (list_reduce(list_transform(range(0, $D), d ->
+        ql[hn * $D + d + 1] * kl[j][(hn // $g) * $D + d + 1]), (a,b) -> a + b) % $M3) + 1)) AS w FROM kv),
+ys AS (SELECT doc_id, n, s0l,
+  list_transform(range(0, $NH), hn ->
+    list_reduce(list_transform(range(1, n + 1), j -> w[j][hn + 1]), (a,b) -> a + b)) AS tw,
+  list_transform(range(0, $qOut), i ->
+    list_reduce(list_transform(range(1, n + 1), j ->
+      w[j][(i // $D) + 1] * vl[j][((i // $D) // $g) * $D + (i % $D) + 1]), (a,b) -> a + b)) AS y FROM ws),
+zq AS (SELECT doc_id, n, s0l,
+  list_transform(range(0, $qOut), i ->
+    CAST(floor(((y[i + 1]::DOUBLE / tw[(i // $D) + 1]::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT)) AS z FROM ys),
+r1 AS (SELECT doc_id,
+  list_transform(range(0, $H), dd ->
+    s0l[n][dd + 1] + CAST(floor((list_reduce(list_transform(range(0, $qOut), e -> (${wa(s"$offO + dd * $qOut + e")}) * z[e + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 + 0.5) AS BIGINT)) AS r1l FROM zq),
+x2 AS (SELECT doc_id, r1l, ${rmsq("r1l", H)} AS x2l FROM r1),
+av AS (SELECT doc_id, r1l,
+  list_transform(range(0, $I), i ->
+    greatest(${projM("x2l", "0", "i")} - $center, 0) * ${projM("x2l", offUp.toString, "i")}) AS al FROM x2),
+r2 AS (SELECT doc_id,
+  list_transform(range(0, $H), d ->
+    r1l[d + 1] + CAST(floor(((list_reduce(list_transform(range(0, $I), i -> (${wm(s"$offDown + d * $I + i")}) * al[i + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 / $M3.0 / $M3.0) * $qs + 0.5) AS BIGINT)) AS r2l FROM av),
+fn AS (SELECT doc_id,
+  list_transform(range(0, $H), e2 ->
+    ((r2l[e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l, v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM r2),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
     * RELATIONAL recompute — legal because each token's mixed expert
     * output is quantized to an exact long before the cross-token sum, so
@@ -1886,6 +1981,7 @@ FROM events GROUP BY user_id, event_type"""
     "q85_vl_learned_merger" -> q85_vl_learned_merger,
     "q86_gqa_attention" -> q86_gqa_attention,
     "q87_gated_mlp" -> q87_gated_mlp,
+    "q88_decoder_layer" -> q88_decoder_layer,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

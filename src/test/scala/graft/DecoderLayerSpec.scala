@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.backend.{AttnBank, DecoderLayerBackend, LayerBank, MlpBank}
+
+/** The composed learned decoder layer: checkpoint round-trip (the
+  * layer's attention/MLP tensors ARE the q86/q87 banks), the residual
+  * composition (/root/reference/src/models/qwen3.rs:871-893), pipeline
+  * invariance end-to-end, and layer STACKING — feeding layerOut states
+  * back in stays deterministic and pad-invariant, the multi-layer loop
+  * of qwen3.rs:897-931. */
+class DecoderLayerSpec extends AnyFunSuite {
+
+  private val be = DecoderLayerBackend.fromBank()
+
+  test("LayerBank: the layer checkpoint carries exactly the q86/q87 banks plus gains") {
+    val w = LayerBank.loaded
+    assert(w.attn == AttnBank.loadedQuantized)
+    assert(w.mlp == MlpBank.loadedQuantized)
+    assert(w.g1.indices.forall(e => w.g1(e) == 2048L + LayerBank.gainK(e)))
+    assert(w.g2.indices.forall(e => w.g2(e) == 2048L + LayerBank.gainK(8 + e)))
+    assert(w.gFinal.indices.forall(e => w.gFinal(e) == 2048L + LayerBank.gainK(16 + e)))
+  }
+
+  test("batch composition cannot change the composed layer's results") {
+    val shortSeq = Array(5L, 17L, 23L)
+    val longSeq = Array(101L, 7L, 3L, 45L, 88L, 9L)
+    assert(be.embedBatch(Seq(shortSeq)).head.toSeq ==
+      be.embedBatch(Seq(shortSeq, longSeq)).head.toSeq)
+    assert(be.embedBatch(Seq(longSeq)).head.toSeq ==
+      be.embedBatch(Seq(longSeq)).head.toSeq)
+  }
+
+  test("both residual branches are live: attention and MLP each move the stream") {
+    val ids = Array(42L, 7L, 99L, 13L)
+    val mask = Array.fill(4)(1)
+    val pos = ids.indices.toArray
+    val states = ids.toIndexedSeq.map(be.s0)
+    val out = be.layerOut(states, mask, pos, 3)
+    assert(out.toSeq != states(3).toSeq, "layer must move the residual stream")
+    // ...and attention makes it depend on OTHER tokens' states
+    val statesB = states.updated(0, be.s0(999L))
+    val outB = be.layerOut(statesB, mask, pos, 3)
+    assert(out.toSeq != outB.toSeq, "attention must mix other positions into the stream")
+  }
+
+  test("stacking: two layers compose and stay pad-invariant") {
+    val seq = Array(5L, 17L, 23L)
+    def stackedLast(tids: Array[Long], padLen: Int): Seq[Double] = {
+      val n = padLen + tids.length
+      val ids = Array.fill(padLen)(0L) ++ tids
+      val mask = Array.fill(padLen)(0) ++ Array.fill(tids.length)(1)
+      val pos = new Array[Int](n)
+      var c = 0
+      for (i <- 0 until n) { if (mask(i) == 1) c += 1; pos(i) = math.max(0, c - 1) }
+      val s1 = (0 until n).map(j => be.s0(ids(j)))
+      // layer 1 at every REAL position feeds layer 2 (pad positions are
+      // masked at every consumer, any placeholder state works)
+      val s2 = (0 until n).map(j => if (mask(j) == 1) be.layerOut(s1, mask, pos, j) else s1(j))
+      be.finalNormD(be.layerOut(s2, mask, pos, n - 1)).toSeq
+    }
+    val alone = stackedLast(seq, 0)
+    val padded = stackedLast(seq, 4)
+    assert(alone == padded, "a stacked forward must not leak pad length")
+    assert(alone.forall(d => !d.isNaN && !d.isInfinite))
+  }
+
+  test("the final norm eps guards the zero state") {
+    val zero = be.finalNormD(Array.fill(8)(0L))
+    assert(zero.toSeq == Seq.fill(8)(0.0))
+  }
+
+  test("padded query positions are rejected") {
+    val states = IndexedSeq(be.s0(0L), be.s0(5L))
+    assertThrows[IllegalArgumentException](
+      be.layerOut(states, Array(0, 1), Array(0, 0), 0))
+  }
+}
