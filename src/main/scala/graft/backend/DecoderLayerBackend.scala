@@ -96,17 +96,16 @@ final case class DecoderLayerBackend(
   /** q86's head-local rational rotation over projected cells. */
   private def rotProjInto(x: Array[Long], p: Int, off: Int, width: Int, out: Array[Long]): Unit = {
     var i = 0
-    while (i < width) {
+    while (i < width) { // step by pairs: each projects its two cells once
       val hh = (i % D) / 2
-      val x0 = projA(x, off, i - (i % 2))
-      val x1 = projA(x, off, i - (i % 2) + 1)
+      val x0 = projA(x, off, i)
+      val x1 = projA(x, off, i + 1)
       val u = (p + hh + 2).toLong
       val c = u * u - 1L
       val s = 2L * u
-      out(i) =
-        if (i % 2 == 0) (((x0 * c - x1 * s) % M3) + M3) % M3
-        else (((x0 * s + x1 * c) % M3) + M3) % M3
-      i += 1
+      out(i) = (((x0 * c - x1 * s) % M3) + M3) % M3
+      out(i + 1) = (((x0 * s + x1 * c) % M3) + M3) % M3
+      i += 2
     }
   }
 
@@ -181,17 +180,21 @@ final case class DecoderLayerBackend(
       while (e < H) { s += w.mlp(base + e) * x2(e); e += 1 }
       (s % M3 + M3) % M3
     }
+    // gated activation lanes, computed once and reused across dims
+    val al = new Array[Long](Inter)
+    var ii = 0
+    while (ii < Inter) {
+      val act = math.max(0L, projM(0, ii) - GatedMlpBackend.Center)
+      if (act != 0L) al(ii) = act * projM(offUp, ii)
+      ii += 1
+    }
     val r2 = new Array[Long](H)
     var d = 0
     while (d < H) {
       var s = 0L
-      var ii = 0
+      var i2 = 0
       val base = offDown + d * Inter
-      while (ii < Inter) {
-        val act = math.max(0L, projM(0, ii) - GatedMlpBackend.Center)
-        if (act != 0L) s += w.mlp(base + ii) * (act * projM(offUp, ii))
-        ii += 1
-      }
+      while (i2 < Inter) { s += w.mlp(base + i2) * al(i2); i2 += 1 }
       // down_proj rescale: k/1024 weights over two Z_M3 factors
       r2(d) = r1(d) + math.floor((s.toDouble / 1024.0 / M3.toDouble / M3.toDouble) * QSd + 0.5).toLong
       d += 1

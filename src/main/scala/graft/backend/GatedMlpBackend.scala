@@ -51,17 +51,27 @@ final case class GatedMlpBackend(
     (s % M3 + M3) % M3
   }
 
+  /** The gated activation lanes of token t: act(gate(x)) · up(x),
+    * exact longs — computed once per token and reused across output
+    * dims. */
+  private def actLanes(t: Long): Array[Long] = {
+    val a = new Array[Long](inter)
+    var i = 0
+    while (i < inter) {
+      val act = math.max(0L, proj(t, 0, i) - Center) // centered rational ReLU
+      if (act != 0L) a(i) = act * proj(t, offUp, i)
+      i += 1
+    }
+    a
+  }
+
   /** The per-token MLP output at dim d — an exact long. */
   def mlpOut(t: Long, d: Int): Long = {
+    val a = actLanes(t)
     var s = 0L
     var i = 0
     val base = offDown + d * inter
-    while (i < inter) {
-      val g = proj(t, 0, i)
-      val act = math.max(0L, g - Center) // centered rational ReLU
-      if (act != 0L) s += bank(base + i) * (act * proj(t, offUp, i))
-      i += 1
-    }
+    while (i < inter) { s += bank(base + i) * a(i); i += 1 }
     s
   }
 
@@ -73,8 +83,16 @@ final case class GatedMlpBackend(
       val sums = new Array[Long](dim)
       var i = 0
       while (i < n) {
+        val a = actLanes(tids(i))
         var d = 0
-        while (d < dim) { sums(d) += mlpOut(tids(i), d); d += 1 }
+        while (d < dim) {
+          var s = 0L
+          var ii = 0
+          val base = offDown + d * inter
+          while (ii < inter) { s += bank(base + ii) * a(ii); ii += 1 }
+          sums(d) += s
+          d += 1
+        }
         i += 1
       }
       var d = 0

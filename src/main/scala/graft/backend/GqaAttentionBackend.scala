@@ -106,17 +106,16 @@ final case class GqaAttentionBackend(
     * every head (qwen3.rs:815-816). */
   private def rotProjInto(t: Long, p: Int, off: Int, width: Int, out: Array[Long]): Unit = {
     var i = 0
-    while (i < width) {
+    while (i < width) { // step by pairs: each projects its two cells once
       val hh = (i % headDim) / 2 // head-local pair index
-      val x0 = proj(t, off, i - (i % 2))
-      val x1 = proj(t, off, i - (i % 2) + 1)
+      val x0 = proj(t, off, i)
+      val x1 = proj(t, off, i + 1)
       val u = (p + hh + 2).toLong
       val c = u * u - 1L
       val s = 2L * u
-      out(i) =
-        if (i % 2 == 0) (((x0 * c - x1 * s) % M3) + M3) % M3
-        else (((x0 * s + x1 * c) % M3) + M3) % M3
-      i += 1
+      out(i) = (((x0 * c - x1 * s) % M3) + M3) % M3
+      out(i + 1) = (((x0 * s + x1 * c) % M3) + M3) % M3
+      i += 2
     }
   }
 
