@@ -657,6 +657,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // q86 plus learned per-head q_norm/k_norm: each head slice of the
+    // q/k projections RMS-normalizes with a shared [headDim] gain
+    // vector (reshape -> norm -> rope, the Qwen3 attention order),
+    // then rotates; v and the rest of the block are q86 unchanged
+    "q89_qk_norm" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.GqaAttentionBackend.withQkNorm())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

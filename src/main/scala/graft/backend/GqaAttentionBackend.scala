@@ -36,7 +36,13 @@ final case class GqaAttentionBackend(
     headDim: Int = AttnBank.HeadDim,
     nKvHeads: Int = AttnBank.NKvHeads,
     hidden: Int = AttnBank.Hidden,
-    padId: Long = 0L) extends EmbeddingBackend {
+    padId: Long = 0L,
+    // Some((q_norm gains, k_norm gains)) → the reference's per-head
+    // RMSNorm on the reshaped q/k projections BEFORE rotation
+    // (qwen3.rs:765-767, 797-807): one [headDim] gain vector each,
+    // shared across heads, from [[QkNormBank.loaded]]. None → q86's
+    // norm-free contract.
+    qkNorm: Option[(IndexedSeq[Long], IndexedSeq[Long])] = None) extends EmbeddingBackend {
   require(nHeads % nKvHeads == 0, s"nHeads $nHeads not a multiple of nKvHeads $nKvHeads")
   val qOut: Int = nHeads * headDim
   val kvOut: Int = nKvHeads * headDim
@@ -105,11 +111,38 @@ final case class GqaAttentionBackend(
     * pair across heads, as the reference broadcasts one (cos, sin) to
     * every head (qwen3.rs:815-816). */
   private def rotProjInto(t: Long, p: Int, off: Int, width: Int, out: Array[Long]): Unit = {
+    // q_norm/k_norm: project the whole block, RMS-normalize each head
+    // slice with the learned gains (quantized back to fixed-point
+    // longs), and rotate the NORMALIZED values — the reference's
+    // reshape → norm → rope order (qwen3.rs:797-816)
+    val src: Int => Long = qkNorm match {
+      case Some((gq, gk)) =>
+        val gains = if (off == 0) gq else gk
+        val pp = Array.tabulate(width)(d => proj(t, off, d))
+        val qn = new Array[Long](width)
+        var hn = 0
+        while (hn * headDim < width) {
+          var sq = 0L
+          var d = 0
+          while (d < headDim) { val v = pp(hn * headDim + d); sq += v * v; d += 1 }
+          val rms = math.sqrt(sq.toDouble / headDim.toDouble + GqaAttentionBackend.RmsEps)
+          d = 0
+          while (d < headDim) {
+            val i = hn * headDim + d
+            qn(i) = math.floor(
+              ((pp(i).toDouble / rms) * (gains(d).toDouble / 2048.0)) * QuantScale + 0.5).toLong
+            d += 1
+          }
+          hn += 1
+        }
+        qn
+      case None => proj(t, off, _)
+    }
     var i = 0
-    while (i < width) { // step by pairs: each projects its two cells once
+    while (i < width) { // step by pairs: each reads its two cells once
       val hh = (i % headDim) / 2 // head-local pair index
-      val x0 = proj(t, off, i)
-      val x1 = proj(t, off, i + 1)
+      val x0 = src(i)
+      val x1 = src(i + 1)
       val u = (p + hh + 2).toLong
       val c = u * u - 1L
       val s = 2L * u
@@ -191,10 +224,18 @@ final case class GqaAttentionBackend(
 }
 
 object GqaAttentionBackend {
-  /** Fixed-point scale of the per-head mix before o_proj. */
+  /** Fixed-point scale of the per-head mix before o_proj (and of the
+    * quantized q/k norms). */
   val QuantScale = 1000000.0
+  /** The reference's rms_norm_eps (qwen3.rs:35, config default 1e-6). */
+  val RmsEps = 1e-6
 
   /** The gated instance: projections from the [[AttnBank]] two-shard
     * checkpoint. */
   def fromBank(): GqaAttentionBackend = GqaAttentionBackend(AttnBank.loadedQuantized)
+
+  /** The q89 instance: q86 plus the learned per-head q_norm/k_norm
+    * gains from the [[QkNormBank]] checkpoint. */
+  def withQkNorm(): GqaAttentionBackend =
+    GqaAttentionBackend(AttnBank.loadedQuantized, qkNorm = Some(QkNormBank.loaded))
 }

@@ -1348,6 +1348,84 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q89: q86's learned GQA attention plus the learned per-head
+    * q_norm/k_norm gains ([[graft.backend.QkNormBank]]) — the
+    * reference's reshape → RMSNorm → rope order (qwen3.rs:797-816):
+    * each head slice of the q/k projections normalizes with the shared
+    * [headDim] gain vector, quantizes to fixed-point longs, and THEN
+    * rotates; v and everything downstream are q86 unchanged. */
+  def q89_qk_norm: String = {
+    val H = graft.backend.AttnBank.Hidden
+    val NH = graft.backend.AttnBank.NHeads
+    val D = graft.backend.AttnBank.HeadDim
+    val NKV = graft.backend.AttnBank.NKvHeads
+    val qOut = NH * D
+    val kvOut = NKV * D
+    val g = NH / NKV
+    val offK = qOut * H
+    val offV = offK + kvOut * H
+    val offO = offV + kvOut * H
+    val qs = "1000000.0"
+    def wk(i: String) = s"((($i) + 1) * $A3 + $B3) % 4001 - 2000"
+    def gq(d: String) = s"(2048 + ((($d) + 1) * $C3 + $B3) % 2049 - 1024)"
+    def gk(d: String) = s"(2048 + ((($d) + $D + 1) * $C3 + $B3) % 2049 - 1024)"
+    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    def proj(t: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wk(s"($off) + ($d) * $H + e")}) * (${embc(t, "e")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    // per-head RMSNorm-quantize of projection list lst at lambda var i
+    def normq(lst: String, gain: String => String) =
+      s"CAST(floor(((($lst)[i + 1]::DOUBLE / sqrt((list_reduce(list_transform(range(0, $D), d2 -> ($lst)[(i // $D) * $D + d2 + 1] * ($lst)[(i // $D) * $D + d2 + 1]), (a,b) -> a + b))::DOUBLE / $D.0 + 1e-6)) * ((${gain(s"i % $D")})::DOUBLE / 2048.0)) * $qs + 0.5) AS BIGINT)"
+    // rotation over a precomputed normalized list at lambda var i
+    def rotL(lst: String, p: String) = {
+      val u = s"(($p) + ((i % $D) // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = s"($lst)[i - (i % 2) + 1]"
+      val e1 = s"($lst)[i - (i % 2) + 2]"
+      s"(CASE WHEN i % 2 = 0 THEN ((($e0 * $c - $e1 * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE ((($e0 * $sn + $e1 * $c) % $M3) + $M3) % $M3 END)"
+    }
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+qp AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $qOut), i -> ${proj("tids[n]", "0", "i")}) AS qpl FROM sel),
+qn AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $qOut), i -> ${normq("qpl", gq)}) AS qnl FROM qp),
+qv AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $qOut), i -> ${rotL("qnl", "n - 1")}) AS ql FROM qn),
+kp AS (SELECT doc_id, tids, n, ql,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${proj("tids[j]", offK.toString, "i")})) AS kpl FROM qv),
+kn AS (SELECT doc_id, tids, n, ql,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${normq("kpl[j]", gk)})) AS knl FROM kp),
+kv AS (SELECT doc_id, tids, n, ql,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${rotL("knl[j]", "j - 1")})) AS kl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${proj("tids[j]", offV.toString, "i")})) AS vl FROM kn),
+ws AS (SELECT doc_id, tids, n, vl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $NH), hn ->
+      (list_reduce(list_transform(range(0, $D), d ->
+        ql[hn * $D + d + 1] * kl[j][(hn // $g) * $D + d + 1]), (a,b) -> a + b) % $M3) + 1)) AS w FROM kv),
+ys AS (SELECT doc_id, tids, n,
+  list_transform(range(0, $NH), hn ->
+    list_reduce(list_transform(range(1, n + 1), j -> w[j][hn + 1]), (a,b) -> a + b)) AS tw,
+  list_transform(range(0, $qOut), i ->
+    list_reduce(list_transform(range(1, n + 1), j ->
+      w[j][(i // $D) + 1] * vl[j][((i // $D) // $g) * $D + (i % $D) + 1]), (a,b) -> a + b)) AS y FROM ws),
+zq AS (SELECT doc_id,
+  list_transform(range(0, $qOut), i ->
+    CAST(floor(((y[i + 1]::DOUBLE / tw[(i // $D) + 1]::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT)) AS z FROM ys),
+ov AS (SELECT doc_id,
+  list_transform(range(0, $H), dd ->
+    list_reduce(list_transform(range(0, $qOut), e -> (${wk(s"$offO + dd * $qOut + e")}) * z[e + 1]), (a,b) -> a + b)::DOUBLE / $qs) AS mn FROM zq),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM ov),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q88: the COMPLETE learned decoder layer
     * ([[graft.backend.DecoderLayerBackend]]) pad-free — per doc, the
     * reference's pre-norm layer composition at the last real token:
@@ -1982,6 +2060,7 @@ FROM events GROUP BY user_id, event_type"""
     "q86_gqa_attention" -> q86_gqa_attention,
     "q87_gated_mlp" -> q87_gated_mlp,
     "q88_decoder_layer" -> q88_decoder_layer,
+    "q89_qk_norm" -> q89_qk_norm,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -87,6 +87,24 @@ class GqaAttentionSpec extends AnyFunSuite {
     assert(real.slice(0, D).toSeq != real.slice(D, 2 * D).toSeq)
   }
 
+  // ---- q_norm / k_norm (q89) ----------------------------------------------
+
+  test("QkNormBank: load round-trips the gain formula; norms are live and invariant") {
+    import graft.backend.QkNormBank
+    val (gq, gk) = QkNormBank.loaded
+    assert(gq.indices.forall(d => gq(d) == 2048L + QkNormBank.gainK(d)))
+    assert(gk.indices.forall(d => gk(d) == 2048L + QkNormBank.gainK(AttnBank.HeadDim + d)))
+    val normed = GqaAttentionBackend.withQkNorm()
+    val shortSeq = Array(5L, 17L, 23L)
+    val longSeq = Array(101L, 7L, 3L, 45L, 88L, 9L)
+    // the norm changes the forward (it is not a no-op)...
+    assert(normed.embedBatch(Seq(shortSeq)).head.toSeq !=
+      be.embedBatch(Seq(shortSeq)).head.toSeq)
+    // ...and the pipeline invariances survive it
+    assert(normed.embedBatch(Seq(shortSeq)).head.toSeq ==
+      normed.embedBatch(Seq(shortSeq, longSeq)).head.toSeq)
+  }
+
   test("v is not rotated: corrupting only rotation-relevant k rows moves scores, not values") {
     // Zero out k_proj entirely: every score collapses to the constant
     // (0 % M3) + 1 = 1 per key, so the output becomes the UNWEIGHTED
