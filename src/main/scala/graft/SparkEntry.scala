@@ -672,6 +672,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the TWO-LAYER stacked decoder with distinct per-layer weights
+    // (model.layers.0 and model.layers.1 in one checkpoint): layer 0
+    // advances every position, its outputs are layer 1's keys/values,
+    // then the final model norm — the reference's layer loop
+    "q90_stacked_decoder" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.DecoderLayerBackend.stacked())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

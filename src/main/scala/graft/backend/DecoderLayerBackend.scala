@@ -37,15 +37,19 @@ import graft.functions.K
   * states; the MLP is the q87 [[GatedMlpBackend]] semantics. Layers
   * stack by feeding [[layerOut]] states back in (spec-pinned). */
 final case class DecoderLayerBackend(
-    w: LayerBank.Weights,
+    layers: IndexedSeq[LayerBank.Weights],
+    gFinal: IndexedSeq[Long],
     padId: Long = 0L) extends EmbeddingBackend {
   import K.{M3, A3, B3, C3}
   import DecoderLayerBackend.{QS, QSd, RmsEps}
   import AttnBank.{Hidden => H, NHeads, HeadDim => D, QOut, KvOut}
   import MlpBank.Inter
 
-  require(w.attn.length == AttnBank.Total && w.mlp.length == MlpBank.Total)
-  require(w.g1.length == H && w.g2.length == H && w.gFinal.length == H)
+  require(layers.nonEmpty && gFinal.length == H)
+  layers.foreach { w =>
+    require(w.attn.length == AttnBank.Total && w.mlp.length == MlpBank.Total)
+    require(w.g1.length == H && w.g2.length == H)
+  }
 
   def dim: Int = H
 
@@ -79,13 +83,13 @@ final case class DecoderLayerBackend(
     while (e < H) { sq += s(e) * s(e); e += 1 }
     val rms = math.sqrt((sq.toDouble / QSd / QSd) / H.toDouble + RmsEps)
     Array.tabulate(H)(i =>
-      ((s(i).toDouble / QSd) / rms) * (w.gFinal(i).toDouble / 2048.0))
+      ((s(i).toDouble / QSd) / rms) * (gFinal(i).toDouble / 2048.0))
   }
 
-  /** Projected cell d of the attention weight block at `off`, from a
-    * normalized state vector, reduced into [0, M3) — the q86 proj over
-    * x1 instead of raw hash cells. */
-  @inline private def projA(x: Array[Long], off: Int, d: Int): Long = {
+  /** Projected cell d of layer weights' attention block at `off`, from
+    * a normalized state vector, reduced into [0, M3) — the q86 proj
+    * over x1 instead of raw hash cells. */
+  @inline private def projA(w: LayerBank.Weights, x: Array[Long], off: Int, d: Int): Long = {
     var s = 0L
     var e = 0
     val base = off + d * H
@@ -94,12 +98,12 @@ final case class DecoderLayerBackend(
   }
 
   /** q86's head-local rational rotation over projected cells. */
-  private def rotProjInto(x: Array[Long], p: Int, off: Int, width: Int, out: Array[Long]): Unit = {
+  private def rotProjInto(w: LayerBank.Weights, x: Array[Long], p: Int, off: Int, width: Int, out: Array[Long]): Unit = {
     var i = 0
     while (i < width) { // step by pairs: each projects its two cells once
       val hh = (i % D) / 2
-      val x0 = projA(x, off, i)
-      val x1 = projA(x, off, i + 1)
+      val x0 = projA(w, x, off, i)
+      val x1 = projA(w, x, off, i + 1)
       val u = (p + hh + 2).toLong
       val c = u * u - 1L
       val s = 2L * u
@@ -109,43 +113,29 @@ final case class DecoderLayerBackend(
     }
   }
 
-  /** One decoder layer at query index `qi`: input states (fixed-point
-    * residual stream, one per tensor position) → the post-layer state
-    * at `qi` (fixed-point longs). Exposed so specs can stack layers. */
-  def layerOut(states: IndexedSeq[Array[Long]], mask: Array[Int], pos: Array[Int], qi: Int): Array[Long] = {
-    require(mask(qi) == 1, s"query index $qi is a padded position")
-    val seqLen = states.length
-    // pre-norm states, computed lazily per position (only unmasked
-    // causal keys and the query need theirs)
-    val x1 = new Array[Array[Long]](seqLen)
-    @inline def x1At(j: Int): Array[Long] = {
-      if (x1(j) == null) x1(j) = rmsNormQ(states(j), w.g1)
-      x1(j)
-    }
-    // ---- self-attention (q86 semantics over x1) ----
-    val qq = new Array[Long](QOut)
-    val kk = new Array[Long](KvOut)
-    rotProjInto(x1At(qi), pos(qi), 0, QOut, qq)
+  /** Per-head score/mix over PRECOMPUTED rotated q and per-position
+    * rotated k / projected v, then the z → o_proj+residual → norm →
+    * MLP+residual tail — shared by the one-query and all-positions
+    * layer entry points (identical arithmetic). */
+  private def attnMlpTail(w: LayerBank.Weights, sQi: Array[Long], qq: Array[Long],
+                          kk: Array[Array[Long]], vv: Array[Array[Long]],
+                          mask: Array[Int], qi: Int): Array[Long] = {
     val y = new Array[Long](QOut)
     val tw = new Array[Long](NHeads)
     var j = 0
-    while (j < seqLen) {
-      val masked = j > qi || mask(j) == 0
-      if (!masked) {
-        val xj = x1At(j)
-        rotProjInto(xj, pos(j), offK, KvOut, kk)
+    while (j <= qi) { // additive causal + padding mask → skip
+      if (mask(j) == 1) {
+        val kj = kk(j)
+        val vj = vv(j)
         var n = 0
         while (n < NHeads) {
-          val kvHead = n / kvGroups
+          val kvHead = n / kvGroups // repeat_kv
           var s = 0L
           var d = 0
-          while (d < D) { s += qq(n * D + d) * kk(kvHead * D + d); d += 1 }
+          while (d < D) { s += qq(n * D + d) * kj(kvHead * D + d); d += 1 }
           val wgt = (s % M3) + 1L
           var d2 = 0
-          while (d2 < D) {
-            y(n * D + d2) += wgt * projA(xj, offV, kvHead * D + d2)
-            d2 += 1
-          }
+          while (d2 < D) { y(n * D + d2) += wgt * vj(kvHead * D + d2); d2 += 1 }
           tw(n) += wgt
           n += 1
         }
@@ -168,7 +158,7 @@ final case class DecoderLayerBackend(
       var e = 0
       val base = offO + dd * QOut
       while (e < QOut) { s += w.attn(base + e) * z(e); e += 1 }
-      r1(dd) = states(qi)(dd) + math.floor(s.toDouble / 1024.0 + 0.5).toLong
+      r1(dd) = sQi(dd) + math.floor(s.toDouble / 1024.0 + 0.5).toLong
       dd += 1
     }
     // ---- gated MLP (q87 semantics over the post-attention norm) ----
@@ -202,6 +192,61 @@ final case class DecoderLayerBackend(
     r2
   }
 
+  /** Rotated k and projected v of every real position — computed ONCE
+    * per layer pass and shared across queries. */
+  private def kvPrecomp(w: LayerBank.Weights, x1: Array[Array[Long]], mask: Array[Int],
+                        pos: Array[Int]): (Array[Array[Long]], Array[Array[Long]]) = {
+    val seqLen = x1.length
+    val kk = new Array[Array[Long]](seqLen)
+    val vv = new Array[Array[Long]](seqLen)
+    var j = 0
+    while (j < seqLen) {
+      if (mask(j) == 1) {
+        val k = new Array[Long](KvOut)
+        rotProjInto(w, x1(j), pos(j), offK, KvOut, k)
+        kk(j) = k
+        vv(j) = Array.tabulate(KvOut)(d => projA(w, x1(j), offV, d))
+      }
+      j += 1
+    }
+    (kk, vv)
+  }
+
+  /** One decoder layer at query index `qi`: input states (fixed-point
+    * residual stream, one per tensor position) → the post-layer state
+    * at `qi` (fixed-point longs). Exposed so specs can stack layers. */
+  def layerOut(w: LayerBank.Weights, states: IndexedSeq[Array[Long]], mask: Array[Int], pos: Array[Int], qi: Int): Array[Long] = {
+    require(mask(qi) == 1, s"query index $qi is a padded position")
+    val seqLen = states.length
+    val x1 = Array.tabulate(seqLen)(j =>
+      if (mask(j) == 1 || j == qi) rmsNormQ(states(j), w.g1) else null)
+    val (kk, vv) = kvPrecomp(w, x1, mask, pos)
+    val qq = new Array[Long](QOut)
+    rotProjInto(w, x1(qi), pos(qi), 0, QOut, qq)
+    attnMlpTail(w, states(qi), qq, kk, vv, mask, qi)
+  }
+
+  /** One decoder layer advanced at EVERY real position — the
+    * non-final-layer step of the stack. Pad positions carry their
+    * input state (every consumer masks them). The per-position k/v
+    * projections are computed once and shared across queries, so a
+    * full pass is O(n²) in the cheap score/mix arithmetic only. */
+  def layerAllOut(w: LayerBank.Weights, states: IndexedSeq[Array[Long]], mask: Array[Int],
+                  pos: Array[Int]): IndexedSeq[Array[Long]] = {
+    val seqLen = states.length
+    val x1 = Array.tabulate(seqLen)(j =>
+      if (mask(j) == 1) rmsNormQ(states(j), w.g1) else null)
+    val (kk, vv) = kvPrecomp(w, x1, mask, pos)
+    (0 until seqLen).map { qi =>
+      if (mask(qi) == 0) states(qi)
+      else {
+        val qq = new Array[Long](QOut)
+        rotProjInto(w, x1(qi), pos(qi), 0, QOut, qq)
+        attnMlpTail(w, states(qi), qq, kk, vv, mask, qi)
+      }
+    }
+  }
+
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = {
     if (batch.isEmpty) return Seq.empty
     val seqLen = math.max(1, batch.iterator.map(_.length).max)
@@ -222,10 +267,20 @@ final case class DecoderLayerBackend(
           pos(i) = math.max(0, c - 1)
           i += 1
         }
-        val states: IndexedSeq[Array[Long]] = (0 until seqLen).map(j => s0(ids(j)))
+        var states: IndexedSeq[Array[Long]] = (0 until seqLen).map(j => s0(ids(j)))
+        // the reference's layer loop (qwen3.rs:897-931): every layer
+        // but the last advances ALL real positions (its outputs are the
+        // next layer's keys/values); the last layer runs only at the
+        // pooled query. Pad positions keep a placeholder state — every
+        // consumer masks them.
+        var l = 0
+        while (l < layers.length - 1) {
+          states = layerAllOut(layers(l), states, mask, pos)
+          l += 1
+        }
         // last-token pooling through the final norm (left padding makes
         // seqLen−1 the real last token), then l2 normalize
-        l2normalized(finalNormD(layerOut(states, mask, pos, seqLen - 1)))
+        l2normalized(finalNormD(layerOut(layers.last, states, mask, pos, seqLen - 1)))
       }
     }
   }
@@ -248,7 +303,17 @@ object DecoderLayerBackend {
   /** The reference's rms_norm_eps (qwen3.rs:35, config default 1e-6). */
   val RmsEps: Double = 1e-6
 
-  /** The gated instance: the full layer from the [[LayerBank]]
+  /** The q88 instance: layer 0 + final norm from the [[LayerBank]]
     * three-shard checkpoint. */
-  def fromBank(): DecoderLayerBackend = DecoderLayerBackend(LayerBank.loaded)
+  def fromBank(): DecoderLayerBackend = {
+    val (l0, gf) = LayerBank.loaded
+    DecoderLayerBackend(IndexedSeq(l0), gf)
+  }
+
+  /** The q90 instance: the full [[LayerBank.NLayers]]-deep stack with
+    * distinct per-layer weights. */
+  def stacked(): DecoderLayerBackend = {
+    val (ls, gf) = LayerBank.loadedStack
+    DecoderLayerBackend(ls, gf)
+  }
 }

@@ -1521,6 +1521,118 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q90: the TWO-LAYER stacked decoder
+    * ([[graft.backend.DecoderLayerBackend.stacked]]) pad-free — the
+    * reference's layer loop (qwen3.rs:897-931) with DISTINCT
+    * per-layer weights: layer 0 advances EVERY position (its outputs
+    * are layer 1's keys/values), layer 1 runs at the last real token,
+    * then the final model norm. Each layer is the full q88 chain; the
+    * per-layer CTE generator differs only in its query scope and
+    * weight offsets. */
+  def q90_stacked_decoder: String = {
+    val H = graft.backend.AttnBank.Hidden
+    val NH = graft.backend.AttnBank.NHeads
+    val D = graft.backend.AttnBank.HeadDim
+    val NKV = graft.backend.AttnBank.NKvHeads
+    val qOut = NH * D
+    val kvOut = NKV * D
+    val g = NH / NKV
+    val offK = qOut * H
+    val offV = offK + kvOut * H
+    val offO = offV + kvOut * H
+    val I = graft.backend.MlpBank.Inter
+    val offUp = I * H
+    val offDown = 2 * I * H
+    val aTot = graft.backend.AttnBank.Total
+    val mTot = graft.backend.MlpBank.Total
+    val g1b1 = graft.backend.LayerBank.gainBase(1)
+    val center = graft.backend.GatedMlpBackend.Center
+    val qs = "1000000.0"
+    val qsl = "1000000"
+    def wa(i: String) = s"((($i) + 1) * $A3 + $B3) % 4001 - 2000"
+    def wm(i: String) = s"((($i) + 1) * $C3 + $A3) % 4001 - 2000"
+    def gain(i: String) = s"(2048 + ((($i) + 1) * $A3 + $C3) % 2049 - 1024)"
+    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    def rmsq(sv: String, gb: Int) =
+      s"""list_transform(range(0, $H), e2 -> CAST(floor(((($sv)[e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform($sv, v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"$gb + e2")})::DOUBLE / 2048.0) * $qs + 0.5) AS BIGINT))"""
+    def projA(sv: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wa(s"($off) + ($d) * $H + e")}) * ($sv)[e + 1]), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    def projM(sv: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wm(s"($off) + ($d) * $H + e")}) * ($sv)[e + 1]), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    def rot(sv: String, p: String, off: String) = {
+      val u = s"(($p) + ((i % $D) // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = projA(sv, off, s"i - (i % 2)")
+      val e1 = projA(sv, off, s"i - (i % 2) + 1")
+      s"(CASE WHEN i % 2 = 0 THEN ((($e0 * $c - $e1 * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE ((($e0 * $sn + $e1 * $c) % $M3) + $M3) % $M3 END)"
+    }
+    /** One decoder layer as a CTE chain. `states` is the input-state
+      * list column in `from`; queries are range(1, qCount+1) with the
+      * query POSITION given by qVal (an expression in lambda var qi).
+      * Emits `{p}r2(doc_id, n, r2l)` with r2l aligned to the query
+      * list. */
+    def layerChain(p: String, states: String, from: String,
+                   aOff: Int, mOff: Int, g1b: Int, g2b: Int,
+                   qCount: String, qVal: String): String =
+      s"""${p}x1 AS (SELECT doc_id, n, $states AS st,
+  list_transform(range(1, n + 1), j -> ${rmsq(s"($states)[j]", g1b)}) AS x1l FROM $from),
+${p}kv AS (SELECT doc_id, n, st, x1l,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${rot("x1l[j]", "j - 1", (aOff + offK).toString)})) AS kl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $kvOut), i -> ${projA("x1l[j]", (aOff + offV).toString, "i")})) AS vl FROM ${p}x1),
+${p}qv AS (SELECT doc_id, n, st, kl, vl,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $qOut), i -> ${rot(s"x1l[$qVal]", s"$qVal - 1", aOff.toString)})) AS qla FROM ${p}kv),
+${p}ws AS (SELECT doc_id, n, st, vl, qla,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(1, $qVal + 1), j ->
+      list_transform(range(0, $NH), hn ->
+        (list_reduce(list_transform(range(0, $D), d ->
+          qla[qi][hn * $D + d + 1] * kl[j][(hn // $g) * $D + d + 1]), (a,b) -> a + b) % $M3) + 1))) AS w FROM ${p}qv),
+${p}ys AS (SELECT doc_id, n, st,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $NH), hn ->
+      list_reduce(list_transform(range(1, $qVal + 1), j -> w[qi][j][hn + 1]), (a,b) -> a + b))) AS tw,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $qOut), i ->
+      list_reduce(list_transform(range(1, $qVal + 1), j ->
+        w[qi][j][(i // $D) + 1] * vl[j][((i // $D) // $g) * $D + (i % $D) + 1]), (a,b) -> a + b))) AS y FROM ${p}ws),
+${p}zq AS (SELECT doc_id, n, st,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $qOut), i ->
+      CAST(floor(((y[qi][i + 1]::DOUBLE / tw[qi][(i // $D) + 1]::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT))) AS z FROM ${p}ys),
+${p}r1 AS (SELECT doc_id, n,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $H), dd ->
+      st[$qVal][dd + 1] + CAST(floor((list_reduce(list_transform(range(0, $qOut), e -> (${wa(s"${aOff + offO} + dd * $qOut + e")}) * z[qi][e + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 + 0.5) AS BIGINT))) AS r1l FROM ${p}zq),
+${p}x2 AS (SELECT doc_id, n, r1l,
+  list_transform(range(1, $qCount + 1), qi -> ${rmsq("r1l[qi]", g2b)}) AS x2l FROM ${p}r1),
+${p}av AS (SELECT doc_id, n, r1l,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $I), i ->
+      greatest(${projM("x2l[qi]", mOff.toString, "i")} - $center, 0) * ${projM("x2l[qi]", (mOff + offUp).toString, "i")})) AS al FROM ${p}x2),
+${p}r2 AS (SELECT doc_id, n,
+  list_transform(range(1, $qCount + 1), qi ->
+    list_transform(range(0, $H), d ->
+      r1l[qi][d + 1] + CAST(floor(((list_reduce(list_transform(range(0, $I), i -> (${wm(s"$mOff + $offDown + d * $I + i")}) * al[qi][i + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 / $M3.0 / $M3.0) * $qs + 0.5) AS BIGINT))) AS r2l FROM ${p}av)"""
+    s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+s0c AS (SELECT doc_id, n,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $H), e -> ((${embc("tids[j]", "e")}) * $qsl) // $M3)) AS s0l FROM sel),
+${layerChain("a", "s0l", "s0c", 0, 0, 0, H, "n", "qi")},
+${layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")},
+fn AS (SELECT doc_id,
+  list_transform(range(0, $H), e2 ->
+    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM br2),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
     * RELATIONAL recompute — legal because each token's mixed expert
     * output is quantized to an exact long before the cross-token sum, so
@@ -2061,6 +2173,7 @@ FROM events GROUP BY user_id, event_type"""
     "q87_gated_mlp" -> q87_gated_mlp,
     "q88_decoder_layer" -> q88_decoder_layer,
     "q89_qk_norm" -> q89_qk_norm,
+    "q90_stacked_decoder" -> q90_stacked_decoder,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -14,12 +14,20 @@ class DecoderLayerSpec extends AnyFunSuite {
   private val be = DecoderLayerBackend.fromBank()
 
   test("LayerBank: the layer checkpoint carries exactly the q86/q87 banks plus gains") {
-    val w = LayerBank.loaded
+    val (w, gFinal) = LayerBank.loaded
     assert(w.attn == AttnBank.loadedQuantized)
     assert(w.mlp == MlpBank.loadedQuantized)
     assert(w.g1.indices.forall(e => w.g1(e) == 2048L + LayerBank.gainK(e)))
     assert(w.g2.indices.forall(e => w.g2(e) == 2048L + LayerBank.gainK(8 + e)))
-    assert(w.gFinal.indices.forall(e => w.gFinal(e) == 2048L + LayerBank.gainK(16 + e)))
+    assert(gFinal.indices.forall(e => gFinal(e) == 2048L + LayerBank.gainK(16 + e)))
+    // layer 1 is a DISTINCT continuation of the same streams
+    val (layers, _) = LayerBank.loadedStack
+    assert(layers.length == LayerBank.NLayers)
+    assert(layers(1).attn.indices.forall(i =>
+      layers(1).attn(i) == AttnBank.weightK(AttnBank.Total + i)))
+    assert(layers(1).attn != layers(0).attn)
+    assert(layers(1).g1.indices.forall(e =>
+      layers(1).g1(e) == 2048L + LayerBank.gainK(LayerBank.gainBase(1) + e)))
   }
 
   test("batch composition cannot change the composed layer's results") {
@@ -36,12 +44,23 @@ class DecoderLayerSpec extends AnyFunSuite {
     val mask = Array.fill(4)(1)
     val pos = ids.indices.toArray
     val states = ids.toIndexedSeq.map(be.s0)
-    val out = be.layerOut(states, mask, pos, 3)
+    val out = be.layerOut(be.layers.head, states, mask, pos, 3)
     assert(out.toSeq != states(3).toSeq, "layer must move the residual stream")
     // ...and attention makes it depend on OTHER tokens' states
     val statesB = states.updated(0, be.s0(999L))
-    val outB = be.layerOut(statesB, mask, pos, 3)
+    val outB = be.layerOut(be.layers.head, statesB, mask, pos, 3)
     assert(out.toSeq != outB.toSeq, "attention must mix other positions into the stream")
+  }
+
+  test("the stacked backend (distinct per-layer weights) is pad-invariant too") {
+    val st = DecoderLayerBackend.stacked()
+    val shortSeq = Array(5L, 17L, 23L)
+    val longSeq = Array(101L, 7L, 3L, 45L, 88L, 9L)
+    assert(st.embedBatch(Seq(shortSeq)).head.toSeq ==
+      st.embedBatch(Seq(shortSeq, longSeq)).head.toSeq)
+    // and layer 2 actually changes the result vs the single layer
+    assert(st.embedBatch(Seq(shortSeq)).head.toSeq !=
+      be.embedBatch(Seq(shortSeq)).head.toSeq)
   }
 
   test("stacking: two layers compose and stay pad-invariant") {
@@ -56,8 +75,9 @@ class DecoderLayerSpec extends AnyFunSuite {
       val s1 = (0 until n).map(j => be.s0(ids(j)))
       // layer 1 at every REAL position feeds layer 2 (pad positions are
       // masked at every consumer, any placeholder state works)
-      val s2 = (0 until n).map(j => if (mask(j) == 1) be.layerOut(s1, mask, pos, j) else s1(j))
-      be.finalNormD(be.layerOut(s2, mask, pos, n - 1)).toSeq
+      val s2 = (0 until n).map(j =>
+        if (mask(j) == 1) be.layerOut(be.layers.head, s1, mask, pos, j) else s1(j))
+      be.finalNormD(be.layerOut(be.layers.head, s2, mask, pos, n - 1)).toSeq
     }
     val alone = stackedLast(seq, 0)
     val padded = stackedLast(seq, 4)
@@ -73,6 +93,6 @@ class DecoderLayerSpec extends AnyFunSuite {
   test("padded query positions are rejected") {
     val states = IndexedSeq(be.s0(0L), be.s0(5L))
     assertThrows[IllegalArgumentException](
-      be.layerOut(states, Array(0, 1), Array(0, 0), 0))
+      be.layerOut(be.layers.head, states, Array(0, 1), Array(0, 0), 0))
   }
 }
