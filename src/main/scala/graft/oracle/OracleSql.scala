@@ -1869,6 +1869,79 @@ emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
   }
 
+  /** q91: the LEARNED fused-sequence (multimodal) forward — q78's
+    * fused values and MRoPE planes, but the attention runs through the
+    * real q/k/v/o projections of [[graft.backend.VlAttnBank]] (one
+    * head of head_dim 8, so sections t,h,w,t all steer angles), with
+    * the q86 tail: quantized mix, o_proj matmul in exact int64, l2. */
+  def q91_vl_learned(maxLen: Int = 24, nImg: Int = 4): String = {
+    val H = graft.backend.VlAttnBank.Hidden
+    val HD = graft.backend.VlAttnBank.HeadDim
+    val offK = graft.backend.VlAttnBank.OffK
+    val offV = graft.backend.VlAttnBank.OffV
+    val offO = graft.backend.VlAttnBank.OffO
+    val qs = "1000000.0"
+    val fused = fusedSpanSql(
+      s"""SELECT v1.doc_id AS vid, v1.tok AS vtok, v1.val + v2.val AS vval
+  FROM (${vlMergedTokensSql(attend = true, cellBase = 0L)}) v1
+  JOIN (${vlMergedTokensSql(attend = false,
+        cellBase = graft.operators.VlPreprocess.DeepstackCellBase)}) v2
+    ON v1.doc_id = v2.doc_id AND v1.tok = v2.tok AND v1.dim = v2.dim
+  WHERE v1.dim = 0""",
+      maxLen, nImg, withK = true)
+    def wv(i: String) = s"((($i) + 1) * $B3 + $A3) % 3001 - 1500"
+    def embx(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    def proj(t: String, off: String, d: String) =
+      s"((list_reduce(list_transform(range(0, $H), e -> (${wv(s"($off) + ($d) * $H + e")}) * (${embx(t, "e")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    // rotated learned projection at lambda var i: pair gp = i // 2
+    // takes its rotation id from MRoPE plane gp mod 3 of index j
+    def rot(j: String, off: String) = {
+      val p = s"(CASE (i // 2) % 3 WHEN 0 THEN ptl[$j] WHEN 1 THEN phl[$j] ELSE pwl[$j] END)"
+      val u = s"($p + (i // 2) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val e0 = proj(s"fl[$j]", off, "i - (i % 2)")
+      val e1 = proj(s"fl[$j]", off, "i - (i % 2) + 1")
+      s"(CASE WHEN i % 2 = 0 THEN ((($e0 * $c - $e1 * $sn) % $M3) + $M3) % $M3" +
+        s" ELSE ((($e0 * $sn + $e1 * $c) % $M3) + $M3) % $M3 END)"
+    }
+    val st = "greatest(greatest(k - 1, 0), k + 1) + 1"
+    def pid(imageVal: String): String =
+      s"CASE WHEN pos < k THEN pos WHEN pos < k + $nImg THEN $imageVal ELSE $st + (pos - (k + $nImg)) END"
+    s"""WITH fused AS (SELECT * FROM ($fused) fsub),
+fz AS (SELECT doc_id, pos,
+  ((CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) % $M3) + $M3) % $M3 AS fid,
+  ${pid("k + (pos - k) // 4")} AS pt,
+  ${pid("k + ((pos - k) // 2) % 2")} AS ph,
+  ${pid("k + (pos - k) % 2")} AS pw
+  FROM fused),
+gl AS (SELECT doc_id, list(fid ORDER BY pos) AS fl, list(pt ORDER BY pos) AS ptl,
+  list(ph ORDER BY pos) AS phl, list(pw ORDER BY pos) AS pwl, count(*)::BIGINT AS n
+  FROM fz GROUP BY doc_id),
+qv AS (SELECT doc_id, fl, ptl, phl, pwl, n,
+  list_transform(range(0, $HD), i -> ${rot("n", "0")}) AS ql FROM gl),
+kv AS (SELECT doc_id, fl, n, ql,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $HD), i -> ${rot("j", offK.toString)})) AS kl,
+  list_transform(range(1, n + 1), j ->
+    list_transform(range(0, $HD), i -> ${proj("fl[j]", offV.toString, "i")})) AS vl FROM qv),
+ws AS (SELECT doc_id, n, vl,
+  list_transform(range(1, n + 1), j ->
+    (list_reduce(list_transform(range(0, $HD), d -> ql[d + 1] * kl[j][d + 1]), (a,b) -> a + b) % $M3) + 1) AS w FROM kv),
+ys AS (SELECT doc_id, n, list_reduce(w, (a,b) -> a + b) AS tw,
+  list_transform(range(0, $HD), d ->
+    list_reduce(list_transform(range(1, n + 1), j -> w[j] * vl[j][d + 1]), (a,b) -> a + b)) AS y FROM ws),
+zq AS (SELECT doc_id,
+  list_transform(range(0, $HD), i ->
+    CAST(floor(((y[i + 1]::DOUBLE / tw::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT)) AS z FROM ys),
+ov AS (SELECT doc_id,
+  list_transform(range(0, $H), dd ->
+    list_reduce(list_transform(range(0, $HD), e -> (${wv(s"$offO + dd * $HD + e")}) * z[e + 1]), (a,b) -> a + b)::DOUBLE / $qs) AS mn FROM zq),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM ov),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q76: the learned-weight BGE-M3 sparse linear
     * (bgem3_weights.rs:14-43, impl.rs:256-304): integer-grid dot of the
     * (token, position) hidden stream against the weight bank, + bias,
@@ -2174,6 +2247,7 @@ FROM events GROUP BY user_id, event_type"""
     "q88_decoder_layer" -> q88_decoder_layer,
     "q89_qk_norm" -> q89_qk_norm,
     "q90_stacked_decoder" -> q90_stacked_decoder,
+    "q91_vl_learned" -> q91_vl_learned(),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -51,4 +51,32 @@ class VlForwardSpec extends AnyFunSuite {
     val p = seqIds(fids.length)
     assert(VlForward.embed(fids, p, p, p).toSeq == VlForward.embed(fids, p, p, p).toSeq)
   }
+
+  // ---- the learned variant (q91) ------------------------------------------
+
+  test("VlAttnBank: single-file load round-trips the generating formula") {
+    import graft.backend.VlAttnBank
+    val loaded = VlAttnBank.loadedQuantized
+    assert(loaded.length == VlAttnBank.Total)
+    assert(loaded.indices.forall(i => loaded(i) == VlAttnBank.weightK(i)))
+  }
+
+  test("learned forward: all three id planes steer angles; deterministic") {
+    import graft.backend.VlAttnBank
+    val bank = VlAttnBank.loadedQuantized
+    val p = seqIds(fids.length)
+    val base = VlForward.embedLearned(fids, p, p, p, bank).toSeq
+    def bump(a: Array[Long], i: Int): Array[Long] = {
+      val b = a.clone(); b(i) += 7L; b
+    }
+    // one head of head_dim 8 → pairs 0..3 rotate by planes t,h,w,t —
+    // every plane moves the result (with q78's 4-wide rotation the w
+    // plane would only enter via pair 2; here it is pinned live)
+    assert(VlForward.embedLearned(fids, bump(p, 1), p, p, bank).toSeq != base, "t plane inert")
+    assert(VlForward.embedLearned(fids, p, bump(p, 1), p, bank).toSeq != base, "h plane inert")
+    assert(VlForward.embedLearned(fids, p, p, bump(p, 1), bank).toSeq != base, "w plane inert")
+    assert(VlForward.embedLearned(fids, p, p, p, bank).toSeq == base)
+    // and the learned projections actually differ from the hash forward
+    assert(base != VlForward.embed(fids, p, p, p).toSeq)
+  }
 }
