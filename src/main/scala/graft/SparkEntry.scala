@@ -595,6 +595,22 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the COMPLETE learned MoE dispatch: q83's learned experts plus
+    // the learned router (megablocks mlp.router.layer.weight) — every
+    // expert logit is a real row dotted with the token's hidden cells
+    "q92_moe_router" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.MoEBackend(dim = 8,
+          expertBank = Some(graft.backend.ExpertBank.loadedQuantized),
+          routerBank = Some(graft.backend.RouterBank.loadedQuantized)))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the transformer forward over a LEARNED embed_tokens table,
     // composed with the WordPiece tokenizer: every gated id is
     // in-vocab, so the whole forward runs on real looked-up embeddings

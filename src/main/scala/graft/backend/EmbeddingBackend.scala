@@ -89,6 +89,9 @@ object Backends {
     name match {
       case "graft-transformer-8" => TransformerBackend(dim = info.dim)
       case "graft-moe-8" => MoEBackend(dim = info.dim)
+      case "graft-qwen3-8" => DecoderLayerBackend.fromBank()
+      case "graft-qwen3-8-x2" => DecoderLayerBackend.stacked()
+      case "graft-gqa-8" => GqaAttentionBackend.withQkNorm()
       case _ => HashingBackend(info.dim)
     }
   }

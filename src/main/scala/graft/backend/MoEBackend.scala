@@ -42,10 +42,19 @@ final case class MoEBackend(
     // nomic_v2_moe.rs:405-470 (bank from [[ExpertBank.loadedQuantized]]);
     // None → the hash-cell contract experts
     expertBank: Option[IndexedSeq[Long]] = None,
-    hiddenDim: Int = 8) extends EmbeddingBackend {
+    hiddenDim: Int = 8,
+    // Some(flat [nExperts·hiddenDim] integer bank) → LEARNED router:
+    // expert e's logit is its real row dotted with the token's hidden
+    // cells (the megablocks `mlp.router.layer.weight` Linear,
+    // nomic_v2_moe.rs:315,330-336; bank from
+    // [[RouterBank.loadedQuantized]]), reduced into [0, M3) so the
+    // gate/top-k arithmetic keeps its bounds. None → hash-cell logits.
+    routerBank: Option[IndexedSeq[Long]] = None) extends EmbeddingBackend {
   require(topK >= 1 && topK <= nExperts, s"topK $topK out of range for $nExperts experts")
   expertBank.foreach(w => require(w.length == nExperts * dim * hiddenDim,
     s"expert bank of ${w.length} != $nExperts x $dim x $hiddenDim"))
+  routerBank.foreach(w => require(w.length == nExperts * hiddenDim,
+    s"router bank of ${w.length} != $nExperts x $hiddenDim"))
 
   import K.{M3, A3, B3, C3}
   import MoEBackend._
@@ -56,11 +65,23 @@ final case class MoEBackend(
     ((t % M3) * A3 + i.toLong * B3 + C3) % M3
 
   /** Router scores of token t, computed ONCE per token — denominator
-    * and top-k selection both derive from this array. */
+    * and top-k selection both derive from this array. Learned rows dot
+    * the same hidden cells the experts consume. */
   private def routerScores(t: Long): Array[Long] = {
     val s = new Array[Long](nExperts)
     var e = 0
-    while (e < nExperts) { s(e) = cell(t, OffRouter + e); e += 1 }
+    while (e < nExperts) {
+      s(e) = routerBank match {
+        case None => cell(t, OffRouter + e)
+        case Some(w) =>
+          var acc = 0L
+          var h = 0
+          val base = e * hiddenDim
+          while (h < hiddenDim) { acc += w(base + h) * cell(t, h); h += 1 }
+          (acc % M3 + M3) % M3
+      }
+      e += 1
+    }
     s
   }
 

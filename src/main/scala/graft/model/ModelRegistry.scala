@@ -84,7 +84,16 @@ object ModelRegistry {
       Pooling.Last),
     ModelInfo("graft-moe-8", 8,
       "MoE-routing backend: top-2 expert dispatch, shared output bias (NomicBert-MoE role)",
-      Pooling.Mean)
+      Pooling.Mean),
+    ModelInfo("graft-gqa-8", 8,
+      "learned GQA attention with q/k norms, weights from a sharded safetensors checkpoint",
+      Pooling.Last),
+    ModelInfo("graft-qwen3-8", 8,
+      "one complete learned decoder layer (pre-norm residuals, final model norm) from safetensors",
+      Pooling.Last),
+    ModelInfo("graft-qwen3-8-x2", 8,
+      "two-layer learned decoder stack with distinct per-layer weights",
+      Pooling.Last)
   ).map(m => m.name -> m).toMap
 
   @volatile private var userModels: Map[String, ModelInfo] = Map.empty

@@ -1659,6 +1659,21 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
       e => s"list_reduce(list_transform(range(0, $hid), h -> (((((($e) * $dim + d) * $hid + h + 1) * $A3 + $C3) % 4001) - 2000) * (${moeCell("t", "h")})), (a,b) -> a + b)")
   }
 
+  /** q92: the COMPLETE learned MoE dispatch — q83's learned experts
+    * PLUS the learned router ([[graft.backend.RouterBank]], the
+    * megablocks `mlp.router.layer.weight` Linear): expert e's logit is
+    * its real row dotted with the same hidden cells the experts
+    * consume, reduced into [0, M3) so gates and packed top-k keys keep
+    * their bounds; routing/mixing/bias/pooling unchanged. */
+  def q92_moe_router(dim: Int = 8, nExperts: Int = 8, maxLen: Int = 128): String = {
+    val hid = graft.backend.ExpertBank.HiddenDim
+    val rhid = graft.backend.RouterBank.HiddenDim
+    moeEmbedSql(dim, nExperts, maxLen,
+      e => s"list_reduce(list_transform(range(0, $hid), h -> (((((($e) * $dim + d) * $hid + h + 1) * $A3 + $C3) % 4001) - 2000) * (${moeCell("t", "h")})), (a,b) -> a + b)",
+      routerTerm = Some(e =>
+        s"((list_reduce(list_transform(range(0, $rhid), h -> (((($e) * $rhid + h + 1) * $B3 + $C3) % 3001 - 1500) * (${moeCell("t", "h")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"))
+  }
+
   private def moeCell(t: String, i: String): String =
     s"((($t) % $M3) * $A3 + ($i) * $B3 + $C3) % $M3"
 
@@ -1666,17 +1681,22 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     * mix of `expertTerm(expertIndexExpr)` outputs, shared bias,
     * quantized exact mean pool ([[graft.backend.MoEBackend]]). */
   private def moeEmbedSql(dim: Int, nExperts: Int, maxLen: Int,
-                          expertTerm: String => String): String = {
+                          expertTerm: String => String,
+                          routerTerm: Option[String => String] = None): String = {
     val offR = graft.backend.MoEBackend.OffRouter
     val offB = graft.backend.MoEBackend.OffBias
     def cell(t: String, i: String): String = moeCell(t, i)
+    // expert e's router logit (lambda-var expression e): hash cell by
+    // default, the learned router row otherwise
+    val score: String => String =
+      routerTerm.getOrElse((e: String) => cell("t", s"$offR + ($e)"))
     val keyList =
-      s"list_transform(range(0, $nExperts), e -> (${cell("t", s"$offR + e")}) * $nExperts + ($nExperts - 1 - e))"
+      s"list_transform(range(0, $nExperts), e -> (${score("e")}) * $nExperts + ($nExperts - 1 - e))"
     s"""WITH tok AS (SELECT doc_id, ${tids("text", maxLen)} AS tids FROM documents),
 sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
 tk AS (SELECT doc_id, n, unnest(tids) AS t FROM sel),
 r AS (SELECT doc_id, n, t,
-  list_reduce(list_transform(range(0, $nExperts), e -> (${cell("t", s"$offR + e")}) + 1), (a,b) -> a + b) AS denom,
+  list_reduce(list_transform(range(0, $nExperts), e -> (${score("e")}) + 1), (a,b) -> a + b) AS denom,
   list_reduce($keyList, (a,b) -> greatest(a,b)) AS k1 FROM tk),
 r2 AS (SELECT doc_id, n, t, denom, k1,
   list_reduce(list_filter($keyList, x -> x != k1), (a,b) -> greatest(a,b)) AS k2 FROM r),
@@ -2248,6 +2268,7 @@ FROM events GROUP BY user_id, event_type"""
     "q89_qk_norm" -> q89_qk_norm,
     "q90_stacked_decoder" -> q90_stacked_decoder,
     "q91_vl_learned" -> q91_vl_learned(),
+    "q92_moe_router" -> q92_moe_router(),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

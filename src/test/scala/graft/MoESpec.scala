@@ -91,4 +91,31 @@ class MoESpec extends AnyFunSuite {
   test("empty encoding → zero vector") {
     assert(be.embedBatch(Seq(Array.empty[Long])).head.toSeq == Seq.fill(8)(0.0))
   }
+
+  // ---- the learned router (q92) -------------------------------------------
+
+  test("RouterBank: load round-trips the formula; learned routing is live") {
+    import graft.backend.RouterBank
+    val w = RouterBank.loadedQuantized
+    assert(w.length == RouterBank.NExperts * RouterBank.HiddenDim)
+    assert(w.indices.forall(i => w(i) == RouterBank.weightK(i)))
+    val routed = MoEBackend(dim = 8, routerBank = Some(w))
+    // the learned logits must route SOME token to a different top-2
+    // than the hash logits (otherwise the gate proves nothing new)
+    val differs = (0L until 200L).exists(t => routed.routeTopK(t).map(_._1).toSeq !=
+      be.routeTopK(t).map(_._1).toSeq)
+    assert(differs, "learned router never changed a routing decision")
+    // selection rule preserved: packed-key top-2 == stable full sort
+    // over the SAME learned scores
+    import K.M3
+    for (t <- 0L until 50L) {
+      val scores: Seq[(Int, Long)] = (0 until 8).map { e =>
+        val acc = (0 until 8).map(h => w(e * 8 + h) *
+          (((t % M3) * K.A3 + h.toLong * K.B3 + K.C3) % M3)).sum
+        (e, (acc % M3 + M3) % M3)
+      }
+      val expected = scores.sortBy { case (e, s) => (-s, e) }.take(2).map(_._1)
+      assert(routed.routeTopK(t).map(_._1).toSeq == expected, s"t=$t")
+    }
+  }
 }

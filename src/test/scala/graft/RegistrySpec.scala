@@ -73,6 +73,15 @@ class RegistrySpec extends AnyFunSuite {
       graft.backend.MoEBackend(dim = 8))
     assert(graft.backend.Backends.forModel("graft-hash-64-mean") ==
       graft.backend.HashingBackend(64))
+    // the learned-checkpoint backends resolve and embed (their weights
+    // load from generated safetensors banks at construction)
+    assert(graft.backend.Backends.forModel("graft-gqa-8") ==
+      graft.backend.GqaAttentionBackend.withQkNorm())
+    assert(graft.backend.Backends.forModel("graft-qwen3-8") ==
+      graft.backend.DecoderLayerBackend.fromBank())
+    val stacked = graft.backend.Backends.forModel("graft-qwen3-8-x2")
+    assert(stacked == graft.backend.DecoderLayerBackend.stacked())
+    assert(stacked.embedBatch(Seq(Array(5L, 17L))).head.length == 8)
     intercept[NoSuchElementException](graft.backend.Backends.forModel("nope"))
   }
 }
