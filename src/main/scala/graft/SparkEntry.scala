@@ -611,6 +611,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the COMPLETE learned megablocks MoE layer from one checkpoint:
+    // learned router + TWO-matrix experts (up = act(x . w1T), down =
+    // up . w2 un-transposed) + the learned shared output bias
+    "q93_moe_megablocks" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.MoEBackend(dim = 8,
+          expertMlp = Some(graft.backend.ExpertMlpBank.loaded)))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the transformer forward over a LEARNED embed_tokens table,
     // composed with the WordPiece tokenizer: every gated id is
     // in-vocab, so the whole forward runs on real looked-up embeddings

@@ -49,12 +49,27 @@ final case class MoEBackend(
     // nomic_v2_moe.rs:315,330-336; bank from
     // [[RouterBank.loadedQuantized]]), reduced into [0, M3) so the
     // gate/top-k arithmetic keeps its bounds. None → hash-cell logits.
-    routerBank: Option[IndexedSeq[Long]] = None) extends EmbeddingBackend {
+    routerBank: Option[IndexedSeq[Long]] = None,
+    // Some(full megablocks layer) → the COMPLETE learned NomicMoELayer
+    // (nomic_v2_moe.rs:370-476): learned router, TWO-matrix experts
+    // (up = act(x·w1ᵀ), down = up·w2 un-transposed) with the centered
+    // rational ReLU as the gelu_erf analogue, and the learned shared
+    // output bias. Overrides expertBank/routerBank.
+    expertMlp: Option[ExpertMlpBank.Weights] = None,
+    inter: Int = ExpertMlpBank.Inter) extends EmbeddingBackend {
   require(topK >= 1 && topK <= nExperts, s"topK $topK out of range for $nExperts experts")
   expertBank.foreach(w => require(w.length == nExperts * dim * hiddenDim,
     s"expert bank of ${w.length} != $nExperts x $dim x $hiddenDim"))
   routerBank.foreach(w => require(w.length == nExperts * hiddenDim,
     s"router bank of ${w.length} != $nExperts x $hiddenDim"))
+  expertMlp.foreach { em =>
+    require(expertBank.isEmpty && routerBank.isEmpty,
+      "expertMlp carries its own router and experts")
+    require(em.router.length == nExperts * hiddenDim &&
+      em.w1.length == nExperts * inter * hiddenDim &&
+      em.w2.length == nExperts * inter * hiddenDim && em.bias.length == dim,
+      "megablocks layer shapes")
+  }
 
   import K.{M3, A3, B3, C3}
   import MoEBackend._
@@ -68,10 +83,11 @@ final case class MoEBackend(
     * and top-k selection both derive from this array. Learned rows dot
     * the same hidden cells the experts consume. */
   private def routerScores(t: Long): Array[Long] = {
+    val rb = expertMlp.map(_.router).orElse(routerBank)
     val s = new Array[Long](nExperts)
     var e = 0
     while (e < nExperts) {
-      s(e) = routerBank match {
+      s(e) = rb match {
         case None => cell(t, OffRouter + e)
         case Some(w) =>
           var acc = 0L
@@ -83,6 +99,39 @@ final case class MoEBackend(
       e += 1
     }
     s
+  }
+
+  /** Expert e's FULL output vector for token t — the two-matrix
+    * megablocks forward when [[expertMlp]] is set: up lane i is the
+    * centered-ReLU of w1 row (e·inter+i) dotted with the hidden cells
+    * (`selected @ w1ᵀ` + activation), output d is the up lanes dotted
+    * with w2 column d (un-transposed w2). */
+  private def expertVec(t: Long, e: Int): Array[Long] = expertMlp match {
+    case None => Array.tabulate(dim)(d => expertOut(t, e, d))
+    case Some(em) =>
+      val up = new Array[Long](inter)
+      var i = 0
+      while (i < inter) {
+        var acc = 0L
+        var h = 0
+        val base = (e * inter + i) * hiddenDim
+        while (h < hiddenDim) { acc += em.w1(base + h) * cell(t, h); h += 1 }
+        up(i) = math.max(0L, (acc % M3 + M3) % M3 - GatedMlpBackend.Center)
+        i += 1
+      }
+      Array.tabulate(dim) { d =>
+        var acc = 0L
+        var i2 = 0
+        while (i2 < inter) { acc += up(i2) * em.w2((e * inter + i2) * hiddenDim + d); i2 += 1 }
+        acc
+      }
+  }
+
+  /** Shared output bias at dim d — learned when the megablocks layer
+    * is present. */
+  @inline private def biasAt(d: Int): Long = expertMlp match {
+    case None => cell(1L, OffBias + d)
+    case Some(em) => em.bias(d)
   }
 
   /** Top-k expert INDICES from the score array, by the reference's
@@ -146,16 +195,19 @@ final case class MoEBackend(
         var e = 0
         while (e < nExperts) { denom += scores(e) + 1L; e += 1 }
         selectTopK(scores, selE)
+        // each selected expert's output vector, computed once per token
+        val ev = new Array[Array[Long]](topK)
+        var r0 = 0
+        while (r0 < topK) { ev(r0) = expertVec(t, selE(r0)); r0 += 1 }
         var d = 0
         while (d < dim) {
           var num = 0L
           var r = 0
           while (r < topK) {
-            val eSel = selE(r)
-            num += (scores(eSel) + 1L) * expertOut(t, eSel, d)
+            num += (scores(selE(r)) + 1L) * ev(r)(d)
             r += 1
           }
-          val bias = cell(1L, OffBias + d)
+          val bias = biasAt(d)
           // exact rational mix + shared bias, quantized for the exact
           // cross-token sum: floor(((num + bias·D) / D) · 1e6 + 0.5)
           sums(d) += math.floor(

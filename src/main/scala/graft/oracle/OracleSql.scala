@@ -1674,6 +1674,27 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
         s"((list_reduce(list_transform(range(0, $rhid), h -> (((($e) * $rhid + h + 1) * $B3 + $C3) % 3001 - 1500) * (${moeCell("t", "h")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"))
   }
 
+  /** q93: the COMPLETE learned megablocks MoE layer
+    * ([[graft.backend.ExpertMlpBank]]) — learned router (q92's rows),
+    * TWO-matrix experts (up lane i = centered-ReLU of w1 row
+    * (e·inter+i) · hidden, output d = up · w2 column d, un-transposed
+    * w2 — nomic_v2_moe.rs:449-452), and the learned shared output
+    * bias (:473). Routing/gate/quantization arithmetic unchanged. */
+  def q93_moe_megablocks(dim: Int = 8, nExperts: Int = 8, maxLen: Int = 128): String = {
+    val inter = graft.backend.ExpertMlpBank.Inter
+    val hid = graft.backend.ExpertMlpBank.HiddenDim
+    val center = graft.backend.GatedMlpBackend.Center
+    def w1k(i: String) = s"((($i) + 1) * $A3 + $B3) % 3001 - 1500"
+    def w2k(i: String) = s"((($i) + 1) * $C3 + $B3) % 3001 - 1500"
+    moeEmbedSql(dim, nExperts, maxLen,
+      e => s"list_reduce(list_transform(range(0, $inter), i -> " +
+        s"greatest((list_reduce(list_transform(range(0, $hid), h -> (${w1k(s"(($e) * $inter + i) * $hid + h")}) * (${moeCell("t", "h")})), (a,b) -> a + b) % $M3 + $M3) % $M3 - $center, 0)" +
+        s" * (${w2k(s"(($e) * $inter + i) * $hid + d")})), (a,b) -> a + b)",
+      routerTerm = Some(e =>
+        s"((list_reduce(list_transform(range(0, $hid), h -> (((($e) * $hid + h + 1) * $B3 + $C3) % 3001 - 1500) * (${moeCell("t", "h")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"),
+      biasTerm = Some(s"((d + 1) * $A3 + $C3) % 3001 - 1500"))
+  }
+
   private def moeCell(t: String, i: String): String =
     s"((($t) % $M3) * $A3 + ($i) * $B3 + $C3) % $M3"
 
@@ -1682,7 +1703,8 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     * quantized exact mean pool ([[graft.backend.MoEBackend]]). */
   private def moeEmbedSql(dim: Int, nExperts: Int, maxLen: Int,
                           expertTerm: String => String,
-                          routerTerm: Option[String => String] = None): String = {
+                          routerTerm: Option[String => String] = None,
+                          biasTerm: Option[String] = None): String = {
     val offR = graft.backend.MoEBackend.OffRouter
     val offB = graft.backend.MoEBackend.OffBias
     def cell(t: String, i: String): String = moeCell(t, i)
@@ -1704,7 +1726,7 @@ v AS (SELECT doc_id, n, t, denom, k1, k2, unnest(range(0, $dim)) AS d FROM r2),
 vq AS (SELECT doc_id, n, d,
   CAST(floor((((k1 // $nExperts + 1) * (${expertTerm(s"$nExperts - 1 - k1 % $nExperts")})
      + (k2 // $nExperts + 1) * (${expertTerm(s"$nExperts - 1 - k2 % $nExperts")})
-     + (${cell("1", s"$offB + d")}) * denom)::DOUBLE / denom::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q FROM v),
+     + (${biasTerm.getOrElse(cell("1", s"$offB + d"))}) * denom)::DOUBLE / denom::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q FROM v),
 s AS (SELECT doc_id, d, sum(q) AS sv, max(n) AS n FROM vq GROUP BY doc_id, d),
 m AS (SELECT doc_id, d, (sv::DOUBLE / n::DOUBLE / 1000000.0 / (2.0 * $M3.0)) * 2.0 - 1.0 AS mn FROM s),
 nr AS (SELECT doc_id, list(mn ORDER BY d) AS mnl FROM m GROUP BY doc_id),
@@ -2269,6 +2291,7 @@ FROM events GROUP BY user_id, event_type"""
     "q90_stacked_decoder" -> q90_stacked_decoder,
     "q91_vl_learned" -> q91_vl_learned(),
     "q92_moe_router" -> q92_moe_router(),
+    "q93_moe_megablocks" -> q93_moe_megablocks(),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -118,4 +118,39 @@ class MoESpec extends AnyFunSuite {
       assert(routed.routeTopK(t).map(_._1).toSeq == expected, s"t=$t")
     }
   }
+
+  // ---- the complete megablocks layer (q93) --------------------------------
+
+  test("ExpertMlpBank: the checkpoint round-trips, router rows match q92's") {
+    import graft.backend.{ExpertMlpBank, RouterBank}
+    val em = ExpertMlpBank.loaded
+    assert(em.router == RouterBank.loadedQuantized)
+    assert(em.w1.indices.forall(i => em.w1(i) == ExpertMlpBank.w1K(i)))
+    assert(em.w2.indices.forall(i => em.w2(i) == ExpertMlpBank.w2K(i)))
+    assert(em.bias.indices.forall(i => em.bias(i) == ExpertMlpBank.biasK(i)))
+  }
+
+  test("megablocks layer: activation and bias are live") {
+    import graft.backend.ExpertMlpBank
+    val em = ExpertMlpBank.loaded
+    val full = MoEBackend(dim = 8, expertMlp = Some(em))
+    val seqs = Seq(Array(5L, 17L, 23L), Array.tabulate(20)(i => (i * 31 + 7).toLong))
+    // two-matrix experts differ from the single-matrix q83 dispatch
+    val single = MoEBackend(dim = 8,
+      expertBank = Some(graft.backend.ExpertBank.loadedQuantized),
+      routerBank = Some(graft.backend.RouterBank.loadedQuantized))
+    assert(full.embedBatch(seqs).map(_.toSeq) != single.embedBatch(seqs).map(_.toSeq))
+    // the learned bias moves the output (zero it → different vectors)
+    val noBias = MoEBackend(dim = 8,
+      expertMlp = Some(em.copy(bias = IndexedSeq.fill(8)(0L))))
+    assert(full.embedBatch(seqs).map(_.toSeq) != noBias.embedBatch(seqs).map(_.toSeq))
+    // the activation clamps some up lanes and passes others
+    import graft.functions.K.{M3, A3, B3, C3}
+    val lanes = for (t <- 0L until 20L; e <- 0 until 8; i <- 0 until 8) yield {
+      val acc = (0 until 8).map(h =>
+        em.w1((e * 8 + i) * 8 + h) * (((t % M3) * A3 + h.toLong * B3 + C3) % M3)).sum
+      math.max(0L, (acc % M3 + M3) % M3 - graft.backend.GatedMlpBackend.Center)
+    }
+    assert(lanes.count(_ == 0L) > 0 && lanes.count(_ > 0L) > 0)
+  }
 }
