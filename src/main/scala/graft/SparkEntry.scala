@@ -688,6 +688,20 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the attention_bias = true branch: q86 with learned q/k/v/o
+    // biases — each projection adds its bias cell before the
+    // mod-reduce, o_proj adds its bias at the fixed-point scale
+    "q94_attn_bias" -> ((s, dir) => {
+      val withTids = docs(s, dir)
+        .withColumn("tids", Kernel.tokenIds(col("text"), 128))
+        .filter(size(col("tids")) > 0)
+        .select(col("doc_id"), col("tids"))
+      BackendEmbedder.embed(withTids, "doc_id", "tids",
+        graft.backend.GqaAttentionBackend.withBiases())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // q86 plus learned per-head q_norm/k_norm: each head slice of the
     // q/k projections RMS-normalizes with a shared [headDim] gain
     // vector (reshape -> norm -> rope, the Qwen3 attention order),

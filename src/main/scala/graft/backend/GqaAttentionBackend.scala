@@ -42,7 +42,13 @@ final case class GqaAttentionBackend(
     // (qwen3.rs:765-767, 797-807): one [headDim] gain vector each,
     // shared across heads, from [[QkNormBank.loaded]]. None → q86's
     // norm-free contract.
-    qkNorm: Option[(IndexedSeq[Long], IndexedSeq[Long])] = None) extends EmbeddingBackend {
+    qkNorm: Option[(IndexedSeq[Long], IndexedSeq[Long])] = None,
+    // Some(flat q/k/v/o bias bank, [[AttnBiasBank.loadedQuantized]])
+    // → the attention_bias = true branch (qwen3.rs:743-763): each
+    // projection adds its learned bias cell before the mod-reduce;
+    // o_proj adds its bias (scaled to the z fixed-point) before the
+    // output division. None → linear_no_bias.
+    biases: Option[IndexedSeq[Long]] = None) extends EmbeddingBackend {
   require(nHeads % nKvHeads == 0, s"nHeads $nHeads not a multiple of nKvHeads $nKvHeads")
   val qOut: Int = nHeads * headDim
   val kvOut: Int = nKvHeads * headDim
@@ -93,14 +99,20 @@ final case class GqaAttentionBackend(
   @inline private def emb(t: Long, e: Int): Long =
     ((t % M3) * A3 + e.toLong * B3 + C3) % M3
 
+  // bias base per projection block (q/k/v bias layout of AttnBiasBank)
+  @inline private def biasBase(off: Int): Int =
+    if (off == 0) 0 else if (off == offK) qOut else qOut + kvOut
+
   /** Projected cell d (of `out` rows starting at bank offset `off`) for
-    * token t: the learned row dotted with the hidden cells, reduced
-    * into [0, M3). */
+    * token t: the learned row dotted with the hidden cells (+ the
+    * learned bias on the attention_bias branch), reduced into
+    * [0, M3). */
   @inline private def proj(t: Long, off: Int, d: Int): Long = {
     var s = 0L
     var e = 0
     val base = off + d * hidden
     while (e < hidden) { s += bank(base + e) * emb(t, e); e += 1 }
+    biases.foreach(b => s += b(biasBase(off) + d))
     (s % M3 + M3) % M3
   }
 
@@ -206,6 +218,9 @@ final case class GqaAttentionBackend(
       var e = 0
       val base = offO + dd * qOut
       while (e < qOut) { s += bank(base + e) * z(e); e += 1 }
+      // o_proj bias, scaled to the z fixed-point so it adds in the
+      // same units as the matmul terms
+      biases.foreach(b => s += b(qOut + 2 * kvOut + dd) * 1000000L)
       out(dd) = s.toDouble / QuantScale
       dd += 1
     }
@@ -238,4 +253,9 @@ object GqaAttentionBackend {
     * gains from the [[QkNormBank]] checkpoint. */
   def withQkNorm(): GqaAttentionBackend =
     GqaAttentionBackend(AttnBank.loadedQuantized, qkNorm = Some(QkNormBank.loaded))
+
+  /** The q94 instance: the attention_bias = true branch — q86 plus
+    * the learned q/k/v/o biases from the [[AttnBiasBank]] checkpoint. */
+  def withBiases(): GqaAttentionBackend =
+    GqaAttentionBackend(AttnBank.loadedQuantized, biases = Some(AttnBiasBank.loadedQuantized))
 }

@@ -1256,7 +1256,15 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     * head n // groups (repeat_kv); values are the UN-rotated v_proj
     * rows; the per-head mix scales into (−1, 1), quantizes to
     * fixed-point longs, and the o_proj matmul runs in exact int64. */
-  def q86_gqa_attention: String = {
+  def q86_gqa_attention: String = gqaAttentionSql(withBias = false)
+
+  /** q94: the `attention_bias = true` branch — q86 with the learned
+    * q/k/v/o biases ([[graft.backend.AttnBiasBank]]): each projection
+    * adds its bias cell before the mod-reduce; o_proj adds its bias at
+    * the z fixed-point scale before the output division. */
+  def q94_attn_bias: String = gqaAttentionSql(withBias = true)
+
+  private def gqaAttentionSql(withBias: Boolean): String = {
     val H = graft.backend.AttnBank.Hidden
     val NH = graft.backend.AttnBank.NHeads
     val D = graft.backend.AttnBank.HeadDim
@@ -1270,10 +1278,19 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     val qs = "1000000.0" // GqaAttentionBackend.QuantScale
     // the AttnBank generating formula at flat index expression i
     def wk(i: String) = s"((($i) + 1) * $A3 + $B3) % 4001 - 2000"
+    // the AttnBiasBank generating formula at flat bias index i
+    def bk(i: String) = s"((($i) + 1) * $C3 + $A3) % 3001 - 1500"
     def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
-    // projected cell d of the [out x H] weight block at bank offset off
-    def proj(t: String, off: String, d: String) =
-      s"((list_reduce(list_transform(range(0, $H), e -> (${wk(s"($off) + ($d) * $H + e")}) * (${embc(t, "e")})), (a,b) -> a + b) % $M3 + $M3) % $M3)"
+    // projected cell d of the [out x H] weight block at bank offset
+    // off (bias cells start at bias base bb on the bias branch)
+    def projB(t: String, off: String, bb: Int, d: String) = {
+      val bias = if (withBias) s" + (${bk(s"$bb + ($d)")})" else ""
+      s"(((list_reduce(list_transform(range(0, $H), e -> (${wk(s"($off) + ($d) * $H + e")}) * (${embc(t, "e")})), (a,b) -> a + b)$bias) % $M3 + $M3) % $M3)"
+    }
+    def proj(t: String, off: String, d: String) = {
+      val bb = if (off == "0") 0 else if (off == offK.toString) qOut else qOut + kvOut
+      projB(t, off, bb, d)
+    }
     // rotated projected cell at lambda var i (0-based within the block):
     // head-local pair hh = (i % D) // 2, u = p + hh + 2
     def rot(t: String, p: String, off: String) = {
@@ -1310,7 +1327,7 @@ zq AS (SELECT doc_id,
     CAST(floor(((y[i + 1]::DOUBLE / tw[(i // $D) + 1]::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT)) AS z FROM ys),
 ov AS (SELECT doc_id,
   list_transform(range(0, $H), dd ->
-    list_reduce(list_transform(range(0, $qOut), e -> (${wk(s"$offO + dd * $qOut + e")}) * z[e + 1]), (a,b) -> a + b)::DOUBLE / $qs) AS mn FROM zq),
+    (list_reduce(list_transform(range(0, $qOut), e -> (${wk(s"$offO + dd * $qOut + e")}) * z[e + 1]), (a,b) -> a + b)${if (withBias) s" + (${bk(s"${qOut + 2 * kvOut} + dd")}) * 1000000" else ""})::DOUBLE / $qs) AS mn FROM zq),
 nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM ov),
 emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
@@ -2292,6 +2309,7 @@ FROM events GROUP BY user_id, event_type"""
     "q91_vl_learned" -> q91_vl_learned(),
     "q92_moe_router" -> q92_moe_router(),
     "q93_moe_megablocks" -> q93_moe_megablocks(),
+    "q94_attn_bias" -> q94_attn_bias,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

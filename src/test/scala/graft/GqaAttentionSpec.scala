@@ -105,6 +105,29 @@ class GqaAttentionSpec extends AnyFunSuite {
       normed.embedBatch(Seq(shortSeq, longSeq)).head.toSeq)
   }
 
+  // ---- attention_bias branch (q94) ----------------------------------------
+
+  test("AttnBiasBank: load round-trips the formula; biases are live and invariant") {
+    import graft.backend.AttnBiasBank
+    val b = AttnBiasBank.loadedQuantized
+    assert(b.length == AttnBiasBank.Total)
+    assert(b.indices.forall(i => b(i) == AttnBiasBank.biasK(i)))
+    val biased = GqaAttentionBackend.withBiases()
+    val shortSeq = Array(5L, 17L, 23L)
+    val longSeq = Array(101L, 7L, 3L, 45L, 88L, 9L)
+    // the biases change the forward vs linear_no_bias...
+    assert(biased.embedBatch(Seq(shortSeq)).head.toSeq !=
+      be.embedBatch(Seq(shortSeq)).head.toSeq)
+    // ...the o-bias alone is live (zero the q/k/v biases, keep o's)...
+    val oOnly = GqaAttentionBackend(AttnBank.loadedQuantized,
+      biases = Some(b.indices.map(i => if (i < AttnBiasBank.OffO) 0L else b(i))))
+    assert(oOnly.embedBatch(Seq(shortSeq)).head.toSeq !=
+      be.embedBatch(Seq(shortSeq)).head.toSeq)
+    // ...and the pipeline invariances survive the branch
+    assert(biased.embedBatch(Seq(shortSeq)).head.toSeq ==
+      biased.embedBatch(Seq(shortSeq, longSeq)).head.toSeq)
+  }
+
   test("v is not rotated: corrupting only rotation-relevant k rows moves scores, not values") {
     // Zero out k_proj entirely: every score collapses to the constant
     // (0 % M3) + 1 = 1 per key, so the output becomes the UNWEIGHTED
