@@ -70,6 +70,38 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("the learned two-layer decoder streams: micro-batch splits ≡ batch") {
+    // same contract as above for the HEAVIEST backend — the full
+    // learned decoder stack with checkpoint weights broadcast via the
+    // backend instance; left padding happens per micro-batch
+    val ms = MemoryStream[(Long, String)]
+    val be = graft.backend.DecoderLayerBackend.stacked()
+    def withTids(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tids", graft.functions.Kernel.tokenIds($"text", 128))
+      .filter(size($"tids") > 0)
+      .select($"doc_id", $"tids")
+    val out = graft.backend.BackendEmbedder.embed(
+      withTids(ms.toDF().toDF("doc_id", "text")), "doc_id", "tids", be, batchSize = 2)
+    val q = out.writeStream.format("memory").queryName("graft_dec_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((0L, "spark query engine"), (1L, "hash join"),
+        (2L, "broadcast the small side of the join"), (3L, "partition pruning"))
+      ms.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_dec_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      val batch = graft.backend.BackendEmbedder.embed(
+        withTids(rows.toDF("doc_id", "text")), "doc_id", "tids", be, batchSize = 256)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally q.stop()
+  }
+
   test("dedupExactStream keeps first occurrence across micro-batches") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.dedupExactStream(
