@@ -732,6 +732,28 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the COMPLETE learned model from ONE sharded checkpoint: WordPiece
+    // tokenize over the real vocab -> learned model.embed_tokens rows
+    // AS the layer-0 residual stream -> the full two-layer learned
+    // decoder stack -> final model norm -> last-token pool -> l2.
+    // Every gated id is in-vocab, so no stage touches the hash stream;
+    // sequences cap at q95MaxLen (the P3 truncation rule) to bound the
+    // stack's O(n^2) layer-0 pass
+    "q95_full_model" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val maxLen = graft.oracle.OracleSql.q95MaxLen
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("wp"))
+        .filter(size(col("wp")) > 2)
+        .select(col("doc_id"), slice(col("wp"), 1, maxLen).as("tids"))
+      BackendEmbedder.embed(withIds, "doc_id", "tids",
+        graft.backend.DecoderLayerBackend.fullModel())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

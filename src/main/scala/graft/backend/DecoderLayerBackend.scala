@@ -39,13 +39,22 @@ import graft.functions.K
 final case class DecoderLayerBackend(
     layers: IndexedSeq[LayerBank.Weights],
     gFinal: IndexedSeq[Long],
-    padId: Long = 0L) extends EmbeddingBackend {
+    padId: Long = 0L,
+    // Some(flat [vocab·H] k/1024 numerators) → LEARNED token
+    // embeddings: an in-vocab id's table row IS its layer-0 residual
+    // stream (the reference's embed_tokens output is the hidden state,
+    // qwen3.rs:892-925), quantized to the fixed-point scale;
+    // out-of-table ids fall back to the hash stream. None → hash.
+    embTable: Option[IndexedSeq[Long]] = None,
+    vocabSize: Int = EmbTableBank.VocabSize) extends EmbeddingBackend {
   import K.{M3, A3, B3, C3}
   import DecoderLayerBackend.{QS, QSd, RmsEps}
   import AttnBank.{Hidden => H, NHeads, HeadDim => D, QOut, KvOut}
   import MlpBank.Inter
 
   require(layers.nonEmpty && gFinal.length == H)
+  embTable.foreach(t => require(t.length == vocabSize * H,
+    s"embedding table of ${t.length} != $vocabSize x $H"))
   layers.foreach { w =>
     require(w.attn.length == AttnBank.Total && w.mlp.length == MlpBank.Total)
     require(w.g1.length == H && w.g2.length == H)
@@ -60,10 +69,19 @@ final case class DecoderLayerBackend(
   private val offUp = Inter * H
   private val offDown = 2 * Inter * H
 
-  /** The embedding state: hash cell scaled into [0, QS) by exact
-    * integer division — the layer-0 residual stream. */
-  def s0(t: Long): Array[Long] =
-    Array.tabulate(H)(e => (((t % M3) * A3 + e.toLong * B3 + C3) % M3) * QS / M3)
+  /** The embedding state — the layer-0 residual stream. With a learned
+    * table and an in-vocab id: the real table row quantized to the
+    * fixed-point scale (k/1024 values are exact in double, so
+    * `floor(k/1024 · QS + 0.5)` is the one parenthesization mirrored
+    * in the oracle). Otherwise: the hash cell scaled into [0, QS) by
+    * exact integer division. */
+  def s0(t: Long): Array[Long] = embTable match {
+    case Some(w) if t >= 0 && t < vocabSize =>
+      Array.tabulate(H)(d =>
+        math.floor(w((t * H).toInt + d).toDouble / 1024.0 * QSd + 0.5).toLong)
+    case _ =>
+      Array.tabulate(H)(e => (((t % M3) * A3 + e.toLong * B3 + C3) % M3) * QS / M3)
+  }
 
   /** Learned RMSNorm, quantized back to the fixed-point stream:
     * out = round(((s/QS) / sqrt(mean((s/QS)²) + eps)) · gain · QS). */
@@ -315,5 +333,15 @@ object DecoderLayerBackend {
   def stacked(): DecoderLayerBackend = {
     val (ls, gf) = LayerBank.loadedStack
     DecoderLayerBackend(ls, gf)
+  }
+
+  /** The q95 instance: the COMPLETE learned model from the one
+    * checkpoint — learned `model.embed_tokens` seeding the residual
+    * stream, the full decoder stack, the final model norm. Composed
+    * with the real-vocab WordPiece tokenizer every gated id is
+    * in-table, so no stage of the forward touches the hash stream. */
+  def fullModel(): DecoderLayerBackend = {
+    val (emb, ls, gf) = LayerBank.loadedFull
+    DecoderLayerBackend(ls, gf, embTable = Some(emb))
   }
 }

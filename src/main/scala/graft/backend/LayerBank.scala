@@ -43,7 +43,12 @@ object LayerBank {
   private def mlpSlice(l: Int, off: Int, len: Int): Array[Float] =
     Array.tabulate(len)(j => MlpBank.weightK(l * MlpBank.Total + off + j).toFloat / MlpBank.Scale)
 
-  /** Three shards, mixed tensor kinds, all layers interleaved. */
+  /** Three shards, mixed tensor kinds, all layers interleaved. The
+    * first shard also carries `model.embed_tokens.weight` — the
+    * [[EmbTableBank]] values under the model-prefixed candle name the
+    * reference's VarBuilder walk uses (qwen3.rs:892-925), so the ONE
+    * checkpoint holds every parameter of the full tiny model:
+    * embed_tokens + N decoder layers + model.norm. */
   def shardFiles: Map[String, Array[Byte]] = {
     import AttnBank.{QOut, KvOut, Hidden => H}
     import MlpBank.Inter
@@ -63,7 +68,10 @@ object LayerBank {
       (s"model.layers.$l.mlp.down_proj.weight", Seq(H, Inter), mlpSlice(l, MlpBank.OffDown, H * Inter)))
     val ls = 0 until NLayers
     Map(
-      names(0) -> Safetensors.write(ls.flatMap(attnQK)),
+      names(0) -> Safetensors.write(
+        (("model.embed_tokens.weight",
+          Seq(EmbTableBank.VocabSize, EmbTableBank.Dim): Seq[Int],
+          EmbTableBank.bank)) +: ls.flatMap(attnQK)),
       names(1) -> Safetensors.write(
         ls.flatMap(attnVO) ++ ls.flatMap(norms) :+
           (("model.norm.weight", Seq(H): Seq[Int], gainFloats(2 * Hidden)))),
@@ -99,6 +107,20 @@ object LayerBank {
   /** The loaded stack: per-layer weights plus the model-level final
     * norm gains. */
   lazy val loadedStack: (IndexedSeq[Weights], IndexedSeq[Long]) = load()
+
+  /** The FULL model view of the same checkpoint: the learned
+    * `model.embed_tokens` table (quantized to its k/1024 numerators,
+    * token-major — the [[EmbTableBank]] values, spec-pinned equal)
+    * plus the decoder stack and final norm gains. */
+  lazy val loadedFull: (IndexedSeq[Long], IndexedSeq[Weights], IndexedSeq[Long]) = {
+    val fs = shardFiles
+    val order = Safetensors.resolveWeightFiles(fs.keySet)
+    val sh = Safetensors.loadShards(order.map(fs))
+    val emb = sh.tensorF32("model.embed_tokens.weight")
+      .map(f => math.floor(f.toDouble * EmbTableBank.Scale + 0.5).toLong).toIndexedSeq
+    val (layers, gf) = loadedStack
+    (emb, layers, gf)
+  }
 
   /** Layer 0 + final gains — the single-layer (q88) view. */
   def loaded: (Weights, IndexedSeq[Long]) = {

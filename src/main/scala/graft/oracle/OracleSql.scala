@@ -22,6 +22,10 @@ object OracleSql {
 
   private val b2m: Long = B2 % M // colbert position offset multiplier
 
+  /** q95 sequence cap (P3 truncation rule): bounds the learned stack's
+    * O(n²) layer-0 pass; shared by the Spark query and the oracle. */
+  val q95MaxLen: Int = 64
+
   /** Normalized token list of a text expression. */
   def toks(text: String): String =
     s"list_filter(string_split_regex(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'), w -> w != '')"
@@ -1548,6 +1552,39 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     * weight offsets. */
   def q90_stacked_decoder: String = {
     val H = graft.backend.AttnBank.Hidden
+    val qsl = "1000000"
+    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
+    stackedDecoderSql(
+      s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0)""",
+      (t, e) => s"((${embc(t, e)}) * $qsl) // $M3")
+  }
+
+  /** q95: the COMPLETE learned model from ONE sharded checkpoint —
+    * real-vocab WordPiece tokenize → learned `model.embed_tokens`
+    * rows AS the layer-0 residual stream (quantized k/1024 → QS
+    * fixed-point, [[graft.backend.DecoderLayerBackend.s0]]) → the
+    * full two-layer learned decoder stack → final model norm →
+    * last-token pool → l2. Every gated id is in-vocab (the fixture
+    * vocab is the table's id space), so no stage touches the hash
+    * stream — the reference's embed path with every parameter loaded
+    * from safetensors. Sequences cap at [[q95MaxLen]] tokens (the P3
+    * truncation rule) to bound the stack's O(n²) layer-0 pass. */
+  def q95_full_model: String = {
+    val dim = graft.backend.EmbTableBank.Dim
+    stackedDecoderSql(
+      s"""${wordpieceCtes()},
+sel AS (SELECT doc_id, list_slice(s2, 1, $q95MaxLen) AS tids, least(len(s2), $q95MaxLen) AS n FROM sq WHERE len(s2) > 2)""",
+      (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)")
+  }
+
+  /** The shared two-layer stacked-decoder chain: `inputCtes` must be a
+    * complete WITH prefix ending in `sel(doc_id, tids, n)` with n ≥ 1;
+    * `s0Cell(t, e)` is the layer-0 residual-stream cell (a BIGINT
+    * expression at the QS fixed-point scale). */
+  private def stackedDecoderSql(inputCtes: String,
+                                s0Cell: (String, String) => String): String = {
+    val H = graft.backend.AttnBank.Hidden
     val NH = graft.backend.AttnBank.NHeads
     val D = graft.backend.AttnBank.HeadDim
     val NKV = graft.backend.AttnBank.NKvHeads
@@ -1565,11 +1602,9 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     val g1b1 = graft.backend.LayerBank.gainBase(1)
     val center = graft.backend.GatedMlpBackend.Center
     val qs = "1000000.0"
-    val qsl = "1000000"
     def wa(i: String) = s"((($i) + 1) * $A3 + $B3) % 4001 - 2000"
     def wm(i: String) = s"((($i) + 1) * $C3 + $A3) % 4001 - 2000"
     def gain(i: String) = s"(2048 + ((($i) + 1) * $A3 + $C3) % 2049 - 1024)"
-    def embc(t: String, e: String) = s"((($t) % $M3) * $A3 + ($e) * $B3 + $C3) % $M3"
     def rmsq(sv: String, gb: Int) =
       s"""list_transform(range(0, $H), e2 -> CAST(floor(((($sv)[e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform($sv, v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"$gb + e2")})::DOUBLE / 2048.0) * $qs + 0.5) AS BIGINT))"""
     def projA(sv: String, off: String, d: String) =
@@ -1635,11 +1670,10 @@ ${p}r2 AS (SELECT doc_id, n,
   list_transform(range(1, $qCount + 1), qi ->
     list_transform(range(0, $H), d ->
       r1l[qi][d + 1] + CAST(floor(((list_reduce(list_transform(range(0, $I), i -> (${wm(s"$mOff + $offDown + d * $I + i")}) * al[qi][i + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 / $M3.0 / $M3.0) * $qs + 0.5) AS BIGINT))) AS r2l FROM ${p}av)"""
-    s"""WITH tok AS (SELECT doc_id, ${tids("text", 128)} AS tids FROM documents),
-sel AS (SELECT doc_id, tids, len(tids) AS n FROM tok WHERE len(tids) > 0),
+    s"""$inputCtes,
 s0c AS (SELECT doc_id, n,
   list_transform(range(1, n + 1), j ->
-    list_transform(range(0, $H), e -> ((${embc("tids[j]", "e")}) * $qsl) // $M3)) AS s0l FROM sel),
+    list_transform(range(0, $H), e -> ${s0Cell("tids[j]", "e")})) AS s0l FROM sel),
 ${layerChain("a", "s0l", "s0c", 0, 0, 0, H, "n", "qi")},
 ${layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")},
 fn AS (SELECT doc_id,
@@ -2310,6 +2344,7 @@ FROM events GROUP BY user_id, event_type"""
     "q92_moe_router" -> q92_moe_router(),
     "q93_moe_megablocks" -> q93_moe_megablocks(),
     "q94_attn_bias" -> q94_attn_bias,
+    "q95_full_model" -> q95_full_model,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

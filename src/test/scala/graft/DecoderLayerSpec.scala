@@ -85,6 +85,37 @@ class DecoderLayerSpec extends AnyFunSuite {
     assert(alone.forall(d => !d.isNaN && !d.isInfinite))
   }
 
+  test("full model: the checkpoint's embed table IS the q84 bank, and it steers s0") {
+    val (emb, layers, gFinal) = LayerBank.loadedFull
+    // the model.embed_tokens tensor carries the EmbTableBank values —
+    // the full checkpoint and the q84 single-file bank are one table
+    assert(emb == graft.backend.EmbTableBank.loadedQuantized)
+    val fm = DecoderLayerBackend.fullModel()
+    assert(fm.layers == layers && fm.gFinal == gFinal)
+    // in-vocab ids read the learned row: s0 is the quantized table row,
+    // not the hash stream
+    val t = 7L
+    assert(fm.s0(t).toSeq == (0 until 8).map(d =>
+      math.floor(emb((t * 8).toInt + d).toDouble / 1024.0 * 1000000.0 + 0.5).toLong))
+    assert(fm.s0(t).toSeq != DecoderLayerBackend.stacked().s0(t).toSeq)
+    // out-of-table ids fall back to the hash stream — the whole forward
+    // over such a sequence equals the plain stacked backend
+    val oov = Array(1000L, 2345L, 777L)
+    assert(fm.embedBatch(Seq(oov)).head.toSeq ==
+      DecoderLayerBackend.stacked().embedBatch(Seq(oov)).head.toSeq)
+  }
+
+  test("full model: batch composition cannot change results (learned s0 included)") {
+    val fm = DecoderLayerBackend.fullModel()
+    val a = Array(1L, 7L, 23L, 4L)   // in-vocab: learned rows seed the stream
+    val b = Array(3L, 43L, 11L, 9L, 2L, 30L)
+    assert(fm.embedBatch(Seq(a)).head.toSeq == fm.embedBatch(Seq(a, b)).head.toSeq)
+    assert(fm.embedBatch(Seq(b)).head.toSeq == fm.embedBatch(Seq(a, b))(1).toSeq)
+    // the learned table actually changes the forward vs hash embeddings
+    assert(fm.embedBatch(Seq(a)).head.toSeq !=
+      DecoderLayerBackend.stacked().embedBatch(Seq(a)).head.toSeq)
+  }
+
   test("the final norm eps guards the zero state") {
     val zero = be.finalNormD(Array.fill(8)(0L))
     assert(zero.toSeq == Seq.fill(8)(0.0))
