@@ -754,6 +754,32 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the LEARNED cross-encoder rerank score: the q80 pair shape
+    // ([CLS] query [SEP] doc [SEP], only_second truncation) through
+    // the full learned model's pooled pre-normalize hidden, then the
+    // learned score.weight/score.bias linear — the reference's
+    // logits[:, 0] (reranking/impl.rs:167-180) as one real
+    // classification row from a safetensors checkpoint
+    "q96_learned_rerank" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val oracle = graft.oracle.OracleSql
+      val wp = graft.model.WordPiece.fixture
+      val qWords = oracle.q96Query.split(" ").toSeq
+      val (w, b) = graft.backend.RerankHeadBank.loadedQuantized
+      val pe = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), wp)).as("__ids"))
+        .filter(size(col("__ids")) > 2)
+        .withColumn("__pe", Reranker.wordPiecePairEncode(
+          qWords, col("__ids"), wp, oracle.q96MaxLen))
+        .select(col("doc_id"), col("__pe.input_ids").as("tids"))
+      BackendEmbedder.embed(pe, "doc_id", "tids",
+        graft.backend.RerankHeadBackend(
+          graft.backend.DecoderLayerBackend.fullModel(), w, b))
+        .select(col("doc_id"), element_at(col("embedding"), 1).as("score"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

@@ -265,7 +265,16 @@ final case class DecoderLayerBackend(
     }
   }
 
-  def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] = {
+  def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] =
+    pooledHidden(batch).map(l2normalized)
+
+  /** The pooled PRE-normalize hidden state per row: the final hidden at
+    * the last real token through the model norm, WITHOUT l2 — what a
+    * sequence-classification head consumes (the reference reranker
+    * reads raw `logits`, /root/reference/src/reranking/impl.rs:167-180).
+    * `embedBatch` is exactly this + l2 (a zero row l2-normalizes to
+    * itself, so the empty-encoding contract is unchanged). */
+  def pooledHidden(batch: Seq[Array[Long]]): Seq[Array[Double]] = {
     if (batch.isEmpty) return Seq.empty
     val seqLen = math.max(1, batch.iterator.map(_.length).max)
     batch.map { tids =>
@@ -297,8 +306,8 @@ final case class DecoderLayerBackend(
           l += 1
         }
         // last-token pooling through the final norm (left padding makes
-        // seqLen−1 the real last token), then l2 normalize
-        l2normalized(finalNormD(layerOut(layers.last, states, mask, pos, seqLen - 1)))
+        // seqLen−1 the real last token)
+        finalNormD(layerOut(layers.last, states, mask, pos, seqLen - 1))
       }
     }
   }

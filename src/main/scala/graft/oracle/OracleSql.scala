@@ -26,6 +26,10 @@ object OracleSql {
     * O(n²) layer-0 pass; shared by the Spark query and the oracle. */
   val q95MaxLen: Int = 64
 
+  /** q96 constant query + pair budget, shared by both sides. */
+  val q96Query: String = "spark hash join query plan"
+  val q96MaxLen: Int = 64
+
   /** Normalized token list of a text expression. */
   def toks(text: String): String =
     s"list_filter(string_split_regex(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'), w -> w != '')"
@@ -1578,12 +1582,45 @@ sel AS (SELECT doc_id, list_slice(s2, 1, $q95MaxLen) AS tids, least(len(s2), $q9
       (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)")
   }
 
+  /** q96: the LEARNED cross-encoder rerank score — the q80 pair shape
+    * `[CLS] query [SEP] doc [SEP]` (only_second truncation) through
+    * the complete learned model (q95's forward, pooled pre-normalize
+    * hidden), then the learned `score.weight`/`score.bias` linear:
+    * the reference's `logits[:, 0]`
+    * (/root/reference/src/reranking/impl.rs:167-180) as one real
+    * classification row. Scores are bit-identical doubles: the head
+    * fold is left-to-right over hidden dims, bias added last. */
+  def q96_learned_rerank(queryText: String, maxLen: Int): String = {
+    val wp = graft.model.WordPiece.fixture
+    val H = graft.backend.AttnBank.Hidden
+    val dim = graft.backend.EmbTableBank.Dim
+    val qWords = queryText.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val qIds = qWords.flatMap(wp.tokenizeWord)
+    val budgetB = maxLen - qIds.length - 3
+    require(budgetB > 0, s"maxLen $maxLen leaves no room for the second sequence")
+    val head = (wp.clsId +: qIds :+ wp.sepId)
+      .map(i => s"CAST($i AS BIGINT)").mkString("[", ", ", "]")
+    def hk(i: String) = s"((($i) + 1) * $B3 + $A3) % 4001 - 2000"
+    stackedDecoderSql(
+      s"""${wordpieceCtes()},
+pe AS (SELECT doc_id, list_concat(list_concat($head, list_slice(list_slice(s2, 2, len(s2) - 1), 1, $budgetB)), [CAST(${wp.sepId} AS BIGINT)]) AS tids FROM sq),
+sel AS (SELECT doc_id, tids, len(tids) AS n FROM pe)""",
+      (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)",
+      tail = Some(s"""
+SELECT doc_id, list_reduce(list_transform(range(0, $H), d3 -> ((${hk("d3")})::DOUBLE / 1024.0) * mn[d3 + 1]), (a,b) -> a + b) + (${graft.backend.RerankHeadBank.headK(H)})::DOUBLE / 1024.0 AS score FROM fn"""))
+  }
+
   /** The shared two-layer stacked-decoder chain: `inputCtes` must be a
     * complete WITH prefix ending in `sel(doc_id, tids, n)` with n ≥ 1;
     * `s0Cell(t, e)` is the layer-0 residual-stream cell (a BIGINT
-    * expression at the QS fixed-point scale). */
+    * expression at the QS fixed-point scale). `tail`, when given,
+    * replaces the default l2+explode epilogue and reads from
+    * `fn(doc_id, mn)` — mn is the pooled pre-normalize hidden (the
+    * final-norm doubles). */
   private def stackedDecoderSql(inputCtes: String,
-                                s0Cell: (String, String) => String): String = {
+                                s0Cell: (String, String) => String,
+                                tail: Option[String] = None): String = {
     val H = graft.backend.AttnBank.Hidden
     val NH = graft.backend.AttnBank.NHeads
     val D = graft.backend.AttnBank.HeadDim
@@ -1678,10 +1715,11 @@ ${layerChain("a", "s0l", "s0c", 0, 0, 0, H, "n", "qi")},
 ${layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")},
 fn AS (SELECT doc_id,
   list_transform(range(0, $H), e2 ->
-    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM br2),
+    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM br2)
+${tail.getOrElse(s""",
 nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
 emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
-SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb""")}"""
   }
 
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
@@ -2345,6 +2383,7 @@ FROM events GROUP BY user_id, event_type"""
     "q93_moe_megablocks" -> q93_moe_megablocks(),
     "q94_attn_bias" -> q94_attn_bias,
     "q95_full_model" -> q95_full_model,
+    "q96_learned_rerank" -> q96_learned_rerank(q96Query, q96MaxLen),
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
