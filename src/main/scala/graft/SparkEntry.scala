@@ -845,6 +845,40 @@ object SparkEntry {
     // real-vocab tokenization: greedy longest-match WordPiece over the
     // fixture tokenizer.json (HF format), [CLS]…[SEP]-wrapped — the
     // S7/P1 learned-vocab upgrade; the hashing tokenizer stays default
+    // merges-based BPE over the fixture tokenizer.json (the GPT-family
+    // tokenizer the reference's Qwen3 models ship): per word, fuse the
+    // lowest-rank adjacent pair (leftmost on ties) until none remains;
+    // no specials (a bare BPE model has no post-processor)
+    "q97_bpe" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.BpeIds(
+            bridge.expression(col("text")), graft.model.Bpe.fixture)).as("__ids"))
+        .filter(size(col("__ids")) > 0)
+        .select(col("doc_id"), posexplode(col("__ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+    }),
+
+    // the reference's TRUE Qwen3 shape end-to-end: BPE ids (its models
+    // ship a BPE tokenizer.json) through the complete learned model —
+    // learned embed_tokens, two learned layers, final norm, last-token
+    // pool, l2; every BPE id is in the learned table's id space
+    "q98_bpe_full_model" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val maxLen = graft.oracle.OracleSql.q95MaxLen
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.BpeIds(
+            bridge.expression(col("text")), graft.model.Bpe.fixture)).as("__ids"))
+        .filter(size(col("__ids")) > 0)
+        .select(col("doc_id"), slice(col("__ids"), 1, maxLen).as("tids"))
+      BackendEmbedder.embed(withIds, "doc_id", "tids",
+        graft.backend.DecoderLayerBackend.fullModel())
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     "q77_wordpiece" -> ((s, dir) => {
       val bridge = org.apache.spark.sql.graftbridge.Bridge
       docs(s, dir)

@@ -2141,6 +2141,64 @@ perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM fin GROU
 sq AS (SELECT doc_id, list_concat(list_concat([CAST(${wp.clsId} AS BIGINT)], body), [CAST(${wp.sepId} AS BIGINT)]) AS s2 FROM perdoc)"""
   }
 
+  /** q97: merges-based BPE over the fixture tokenizer.json
+    * (graft.model.Bpe for the HF semantics). The recursive CTE fuses
+    * one pair per step: the adjacent pair with the LOWEST merge rank,
+    * leftmost occurrence on ties (`list_position` returns the first
+    * match). A state is terminal when it is one symbol or no adjacent
+    * pair is in the merge table; states strictly shrink, so each word
+    * reaches exactly one terminal row. No specials. */
+  def q97_bpe: String =
+    s"""${bpeCtes()}
+SELECT doc_id, CAST(generate_subscripts(body, 1) - 1 AS BIGINT) AS pos, unnest(body) AS token_id FROM perdoc"""
+
+  /** The shared BPE encoding chain, ending in `perdoc(doc_id, body)` —
+    * body is the piece-id list of the whole doc in word order. */
+  private def bpeCtes(): String = {
+    val bp = graft.model.Bpe.fixture
+    val mg = bp.oracleMergeRows
+      .map { case (a, b, r) => s"{'a': '$a', 'b': '$b', 'r': $r}" }
+      .mkString("[", ", ", "]")
+    val voc = bp.oracleVocabRows
+      .map { case (p, id) => s"{'p': '$p', 'id': $id}" }
+      .mkString("[", ", ", "]")
+    val none = 99999
+    def rks(syms: String) =
+      s"list_transform(range(1, len($syms)), i -> coalesce(list_aggregate(list_transform($mg, m -> CASE WHEN m.a = ($syms)[i] AND m.b = ($syms)[i + 1] THEN m.r ELSE NULL END), 'min'), $none))"
+    s"""WITH RECURSIVE w0 AS (SELECT doc_id, ${toks("text")} AS ws FROM documents),
+words AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS wpos, unnest(ws) AS word FROM w0 WHERE len(ws) > 0),
+bp AS (
+  SELECT doc_id, wpos, string_split(word, '') AS syms FROM words
+  UNION ALL
+  SELECT doc_id, wpos,
+    list_concat(list_concat(list_slice(syms, 1, bi - 1), [syms[bi] || syms[bi + 1]]), list_slice(syms, bi + 2, len(syms))) AS syms
+  FROM (
+    SELECT doc_id, wpos, syms,
+      list_position(rk, list_aggregate(rk, 'min')) AS bi,
+      list_aggregate(rk, 'min') AS br
+    FROM (SELECT doc_id, wpos, syms, ${rks("syms")} AS rk FROM bp WHERE len(syms) > 1) s) t
+  WHERE br < $none),
+fin AS (SELECT doc_id, wpos, syms FROM bp
+  WHERE len(syms) = 1 OR list_aggregate(${rks("syms")}, 'min') = $none),
+pieceids AS (SELECT doc_id, wpos,
+  list_transform(syms, sy -> CAST(list_aggregate(list_transform($voc, v -> CASE WHEN v.p = sy THEN v.id ELSE NULL END), 'min') AS BIGINT)) AS ids FROM fin),
+perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM pieceids GROUP BY doc_id)"""
+  }
+
+  /** q98: the reference's TRUE Qwen3 shape end-to-end — its models
+    * ship a BPE tokenizer (common.rs:57-157 hands tokenizer.json to
+    * the tokenizers runtime; qwen3.rs:1105 encodes with it), so this
+    * runs the q95 full learned model over BPE ids instead of
+    * WordPiece: every BPE id is in the learned table's id space, the
+    * whole forward is learned, sequences cap at [[q95MaxLen]]. */
+  def q98_bpe_full_model: String = {
+    val dim = graft.backend.EmbTableBank.Dim
+    stackedDecoderSql(
+      s"""${bpeCtes()},
+sel AS (SELECT doc_id, list_slice(body, 1, $q95MaxLen) AS tids, least(len(body), $q95MaxLen) AS n FROM perdoc)""",
+      (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)")
+  }
+
   /** q79: the tokenizer-swap composition — the flagship dense chain
     * (hash projection → exact integer mean → l2 normalize, the q01
     * tail) running over WORDPIECE ids instead of hashing ids, specials
@@ -2384,6 +2442,8 @@ FROM events GROUP BY user_id, event_type"""
     "q94_attn_bias" -> q94_attn_bias,
     "q95_full_model" -> q95_full_model,
     "q96_learned_rerank" -> q96_learned_rerank(q96Query, q96MaxLen),
+    "q97_bpe" -> q97_bpe,
+    "q98_bpe_full_model" -> q98_bpe_full_model,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats
