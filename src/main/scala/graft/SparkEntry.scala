@@ -845,6 +845,43 @@ object SparkEntry {
     // real-vocab tokenization: greedy longest-match WordPiece over the
     // fixture tokenizer.json (HF format), [CLS]…[SEP]-wrapped — the
     // S7/P1 learned-vocab upgrade; the hashing tokenizer stays default
+    // the LEARNED ColBERT head: per-token vectors from the full
+    // learned stack — every post-stack state but the first (the
+    // reference's colbert output is [batch, seq_len - 1, dim], the
+    // leading special dropped) through the real colbert_linear.weight
+    // matrix, l2 per token
+    "q99_learned_colbert" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val maxLen = graft.oracle.OracleSql.q95MaxLen
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("wp"))
+        .filter(size(col("wp")) > 2)
+        .select(col("doc_id"), slice(col("wp"), 1, maxLen).as("tids"))
+      BackendEmbedder.colbertTokens(withIds, "doc_id", "tids",
+        graft.backend.DecoderLayerBackend.fullModel(),
+        graft.backend.ColbertHeadBank.loadedQuantized,
+        graft.backend.ColbertHeadBank.OutDim)
+    }),
+
+    // SPLADE-style sparse extraction through the TIED vocab head:
+    // tie_word_embeddings makes the output projection the learned
+    // embed_tokens table itself — exact int64 logits per (token,
+    // vocab id), relu, max-merge across tokens, zeros dropped
+    "q100_tied_sparse" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val maxLen = graft.oracle.OracleSql.q95MaxLen
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.BpeIds(
+            bridge.expression(col("text")), graft.model.Bpe.fixture)).as("__ids"))
+        .filter(size(col("__ids")) > 0)
+        .select(col("doc_id"), slice(col("__ids"), 1, maxLen).as("tids"))
+      BackendEmbedder.tiedSparse(withIds, "doc_id", "tids",
+        graft.backend.DecoderLayerBackend.fullModel())
+    }),
+
     // merges-based BPE over the fixture tokenizer.json (the GPT-family
     // tokenizer the reference's Qwen3 models ship): per word, fuse the
     // lowest-rank adjacent pair (leftmost on ties) until none remains;

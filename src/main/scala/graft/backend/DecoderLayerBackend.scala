@@ -268,6 +268,80 @@ final case class DecoderLayerBackend(
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] =
     pooledHidden(batch).map(l2normalized)
 
+  /** Post-stack per-position states of EVERY real position, pad-free
+    * (fixed-point longs, before the final model norm) — the per-token
+    * hidden sequence a ColBERT or vocab-projection head consumes (the
+    * reference's BGE-M3 emits per-token outputs the same way:
+    * /root/reference/src/bgem3_embedding/impl.rs:218,273-281). Every
+    * layer advances every position; per-doc, so batch composition is
+    * trivially irrelevant. */
+  def allStates(tids: Array[Long]): IndexedSeq[Array[Long]] = {
+    if (tids.isEmpty) return IndexedSeq.empty
+    val n = tids.length
+    val mask = Array.fill(n)(1)
+    val pos = (0 until n).toArray
+    var states: IndexedSeq[Array[Long]] = (0 until n).map(j => s0(tids(j)))
+    var l = 0
+    while (l < layers.length) {
+      states = layerAllOut(layers(l), states, mask, pos)
+      l += 1
+    }
+    states
+  }
+
+  /** SPLADE-style sparse extraction through the TIED vocab head: with
+    * `tie_word_embeddings` (qwen3.rs:39, set true by the reference's
+    * Qwen3 configs, :1491) the output projection IS `embed_tokens`, so
+    * token j's logit for vocab id v is the exact int64 dot of its
+    * post-stack state with the learned table row. relu then max-merge
+    * across tokens (the reference's `(1 + x.max(0.0))`-style rectify,
+    * sparse_text_embedding/impl.rs:229, kept in exact integers — the
+    * established no-ln gate form), zeros dropped. */
+  def tiedSparseWeights(tids: Array[Long]): Seq[(Long, Long)] = {
+    val emb = embTable.getOrElse(throw new IllegalStateException(
+      "tiedSparseWeights needs the learned embed table (the tied head)"))
+    if (tids.isEmpty) return Seq.empty
+    val states = allStates(tids)
+    val out = new Array[Long](vocabSize)
+    states.foreach { st =>
+      var v = 0
+      while (v < vocabSize) {
+        var s = 0L
+        var d = 0
+        while (d < H) { s += st(d) * emb(v * H + d); d += 1 }
+        if (s > out(v)) out(v) = s
+        v += 1
+      }
+    }
+    (0 until vocabSize).iterator
+      .filter(v => out(v) > 0L)
+      .map(v => (v.toLong, out(v))).toSeq
+  }
+
+  /** Learned ColBERT head: per-token vectors — every post-stack state
+    * except the FIRST token's (the reference's colbert output is
+    * `[batch, seq_len - 1, dim]`, the leading special dropped:
+    * bgem3_embedding/impl.rs:218,277) projected through a real
+    * [outDim × hidden] F32 row-major matrix (k/1024 numerators), then
+    * l2-normalized per token. One fixed scale order
+    * (`sum / QS / 1024`) mirrored in the oracle. */
+  def colbertTokens(tids: Array[Long], w: IndexedSeq[Long], outDim: Int): Seq[Array[Double]] = {
+    require(w.length == outDim * H, s"head of ${w.length} != $outDim x $H")
+    if (tids.length < 2) return Seq.empty
+    allStates(tids).drop(1).map { st =>
+      val y = new Array[Double](outDim)
+      var k = 0
+      while (k < outDim) {
+        var s = 0L
+        var d = 0
+        while (d < H) { s += st(d) * w(k * H + d); d += 1 }
+        y(k) = s.toDouble / QSd / 1024.0
+        k += 1
+      }
+      l2normalized(y)
+    }
+  }
+
   /** The pooled PRE-normalize hidden state per row: the final hidden at
     * the last real token through the model norm, WITHOUT l2 — what a
     * sequence-classification head consumes (the reference reranker

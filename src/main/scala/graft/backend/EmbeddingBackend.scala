@@ -125,6 +125,49 @@ object BackendEmbedder {
       .toDF(idCol, "embedding")
   }
 
+  /** Per-token learned-ColBERT outputs over the full learned stack:
+    * one forward per doc serves all its token rows
+    * ([[DecoderLayerBackend.colbertTokens]] — the reference's
+    * `[batch, seq_len - 1, dim]` third head). Narrow flatMap, no
+    * shuffle; the tiny head matrix rides the task closure. */
+  def colbertTokens(df: DataFrame, idCol: String, tidsCol: String,
+                    model: DecoderLayerBackend,
+                    w: IndexedSeq[Long], outDim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(tidsCol))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, tids) =>
+          model.colbertTokens(tids, w, outDim).iterator.zipWithIndex.flatMap {
+            case (vec, p) => vec.iterator.zipWithIndex.map {
+              case (v, d) => (id, p.toLong, d.toLong, v)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "pos", "dim", "val")
+  }
+
+  /** Tied-vocab sparse extraction over the full learned stack
+    * ([[DecoderLayerBackend.tiedSparseWeights]]): (id, term_id,
+    * weight) rows, zeros dropped. Narrow flatMap per doc. */
+  def tiedSparse(df: DataFrame, idCol: String, tidsCol: String,
+                 model: DecoderLayerBackend): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(tidsCol))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, tids) =>
+          model.tiedSparseWeights(tids).iterator.map { case (v, w) => (id, v, w) }
+        }
+      }
+      .toDF(idCol, "term_id", "weight")
+  }
+
   /** Padding-minimization variant (SURVEY §4 "sort-by-length within
     * partition"): rows sort by token count inside each partition before
     * micro-batching, so every batch a real padded-tensor backend sees is

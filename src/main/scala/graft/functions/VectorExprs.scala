@@ -222,6 +222,49 @@ case class PooledSums(child: Expression, dim: Int)
     copy(child = newChild)
 }
 
+/** Native exact-int64 mat-vec for learned projection heads:
+  * y_d = Σ_e wq[d·dimIn + e] · x[e]. The whole product evaluates ONCE
+  * per row — the HOF formulation (an `aggregate` referencing the
+  * pooled-sums column inside a nested lambda) gets the sums expression
+  * inlined by Catalyst's project collapse and re-evaluated per
+  * (d, e) element: measured ~30× slower on the q82 gate at sf0.1.
+  * The bank rides as a plan reference object, like [[NearestCell]]. */
+case class MatVecQ(child: Expression, wq: IndexedSeq[Long], dimIn: Int, dimOut: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(wq.length == dimIn * dimOut, s"bank of ${wq.length} != $dimOut x $dimIn")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(GraftInputTypes.TokenArray)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val w = wq.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    evalRow(input.asInstanceOf[ArrayData])
+
+  def evalRow(x: ArrayData): ArrayData = {
+    val out = new Array[Long](dimOut)
+    var d = 0
+    while (d < dimOut) {
+      var s = 0L
+      var e = 0
+      val base = d * dimIn
+      while (e < dimIn) { s += w(base + e) * x.getLong(e); e += 1 }
+      out(d) = s
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matvec", this, classOf[MatVecQ].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalRow($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecQ =
+    copy(child = newChild)
+}
+
 /** Native SimHash signature: bit b of the result is set iff
   * Σ_tokens (±1 by the low bit of (t*A2 + b*B2 + C2) % M) > 0, assembled
   * high-bit-first as acc*2 + bit. Exact integer votes (order-free) —

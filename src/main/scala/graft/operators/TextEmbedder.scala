@@ -106,17 +106,21 @@ object TextEmbedder {
                            dimOut: Int): DataFrame = {
     require(wqFlat.length == dimIn * dimOut,
       s"bank of ${wqFlat.length} != $dimOut x $dimIn")
-    val wLit = array(wqFlat.map(lit).toIndexedSeq: _*)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val sums = "__graft_sums"
     val proj = "__graft_proj"
     val nrm = "__graft_norm"
     df.filter(size(col(tidsCol)) > 0)
       .withColumn(sums, Kernel.pooledSums(col(tidsCol), dimIn))
+      // ONE native mat-vec per row: the HOF formulation (aggregate over
+      // dims referencing the sums column inside the lambda) gets
+      // pooledSums inlined by project collapse and re-evaluated per
+      // (d, e) element — measured ~30x slower on the q82 gate at sf0.1
       .withColumn(proj,
-        transform(sequence(lit(0), lit(dimOut - 1)), d =>
-          aggregate(sequence(lit(0), lit(dimIn - 1)), lit(0L),
-            (acc, e) => acc + element_at(col(sums), e + 1) *
-              element_at(wLit, d * lit(dimIn) + e + 1)).cast("double")))
+        transform(
+          bridge.column(graft.functions.MatVecQ(
+            bridge.expression(col(sums)), wqFlat.toIndexedSeq, dimIn, dimOut)),
+          y => y.cast("double")))
       .withColumn(nrm, Kernel.l2norm(col(proj)))
       .withColumn(outCol,
         zip_with(col(proj), array_repeat(col(nrm) + lit(K.Eps), lit(dimOut)),

@@ -1611,6 +1611,56 @@ sel AS (SELECT doc_id, tids, len(tids) AS n FROM pe)""",
 SELECT doc_id, list_reduce(list_transform(range(0, $H), d3 -> ((${hk("d3")})::DOUBLE / 1024.0) * mn[d3 + 1]), (a,b) -> a + b) + (${graft.backend.RerankHeadBank.headK(H)})::DOUBLE / 1024.0 AS score FROM fn"""))
   }
 
+  /** q99: the LEARNED ColBERT head — per-token vectors from the full
+    * learned stack: every post-stack state except the first token's
+    * (the reference's colbert output is `[batch, seq_len - 1, dim]`,
+    * the leading special dropped — bgem3_embedding/impl.rs:218,277)
+    * projected through the real `colbert_linear.weight` [out × hidden]
+    * matrix, scaled `sum / QS / 1024` and l2-normalized per token. */
+  def q99_learned_colbert: String = {
+    val H = graft.backend.AttnBank.Hidden
+    val CO = graft.backend.ColbertHeadBank.OutDim
+    val dim = graft.backend.EmbTableBank.Dim
+    def hk(i: String) = s"((($i) + 1) * $B3 + $C3) % 4001 - 2000"
+    stackedDecoderSql(
+      s"""${wordpieceCtes()},
+sel AS (SELECT doc_id, list_slice(s2, 1, $q95MaxLen) AS tids, least(len(s2), $q95MaxLen) AS n FROM sq WHERE len(s2) > 2)""",
+      (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)",
+      tail = Some(s""",
+tl AS (SELECT doc_id, CAST(generate_subscripts(r2l, 1) - 1 AS BIGINT) AS tpos, unnest(r2l) AS st FROM br2),
+ck AS (SELECT doc_id, tpos - 1 AS pos,
+  list_transform(range(0, $CO), k -> (list_reduce(list_transform(range(0, $H), d -> st[d + 1] * (${hk(s"k * $H + d")})), (a,b) -> a + b))::DOUBLE / 1000000.0 / 1024.0) AS y FROM tl WHERE tpos >= 1),
+nr2 AS (SELECT doc_id, pos, y, sqrt(list_reduce(list_transform(y, v -> v * v), (a,b) -> a + b)) AS nv FROM ck),
+cv AS (SELECT doc_id, pos, list_transform(y, x -> x / (nv + 1e-12)) AS cv FROM nr2)
+SELECT doc_id, pos, CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim, unnest(cv) AS val FROM cv"""),
+      allPositions = true)
+  }
+
+  /** q100: SPLADE-style sparse extraction through the TIED vocab
+    * head — `tie_word_embeddings` (qwen3.rs:39, true in the
+    * reference's Qwen3 configs :1491) makes the output projection the
+    * `embed_tokens` table itself: token j's logit for vocab id v is
+    * the exact int64 dot of its post-stack state with the learned
+    * row; relu, max-merge across tokens (impl.rs:229's rectify, the
+    * established no-ln gate form), zeros dropped. */
+  def q100_tied_sparse: String = {
+    val H = graft.backend.AttnBank.Hidden
+    val V = graft.backend.EmbTableBank.VocabSize
+    val dim = graft.backend.EmbTableBank.Dim
+    def ek(i: String) = s"((($i) + 1) * $C3 + $B3) % 4001 - 2000"
+    stackedDecoderSql(
+      s"""${bpeCtes()},
+sel AS (SELECT doc_id, list_slice(body, 1, $q95MaxLen) AS tids, least(len(body), $q95MaxLen) AS n FROM perdoc)""",
+      (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)",
+      tail = Some(s""",
+tl AS (SELECT doc_id, unnest(r2l) AS st FROM br2),
+lw AS (SELECT doc_id, list_transform(range(0, $V), v ->
+  greatest(list_reduce(list_transform(range(0, $H), d -> st[d + 1] * (${ek(s"v * $H + d")})), (a,b) -> a + b), 0)) AS lw FROM tl),
+tv AS (SELECT doc_id, CAST(generate_subscripts(lw, 1) - 1 AS BIGINT) AS term_id, unnest(lw) AS w FROM lw)
+SELECT doc_id, term_id, max(w) AS weight FROM tv GROUP BY doc_id, term_id HAVING max(w) > 0"""),
+      allPositions = true)
+  }
+
   /** The shared two-layer stacked-decoder chain: `inputCtes` must be a
     * complete WITH prefix ending in `sel(doc_id, tids, n)` with n ≥ 1;
     * `s0Cell(t, e)` is the layer-0 residual-stream cell (a BIGINT
@@ -1620,7 +1670,8 @@ SELECT doc_id, list_reduce(list_transform(range(0, $H), d3 -> ((${hk("d3")})::DO
     * final-norm doubles). */
   private def stackedDecoderSql(inputCtes: String,
                                 s0Cell: (String, String) => String,
-                                tail: Option[String] = None): String = {
+                                tail: Option[String] = None,
+                                allPositions: Boolean = false): String = {
     val H = graft.backend.AttnBank.Hidden
     val NH = graft.backend.AttnBank.NHeads
     val D = graft.backend.AttnBank.HeadDim
@@ -1707,19 +1758,28 @@ ${p}r2 AS (SELECT doc_id, n,
   list_transform(range(1, $qCount + 1), qi ->
     list_transform(range(0, $H), d ->
       r1l[qi][d + 1] + CAST(floor(((list_reduce(list_transform(range(0, $I), i -> (${wm(s"$mOff + $offDown + d * $I + i")}) * al[qi][i + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 / $M3.0 / $M3.0) * $qs + 0.5) AS BIGINT))) AS r2l FROM ${p}av)"""
+    val chainB =
+      if (allPositions) layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "n", "qi")
+      else layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")
+    // with allPositions the epilogue reads the position-aligned state
+    // list br2(doc_id, n, r2l) directly (a custom tail is required);
+    // otherwise fn(doc_id, mn) is the pooled final-norm hidden
+    val epilogue =
+      if (allPositions) tail.getOrElse(
+        throw new IllegalArgumentException("allPositions requires a custom tail"))
+      else s""",
+fn AS (SELECT doc_id,
+  list_transform(range(0, $H), e2 ->
+    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM br2)${tail.getOrElse(s""",
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb""")}"""
     s"""$inputCtes,
 s0c AS (SELECT doc_id, n,
   list_transform(range(1, n + 1), j ->
     list_transform(range(0, $H), e -> ${s0Cell("tids[j]", "e")})) AS s0l FROM sel),
 ${layerChain("a", "s0l", "s0c", 0, 0, 0, H, "n", "qi")},
-${layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")},
-fn AS (SELECT doc_id,
-  list_transform(range(0, $H), e2 ->
-    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM br2)
-${tail.getOrElse(s""",
-nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
-emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
-SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb""")}"""
+$chainB$epilogue"""
   }
 
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
@@ -2444,6 +2504,8 @@ FROM events GROUP BY user_id, event_type"""
     "q96_learned_rerank" -> q96_learned_rerank(q96Query, q96MaxLen),
     "q97_bpe" -> q97_bpe,
     "q98_bpe_full_model" -> q98_bpe_full_model,
+    "q99_learned_colbert" -> q99_learned_colbert,
+    "q100_tied_sparse" -> q100_tied_sparse,
     "q24_lineitem_agg" -> q24_lineitem_agg,
     "q25_segment_sales" -> q25_segment_sales,
     "q26_events_stats" -> q26_events_stats

@@ -116,6 +116,46 @@ class DecoderLayerSpec extends AnyFunSuite {
       DecoderLayerBackend.stacked().embedBatch(Seq(a)).head.toSeq)
   }
 
+  test("allStates: the pad-free all-position pass agrees with the pooled forward") {
+    val fm = DecoderLayerBackend.fullModel()
+    val tids = Array(1L, 7L, 23L, 4L, 30L)
+    val states = fm.allStates(tids)
+    assert(states.length == tids.length)
+    // the last position's post-stack state through final norm + l2 IS
+    // the pooled embedding (same arithmetic, layerAllOut ≡ layerOut)
+    val h = fm.finalNormD(states.last)
+    val norm = math.sqrt(h.map(x => x * x).sum) + graft.functions.K.Eps
+    assert(h.map(_ / norm).toSeq == fm.embedBatch(Seq(tids)).head.toSeq)
+    assert(fm.allStates(Array.empty[Long]).isEmpty)
+  }
+
+  test("tiedSparseWeights: tied head needs the table, emits positive max-merged weights") {
+    val fm = DecoderLayerBackend.fullModel()
+    val tids = Array(3L, 43L, 11L, 9L)
+    val sw = fm.tiedSparseWeights(tids)
+    assert(sw.nonEmpty && sw.forall(_._2 > 0L))
+    assert(sw.map(_._1).distinct.length == sw.length)
+    // deterministic
+    assert(fm.tiedSparseWeights(tids) == sw)
+    // the plain stacked backend has no tied head
+    assertThrows[IllegalStateException](
+      DecoderLayerBackend.stacked().tiedSparseWeights(tids))
+  }
+
+  test("colbertTokens: one l2 vector per token after the first") {
+    val fm = DecoderLayerBackend.fullModel()
+    val w = graft.backend.ColbertHeadBank.loadedQuantized
+    val out = graft.backend.ColbertHeadBank.OutDim
+    val tids = Array(1L, 7L, 23L, 4L)
+    val vecs = fm.colbertTokens(tids, w, out)
+    assert(vecs.length == tids.length - 1)
+    vecs.foreach { v =>
+      assert(v.length == out)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    assert(fm.colbertTokens(Array(5L), w, out).isEmpty)
+  }
+
   test("the final norm eps guards the zero state") {
     val zero = be.finalNormD(Array.fill(8)(0L))
     assert(zero.toSeq == Seq.fill(8)(0.0))

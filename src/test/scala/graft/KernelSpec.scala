@@ -95,6 +95,28 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp.count() == 0)
   }
 
+  test("native MatVecQ == HOF formulation on real corpus") {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val dimIn = 8
+    val dimOut = 5
+    val wq = IndexedSeq.tabulate(dimOut * dimIn)(i => (i * 7 - 13).toLong)
+    val wLit = array(wq.map(lit): _*)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tids", Kernel.tokenIds(col("text")))
+      .filter(size(col("tids")) > 0)
+      .withColumn("sums", Kernel.pooledSums(col("tids"), dimIn))
+    val cmp = docs
+      .withColumn("fast", bridge.column(graft.functions.MatVecQ(
+        bridge.expression(col("sums")), wq, dimIn, dimOut)))
+      .withColumn("hof",
+        transform(sequence(lit(0), lit(dimOut - 1)), d =>
+          aggregate(sequence(lit(0), lit(dimIn - 1)), lit(0L),
+            (acc, e) => acc + element_at(col("sums"), e + 1) *
+              element_at(wLit, d * lit(dimIn) + e + 1))))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+  }
+
   test("native SimhashSig == HOF formulation on real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("tids", Kernel.tokenIds(col("text")))
