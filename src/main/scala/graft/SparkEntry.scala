@@ -635,10 +635,10 @@ object SparkEntry {
         .select(col("doc_id"),
           bridge.column(graft.functions.WordPieceIds(
             bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("tids"))
-        .filter(size(col("tids")) > 2)
       BackendEmbedder.embed(withIds, "doc_id", "tids",
         graft.backend.TransformerBackend(dim = 8,
-          embTable = Some(graft.backend.EmbTableBank.loadedQuantized)))
+          embTable = Some(graft.backend.EmbTableBank.loadedQuantized)),
+        minTokens = 3)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
@@ -746,10 +746,12 @@ object SparkEntry {
         .select(col("doc_id"),
           bridge.column(graft.functions.WordPieceIds(
             bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("wp"))
-        .filter(size(col("wp")) > 2)
         .select(col("doc_id"), slice(col("wp"), 1, maxLen).as("tids"))
+      // minTokens inside the typed boundary: a Catalyst size() filter
+      // would re-evaluate the WordPiece tokenizer per row (plan audit:
+      // Filter + Project each carried wordpieceids)
       BackendEmbedder.embed(withIds, "doc_id", "tids",
-        graft.backend.DecoderLayerBackend.fullModel())
+        graft.backend.DecoderLayerBackend.fullModel(), minTokens = 3)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
@@ -766,17 +768,21 @@ object SparkEntry {
       val wp = graft.model.WordPiece.fixture
       val qWords = oracle.q96Query.split(" ").toSeq
       val (w, b) = graft.backend.RerankHeadBank.loadedQuantized
+      val qIds = qWords.flatMap(wp.tokenizeWord)
       val pe = docs(s, dir)
         .select(col("doc_id"),
           bridge.column(graft.functions.WordPieceIds(
             bridge.expression(col("text")), wp)).as("__ids"))
-        .filter(size(col("__ids")) > 2)
         .withColumn("__pe", Reranker.wordPiecePairEncode(
           qWords, col("__ids"), wp, oracle.q96MaxLen))
         .select(col("doc_id"), col("__pe.input_ids").as("tids"))
+      // a doc with an empty body pair-encodes to exactly |q|+3 ids, so
+      // the old size(__ids) > 2 filter is equivalently a typed length
+      // check on the pair — and the tokenizer evaluates once
       BackendEmbedder.embed(pe, "doc_id", "tids",
         graft.backend.RerankHeadBackend(
-          graft.backend.DecoderLayerBackend.fullModel(), w, b))
+          graft.backend.DecoderLayerBackend.fullModel(), w, b),
+        minTokens = qIds.length + 4)
         .select(col("doc_id"), element_at(col("embedding"), 1).as("score"))
     }),
 
@@ -857,12 +863,11 @@ object SparkEntry {
         .select(col("doc_id"),
           bridge.column(graft.functions.WordPieceIds(
             bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("wp"))
-        .filter(size(col("wp")) > 2)
         .select(col("doc_id"), slice(col("wp"), 1, maxLen).as("tids"))
       BackendEmbedder.colbertTokens(withIds, "doc_id", "tids",
         graft.backend.DecoderLayerBackend.fullModel(),
         graft.backend.ColbertHeadBank.loadedQuantized,
-        graft.backend.ColbertHeadBank.OutDim)
+        graft.backend.ColbertHeadBank.OutDim, minTokens = 3)
     }),
 
     // SPLADE-style sparse extraction through the TIED vocab head:
@@ -876,10 +881,9 @@ object SparkEntry {
         .select(col("doc_id"),
           bridge.column(graft.functions.BpeIds(
             bridge.expression(col("text")), graft.model.Bpe.fixture)).as("__ids"))
-        .filter(size(col("__ids")) > 0)
         .select(col("doc_id"), slice(col("__ids"), 1, maxLen).as("tids"))
       BackendEmbedder.tiedSparse(withIds, "doc_id", "tids",
-        graft.backend.DecoderLayerBackend.fullModel())
+        graft.backend.DecoderLayerBackend.fullModel(), minTokens = 1)
     }),
 
     // merges-based BPE over the fixture tokenizer.json (the GPT-family
@@ -908,10 +912,9 @@ object SparkEntry {
         .select(col("doc_id"),
           bridge.column(graft.functions.BpeIds(
             bridge.expression(col("text")), graft.model.Bpe.fixture)).as("__ids"))
-        .filter(size(col("__ids")) > 0)
         .select(col("doc_id"), slice(col("__ids"), 1, maxLen).as("tids"))
       BackendEmbedder.embed(withIds, "doc_id", "tids",
-        graft.backend.DecoderLayerBackend.fullModel())
+        graft.backend.DecoderLayerBackend.fullModel(), minTokens = 1)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),

@@ -108,13 +108,20 @@ object Backends {
   * Structured Streaming DataFrames. */
 object BackendEmbedder {
   def embed(df: DataFrame, idCol: String, tidsCol: String,
-            backend: EmbeddingBackend, batchSize: Int = 256): DataFrame = {
+            backend: EmbeddingBackend, batchSize: Int = 256,
+            minTokens: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bKey = backend.toString
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(tidsCol))
       .as[(Long, Array[Long])]
+      // minTokens filters INSIDE the typed boundary: a Catalyst
+      // Filter on size(tids) gets pushed below the projection and
+      // re-evaluates the whole tokenizer expression per row (2x the
+      // scan-stage cost for the heavy WordPiece/BPE tokenizers); here
+      // the already-materialized array just checks its length
+      .filter((r: (Long, Array[Long])) => r._2.length >= minTokens)
       .mapPartitions { it =>
         val be = BackendRegistry.getOrCreate(bKey, () => backend)
         it.grouped(batchSize).flatMap { group =>
@@ -132,12 +139,14 @@ object BackendEmbedder {
     * shuffle; the tiny head matrix rides the task closure. */
   def colbertTokens(df: DataFrame, idCol: String, tidsCol: String,
                     model: DecoderLayerBackend,
-                    w: IndexedSeq[Long], outDim: Int): DataFrame = {
+                    w: IndexedSeq[Long], outDim: Int,
+                    minTokens: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(tidsCol))
       .as[(Long, Array[Long])]
+      .filter((r: (Long, Array[Long])) => r._2.length >= minTokens)
       .mapPartitions { it =>
         it.flatMap { case (id, tids) =>
           model.colbertTokens(tids, w, outDim).iterator.zipWithIndex.flatMap {
@@ -154,12 +163,14 @@ object BackendEmbedder {
     * ([[DecoderLayerBackend.tiedSparseWeights]]): (id, term_id,
     * weight) rows, zeros dropped. Narrow flatMap per doc. */
   def tiedSparse(df: DataFrame, idCol: String, tidsCol: String,
-                 model: DecoderLayerBackend): DataFrame = {
+                 model: DecoderLayerBackend,
+                 minTokens: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(tidsCol))
       .as[(Long, Array[Long])]
+      .filter((r: (Long, Array[Long])) => r._2.length >= minTokens)
       .mapPartitions { it =>
         it.flatMap { case (id, tids) =>
           model.tiedSparseWeights(tids).iterator.map { case (v, w) => (id, v, w) }
