@@ -99,6 +99,94 @@ object Graft {
                           graft.backend.HashingCrossEncoder()): DataFrame =
     Reranker.rerankBackendAll(queries, qIdCol, qTextCol, docs, idCol, textCol, backend)
 
+  /** The FULL learned-model text-embedding route — the reference's
+    * Qwen3 chain with every parameter from one safetensors checkpoint:
+    * real-vocab tokenize (WordPiece `tokenizer.json` or the BPE
+    * `vocab`+`merges` the Qwen3 models actually ship) → learned
+    * `model.embed_tokens` → learned decoder stack → final norm →
+    * last-token pool → l2. (id, embedding) rows; sequences cap at
+    * `maxLen` (the P3 truncation rule). */
+  def textEmbeddingLearned(df: DataFrame, idCol: String, textCol: String,
+                           tokenizer: String = "bpe",
+                           maxLen: Int = graft.oracle.OracleSql.q95MaxLen): DataFrame = {
+    import org.apache.spark.sql.functions.{col, slice}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val (ids, minTokens) = tokenizer match {
+      case "bpe" => (bridge.column(graft.functions.BpeIds(
+        bridge.expression(col(textCol)), graft.model.Bpe.fixture)), 1)
+      case "wordpiece" => (bridge.column(graft.functions.WordPieceIds(
+        bridge.expression(col(textCol)), graft.model.WordPiece.fixture)), 3)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (want 'bpe' or 'wordpiece')")
+    }
+    graft.backend.BackendEmbedder.embed(
+      df.select(col(idCol), slice(ids, 1, maxLen).as("__tids")),
+      idCol, "__tids", graft.backend.DecoderLayerBackend.fullModel(),
+      minTokens = minTokens)
+  }
+
+  /** The LEARNED cross-encoder rerank route — pair ids through the
+    * full learned model's pooled pre-normalize hidden, then the real
+    * `score.weight`/`score.bias` classification row: the reference's
+    * `logits[:, 0]` (reranking/impl.rs:167-180) with every weight
+    * from safetensors. (id, score) rows, score-desc order recovered
+    * with ORDER BY like the reference's sort (impl.rs:194). */
+  def textRerankLearned(df: DataFrame, idCol: String, textCol: String,
+                        query: String,
+                        maxLen: Int = graft.oracle.OracleSql.q96MaxLen): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val wp = graft.model.WordPiece.fixture
+    val qWords = query.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val qIds = qWords.flatMap(wp.tokenizeWord)
+    val (w, b) = graft.backend.RerankHeadBank.loadedQuantized
+    val pe = df
+      .select(col(idCol),
+        bridge.column(graft.functions.WordPieceIds(
+          bridge.expression(col(textCol)), wp)).as("__ids"))
+      .withColumn("__pe", Reranker.wordPiecePairEncode(qWords, col("__ids"), wp, maxLen))
+      .select(col(idCol), col("__pe.input_ids").as("__tids"))
+    graft.backend.BackendEmbedder.embed(pe, idCol, "__tids",
+      graft.backend.RerankHeadBackend(
+        graft.backend.DecoderLayerBackend.fullModel(), w, b),
+      minTokens = qIds.length + 4)
+      .select(col(idCol), element_at(col("embedding"), 1).as("score"))
+  }
+
+  /** The LEARNED ColBERT route — per-token vectors from the full
+    * learned stack through the real `colbert_linear.weight` matrix
+    * (the reference's `[batch, seq_len − 1, dim]` third head,
+    * bgem3_embedding/impl.rs:218,273-281). (id, pos, dim, val) rows. */
+  def colbertEmbeddingLearned(df: DataFrame, idCol: String, textCol: String,
+                              maxLen: Int = graft.oracle.OracleSql.q95MaxLen): DataFrame = {
+    import org.apache.spark.sql.functions.{col, slice}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val ids = bridge.column(graft.functions.WordPieceIds(
+      bridge.expression(col(textCol)), graft.model.WordPiece.fixture))
+    graft.backend.BackendEmbedder.colbertTokens(
+      df.select(col(idCol), slice(ids, 1, maxLen).as("__tids")),
+      idCol, "__tids", graft.backend.DecoderLayerBackend.fullModel(),
+      graft.backend.ColbertHeadBank.loadedQuantized,
+      graft.backend.ColbertHeadBank.OutDim, minTokens = 3)
+  }
+
+  /** The TIED-vocab-head sparse route — `tie_word_embeddings`
+    * (qwen3.rs:39) makes the output projection the learned
+    * embed_tokens table; SPLADE-style relu + max-merge over the full
+    * learned stack's per-token states. (id, term_id, weight) rows. */
+  def sparseTextEmbeddingTied(df: DataFrame, idCol: String, textCol: String,
+                              maxLen: Int = graft.oracle.OracleSql.q95MaxLen): DataFrame = {
+    import org.apache.spark.sql.functions.{col, slice}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val ids = bridge.column(graft.functions.BpeIds(
+      bridge.expression(col(textCol)), graft.model.Bpe.fixture))
+    graft.backend.BackendEmbedder.tiedSparse(
+      df.select(col(idCol), slice(ids, 1, maxLen).as("__tids")),
+      idCol, "__tids", graft.backend.DecoderLayerBackend.fullModel(),
+      minTokens = 1)
+  }
+
   /** `ImageEmbedding::embed` analogue over a binary column; pair with
     * [[ImagePipeline.readImages]] for the path-based entry. */
   def imageEmbedding(df: DataFrame, idCol: String, bytesCol: String,

@@ -91,6 +91,7 @@ object Backends {
       case "graft-moe-8" => MoEBackend(dim = info.dim)
       case "graft-qwen3-8" => DecoderLayerBackend.fromBank()
       case "graft-qwen3-8-x2" => DecoderLayerBackend.stacked()
+      case "graft-qwen3-8-full" => DecoderLayerBackend.fullModel()
       case "graft-gqa-8" => GqaAttentionBackend.withQkNorm()
       case _ => HashingBackend(info.dim)
     }

@@ -93,6 +93,9 @@ object ModelRegistry {
       Pooling.Last),
     ModelInfo("graft-qwen3-8-x2", 8,
       "two-layer learned decoder stack with distinct per-layer weights",
+      Pooling.Last),
+    ModelInfo("graft-qwen3-8-full", 8,
+      "the COMPLETE learned model: learned embed_tokens + two-layer stack + final norm from one checkpoint",
       Pooling.Last)
   ).map(m => m.name -> m).toMap
 

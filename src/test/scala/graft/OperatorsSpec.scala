@@ -145,6 +145,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Graft.listSupportedModels().nonEmpty)
   }
 
+  test("Graft facade: the learned-model routes (full model, rerank, colbert, tied sparse)") {
+    // the full learned model via either real-vocab tokenizer
+    val viaBpe = Graft.textEmbeddingLearned(docs, "doc_id", "text")
+    assert(viaBpe.columns.toSeq == Seq("doc_id", "embedding"))
+    val row = viaBpe.orderBy("doc_id").head()
+    assert(row.getSeq[Double](1).length == 8)
+    val viaWp = Graft.textEmbeddingLearned(docs, "doc_id", "text", tokenizer = "wordpiece")
+    assert(viaWp.limit(1).count() == 1)
+    assertThrows[IllegalArgumentException](
+      Graft.textEmbeddingLearned(docs, "doc_id", "text", tokenizer = "nope"))
+    // learned rerank: one score per doc, the q96 head
+    val lr = Graft.textRerankLearned(docs, "doc_id", "text", "example passage")
+    assert(lr.columns.toSeq == Seq("doc_id", "score"))
+    assert(lr.count() == docs.count())
+    // learned colbert: per-token rows, first token dropped
+    val cb = Graft.colbertEmbeddingLearned(docs, "doc_id", "text")
+    assert(cb.columns.toSeq == Seq("doc_id", "pos", "dim", "val"))
+    // tied sparse: positive integer weights over the vocab id space
+    val ts = Graft.sparseTextEmbeddingTied(docs, "doc_id", "text")
+    assert(ts.columns.toSeq == Seq("doc_id", "term_id", "weight"))
+    import spark.implicits._
+    assert(ts.select(min(col("weight")).as[Long]).head() > 0L)
+    // the registry knows the full model and Backends resolves it
+    assert(graft.backend.Backends.forModel("graft-qwen3-8-full") ==
+      graft.backend.DecoderLayerBackend.fullModel())
+  }
+
   test("model registry kinds cover all five reference registries") {
     import graft.model.{ModelKind, ModelRegistry}
     Seq(ModelKind.Dense, ModelKind.Sparse, ModelKind.Bgem3, ModelKind.Rerank, ModelKind.Image)
