@@ -265,6 +265,45 @@ case class MatVecQ(child: Expression, wq: IndexedSeq[Long], dimIn: Int, dimOut: 
     copy(child = newChild)
 }
 
+/** Native exact-int64 sparse-linear dot for the learned BGE-M3 head
+  * (q76): Σ_d hidden(tid, pos, d) · w[d] with
+  * hidden = ((tid % M3)·A3 + d·B3 + (pos+1)·C3) % M3 — identical
+  * arithmetic to the HOF `aggregate` formulation, one tight JVM loop
+  * per row instead of dimIn interpreted lambda calls. */
+case class SparseDotQ(left: Expression, right: Expression, wq: IndexedSeq[Long])
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(LongType, LongType)
+
+  override def dataType: DataType = LongType
+
+  private val w = wq.toArray
+
+  override def nullSafeEval(tid: Any, pos: Any): Any =
+    evalRow(tid.asInstanceOf[Long], pos.asInstanceOf[Long])
+
+  def evalRow(tid: Long, pos: Long): Long = {
+    val base = (tid % graft.functions.K.M3) * graft.functions.K.A3 +
+      (pos + 1L) * graft.functions.K.C3
+    var s = 0L
+    var d = 0
+    while (d < w.length) {
+      s += ((base + d.toLong * graft.functions.K.B3) % graft.functions.K.M3) * w(d)
+      d += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sparseDot", this, classOf[SparseDotQ].getName)
+    defineCodeGen(ctx, ev, (t, p) => s"$ref.evalRow($t, $p)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SparseDotQ =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native SimHash signature: bit b of the result is set iff
   * Σ_tokens (±1 by the low bit of (t*A2 + b*B2 + C2) % M) > 0, assembled
   * high-bit-first as acc*2 + bit. Exact integer votes (order-free) —

@@ -141,16 +141,16 @@ object SparseEmbedder {
   def weightedExploded(df: DataFrame, idCol: String, textCol: String,
                        wq: Array[Long], bq: Long, scale: Long,
                        maxLength: Int = K.MaxLength): DataFrame = {
-    val wLit = array(wq.map(lit).toIndexedSeq: _*)
-    val hidden = (d: Column) =>
-      ((col("token_id") % lit(K.M3)) * lit(K.A3) +
-        d.cast("long") * lit(K.B3) +
-        (col("pos") + lit(1L)) * lit(K.C3)) % lit(K.M3)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     df.select(col(idCol), posexplode(Kernel.tokenIds(col(textCol), maxLength)).as(Seq("pos", "token_id")))
       .filter(col("token_id") > 3) // XLM-R special ids 0..3 (impl.rs:264)
+      // one native loop per row — the HOF aggregate ran dimIn
+      // interpreted lambda calls per (doc, token) row
       .withColumn("__dotq",
-        aggregate(sequence(lit(0), lit(wq.length - 1)), lit(0L),
-          (acc, d) => acc + hidden(d) * element_at(wLit, d + 1)))
+        bridge.column(graft.functions.SparseDotQ(
+          bridge.expression(col("token_id")),
+          bridge.expression(col("pos").cast("long")),
+          wq.toIndexedSeq)))
       .withColumn("__wq", greatest(lit(0L), col("__dotq") + lit(bq)))
       .filter(col("__wq") > 0)
       .groupBy(col(idCol), col("token_id"))

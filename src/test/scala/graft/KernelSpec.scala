@@ -117,6 +117,28 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp.count() == 0)
   }
 
+  test("native SparseDotQ == HOF formulation on real corpus") {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.K
+    val wq = IndexedSeq.tabulate(64)(i => (i * 11 - 300).toLong)
+    val wLit = array(wq.map(lit): _*)
+    val hidden = (d: org.apache.spark.sql.Column) =>
+      ((col("token_id") % lit(K.M3)) * lit(K.A3) +
+        d.cast("long") * lit(K.B3) +
+        (col("pos") + lit(1L)) * lit(K.C3)) % lit(K.M3)
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), posexplode(Kernel.tokenIds(col("text"))).as(Seq("pos", "token_id")))
+    val cmp = toks
+      .withColumn("fast", bridge.column(graft.functions.SparseDotQ(
+        bridge.expression(col("token_id")),
+        bridge.expression(col("pos").cast("long")), wq)))
+      .withColumn("hof",
+        aggregate(sequence(lit(0), lit(wq.length - 1)), lit(0L),
+          (acc, d) => acc + hidden(d) * element_at(wLit, d + 1)))
+      .filter(not(col("fast") === col("hof")))
+    assert(cmp.count() == 0)
+  }
+
   test("native SimhashSig == HOF formulation on real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("tids", Kernel.tokenIds(col("text")))
