@@ -1046,6 +1046,49 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the VL capstone: q91's end-to-end chain with EVERY vision-side
+    // projection learned too — the main PatchMerger AND the deepstack
+    // layer's own merger (deepstack_merger_list.{i},
+    // qwen3_vl.rs:476-480) read from one safetensors checkpoint, then
+    // the learned q/k/v/o MRoPE forward over the fused sequence
+    "q101_vl_full_learned" -> ((s, dir) => {
+      import s.implicits._
+      val bank = graft.backend.VlAttnBank.loadedQuantized
+      val toks = plantImageSpan(
+        docs(s, dir)
+          .withColumn("tids", Kernel.tokenIds(col("text"), 24))
+          .filter(size(col("tids")) > 0))
+        .select(col("doc_id"), col("__k").cast("long").as("__k"), col("tids"))
+      val vis = VlPreprocess.mergedWithDeepstack(pngDocs(s, dir), "doc_id", "png",
+          mergerBank = Some(graft.backend.MergerBank.loadedQuantized),
+          deepstackBank = Some(graft.backend.MergerBank.loadedDeepstackQuantized))
+        .filter(col("dim") === 0).select(col("doc_id"), col("tok"), col("val"))
+      val fused = VlPreprocess.fuseImageSpans(toks, "doc_id", "tids",
+        vis, "tok", "val", K.M, carryCols = Seq("__k"))
+      val fz = fused
+        .withColumn("fid", pmod(
+          floor(col("val") * lit(1000000.0) + lit(0.5)).cast("long") % lit(K.M3),
+          lit(K.M3)))
+        .withColumn("pid", VlPreprocess.mropePositionIds(col("pos"), col("__k"), 1, 2, 2))
+      fz.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(
+          col("pos").as("p"), col("fid").as("f"), col("pid.pid_t").as("t"),
+          col("pid.pid_h").as("h"), col("pid.pid_w").as("w")))).as("sq"))
+        .select(col("doc_id"),
+          transform(col("sq"), x => x("f")).as("fl"),
+          transform(col("sq"), x => x("t")).as("tl"),
+          transform(col("sq"), x => x("h")).as("hl"),
+          transform(col("sq"), x => x("w")).as("wl"))
+        .as[(Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+        .map { case (id, fl, tl, hl, wl) =>
+          (id, graft.backend.VlForward.embedLearned(
+            fl.toArray, tl.toArray, hl.toArray, wl.toArray, bank))
+        }
+        .toDF("doc_id", "embedding")
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // I7's MRoPE position ids over the q72 fused layout: 3-D (t, h, w)
     // ids for the planted image span (grid 1×2×2 — q71's merged tokens),
     // sequential ids before, resume-from-max after — exact integers

@@ -19,21 +19,36 @@ object MergerBank {
   val OutDim: Int = 16
   val Scale: Long = 1024L
 
-  /** Integer numerator at flat index i = d·NVals + j. */
+  /** Integer numerator at flat index i = d·NVals + j; the deepstack
+    * merger continues the same stream at offset [[Total]]. */
   def weightK(i: Int): Long = (((i + 1).toLong * B3 + C3) % 4001L) - 2000L
 
+  val Total: Int = OutDim * NVals
+
   def bank: Array[Float] =
-    Array.tabulate(OutDim * NVals)(i => weightK(i).toFloat / Scale)
+    Array.tabulate(Total)(i => weightK(i).toFloat / Scale)
+
+  /** The deepstack merger's matrix — a DISTINCT learned PatchMerger
+    * per deepstack layer in the reference
+    * (`deepstack_merger_list.{i}`, qwen3_vl.rs:476-480). */
+  def deepstackBank: Array[Float] =
+    Array.tabulate(Total)(i => weightK(Total + i).toFloat / Scale)
 
   def files: Map[String, Array[Byte]] = Map(
     "model.safetensors" -> Safetensors.write(Seq(
-      ("merger.mlp.weight", Seq(OutDim, NVals), bank))))
+      ("merger.mlp.weight", Seq(OutDim, NVals), bank),
+      ("deepstack_merger_list.0.mlp.weight", Seq(OutDim, NVals), deepstackBank))))
 
-  def loadedQuantized: IndexedSeq[Long] = {
+  private def loadTensor(name: String): IndexedSeq[Long] = {
     val fs = files
     val order = Safetensors.resolveWeightFiles(fs.keySet)
     val sharded = Safetensors.loadShards(order.map(fs))
-    sharded.tensorF32("merger.mlp.weight")
+    sharded.tensorF32(name)
       .map(f => math.floor(f.toDouble * Scale + 0.5).toLong).toIndexedSeq
   }
+
+  def loadedQuantized: IndexedSeq[Long] = loadTensor("merger.mlp.weight")
+
+  def loadedDeepstackQuantized: IndexedSeq[Long] =
+    loadTensor("deepstack_merger_list.0.mlp.weight")
 }

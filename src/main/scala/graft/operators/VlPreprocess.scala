@@ -290,11 +290,21 @@ object VlPreprocess {
                           patchSize: Int = 2, mergeSize: Int = 2, outDim: Int = 16,
                           minPixels: Long = 1L, maxPixels: Long = 10000000L,
                           mean: Array[Double] = ImagePipeline.ClipMean,
-                          std: Array[Double] = ImagePipeline.ClipStd): DataFrame = {
+                          std: Array[Double] = ImagePipeline.ClipStd,
+                          // learned PatchMerger matrices: the main
+                          // merger and the deepstack layer's OWN
+                          // merger (`deepstack_merger_list.{i}`,
+                          // qwen3_vl.rs:476-480) — each replaces its
+                          // hash-projection slice
+                          mergerBank: Option[IndexedSeq[Long]] = None,
+                          deepstackBank: Option[IndexedSeq[Long]] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val factor = patchSize * mergeSize
     val unit = mergeSize * mergeSize
+    Seq(mergerBank, deepstackBank).flatten.foreach(w =>
+      require(w.length == outDim * unit * 3 * patchSize * patchSize,
+        s"merger bank of ${w.length} != $outDim x ${unit * 3 * patchSize * patchSize}"))
     require(unit.toLong * (3 * patchSize * patchSize) * outDim <= DeepstackCellBase,
       s"outDim $outDim overlaps the deepstack projection slice at base $DeepstackCellBase")
     df.select(col(idCol).cast("long"), col(bytesCol))
@@ -316,9 +326,9 @@ object VlPreprocess {
           var wdx = 0
           while (wdx < nTok / unit) {
             val main = projectNormalized(
-              attendedWindow(qs, wdx * unit, unit, patchDim), outDim, 0L)
+              attendedWindow(qs, wdx * unit, unit, patchDim), outDim, 0L, mergerBank)
             val deep = projectNormalized(
-              rawWindow(qs, wdx * unit, unit, patchDim), outDim, DeepstackCellBase)
+              rawWindow(qs, wdx * unit, unit, patchDim), outDim, DeepstackCellBase, deepstackBank)
             var d = 0
             while (d < outDim) {
               rows += ((id, wdx.toLong, d.toLong, main(d) + deep(d)))

@@ -1910,7 +1910,7 @@ FROM p, cst"""
     * route; `cellBase` selects the merger's projection slice. Mirrors
     * `VlPreprocess.windowedMergeTokens` parameter for parameter. */
   private def vlMergedTokensSql(attend: Boolean, cellBase: Long,
-                                learnedMerger: Boolean = false): String = {
+                                learnedOffset: Option[Int] = None): String = {
     // quantized patch value i of merge-ordered patch `tok` (q69 byte map)
     val qcell =
       s"""CAST(floor(((bs[(3 * (((tok2 // 8) * 2 + (tok2 // 2) % 2) * 2 + (i % 4) // 2) * 8
@@ -1933,10 +1933,11 @@ qs AS (SELECT doc_id, list_transform(range(0, 16), tok2 -> list_transform(range(
 w1 AS (SELECT doc_id, qs, unnest(range(0, 4)) AS tk FROM qs),
 $hqCtes,
 m AS (SELECT doc_id, tk, list_transform(range(0, 16), d ->
-  ${if (learnedMerger)
-      s"list_reduce(list_transform(range(0, 48), j -> (((d * 48 + j + 1) * $B3 + $C3) % 4001 - 2000) * hq[j + 1]), (a,b) -> a + b)::DOUBLE"
-    else
-      s"(list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + ($cellBase + j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0"}) AS mnl FROM hq),
+  ${learnedOffset match {
+    case Some(off) =>
+      s"list_reduce(list_transform(range(0, 48), j -> ((($off + d * 48 + j + 1) * $B3 + $C3) % 4001 - 2000) * hq[j + 1]), (a,b) -> a + b)::DOUBLE"
+    case None =>
+      s"(list_reduce(list_transform(range(0, 48), j -> (hq[j + 1] * $A + ($cellBase + j * 16 + d) * $B + $C) % $M), (a,b) -> a + b)::DOUBLE / 48.0 / $M.0) * 2.0 - 1.0"}}) AS mnl FROM hq),
 nr AS (SELECT doc_id, tk, mnl, sqrt(list_reduce(list_transform(mnl, v -> v*v), (a,b) -> a + b)) AS nv FROM m),
 emb AS (SELECT doc_id, tk AS tok, list_transform(mnl, x -> x / (nv + 1e-12)) AS emb FROM nr)
 SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
@@ -1956,7 +1957,7 @@ SELECT doc_id, tok, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unne
     * formula (the Spark side reads model.safetensors, MergerBankSpec
     * pins them equal). */
   def q85_vl_learned_merger: String =
-    vlMergedTokensSql(attend = true, cellBase = 0L, learnedMerger = true)
+    vlMergedTokensSql(attend = true, cellBase = 0L, learnedOffset = Some(0))
 
   /** Shared fused-span SQL: the q72 text/span layout with a pluggable
     * vision-value subquery `(vid, vtok, vval)`. */
@@ -2065,18 +2066,22 @@ SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(em
     * real q/k/v/o projections of [[graft.backend.VlAttnBank]] (one
     * head of head_dim 8, so sections t,h,w,t all steer angles), with
     * the q86 tail: quantized mix, o_proj matmul in exact int64, l2. */
-  def q91_vl_learned(maxLen: Int = 24, nImg: Int = 4): String = {
+  def q91_vl_learned(maxLen: Int = 24, nImg: Int = 4,
+                     learnedMergers: Boolean = false): String = {
     val H = graft.backend.VlAttnBank.Hidden
     val HD = graft.backend.VlAttnBank.HeadDim
     val offK = graft.backend.VlAttnBank.OffK
     val offV = graft.backend.VlAttnBank.OffV
     val offO = graft.backend.VlAttnBank.OffO
     val qs = "1000000.0"
+    val mainOff = if (learnedMergers) Some(0) else None
+    val deepOff = if (learnedMergers) Some(graft.backend.MergerBank.Total) else None
     val fused = fusedSpanSql(
       s"""SELECT v1.doc_id AS vid, v1.tok AS vtok, v1.val + v2.val AS vval
-  FROM (${vlMergedTokensSql(attend = true, cellBase = 0L)}) v1
+  FROM (${vlMergedTokensSql(attend = true, cellBase = 0L, learnedOffset = mainOff)}) v1
   JOIN (${vlMergedTokensSql(attend = false,
-        cellBase = graft.operators.VlPreprocess.DeepstackCellBase)}) v2
+        cellBase = graft.operators.VlPreprocess.DeepstackCellBase,
+        learnedOffset = deepOff)}) v2
     ON v1.doc_id = v2.doc_id AND v1.tok = v2.tok AND v1.dim = v2.dim
   WHERE v1.dim = 0""",
       maxLen, nImg, withK = true)
@@ -2497,6 +2502,7 @@ FROM events GROUP BY user_id, event_type"""
     "q89_qk_norm" -> q89_qk_norm,
     "q90_stacked_decoder" -> q90_stacked_decoder,
     "q91_vl_learned" -> q91_vl_learned(),
+    "q101_vl_full_learned" -> q91_vl_learned(learnedMergers = true),
     "q92_moe_router" -> q92_moe_router(),
     "q93_moe_megablocks" -> q93_moe_megablocks(),
     "q94_attn_bias" -> q94_attn_bias,
