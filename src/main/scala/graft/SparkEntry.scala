@@ -919,6 +919,20 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // Unigram (SentencePiece) Viterbi segmentation over the fixture
+    // tokenizer.json — the multilingual-e5/XLM-R family; exact int64
+    // DP, pinned (score, longer-piece, id) tie order, <s>...</s> wrap
+    "q102_unigram" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.UnigramIds(
+            bridge.expression(col("text")), graft.model.Unigram.fixture)).as("__ids"))
+        .filter(size(col("__ids")) > 2)
+        .select(col("doc_id"), posexplode(col("__ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+    }),
+
     "q77_wordpiece" -> ((s, dir) => {
       val bridge = org.apache.spark.sql.graftbridge.Bridge
       docs(s, dir)

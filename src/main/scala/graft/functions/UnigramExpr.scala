@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.model.UnigramModel
+
+/** Real-vocab Unigram (SentencePiece) tokenization: normalize → words
+  * (the identical per-char state machine as [[TokenIdsKernel]]/
+  * [[WordPieceIds]]/[[BpeIds]]) → exact-int64 Viterbi max-likelihood
+  * segmentation per word (graft.model.Unigram scaladoc for the HF
+  * semantics, tie rule, and reference citation) → `<s> … </s>` (the
+  * XLM-R template). The model ships as a plan reference object.
+  *
+  * Generates code (no CodegenFallback): one static-shaped call per
+  * row, the call site stays inside WholeStageCodegen. */
+case class UnigramIds(child: Expression, model: UnigramModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    evalRow(input.asInstanceOf[UTF8String])
+
+  def evalRow(input: UTF8String): GenericArrayData = {
+    val s = input.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    out += model.bosId
+    val word = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (word.length > 0) {
+        model.tokenizeWord(word.toString).foreach(out += _)
+        word.setLength(0)
+      }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val lc: Int =
+        if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c.toInt
+        else if (c >= 'A' && c <= 'Z') c.toInt + 32
+        else if (c < 128) -1
+        else if (c == 'İ') -2
+        else {
+          val l = Character.toLowerCase(c)
+          if (l >= 'a' && l <= 'z' || l >= '0' && l <= '9') l.toInt else -1
+        }
+      if (lc >= 0) word.append(lc.toChar)
+      else if (lc == -2) { word.append('i'); flush() }
+      else flush()
+      i += 1
+    }
+    flush()
+    out += model.eosId
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigram", this, classOf[UnigramIds].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalRow($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramIds =
+    copy(child = newChild)
+}

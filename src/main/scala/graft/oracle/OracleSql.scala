@@ -2264,6 +2264,44 @@ sel AS (SELECT doc_id, list_slice(body, 1, $q95MaxLen) AS tids, least(len(body),
       (t, d) => s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)")
   }
 
+  /** q102: Unigram (SentencePiece) Viterbi segmentation over the
+    * fixture tokenizer.json (graft.model.Unigram for the HF
+    * semantics — the multilingual-e5/XLM-R family). The recursive CTE
+    * advances one character position per step carrying the exact
+    * int64 DP list; the best predecessor packs as
+    * `(sc + Bias)·100000 + n·1000 + id` (score, then longer piece,
+    * then id — decoded with truncating `//`/`%`, safe because the
+    * bias keeps keys positive). `<s> … </s>` wrap. */
+  def q102_unigram: String = {
+    val um = graft.model.Unigram.fixture
+    val voc = um.oracleRows
+      .map { case (p, n, sc, id) => s"{'p': '$p', 'n': $n, 'sc': CAST($sc AS BIGINT), 'id': $id}" }
+      .mkString("[", ", ", "]")
+    val bias = graft.model.UnigramModel.Bias
+    s"""WITH RECURSIVE w0 AS (SELECT doc_id, ${toks("text")} AS ws FROM documents),
+words AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS wpos, unnest(ws) AS word FROM w0 WHERE len(ws) > 0),
+vt AS (
+  SELECT doc_id, wpos, word, 0 AS i,
+    [{'sc': CAST(0 AS BIGINT), 'ids': CAST([] AS BIGINT[])}] AS dp
+  FROM words
+  UNION ALL
+  SELECT doc_id, wpos, word, i + 1,
+    list_append(dp, {
+      'sc': bk // 100000 - $bias,
+      'ids': list_append(dp[i + 2 - ((bk % 100000) // 1000)].ids, CAST(bk % 1000 AS BIGINT))}) AS dp
+  FROM (
+    SELECT doc_id, wpos, word, i, dp,
+      list_aggregate(list_transform($voc, p ->
+        CASE WHEN p.n <= i + 1 AND substr(word, i + 2 - p.n, p.n) = p.p
+             THEN (dp[i + 2 - p.n].sc + p.sc + $bias) * 100000 + p.n * 1000 + p.id
+             ELSE NULL END), 'max') AS bk
+    FROM vt WHERE i < len(word)) s),
+fin AS (SELECT doc_id, wpos, dp[len(word) + 1].ids AS ids FROM vt WHERE i = len(word)),
+perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM fin GROUP BY doc_id),
+sq2 AS (SELECT doc_id, list_concat(list_concat([CAST(${um.bosId} AS BIGINT)], body), [CAST(${um.eosId} AS BIGINT)]) AS s2 FROM perdoc)
+SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq2"""
+  }
+
   /** q79: the tokenizer-swap composition — the flagship dense chain
     * (hash projection → exact integer mean → l2 normalize, the q01
     * tail) running over WORDPIECE ids instead of hashing ids, specials
@@ -2509,6 +2547,7 @@ FROM events GROUP BY user_id, event_type"""
     "q95_full_model" -> q95_full_model,
     "q96_learned_rerank" -> q96_learned_rerank(q96Query, q96MaxLen),
     "q97_bpe" -> q97_bpe,
+    "q102_unigram" -> q102_unigram,
     "q98_bpe_full_model" -> q98_bpe_full_model,
     "q99_learned_colbert" -> q99_learned_colbert,
     "q100_tied_sparse" -> q100_tied_sparse,
