@@ -933,6 +933,22 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
     }),
 
+    // the REAL multilingual-e5 pipeline shape: "query: " prefix (the
+    // reference README's E5 convention) -> Unigram Viterbi ids ->
+    // mean-pooled dense tail -> l2; the prefix guarantees every doc
+    // has >= 1 word on both sides
+    "q103_e5_embed" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.UnigramIds(
+            bridge.expression(Templating.asQuery(col("text"))),
+            graft.model.Unigram.fixture)).as("__ids"))
+      TextEmbedder.embedTokens(withIds, "__ids", "emb")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     "q77_wordpiece" -> ((s, dir) => {
       val bridge = org.apache.spark.sql.graftbridge.Bridge
       docs(s, dir)

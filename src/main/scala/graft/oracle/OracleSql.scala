@@ -2272,13 +2272,31 @@ sel AS (SELECT doc_id, list_slice(body, 1, $q95MaxLen) AS tids, least(len(body),
     * `(sc + Bias)·100000 + n·1000 + id` (score, then longer piece,
     * then id — decoded with truncating `//`/`%`, safe because the
     * bias keeps keys positive). `<s> … </s>` wrap. */
-  def q102_unigram: String = {
+  def q102_unigram: String =
+    s"""${unigramCtes()}
+SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq2"""
+
+  /** q103: the REAL multilingual-e5 pipeline shape — `"query: "`
+    * prefix (the reference README's E5 convention), Unigram Viterbi
+    * ids, then the mean-pooled dense tail (specials in the pool like
+    * q79) and l2. The prefix guarantees every doc has ≥ 1 word, so
+    * both sides cover all docs. */
+  def q103_e5_embed(dim: Int = Dim): String =
+    s"""${unigramCtes("'query: ' || text")},
+m AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(s2, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(s2)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM sq2),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM m),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+
+  /** The shared Unigram encoding chain, ending in `sq2(doc_id, s2)` —
+    * s2 is the `<s>`-wrapped piece-id list of `textExpr`. */
+  private def unigramCtes(textExpr: String = "text"): String = {
     val um = graft.model.Unigram.fixture
     val voc = um.oracleRows
       .map { case (p, n, sc, id) => s"{'p': '$p', 'n': $n, 'sc': CAST($sc AS BIGINT), 'id': $id}" }
       .mkString("[", ", ", "]")
     val bias = graft.model.UnigramModel.Bias
-    s"""WITH RECURSIVE w0 AS (SELECT doc_id, ${toks("text")} AS ws FROM documents),
+    s"""WITH RECURSIVE w0 AS (SELECT doc_id, ${toks(textExpr)} AS ws FROM documents),
 words AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS wpos, unnest(ws) AS word FROM w0 WHERE len(ws) > 0),
 vt AS (
   SELECT doc_id, wpos, word, 0 AS i,
@@ -2298,8 +2316,7 @@ vt AS (
     FROM vt WHERE i < len(word)) s),
 fin AS (SELECT doc_id, wpos, dp[len(word) + 1].ids AS ids FROM vt WHERE i = len(word)),
 perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM fin GROUP BY doc_id),
-sq2 AS (SELECT doc_id, list_concat(list_concat([CAST(${um.bosId} AS BIGINT)], body), [CAST(${um.eosId} AS BIGINT)]) AS s2 FROM perdoc)
-SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq2"""
+sq2 AS (SELECT doc_id, list_concat(list_concat([CAST(${um.bosId} AS BIGINT)], body), [CAST(${um.eosId} AS BIGINT)]) AS s2 FROM perdoc)"""
   }
 
   /** q79: the tokenizer-swap composition — the flagship dense chain
@@ -2548,6 +2565,7 @@ FROM events GROUP BY user_id, event_type"""
     "q96_learned_rerank" -> q96_learned_rerank(q96Query, q96MaxLen),
     "q97_bpe" -> q97_bpe,
     "q102_unigram" -> q102_unigram,
+    "q103_e5_embed" -> q103_e5_embed(),
     "q98_bpe_full_model" -> q98_bpe_full_model,
     "q99_learned_colbert" -> q99_learned_colbert,
     "q100_tied_sparse" -> q100_tied_sparse,
