@@ -18,9 +18,12 @@ object ColbertHeadBank {
   val OutDim: Int = 8
   val Scale: Long = 1024L
 
-  /** Integer numerator at flat index i — a distinct constant stream
-    * from the other banks. */
-  def headK(i: Int): Long = (((i + 1).toLong * B3 + C3) % 4001L) - 2000L
+  /** Integer numerator at flat index i. The +6000 offset makes this
+    * a DISTINCT slice of the (B3, C3) stream from [[MergerBank]]
+    * (which reads indices < 1537): the two banks disagree at every
+    * shared index, so wiring the wrong one into a gate fails the
+    * oracle instead of silently passing. */
+  def headK(i: Int): Long = (((i + 1 + 6000).toLong * B3 + C3) % 4001L) - 2000L
 
   def files: Map[String, Array[Byte]] = Map(
     "model.safetensors" -> Safetensors.write(Seq(

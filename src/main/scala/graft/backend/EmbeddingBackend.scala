@@ -122,7 +122,7 @@ object BackendEmbedder {
       // re-evaluates the whole tokenizer expression per row (2x the
       // scan-stage cost for the heavy WordPiece/BPE tokenizers); here
       // the already-materialized array just checks its length
-      .filter((r: (Long, Array[Long])) => r._2.length >= minTokens)
+      .filter((r: (Long, Array[Long])) => r._2 != null && r._2.length >= minTokens)
       .mapPartitions { it =>
         val be = BackendRegistry.getOrCreate(bKey, () => backend)
         it.grouped(batchSize).flatMap { group =>
@@ -137,20 +137,24 @@ object BackendEmbedder {
     * one forward per doc serves all its token rows
     * ([[DecoderLayerBackend.colbertTokens]] — the reference's
     * `[batch, seq_len - 1, dim]` third head). Narrow flatMap, no
-    * shuffle; the tiny head matrix rides the task closure. */
+    * shuffle; the model instantiates once per executor through the
+    * registry (the S5 per-executor-session pattern, like [[embed]]). */
   def colbertTokens(df: DataFrame, idCol: String, tidsCol: String,
                     model: DecoderLayerBackend,
                     w: IndexedSeq[Long], outDim: Int,
                     minTokens: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val bKey = "colbert:" + model.toString
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(tidsCol))
       .as[(Long, Array[Long])]
-      .filter((r: (Long, Array[Long])) => r._2.length >= minTokens)
+      .filter((r: (Long, Array[Long])) => r._2 != null && r._2.length >= minTokens)
       .mapPartitions { it =>
+        val be = BackendRegistry.getOrCreate(bKey, () => model)
+          .asInstanceOf[DecoderLayerBackend]
         it.flatMap { case (id, tids) =>
-          model.colbertTokens(tids, w, outDim).iterator.zipWithIndex.flatMap {
+          be.colbertTokens(tids, w, outDim).iterator.zipWithIndex.flatMap {
             case (vec, p) => vec.iterator.zipWithIndex.map {
               case (v, d) => (id, p.toLong, d.toLong, v)
             }
@@ -171,10 +175,12 @@ object BackendEmbedder {
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(tidsCol))
       .as[(Long, Array[Long])]
-      .filter((r: (Long, Array[Long])) => r._2.length >= minTokens)
+      .filter((r: (Long, Array[Long])) => r._2 != null && r._2.length >= minTokens)
       .mapPartitions { it =>
+        val be = BackendRegistry.getOrCreate("tied:" + model.toString, () => model)
+          .asInstanceOf[DecoderLayerBackend]
         it.flatMap { case (id, tids) =>
-          model.tiedSparseWeights(tids).iterator.map { case (v, w) => (id, v, w) }
+          be.tiedSparseWeights(tids).iterator.map { case (v, w) => (id, v, w) }
         }
       }
       .toDF(idCol, "term_id", "weight")

@@ -86,7 +86,7 @@ object LayerBank {
       g1: IndexedSeq[Long],
       g2: IndexedSeq[Long]) extends Serializable
 
-  private def load(): (IndexedSeq[Weights], IndexedSeq[Long]) = {
+  private def load(): (IndexedSeq[Long], IndexedSeq[Weights], IndexedSeq[Long]) = {
     val fs = shardFiles
     val order = Safetensors.resolveWeightFiles(fs.keySet)
     val sh = Safetensors.loadShards(order.map(fs))
@@ -101,26 +101,21 @@ object LayerBank {
         quant(s"model.layers.$l.input_layernorm.weight", GainScale),
         quant(s"model.layers.$l.post_attention_layernorm.weight", GainScale))
     }
-    (layers, quant("model.norm.weight", GainScale))
+    (quant("model.embed_tokens.weight", EmbTableBank.Scale),
+      layers, quant("model.norm.weight", GainScale))
   }
+
+  /** The FULL model view of the checkpoint, materialized ONCE per JVM:
+    * the learned `model.embed_tokens` table (quantized to its k/1024
+    * numerators, token-major — the [[EmbTableBank]] values,
+    * spec-pinned equal), the decoder stack, and the final norm
+    * gains. */
+  lazy val loadedFull: (IndexedSeq[Long], IndexedSeq[Weights], IndexedSeq[Long]) = load()
 
   /** The loaded stack: per-layer weights plus the model-level final
-    * norm gains. */
-  lazy val loadedStack: (IndexedSeq[Weights], IndexedSeq[Long]) = load()
-
-  /** The FULL model view of the same checkpoint: the learned
-    * `model.embed_tokens` table (quantized to its k/1024 numerators,
-    * token-major — the [[EmbTableBank]] values, spec-pinned equal)
-    * plus the decoder stack and final norm gains. */
-  lazy val loadedFull: (IndexedSeq[Long], IndexedSeq[Weights], IndexedSeq[Long]) = {
-    val fs = shardFiles
-    val order = Safetensors.resolveWeightFiles(fs.keySet)
-    val sh = Safetensors.loadShards(order.map(fs))
-    val emb = sh.tensorF32("model.embed_tokens.weight")
-      .map(f => math.floor(f.toDouble * EmbTableBank.Scale + 0.5).toLong).toIndexedSeq
-    val (layers, gf) = loadedStack
-    (emb, layers, gf)
-  }
+    * norm gains (a view of [[loadedFull]] — the shards parse once). */
+  def loadedStack: (IndexedSeq[Weights], IndexedSeq[Long]) =
+    (loadedFull._2, loadedFull._3)
 
   /** Layer 0 + final gains — the single-layer (q88) view. */
   def loaded: (Weights, IndexedSeq[Long]) = {

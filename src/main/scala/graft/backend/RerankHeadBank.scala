@@ -19,9 +19,12 @@ object RerankHeadBank {
   val Scale: Long = 1024L
 
   /** Integer numerator at index i — weight rows at i < [[Hidden]], the
-    * bias at i == [[Hidden]]; a distinct constant stream from the
-    * other banks. */
-  def headK(i: Int): Long = (((i + 1).toLong * B3 + A3) % 4001L) - 2000L
+    * bias at i == [[Hidden]]. The +5000 offset makes this a DISTINCT
+    * slice of the (B3, A3) stream from [[SparseLinearBank]]/
+    * [[ProjectionBank]] (which read indices < 1025): the banks
+    * disagree at every shared index, so a wrong-bank wiring fails the
+    * oracle instead of silently passing. */
+  def headK(i: Int): Long = (((i + 1 + 5000).toLong * B3 + A3) % 4001L) - 2000L
 
   def files: Map[String, Array[Byte]] = Map(
     "model.safetensors" -> Safetensors.write(Seq(

@@ -28,38 +28,10 @@ case class WordPieceIds(child: Expression, model: WordPieceModel)
     evalRow(input.asInstanceOf[UTF8String])
 
   def evalRow(input: UTF8String): GenericArrayData = {
-    val s = input.toString
-    val n = s.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     out += model.clsId
-    val word = new java.lang.StringBuilder
-    def flush(): Unit =
-      if (word.length > 0) {
-        model.tokenizeWord(word.toString).foreach(out += _)
-        word.setLength(0)
-      }
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      // same classification as TokenIdsKernel.eval: lowercase landing
-      // in [a-z0-9] joins the word, everything else separates; U+0130
-      // contributes 'i' then separates (its string lowercase is
-      // "i" + combining dot)
-      val lc: Int =
-        if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c.toInt
-        else if (c >= 'A' && c <= 'Z') c.toInt + 32
-        else if (c < 128) -1
-        else if (c == 'İ') -2
-        else {
-          val l = Character.toLowerCase(c)
-          if (l >= 'a' && l <= 'z' || l >= '0' && l <= '9') l.toInt else -1
-        }
-      if (lc >= 0) word.append(lc.toChar)
-      else if (lc == -2) { word.append('i'); flush() }
-      else flush()
-      i += 1
-    }
-    flush()
+    WordStream.foreachWord(input.toString,
+      w => model.tokenizeWord(w).foreach(out += _))
     out += model.sepId
     new GenericArrayData(out.toArray)
   }

@@ -85,12 +85,17 @@ object Bpe {
       }
       case v => throw new IllegalArgumentException(s"model.vocab missing: $v")
     }
+    // both serializations of the merge list are public HF format:
+    // legacy "a b" lines, and the [["a", "b"], …] pair form newer
+    // tokenizers releases write
     val merges = model \ "merges" match {
       case JArray(items) => items.map {
         case JString(line) => line.split(" ", 2) match {
           case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
           case _ => throw new IllegalArgumentException(s"bad merge line '$line'")
         }
+        case JArray(JString(a) :: JString(b) :: Nil) if a.nonEmpty && b.nonEmpty =>
+          (a, b)
         case v => throw new IllegalArgumentException(s"bad merge entry $v")
       }
       case v => throw new IllegalArgumentException(s"model.merges missing: $v")

@@ -24,6 +24,16 @@ final case class UnigramModel(
 
   require(pieces.map(_._1).distinct.size == pieces.size, "duplicate vocab pieces")
   require(unkId >= 0 && unkId < pieces.size, s"unk_id $unkId out of range")
+  // packed-key field bounds (see tokenizeWord): id < 2^18, piece
+  // length < 2^7, |score·1024| < 2^17 (|logprob| < 128 — real Unigram
+  // scores sit far inside this). Violations fail at LOAD, not as a
+  // silently wrong segmentation.
+  require(pieces.size < (1 << 18),
+    s"vocab of ${pieces.size} pieces overflows the 18-bit id field")
+  pieces.foreach { case (p, sc) =>
+    require(p.length < (1 << 7), s"piece '${p.take(20)}…' of ${p.length} chars overflows the length field")
+    require(math.abs(sc) < (1L << 17), s"piece '$p' score $sc overflows the score field")
+  }
 
   private val idOf: Map[String, Int] = pieces.map(_._1).zipWithIndex.toMap
   val bosId: Long = idOf.getOrElse(bosPiece, 1).toLong
@@ -40,15 +50,19 @@ final case class UnigramModel(
     if (pieces.isEmpty) 1 else pieces.map(_._1.length).max
 
   /** Viterbi segmentation of one normalized word. The packed
-    * comparison key `(sc + Bias)·100000 + n·1000 + id` realizes the
-    * pinned (score, length, id) order exactly like the oracle (n <
-    * 100, id < 1000, score steps of 100000 dominate; the bias keeps
-    * keys positive so the oracle's truncating `//`/`%` decode them).
-    * A word touching a character outside the vocab alphabet UNKs
-    * whole (the gated corpus is closed over [a-z0-9], all of which
-    * are pieces). */
+    * comparison key `(sc + Bias)·2^25 + n·2^18 + id` realizes the
+    * pinned (score, length, id) order exactly like the oracle
+    * (length < 2^7 and id < 2^18 are load-time invariants; score
+    * steps of 2^25 dominate both; the 2^36 bias keeps keys positive —
+    * |path score| < wordLen·2^17 ≤ 2^36 under the word-length guard —
+    * so the oracle's truncating `//`/`%` decode them exactly). A word
+    * touching a character outside the vocab alphabet UNKs whole (the
+    * gated corpus is closed over [a-z0-9], all of which are
+    * pieces). */
   def tokenizeWord(word: String): Seq[Long] = {
     if (word.isEmpty) return Seq.empty
+    require(word.length <= UnigramModel.MaxWordLen,
+      s"word of ${word.length} chars overflows the packed Viterbi key")
     val n = word.length
     val MinSc = Long.MinValue / 4
     val best = Array.fill(n + 1)(MinSc)
@@ -65,7 +79,7 @@ final case class UnigramModel(
           idOf.get(word.substring(start, i)) match {
             case Some(id) =>
               val sc = best(start) + pieces(id)._2
-              val key = (sc + UnigramModel.Bias) * 100000L + l.toLong * 1000L + id.toLong
+              val key = ((sc + UnigramModel.Bias) << 25) | (l.toLong << 18) | id.toLong
               if (key > bestKey(i)) {
                 bestKey(i) = key
                 best(i) = sc
@@ -96,9 +110,12 @@ final case class UnigramModel(
 }
 
 object UnigramModel {
-  /** Key bias keeping packed Viterbi keys positive (|path score| is
-    * far below this for any realistic word). */
-  val Bias: Long = 1000000L
+  /** Key bias keeping packed Viterbi keys positive: 2^36 exceeds the
+    * largest possible |path score| = MaxWordLen · 2^17 (the per-piece
+    * score bound), so `sc + Bias > 0` always and key < 2^62. */
+  val Bias: Long = 1L << 36
+  /** Longest word the packed key covers (MaxWordLen · 2^17 ≤ Bias). */
+  val MaxWordLen: Int = 100000
 }
 
 object Unigram {

@@ -1601,7 +1601,7 @@ sel AS (SELECT doc_id, list_slice(s2, 1, $q95MaxLen) AS tids, least(len(s2), $q9
     require(budgetB > 0, s"maxLen $maxLen leaves no room for the second sequence")
     val head = (wp.clsId +: qIds :+ wp.sepId)
       .map(i => s"CAST($i AS BIGINT)").mkString("[", ", ", "]")
-    def hk(i: String) = s"((($i) + 1) * $B3 + $A3) % 4001 - 2000"
+    def hk(i: String) = s"((($i) + 5001) * $B3 + $A3) % 4001 - 2000"
     stackedDecoderSql(
       s"""${wordpieceCtes()},
 pe AS (SELECT doc_id, list_concat(list_concat($head, list_slice(list_slice(s2, 2, len(s2) - 1), 1, $budgetB)), [CAST(${wp.sepId} AS BIGINT)]) AS tids FROM sq),
@@ -1621,7 +1621,7 @@ SELECT doc_id, list_reduce(list_transform(range(0, $H), d3 -> ((${hk("d3")})::DO
     val H = graft.backend.AttnBank.Hidden
     val CO = graft.backend.ColbertHeadBank.OutDim
     val dim = graft.backend.EmbTableBank.Dim
-    def hk(i: String) = s"((($i) + 1) * $B3 + $C3) % 4001 - 2000"
+    def hk(i: String) = s"((($i) + 6001) * $B3 + $C3) % 4001 - 2000"
     stackedDecoderSql(
       s"""${wordpieceCtes()},
 sel AS (SELECT doc_id, list_slice(s2, 1, $q95MaxLen) AS tids, least(len(s2), $q95MaxLen) AS n FROM sq WHERE len(s2) > 2)""",
@@ -2269,9 +2269,10 @@ sel AS (SELECT doc_id, list_slice(body, 1, $q95MaxLen) AS tids, least(len(body),
     * semantics — the multilingual-e5/XLM-R family). The recursive CTE
     * advances one character position per step carrying the exact
     * int64 DP list; the best predecessor packs as
-    * `(sc + Bias)·100000 + n·1000 + id` (score, then longer piece,
-    * then id — decoded with truncating `//`/`%`, safe because the
-    * bias keeps keys positive). `<s> … </s>` wrap. */
+    * `(sc + Bias)·2^25 + n·2^18 + id` (score, then longer piece, then
+    * id — decoded with truncating `//`/`%`, safe because the 2^36
+    * bias keeps keys positive for any in-bounds word). `<s> … </s>`
+    * wrap. */
   def q102_unigram: String =
     s"""${unigramCtes()}
 SELECT doc_id, CAST(generate_subscripts(s2, 1) - 1 AS BIGINT) AS pos, unnest(s2) AS token_id FROM sq2"""
@@ -2305,13 +2306,13 @@ vt AS (
   UNION ALL
   SELECT doc_id, wpos, word, i + 1,
     list_append(dp, {
-      'sc': bk // 100000 - $bias,
-      'ids': list_append(dp[i + 2 - ((bk % 100000) // 1000)].ids, CAST(bk % 1000 AS BIGINT))}) AS dp
+      'sc': bk // 33554432 - $bias,
+      'ids': list_append(dp[i + 2 - ((bk % 33554432) // 262144)].ids, CAST(bk % 262144 AS BIGINT))}) AS dp
   FROM (
     SELECT doc_id, wpos, word, i, dp,
       list_aggregate(list_transform($voc, p ->
         CASE WHEN p.n <= i + 1 AND substr(word, i + 2 - p.n, p.n) = p.p
-             THEN (dp[i + 2 - p.n].sc + p.sc + $bias) * 100000 + p.n * 1000 + p.id
+             THEN (dp[i + 2 - p.n].sc + p.sc + $bias) * 33554432 + p.n * 262144 + p.id
              ELSE NULL END), 'max') AS bk
     FROM vt WHERE i < len(word)) s),
 fin AS (SELECT doc_id, wpos, dp[len(word) + 1].ids AS ids FROM vt WHERE i = len(word)),

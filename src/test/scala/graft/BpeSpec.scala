@@ -42,6 +42,14 @@ class BpeSpec extends AnyFunSuite {
     assert(m.tokenizeWord("aaaa") == Seq(1L, 1L))
   }
 
+  test("loader accepts the array-pair merges form newer tokenizers write") {
+    val js = """{"model": {"type": "BPE",
+      "vocab": {"a": 0, "b": 1, "ab": 2},
+      "merges": [["a", "b"]]}}"""
+    val m = Bpe.fromTokenizerJson(js.getBytes("UTF-8"))
+    assert(m.tokenizeWord("ab") == Seq(2L))
+  }
+
   test("loader rejects non-BPE models, bad merges, and uncovered merges") {
     val wp = """{"model": {"type": "WordPiece", "vocab": {"a": 0}, "merges": []}}"""
     assertThrows[IllegalArgumentException](

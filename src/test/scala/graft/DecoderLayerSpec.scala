@@ -147,6 +147,8 @@ class DecoderLayerSpec extends AnyFunSuite {
     val w = graft.backend.ColbertHeadBank.loadedQuantized
     val out = graft.backend.ColbertHeadBank.OutDim
     val tids = Array(1L, 7L, 23L, 4L)
+    // distinct from MergerBank's (B3, C3) stream at every shared index
+    assert(w.indices.map(i => graft.backend.MergerBank.weightK(i)) != w)
     val vecs = fm.colbertTokens(tids, w, out)
     assert(vecs.length == tids.length - 1)
     vecs.foreach { v =>

@@ -16,6 +16,10 @@ class RerankHeadSpec extends AnyFunSuite {
     assert(w.length == RerankHeadBank.Hidden)
     assert(w.indices.forall(i => w(i) == RerankHeadBank.headK(i)))
     assert(b == RerankHeadBank.headK(RerankHeadBank.Hidden))
+    // distinct from the other (B3, A3)-stream banks: a wrong-bank
+    // wiring must fail the oracle, not silently pass
+    assert(w.indices.map(i => graft.backend.SparseLinearBank.weightK(i)) != w)
+    assert(w.indices.map(i => graft.backend.ProjectionBank.weightK(i)) != w)
   }
 
   test("the score IS the head fold over the pooled hidden, bias last") {
