@@ -125,6 +125,24 @@ object Graft {
       minTokens = minTokens)
   }
 
+  /** The FULL learned NomicBert-MoE route — the reference's second
+    * architecture family (`NomicV2MoeTextEmbedding::embed`,
+    * nomic_v2_moe.rs:764-800) with every parameter from one two-shard
+    * checkpoint: WordPiece ids → learned word+type embeddings →
+    * `emb_ln` → post-norm bidirectional blocks (layer 0 std MLP,
+    * layer 1 megablocks MoE) → masked mean pool → l2.
+    * (id, embedding) rows. */
+  def textEmbeddingNomicMoE(df: DataFrame, idCol: String, textCol: String,
+                            maxLen: Int = graft.oracle.OracleSql.q104MaxLen): DataFrame = {
+    import org.apache.spark.sql.functions.{col, slice}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val ids = bridge.column(graft.functions.WordPieceIds(
+      bridge.expression(col(textCol)), graft.model.WordPiece.fixture))
+    graft.backend.BackendEmbedder.embed(
+      df.select(col(idCol), slice(ids, 1, maxLen).as("__tids")),
+      idCol, "__tids", graft.backend.NomicModelBackend(), minTokens = 3)
+  }
+
   /** The LEARNED cross-encoder rerank route — pair ids through the
     * full learned model's pooled pre-normalize hidden, then the real
     * `score.weight`/`score.bias` classification row: the reference's

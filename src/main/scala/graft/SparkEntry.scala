@@ -949,6 +949,27 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the COMPLETE learned NomicBert-MoE model from one two-shard
+    // checkpoint: WordPiece ids -> learned word+type embeddings ->
+    // emb_ln -> two POST-norm blocks (bidirectional combined-Wqkv
+    // attention with biases + non-interleaved partial rotary; layer 0
+    // std fc1/fc2 MLP, layer 1 learned megablocks MoE) -> masked mean
+    // pool -> l2 — the I5 capstone, q95's full-model treatment for the
+    // reference's second architecture family
+    "q104_nomic_model" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val maxLen = graft.oracle.OracleSql.q104MaxLen
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), graft.model.WordPiece.fixture)).as("wp"))
+        .select(col("doc_id"), slice(col("wp"), 1, maxLen).as("tids"))
+      BackendEmbedder.embed(withIds, "doc_id", "tids",
+        graft.backend.NomicModelBackend(), minTokens = 3)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     "q77_wordpiece" -> ((s, dir) => {
       val bridge = org.apache.spark.sql.graftbridge.Bridge
       docs(s, dir)

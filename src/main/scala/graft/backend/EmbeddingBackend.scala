@@ -92,6 +92,7 @@ object Backends {
       case "graft-qwen3-8" => DecoderLayerBackend.fromBank()
       case "graft-qwen3-8-x2" => DecoderLayerBackend.stacked()
       case "graft-qwen3-8-full" => DecoderLayerBackend.fullModel()
+      case "graft-nomic-8" => NomicModelBackend()
       case "graft-gqa-8" => GqaAttentionBackend.withQkNorm()
       case _ => HashingBackend(info.dim)
     }

@@ -96,7 +96,10 @@ object ModelRegistry {
       Pooling.Last),
     ModelInfo("graft-qwen3-8-full", 8,
       "the COMPLETE learned model: learned embed_tokens + two-layer stack + final norm from one checkpoint",
-      Pooling.Last)
+      Pooling.Last),
+    ModelInfo("graft-nomic-8", 8,
+      "the COMPLETE learned NomicBert-MoE model: word+type embeddings, emb_ln, post-norm bidirectional blocks, megablocks MoE layer, from one checkpoint",
+      Pooling.Mean)
   ).map(m => m.name -> m).toMap
 
   @volatile private var userModels: Map[String, ModelInfo] = Map.empty

@@ -1782,6 +1782,128 @@ ${layerChain("a", "s0l", "s0c", 0, 0, 0, H, "n", "qi")},
 $chainB$epilogue"""
   }
 
+  /** q104 sequence cap: bounds the bidirectional O(n²) per-layer pass;
+    * shared by the Spark query and the oracle. */
+  val q104MaxLen: Int = 48
+
+  /** q104: the COMPLETE learned NomicBert-MoE model
+    * ([[graft.backend.NomicModelBackend]]) — WordPiece ids → learned
+    * `embeddings.word_embeddings` + `token_type_embeddings` row 0 →
+    * `emb_ln` LayerNorm → two POST-norm blocks (bidirectional combined-
+    * Wqkv attention with biases and non-interleaved partial rotary;
+    * layer 0 a standard fc1/fc2 MLP, layer 1 the learned megablocks
+    * MoE) → masked mean pool → l2. Every constant recomputes the
+    * [[graft.backend.NomicBank]] generating streams the Spark side
+    * reads from the two-shard safetensors checkpoint (NomicBankSpec
+    * pins them equal); every double op mirrors the backend term for
+    * term. */
+  def q104_nomic_model: String = {
+    import graft.backend.NomicBank._
+    val H = Hidden
+    val D = HeadDim
+    val hf = RotaryDim / 2
+    val I = Inter
+    val NE = NExperts
+    val qOut = NHeads * HeadDim
+    val ctr = graft.backend.GatedMlpBackend.Center
+    val qs = "1000000.0"
+    def wk(i: String) = s"(((($i) + 1 + 20000) * $B3 + $A3) % 4001 - 2000)"
+    def gn(i: String) = s"(2048 + ((($i) + 1) * $B3 + $C3) % 2049 - 1024)"
+    // LayerNorm over a list-of-lists column: mean/var in doubles per
+    // inner list (left-to-right list_reduce = the backend's loops),
+    // eps 1e-5, gain (1 + k/2048), bias k/1024, floor-round to QS
+    def lnList(listVar: String, gb: Int, bb: Int): String = {
+      val mu = s"((list_reduce(s, (a,b) -> a + b))::DOUBLE / $qs / $H.0)"
+      s"""list_transform($listVar, s -> list_transform(range(0, $H), e2 ->
+  CAST(floor(((s[e2 + 1]::DOUBLE / $qs - $mu) / sqrt(list_reduce(list_transform(s, v -> (v::DOUBLE / $qs - $mu) * (v::DOUBLE / $qs - $mu)), (a,b) -> a + b) / $H.0 + 1e-5) * ((${gn(s"$gb + e2")})::DOUBLE / 2048.0) + (${wk(s"$bb + e2")})::DOUBLE / 1024.0) * $qs + 0.5) AS BIGINT)))"""
+    }
+    // combined-Wqkv row r (+ bias) of layer base b, reduced into [0, M3)
+    def pq(sv: String, b: Int, r: String) =
+      s"(((list_reduce(list_transform(range(0, $H), e -> (${wk(s"$b + ($r) * $H + e")}) * ($sv)[e + 1]), (a,b) -> a + b) + (${wk(s"$b + $RWqkvB + ($r)")})) % $M3 + $M3) % $M3)"
+    // non-interleaved partial rotary at output index i (lambda var):
+    // head-local dims [0, Rd) rotate as halves, the tail passes through
+    def rot(sv: String, b: Int, ro: Int, p: String): String = {
+      val u = s"(($p) + ((i % $D) % $hf) + 2)"
+      val c = s"($u * $u - 1)"
+      val sn = s"(2 * $u)"
+      val a = pq(sv, b, s"$ro + i - (i % $D) + ((i % $D) % $hf)")
+      val bb = pq(sv, b, s"$ro + i - (i % $D) + ((i % $D) % $hf) + $hf")
+      s"(CASE WHEN i % $D >= $RotaryDim THEN ${pq(sv, b, s"$ro + i")} " +
+        s"WHEN i % $D < $hf THEN ((($a) * $c - ($bb) * $sn) % $M3 + $M3) % $M3 " +
+        s"ELSE ((($bb) * $c + ($a) * $sn) % $M3 + $M3) % $M3 END)"
+    }
+    // one post-norm block: stl (list of QS states) -> ol
+    def layer(p: String, from: String, statesCol: String, l: Int): String = {
+      val b = layerBase(l)
+      val mlpCtes =
+        if (l % 2 == 0)
+          s"""${p}av AS (SELECT doc_id, n, h1l,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $I), i -> greatest((((list_reduce(list_transform(range(0, $H), e -> (${wk(s"$b + $RFc1 + i * $H + e")}) * h1l[qi][e + 1]), (a,b) -> a + b) + (${wk(s"$b + $RFc1B + i")})) % $M3 + $M3) % $M3) - $ctr, 0))) AS al FROM ${p}h1),
+${p}ml AS (SELECT doc_id, n, h1l,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $H), d ->
+      CAST(floor(((list_reduce(list_transform(range(0, $I), i -> (${wk(s"$b + $RFc2 + d * $I + i")}) * al[qi][i + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 / $M3.0 + (${wk(s"$b + $RFc2B + d")})::DOUBLE / 1024.0) * $qs + 0.5) AS BIGINT))) AS ml FROM ${p}av)"""
+        else {
+          def up(ex: String, i: String) =
+            s"greatest((((list_reduce(list_transform(range(0, $H), e2 -> (${wk(s"$b + $RW1 + (($ex) * $I + ($i)) * $H + e2")}) * h1l[qi][e2 + 1]), (a,b) -> a + b)) % $M3 + $M3) % $M3) - $ctr, 0)"
+          def eOut(kv: String) = {
+            val ex = s"($NE - 1 - ($kv) % $NE)"
+            s"list_reduce(list_transform(range(0, $I), i -> (${up(ex, "i")}) * (${wk(s"$b + $RW2 + ($ex * $I + i) * $H + d")})), (a,b) -> a + b)"
+          }
+          s"""${p}rs AS (SELECT doc_id, n, h1l,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $NE), e -> ((list_reduce(list_transform(range(0, $H), e2 -> (${wk(s"$b + $RRouter + e * $H + e2")}) * h1l[qi][e2 + 1]), (a,b) -> a + b)) % $M3 + $M3) % $M3)) AS sc FROM ${p}h1),
+${p}ks AS (SELECT doc_id, n, h1l, sc,
+  list_transform(range(1, n + 1), qi -> list_reduce(list_transform(range(0, $NE), e -> sc[qi][e + 1] * $NE + ($NE - 1 - e)), (a,b) -> greatest(a, b))) AS k1,
+  list_transform(range(1, n + 1), qi -> list_reduce(sc[qi], (a,b) -> a + b) + $NE) AS denom FROM ${p}rs),
+${p}k2 AS (SELECT doc_id, n, h1l, sc, k1, denom,
+  list_transform(range(1, n + 1), qi -> list_reduce(list_filter(list_transform(range(0, $NE), e -> sc[qi][e + 1] * $NE + ($NE - 1 - e)), x -> x != k1[qi]), (a,b) -> greatest(a, b))) AS k2 FROM ${p}ks),
+${p}ml AS (SELECT doc_id, n, h1l,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $H), d ->
+      CAST(floor((((k1[qi] // $NE + 1) * (${eOut("k1[qi]")}) + (k2[qi] // $NE + 1) * (${eOut("k2[qi]")}))::DOUBLE / denom[qi]::DOUBLE / 1024.0 / $M3.0 + (${wk(s"$b + $REb + d")})::DOUBLE / 1024.0) * $qs + 0.5) AS BIGINT))) AS ml FROM ${p}k2)"""
+        }
+      s"""${p}kv AS (SELECT doc_id, n, $statesCol AS stl,
+  list_transform(range(1, n + 1), j -> list_transform(range(0, $qOut), i -> ${rot(s"($statesCol)[j]", b, 0, "j - 1")})) AS ql,
+  list_transform(range(1, n + 1), j -> list_transform(range(0, $qOut), i -> ${rot(s"($statesCol)[j]", b, H, "j - 1")})) AS kl,
+  list_transform(range(1, n + 1), j -> list_transform(range(0, $qOut), i -> ${pq(s"($statesCol)[j]", b, s"${2 * H} + i")})) AS vl FROM $from),
+${p}ws AS (SELECT doc_id, n, stl, vl,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(1, n + 1), j ->
+      list_transform(range(0, $NHeads), hn ->
+        (list_reduce(list_transform(range(0, $D), d -> ql[qi][hn * $D + d + 1] * kl[j][hn * $D + d + 1]), (a,b) -> a + b) % $M3) + 1))) AS w FROM ${p}kv),
+${p}ys AS (SELECT doc_id, n, stl,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $NHeads), hn -> list_reduce(list_transform(range(1, n + 1), j -> w[qi][j][hn + 1]), (a,b) -> a + b))) AS tw,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $qOut), i -> list_reduce(list_transform(range(1, n + 1), j -> w[qi][j][(i // $D) + 1] * vl[j][i + 1]), (a,b) -> a + b))) AS y FROM ${p}ws),
+${p}zq AS (SELECT doc_id, n, stl,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $qOut), i ->
+      CAST(floor(((y[qi][i + 1]::DOUBLE / tw[qi][(i // $D) + 1]::DOUBLE / $M3.0) * 2.0 - 1.0) * $qs + 0.5) AS BIGINT))) AS z FROM ${p}ys),
+${p}r1 AS (SELECT doc_id, n,
+  list_transform(range(1, n + 1), qi ->
+    list_transform(range(0, $H), dd ->
+      stl[qi][dd + 1] + CAST(floor((list_reduce(list_transform(range(0, $qOut), e -> (${wk(s"$b + $ROut + dd * $qOut + e")}) * z[qi][e + 1]), (a,b) -> a + b) + (${wk(s"$b + $ROutB + dd")}) * 1000000)::DOUBLE / 1024.0 + 0.5) AS BIGINT))) AS r1l FROM ${p}zq),
+${p}h1 AS (SELECT doc_id, n, ${lnList("r1l", gN1(l), b + RN1B)} AS h1l FROM ${p}r1),
+$mlpCtes,
+${p}r2 AS (SELECT doc_id, n, list_transform(range(1, n + 1), qi -> list_transform(range(0, $H), d -> h1l[qi][d + 1] + ml[qi][d + 1])) AS r2l FROM ${p}ml),
+${p}o AS (SELECT doc_id, n, ${lnList("r2l", gN2(l), b + RN2B)} AS ol FROM ${p}r2)"""
+    }
+    s"""${wordpieceCtes()},
+sel AS (SELECT doc_id, list_slice(s2, 1, $q104MaxLen) AS tids, least(len(s2), $q104MaxLen) AS n FROM sq WHERE len(s2) > 2),
+e0 AS (SELECT doc_id, n, list_transform(range(1, n + 1), j ->
+  list_transform(range(0, $H), d -> CAST(floor(((${wk(s"tids[j] * $H + d")}) + (${wk(s"$OffType + d")}))::DOUBLE / 1024.0 * $qs + 0.5) AS BIGINT))) AS s0l FROM sel),
+x0 AS (SELECT doc_id, n, ${lnList("s0l", GEmbLn, OffEmbLnB)} AS x0l FROM e0),
+${layer("a", "x0", "x0l", 0)},
+${layer("b", "ao", "ol", 1)},
+pl AS (SELECT doc_id, list_transform(range(0, $H), d -> (list_reduce(list_transform(range(1, n + 1), j -> ol[j][d + 1]), (a,b) -> a + b))::DOUBLE / n::DOUBLE / $qs) AS mn FROM bo),
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v * v), (a,b) -> a + b)) AS nv FROM pl),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+  }
+
   /** q70: the MoE-routing backend ([[graft.backend.MoEBackend]]) as a
     * RELATIONAL recompute — legal because each token's mixed expert
     * output is quantized to an exact long before the cross-token sum, so
@@ -2567,6 +2689,7 @@ FROM events GROUP BY user_id, event_type"""
     "q97_bpe" -> q97_bpe,
     "q102_unigram" -> q102_unigram,
     "q103_e5_embed" -> q103_e5_embed(),
+    "q104_nomic_model" -> q104_nomic_model,
     "q98_bpe_full_model" -> q98_bpe_full_model,
     "q99_learned_colbert" -> q99_learned_colbert,
     "q100_tied_sparse" -> q100_tied_sparse,
