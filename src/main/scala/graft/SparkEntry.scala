@@ -399,6 +399,22 @@ object SparkEntry {
       Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", 8)
         .select(col("doc_id"), col("pos"), col("shingle"), col("span_docs"))),
 
+    // cross-doc duplicated-block stats (the ccnet-style duplicate-chunk
+    // signal): non-overlapping width-8 blocks, a block is duplicated
+    // when its hash occurs in >1 distinct doc; exact integer counts
+    "q105_dup_blocks" -> ((s, dir) =>
+      Dedup.dupBlockStats(docs(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_blocks"), col("dup_blocks"))),
+
+    // DSIR importance masses: hashed word-bigram features, add-one-
+    // smoothed target/source bucket counts as exact integer per-doc
+    // masses; target = docs with doc_id < 100 (the q41 split)
+    "q106_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirMasses(d, "doc_id", "text", d.filter(col("doc_id") < 100), 4096, 2)
+        .select(col("doc_id"), col("t_mass"), col("s_mass"))
+    }),
+
     // per-source top-5 keywords by ln-free tf-idf — grouped partial
     // top-k, three stats branches over one tokenization
     "q62_source_keywords" -> ((s, dir) =>

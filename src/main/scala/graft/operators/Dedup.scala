@@ -485,6 +485,55 @@ object Dedup {
         s => !exists(starts, st => st <= s("i") && s("i") < st + lit(n.toLong))),
       s => s("t"))
 
+  /** Cross-document duplicated-block statistics — the ccnet-style
+    * "duplicate chunk" signal at corpus scale: the token stream splits
+    * into NON-overlapping width-`w` blocks (the stride-`w` subsample of
+    * the length-`w` shingle walk, so the one rolling-hash kernel serves
+    * both), each block hash counts distinct docs corpus-wide, and every
+    * doc with ≥ 1 block reports (n_blocks, dup_blocks) where dup_blocks
+    * are its blocks that also appear in at least one OTHER document.
+    * Complements [[graft.operators.TextAnalysis.repetitionStats]]
+    * (within-doc repetition) and [[repeatedSpans]] (overlapping spans,
+    * position-level): this is the doc-level cross-corpus boilerplate
+    * signal a pipeline thresholds — as an exact integer comparison
+    * (dup_blocks·den > n_blocks·num), never a float fraction.
+    *
+    * Scale shape: the corpus tokenizes ONCE (lazy lineage cut shared
+    * by the stats and rejoin legs); one partial-agg shuffle on the
+    * block hash; the flagged set (blocks in > 1 doc — rare unless the
+    * corpus is boilerplate-heavy) rejoins the block walk by hash key,
+    * AQE-broadcast when small; the final per-doc count agg is
+    * map-side partial. No stage holds more than ≤ len/w rows per doc. */
+  def dupBlockStats(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 8, maxLength: Int = K.MaxLength): DataFrame = {
+    val toks = df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .localCheckpoint(false)
+    val blocks = toks
+      .filter(size(col("__tids")) >= w)
+      .select(col(idCol), posexplode(shingles(col("__tids"), w)).as(Seq("pos", "block")))
+      .filter(col("pos") % w === 0)
+    val dup = blocks.groupBy(col("block"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > 1)
+    blocks.join(dup, Seq("block"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(col("__docs")).as("dup_blocks"))
+  }
+
+  /** The filter step over [[dupBlockStats]]: drop docs whose
+    * cross-corpus duplicated-block fraction exceeds num/den (exact
+    * integer cross-multiplication). Docs too short to form a block
+    * survive — they carry no boilerplate evidence. One anti join
+    * against the (small) flagged-id set. */
+  def dropDupBlockDocs(df: DataFrame, idCol: String, textCol: String,
+                       w: Int = 8, num: Int = 1, den: Int = 2): DataFrame =
+    df.join(
+      dupBlockStats(df, idCol, textCol, w)
+        .filter(col("dup_blocks") * den > col("n_blocks") * num)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Corpus-level dedup — the step a training pipeline actually runs:
     * given near-dup pairs (id_a < id_b), drop every id_b via a left-anti
     * join, keeping the smallest id of each duplicate group that any pair

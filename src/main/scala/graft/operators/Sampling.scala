@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.K
+import graft.functions.{K, Kernel}
 
 /** Deterministic corpus sampling — the curation steps that shape a
   * 100 TB crawl into a training mix: uniform down-sampling, per-stratum
@@ -81,6 +81,60 @@ object Sampling {
         floor(sqrt(col("__s").getField("n_docs").cast("double")) / col("__z")
           * col("__total").cast("double")).cast("long").as("target_docs"))
   }
+
+  /** DSIR-style importance masses (Data Selection via Importance
+    * Resampling: score raw docs by how target-like their hashed n-gram
+    * features are): each doc's word-`n`-gram hashes bucket into
+    * `nBuckets` features; `t_mass = Σ_f c_f·(tc_f + 1)` and
+    * `s_mass = Σ_f c_f·(sc_f + 1)` where c_f is the doc's bucket
+    * count, tc_f the TARGET corpus's and sc_f the raw (source)
+    * corpus's total bucket count — the add-one-smoothed numerators of
+    * p_target/p_source. Exact integers (the gate form — the log-ratio
+    * ln(p_t/p_s) is monotone in the per-feature ratio these masses
+    * aggregate, and ln is not part of any gated query, the q55/q64
+    * convention); importance selection orders by the smoothed
+    * likelihood ratio t_mass/s_mass ([[dsirTopK]]).
+    *
+    * Scale shape: each corpus tokenizes ONCE; the two stats tables are
+    * ≤ nBuckets rows (broadcast side of the rejoin); the doc-feature
+    * walk shuffles once on the bucket key for the stats aggs (map-side
+    * partial) and once per join; the final per-doc sum agg is partial.
+    * No driver action. */
+  def dsirMasses(df: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, nBuckets: Int = 4096, n: Int = 2,
+                 maxLength: Int = K.MaxLength): DataFrame = {
+    def features(d: DataFrame) = d
+      .select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) >= n)
+      .select(col(idCol), explode(Dedup.shingles(col("__tids"), n)).as("__sh"))
+      .select(col(idCol), (col("__sh") % nBuckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val srcF = features(df).localCheckpoint(false)
+    val tc = features(target).groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
+    val sc = srcF.groupBy(col("bucket")).agg(sum(col("c")).as("sc"))
+    srcF.join(sc, Seq("bucket"))
+      .join(tc, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * (coalesce(col("tc"), lit(0L)) + 1L)).as("t_mass"),
+        sum(col("c") * (col("sc") + 1L)).as("s_mass"))
+  }
+
+  /** The selection step over [[dsirMasses]]: top-`k` docs by the
+    * smoothed-likelihood ratio t_mass/s_mass (how target-like a doc's
+    * feature mix is relative to the background; the per-corpus
+    * normalizers (T + B)/(S + B) scale every doc identically, so they
+    * cancel out of the ordering). Ties → lower id; a plain
+    * TakeOrderedAndProject over the masses — no global sort, no
+    * driver action. */
+  def dsirTopK(df: DataFrame, idCol: String, textCol: String,
+               target: DataFrame, k: Int, nBuckets: Int = 4096,
+               n: Int = 2, maxLength: Int = K.MaxLength): DataFrame =
+    dsirMasses(df, idCol, textCol, target, nBuckets, n, maxLength)
+      .orderBy((col("t_mass").cast("double") / col("s_mass").cast("double")).desc,
+        col(idCol))
+      .limit(k)
+      .select(col(idCol), col("t_mass"), col("s_mass"))
 
   /** Per-key quota: at most `maxN` rows per key, chosen deterministically
     * (lowest id-hash first, ties → lower id) — the "cap any one domain"

@@ -1090,6 +1090,35 @@ ps AS (SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos, unn
 st AS (SELECT shingle, count(DISTINCT doc_id)::BIGINT AS span_docs FROM ps GROUP BY shingle HAVING count(DISTINCT doc_id) > 1)
 SELECT ps.doc_id, ps.pos, ps.shingle, st.span_docs FROM ps JOIN st USING (shingle)"""
 
+  /** q105: cross-document duplicated-block stats
+    * ([[graft.operators.Dedup.dupBlockStats]]) — non-overlapping
+    * width-`w` blocks = the stride-`w` subsample of the shingle walk;
+    * a block is duplicated when its hash occurs in > 1 distinct doc. */
+  def q105_dup_blocks(w: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+bl AS (SELECT doc_id, pos, shingle FROM (
+  SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos, unnest(sh) AS shingle FROM (
+    SELECT doc_id, ${shingleList("tids", w)} AS sh FROM tok WHERE len(tids) >= $w) t) p WHERE pos % $w = 0),
+dup AS (SELECT shingle FROM bl GROUP BY shingle HAVING count(DISTINCT doc_id) > 1)
+SELECT bl.doc_id, count(*)::BIGINT AS n_blocks,
+  sum(CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dup_blocks
+FROM bl LEFT JOIN dup d USING (shingle) GROUP BY bl.doc_id"""
+
+  /** q106: DSIR importance masses ([[graft.operators.Sampling
+    * .dsirMasses]]) — hashed word-bigram features (shingle % B),
+    * add-one-smoothed target/source bucket counts, exact integer
+    * per-doc masses. Target = docs with doc_id < 100 (the q41 split
+    * convention). */
+  def q106_dsir(nBuckets: Int, n: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+f AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM (
+  SELECT doc_id, unnest(${shingleList("tids", n)}) % $nBuckets AS bucket FROM tok WHERE len(tids) >= $n) t GROUP BY doc_id, bucket),
+tc AS (SELECT bucket, sum(c) AS tc FROM f WHERE doc_id < 100 GROUP BY bucket),
+sc AS (SELECT bucket, sum(c) AS sc FROM f GROUP BY bucket)
+SELECT f.doc_id, sum(c * (coalesce(tc.tc, 0) + 1))::BIGINT AS t_mass,
+  sum(c * (sc.sc + 1))::BIGINT AS s_mass
+FROM f JOIN sc USING (bucket) LEFT JOIN tc USING (bucket) GROUP BY f.doc_id"""
+
   /** q67: q61's flagged positions → per-doc start list → per-row HOF
     * cut (token i survives iff no start s has s ≤ i < s+n), re-exploded
     * with fresh positions. */
@@ -2611,6 +2640,8 @@ FROM events GROUP BY user_id, event_type"""
     "q60_label_centroids" -> q60_label_centroids(),
     "q60b_centroid_classify" -> q60b_centroid_classify(),
     "q61_repeated_spans" -> q61_repeated_spans(8),
+    "q105_dup_blocks" -> q105_dup_blocks(8),
+    "q106_dsir" -> q106_dsir(4096, 2),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),

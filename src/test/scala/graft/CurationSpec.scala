@@ -38,6 +38,37 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(capped.count() == 0)
   }
 
+  test("dupBlockStats: non-overlapping blocks, cross-doc only, short docs absent") {
+    import spark.implicits._
+    // w=2 blocks: doc1 = [ab][ab] (self-repeat, NOT cross-doc), doc2
+    // shares [ab] with doc1, doc3 disjoint, doc4 too short for a block
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c d"), (3L, "e f g h"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupBlockStats(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L)), // both [ab] blocks duplicated via doc2
+      2L -> ((2L, 1L)), // [ab] duplicated, [cd] unique
+      3L -> ((2L, 0L)))) // doc4 absent: no block
+    // partitioning invariance
+    val rep = Dedup.dupBlockStats(docs.repartition(5), "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == got)
+  }
+
+  test("dropDupBlockDocs: integer-threshold filter; blockless docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c d"), (3L, "e f g h"), (4L, "z"))
+      .toDF("doc_id", "text")
+    // threshold 1/2: doc1 (2/2 dup) dropped, doc2 (1/2) kept (strict >),
+    // doc3 (0/2) kept, doc4 (no blocks) kept
+    val kept = Dedup.dropDupBlockDocs(docs, "doc_id", "text", 2, 1, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("lmScore: conditional-probability fixture + partitioning invariance") {
     import spark.implicits._
     val docs = Seq(

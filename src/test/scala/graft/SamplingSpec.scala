@@ -12,6 +12,48 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private lazy val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     .select(col("doc_id"), col("lang"), col("source"))
 
+  test("dsirMasses: matches a driver-side recomputation; partitioning-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y z"), (2L, "x y q r"), (3L, "p q p q"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") === 1L)
+    val B = 4096
+    val got = Sampling.dsirMasses(docs, "doc_id", "text", target, B, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent recomputation from the exploded feature walk
+    val feats = docs
+      .select(col("doc_id"), graft.functions.Kernel.tokenIds(col("text"), 512).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("t"), 2)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) % B))
+    val tc = feats.filter(_._1 == 1L).groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val sc = feats.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val expected = feats.groupBy(_._1).map { case (id, fs) =>
+      val byB = fs.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+      id -> ((byB.map { case (b, c) => c * (tc.getOrElse(b, 0L) + 1L) }.sum,
+        byB.map { case (b, c) => c * (sc(b) + 1L) }.sum))
+    }
+    assert(got == expected)
+    assert(!got.contains(4L), "a doc below the shingle width carries no features")
+    val rep = Sampling.dsirMasses(docs.repartition(5), "doc_id", "text", target, B, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == got)
+  }
+
+  test("dsirTopK: target-like docs rank first by the smoothed likelihood ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x y x y q r"), (3L, "p q p q p q"), (4L, "s t u v w a"))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") === 1L)
+    val top = Sampling.dsirTopK(docs, "doc_id", "text", target, 2, 4096, 2)
+      .select("doc_id").collect().map(_.getLong(0))
+    // doc 1 IS the target, doc 2 shares most features with it — the
+    // off-target docs 3/4 must not outrank them
+    assert(top.toSet == Set(1L, 2L))
+  }
+
   test("uniform sample: ~rate kept, decision is per-id stable") {
     val n = d.count().toDouble
     val kept = Sampling.sample(d, "doc_id", 0.3)
