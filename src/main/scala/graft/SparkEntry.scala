@@ -406,6 +406,21 @@ object SparkEntry {
       Dedup.dupBlockStats(docs(s, dir), "doc_id", "text", 8)
         .select(col("doc_id"), col("n_blocks"), col("dup_blocks"))),
 
+    // semantic clusters: mutual-kNN edges (each endpoint in the
+    // other's top-k non-self neighbors) -> connected components —
+    // the embedding-space cluster labeling a curation pipeline uses
+    // for topic balancing and cluster-level dedup
+    // 20 rounds on both sides — empirically ~2x what the sf fixtures
+    // need to converge (the spec pins the fixpoint: every edge's
+    // endpoints share a label, every label is its component's min id).
+    // Both engines must REACH the fixpoint: their CC inits differ, so
+    // only converged labels are comparable, unlike q38's
+    // lockstep-proven rounds
+    "q107_semantic_clusters" -> ((s, dir) =>
+      Similarity.semanticClusters(tbl(s, dir, "embeddings"), "vec_id", "embedding", 4,
+        iterations = 20)
+        .select(col("id"), col("cluster"))),
+
     // DSIR importance masses: hashed word-bigram features, add-one-
     // smoothed target/source bucket counts as exact integer per-doc
     // masses; target = docs with doc_id < 100 (the q41 split)

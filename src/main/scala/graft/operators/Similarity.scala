@@ -602,6 +602,50 @@ object Similarity {
       .select(col(qIdCol), col(cIdCol), col("rank"), col("score"))
   }
 
+  /** Mutual-kNN edges over an embedding column: (id_a < id_b) pairs
+    * where EACH endpoint ranks in the other's top-`k` non-self
+    * neighbors (top-(k+1) ranks with the self match dropped — an exact
+    * duplicate outranking self just adds one more edge inside its own
+    * cluster). The mutuality filter is what keeps hub vectors from
+    * gluing unrelated regions together — a one-directional kNN edge
+    * through a hub is NOT enough to merge clusters.
+    *
+    * Scale shape: one kNN pass (partial top-k agg — ≤ k+1 rows per
+    * vector pre-shuffle), then the transpose self-join on the (qid,
+    * nid) pair key — both sides are the same n·(k+1)-row frame (lazy
+    * lineage cut, materialized once), so the join is hash-equi on a
+    * composite key, never a corpus cross join. The brute kNN is the
+    * exact baseline; [[annLshJoin]]-style candidates slot into
+    * [[semanticClustersFromKnn]] as the 100 TB path. */
+  def mutualKnnPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val knn = knnJoin(
+      vecs.select(col(idCol).cast("long").as("__qid"), col(vecCol).as("__qv")),
+      "__qid", "__qv", vecs, idCol, vecCol, k + 1)
+      .select(col("__qid").as("qid"), col(idCol).cast("long").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+      .localCheckpoint(false)
+    knn.as("x").join(knn.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+      .filter(col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
+  }
+
+  /** Semantic clusters: the mutual-kNN graph labeled by connected
+    * components ([[Dedup.duplicateClusters]] — seeded min-label +
+    * pointer doubling). Output (id, cluster) for every vector with at
+    * least one mutual edge; isolated vectors are their own trivial
+    * cluster and are omitted (the q38 convention). */
+  def semanticClusters(vecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
+    semanticClustersFromKnn(mutualKnnPairs(vecs, idCol, vecCol, k), iterations)
+
+  /** CC labeling over any precomputed mutual-pair frame (id_a, id_b) —
+    * the hook for ANN-candidate graphs at scale. */
+  def semanticClustersFromKnn(pairs: DataFrame,
+                              iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
+    Dedup.duplicateClusters(pairs, iterations)
+
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {

@@ -546,6 +546,37 @@ $rounds
 SELECT id, cluster FROM l$iterations"""
   }
 
+  /** q107: semantic clusters ([[graft.operators.Similarity
+    * .semanticClusters]]) — mutual-kNN edges (each endpoint in the
+    * other's top-(k+1) ranks, self dropped, tie rule score DESC id
+    * ASC) labeled by the q38 connected-component rounds. Per-vector
+    * norms factor out of the cosine (IEEE-identical: same expressions,
+    * same operands). */
+  def q107_semantic_clusters(k: Int, iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT id, min(cluster) AS cluster FROM (
+  SELECT id, cluster FROM l${i - 1}
+  UNION ALL
+  SELECT e.d AS id, l.cluster FROM edges e JOIN l${i - 1} l ON l.id = e.s
+  UNION ALL
+  SELECT a.id, b.cluster FROM l${i - 1} a JOIN l${i - 1} b ON b.id = a.cluster) u GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding,
+  sqrt(list_reduce(list_transform(list_transform(embedding, x -> x::DOUBLE), y -> y*y), (a,b) -> a+b)) AS nrm FROM embeddings),
+dt AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+  CASE WHEN c.nrm = 0.0 OR q.nrm = 0.0 THEN 0.0 ELSE
+    list_reduce(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (a,b) -> a+b) / (c.nrm * q.nrm) END AS score
+  FROM v c, v q),
+kn AS MATERIALIZED (SELECT qid, nid FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM dt) t
+  WHERE rnk <= ${k + 1} AND qid != nid),
+pr AS MATERIALIZED (SELECT x.qid AS id_a, x.nid AS id_b FROM kn x JOIN kn y ON y.qid = x.nid AND y.nid = x.qid WHERE x.qid < x.nid),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b AS s, id_a AS d FROM pr),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS cluster FROM edges),
+$rounds
+SELECT id, cluster FROM l$iterations"""
+  }
+
   /** SimHash signature fold: acc*2 + bit over bits high→low; the list is
     * seeded with 0 so DuckDB's init-less reduce starts the fold at 0. */
   private def simhashSig(bits: Int): String = {
@@ -2642,6 +2673,7 @@ FROM events GROUP BY user_id, event_type"""
     "q61_repeated_spans" -> q61_repeated_spans(8),
     "q105_dup_blocks" -> q105_dup_blocks(8),
     "q106_dsir" -> q106_dsir(4096, 2),
+    "q107_semantic_clusters" -> q107_semantic_clusters(4, 20),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),

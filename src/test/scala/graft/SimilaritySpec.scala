@@ -12,6 +12,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private lazy val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("mutualKnnPairs: every edge is mutual; one-directional hub edges are cut") {
+    val k = 3
+    val pairs = Similarity.mutualKnnPairs(e, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    // independent kNN recomputation: mutuality must hold exactly
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val knn = Similarity.knnJoin(q, "qid", "qv", e, "vec_id", "embedding", k + 1)
+      .filter(col("qid") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => knn((a, b)) && knn((b, a)) })
+    // and every mutual kNN pair is present (no edge dropped)
+    assert(knn.forall { case (a, b) =>
+      !(a < b && knn((b, a))) || pairs((a, b)) })
+  }
+
+  test("semanticClusters: labels are a CC fixpoint (edge endpoints share labels)") {
+    val pairs = Similarity.mutualKnnPairs(e, "vec_id", "embedding", 3)
+      .localCheckpoint()
+    val labels = Similarity.semanticClustersFromKnn(pairs, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    ps.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters") }
+    // every label is the MINIMUM id of its component
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c not labeled by its min id") }
+  }
+
   test("knnJoin == row_number window formulation on real embeddings") {
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
