@@ -410,15 +410,15 @@ object SparkEntry {
     // other's top-k non-self neighbors) -> connected components —
     // the embedding-space cluster labeling a curation pipeline uses
     // for topic balancing and cluster-level dedup
-    // 20 rounds on both sides — empirically ~2x what the sf fixtures
-    // need to converge (the spec pins the fixpoint: every edge's
+    // 12 rounds on both sides — 1.5x the worst measured convergence (8
+    // rounds at sf0.01 and sf0.1; the spec pins the fixpoint: edge
     // endpoints share a label, every label is its component's min id).
     // Both engines must REACH the fixpoint: their CC inits differ, so
     // only converged labels are comparable, unlike q38's
     // lockstep-proven rounds
     "q107_semantic_clusters" -> ((s, dir) =>
       Similarity.semanticClusters(tbl(s, dir, "embeddings"), "vec_id", "embedding", 4,
-        iterations = 20)
+        iterations = 12)
         .select(col("id"), col("cluster"))),
 
     // DSIR importance masses: hashed word-bigram features, add-one-

@@ -153,6 +153,23 @@ object Kernel {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** ‖v‖ as [[cosine]]'s per-vector norm fold (native). */
+  def vecNorm(v: Column): Column =
+    Bridge.column(VecNorm(Bridge.expression(v)))
+
+  /** [[cosine]] with PRE-computed per-side norms — bit-identical
+    * (spec-pinned: same dot fold, same `dot / (normA · normB)`
+    * division, same zero guard) but an n×m pair loop computes each
+    * side's norm once instead of three folds per pair. `na` must be
+    * the left vector's [[vecNorm]], `nb` the right's. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    org.apache.spark.sql.functions.when(
+      na === org.apache.spark.sql.functions.lit(0.0) ||
+        nb === org.apache.spark.sql.functions.lit(0.0),
+      org.apache.spark.sql.functions.lit(0.0))
+      .otherwise(
+        Bridge.column(DotProd(Bridge.expression(a), Bridge.expression(b))) / (na * nb))
+
   /** Reference HOF formulation of [[cosine]] — what the DuckDB oracle
     * mirrors; kept for cross-validation. */
   def cosineHof(a: Column, b: Column): Column = {

@@ -199,6 +199,31 @@ object VectorKernels {
       dot / (normA * normB)
     }
   }
+
+  /** The dot fold of [[cosine]] alone (stops at the shorter array,
+    * left-to-right) — the per-pair piece once the per-vector norms
+    * factor out of a pair loop. */
+  def dotOnly(a: ArrayData, b: ArrayData, leftFloat: Boolean, rightFloat: Boolean): Double = {
+    @inline def get(x: ArrayData, i: Int, isFloat: Boolean): Double =
+      if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(a, i, leftFloat) * get(b, i, rightFloat); i += 1 }
+    dot
+  }
+
+  /** The norm fold of [[cosine]] alone: sqrt of the left-to-right sum
+    * of squares over the full array. */
+  def norm(a: ArrayData, isFloat: Boolean): Double = {
+    @inline def get(x: ArrayData, i: Int): Double =
+      if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = get(a, i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 }
 
 /** Native integer-pooled projection (the inner loop of the hashing
@@ -509,4 +534,57 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** The dot fold of [[CosineSim]] alone — exactly its inner loop
+  * (element widening, shorter-array stop, left-to-right). Composed
+  * with [[VecNorm]] columns as `dot / (normLeft * normRight)` under
+  * the zero guard it is BIT-identical to [[CosineSim]] (spec-pinned):
+  * the factorization that lets an n×m pair loop compute each side's
+  * norm once instead of per pair. */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.VecArray, GraftInputTypes.VecArray)
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dotOnly(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dotOnly($a, $b, $leftFloat, $rightFloat)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProd =
+    copy(left = l, right = r)
+}
+
+/** The norm fold of [[CosineSim]] alone (per-vector ‖v‖, full array,
+  * IEEE sqrt of the left-to-right sum of squares). */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(GraftInputTypes.VecArray)
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.norm(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.norm($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
 }

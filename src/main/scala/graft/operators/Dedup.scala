@@ -359,7 +359,8 @@ object Dedup {
     * rides the aggregate that builds the node set anyway) is worth one
     * whole barrier. */
   def duplicateClusters(pairs: DataFrame,
-                        iterations: Int = DefaultClusterIterations): DataFrame = {
+                        iterations: Int = DefaultClusterIterations,
+                        checkpointEvery: Int = 1): DataFrame = {
     // localCheckpoint per round: labels is referenced three times per
     // round, so without a LINEAGE cut every round multiplies the
     // logical plan — exponentially many copies of the pair-graph
@@ -372,20 +373,27 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.groupBy(col("s")).agg(min(col("d")).as("__mn"))
       .select(col("s").as("id"), least(col("s"), col("__mn")).as("cluster"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val probe = edges.select(col("s").as("key"), col("d").as("out"))
         .union(labels.select(col("cluster").as("key"), col("id").as("out")))
       val looked = probe.join(labels, probe("key") === labels("id"))
         .select(col("out").as("id"), col("cluster"))
+      labels = labels.union(looked)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       // LAZY checkpoint: the logical plan is cut immediately (the round
       // tree is replaced by a LogicalRDD), but no per-round job fires —
       // all rounds execute as one job chain at the final action, and the
       // checkpoint blocks still materialize once despite the three
       // references per round. Eager checkpoints here cost a scheduled
       // job per round, which dominated wall time on small label tables.
-      labels = labels.union(looked)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(false)
+      // `checkpointEvery` trades plan-tree growth against barrier
+      // count: an UNCUT round's 3 label references re-derive it (tiny
+      // tables — cheap), while each cut is a materialization barrier
+      // on the critical path. Few-round callers (q38's 5) keep the
+      // default 1; many-round callers (semantic clustering's 12+) use
+      // 2 and halve the barriers — labels are identical either way.
+      if (i % checkpointEvery == 0 || i == iterations)
+        labels = labels.localCheckpoint(false)
     }
     labels
   }
@@ -582,11 +590,17 @@ object Dedup {
           .select(col("__bucket"))
         b0.join(broadcast(ok), "__bucket")
       }
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
+    // per-vector norm computed ONCE before the quadratic self-join
+    // (Kernel.cosinePre — bit-identical to the fused cosine)
+    val bn = b.withColumn("__n2", Kernel.vecNorm(col(vecCol)))
+    val l = bn.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n2").as("__na"), col("__bucket"))
+    val r = bn.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n2").as("__nb"), col("__bucket"))
     l.join(r, "__bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Kernel.cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", Kernel.cosinePre(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -629,11 +643,15 @@ object Dedup {
           .select(col("__cell"))
         b0.join(broadcast(ok), "__cell")
       }
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__cell"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__cell"))
+    val bn = b.withColumn("__n2", Kernel.vecNorm(col(vecCol)))
+    val l = bn.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n2").as("__na"), col("__cell"))
+    val r = bn.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n2").as("__nb"), col("__cell"))
     l.join(r, "__cell")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Kernel.cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", Kernel.cosinePre(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -82,8 +82,11 @@ object Quantize {
                k: Int): DataFrame =
     codes.crossJoin(broadcast(stats))
       .withColumn("__deq", sqDequant(col("codes")))
-      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
-      .withColumn("score", Kernel.cosine(col("__deq"), col(qVecCol)))
+      .withColumn("__cn", Kernel.vecNorm(col("__deq")))
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))
+        .withColumn("__qn", Kernel.vecNorm(col(qVecCol)))))
+      .withColumn("score", Kernel.cosinePre(
+        col("__deq"), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -112,9 +115,12 @@ object Quantize {
     val cT = corpus.select(col(cIdCol), matryoshka(col(cVecCol), d).as("__ct"))
     val cands = Similarity.knnJoin(qT, qIdCol, "__qt", cT, cIdCol, "__ct", nCandidates)
       .select(col(qIdCol), col(cIdCol))
-      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
-    corpus.join(broadcast(cands), Seq(cIdCol))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))
+        .withColumn("__qn", Kernel.vecNorm(col(qVecCol)))), Seq(qIdCol))
+    corpus.withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
+      .join(broadcast(cands), Seq(cIdCol))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -181,9 +187,12 @@ object Quantize {
     val cSigs = binaryEncode(corpus, cIdCol, cVecCol, dim)
     val cands = hammingTopK(qSigs, qIdCol, cSigs, cIdCol, nCandidates)
       .select(col(qIdCol), col(cIdCol))
-      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
-    corpus.join(broadcast(cands), Seq(cIdCol))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))
+        .withColumn("__qn", Kernel.vecNorm(col(qVecCol)))), Seq(qIdCol))
+    corpus.withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
+      .join(broadcast(cands), Seq(cIdCol))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))

@@ -38,8 +38,14 @@ object Similarity {
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int): DataFrame =
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+    // norms factor out of the n×m pair loop: each side computes ‖v‖
+    // ONCE (the broadcast side before shipping), so the per-pair work
+    // is one dot fold instead of three — bit-identical to the fused
+    // cosine (Kernel.cosinePre contract, spec-pinned)
+    corpus.withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
+      .crossJoin(broadcast(queries.withColumn("__qn", Kernel.vecNorm(col(qVecCol)))))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -131,13 +137,16 @@ object Similarity {
       graft.functions.NearestCell(bridge.expression(col(cVecCol)), bank)))
     // query-side probe list: the nProbe nearest cells by (l2, cell) —
     // native over the same bank (bit-identical to the sort-slice HOF)
-    val probes = queries.withColumn("__cell",
+    val probes = queries.withColumn("__qn", Kernel.vecNorm(col(qVecCol)))
+      .withColumn("__cell",
         explode(bridge.column(graft.functions.ProbeCells(
           bridge.expression(col(qVecCol)), bank, nProbe))))
-      .select(col(qIdCol), col(qVecCol), col("__cell"))
+      .select(col(qIdCol), col(qVecCol), col("__qn"), col("__cell"))
 
-    assigned.join(broadcast(probes), Seq("__cell"))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+    assigned.withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
+      .join(broadcast(probes), Seq("__cell"))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -436,8 +445,11 @@ object Similarity {
                         dim: Int, nPlanes: Int, k: Int): DataFrame = {
     val cb = spark.table(table)
     val qb = queries.withColumn("bucket", lshBucket(col(qVecCol), dim, nPlanes))
-    cb.join(broadcast(qb), Seq("bucket"))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .withColumn("__qn", Kernel.vecNorm(col(qVecCol)))
+    cb.withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
+      .join(broadcast(qb), Seq("bucket"))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol), col("bucket"))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), col("bucket"), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -458,13 +470,16 @@ object Similarity {
                        corpus: DataFrame, cIdCol: String, cVecCol: String,
                        dim: Int, nPlanes: Int, k: Int): DataFrame = {
     val qb = queries.withColumn("__qbucket", lshBucket(col(qVecCol), dim, nPlanes))
+      .withColumn("__qn", Kernel.vecNorm(col(qVecCol)))
       .withColumn("bucket", explode(array(
         (col("__qbucket") +: (0 until nPlanes)
           .map(p => col("__qbucket").bitwiseXOR(lit(1L << p)))): _*)))
       .drop("__qbucket")
     val cb = corpus.withColumn("bucket", lshBucket(col(cVecCol), dim, nPlanes))
+      .withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
     cb.join(broadcast(qb), Seq("bucket"))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -641,21 +656,28 @@ object Similarity {
     semanticClustersFromKnn(mutualKnnPairs(vecs, idCol, vecCol, k), iterations)
 
   /** CC labeling over any precomputed mutual-pair frame (id_a, id_b) —
-    * the hook for ANN-candidate graphs at scale. */
+    * the hook for ANN-candidate graphs at scale. Checkpoints every 2
+    * rounds: clustering runs more rounds than the dedup CC (mutual-kNN
+    * components are deeper than near-dup cliques), so halving the
+    * materialization barriers matters more than the uncut rounds' tiny
+    * label-plan re-derivation. */
   def semanticClustersFromKnn(pairs: DataFrame,
                               iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
-    Dedup.duplicateClusters(pairs, iterations)
+    Dedup.duplicateClusters(pairs, iterations, checkpointEvery = 2)
 
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {
     val qb = queries.withColumn("bucket", lshBucket(col(qVecCol), dim, nPlanes))
+      .withColumn("__qn", Kernel.vecNorm(col(qVecCol)))
     val cb = corpus.withColumn("bucket", lshBucket(col(cVecCol), dim, nPlanes))
+      .withColumn("__cn", Kernel.vecNorm(col(cVecCol)))
     // the equality join means every candidate row shares its query's
     // bucket, so grouping by (qid, bucket) still yields one group per
     // query; ranking is the same partial top-k aggregate as knnJoin
     cb.join(broadcast(qb), Seq("bucket"))
-      .withColumn("score", Kernel.cosine(col(cVecCol), col(qVecCol)))
+      .withColumn("score", Kernel.cosinePre(
+        col(cVecCol), col(qVecCol), col("__cn"), col("__qn")))
       .groupBy(col(qIdCol), col("bucket"))
       .agg(graft.functions.TopKAgg.topK(col("score"), col(cIdCol).cast("long"), k).as("__top"))
       .select(col(qIdCol), col("bucket"), posexplode(col("__top")).as(Seq("__r", "__t")))

@@ -2673,7 +2673,7 @@ FROM events GROUP BY user_id, event_type"""
     "q61_repeated_spans" -> q61_repeated_spans(8),
     "q105_dup_blocks" -> q105_dup_blocks(8),
     "q106_dsir" -> q106_dsir(4096, 2),
-    "q107_semantic_clusters" -> q107_semantic_clusters(4, 20),
+    "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),

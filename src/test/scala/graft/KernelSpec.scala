@@ -163,6 +163,26 @@ class KernelSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cmp.count() == 0)
   }
 
+  test("factored cosine (DotProd/VecNorm via cosinePre) == fused CosineSim, bit-exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val cmp = a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("fused", Kernel.cosine(col("ea"), col("eb")))
+      .withColumn("factored", Kernel.cosinePre(col("ea"), col("eb"),
+        Kernel.vecNorm(col("ea")), Kernel.vecNorm(col("eb"))))
+      .filter(not(col("fused") === col("factored")))
+    assert(cmp.count() == 0)
+    // zero-vector guard: both forms return exactly 0.0
+    import spark.implicits._
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("za", "zb")
+      .withColumn("fused", Kernel.cosine(col("za"), col("zb")))
+      .withColumn("factored", Kernel.cosinePre(col("za"), col("zb"),
+        Kernel.vecNorm(col("za")), Kernel.vecNorm(col("zb"))))
+      .head()
+    assert(z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
+  }
+
   test("native Shingles == HOF formulation on real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("tids", Kernel.tokenIds(col("text")))
