@@ -421,6 +421,15 @@ object SparkEntry {
         iterations = 12)
         .select(col("id"), col("cluster"))),
 
+    // topic-balanced curation: the q107 clusters capped at 8 members
+    // each by the deterministic id-hash lottery — cluster + cap in one
+    // plan; the CC labels sit behind a lazy checkpoint so capPerKey's
+    // two references materialize the clustering once
+    "q108_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        4, maxPerCluster = 8, iterations = 12)
+        .select(col("id"), col("cluster"))),
+
     // DSIR importance masses: hashed word-bigram features, add-one-
     // smoothed target/source bucket counts as exact integer per-doc
     // masses; target = docs with doc_id < 100 (the q41 split)

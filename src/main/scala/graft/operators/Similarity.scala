@@ -665,6 +665,23 @@ object Similarity {
                               iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
     Dedup.duplicateClusters(pairs, iterations, checkpointEvery = 2)
 
+  /** Topic-balanced selection: cap any one semantic cluster at
+    * `maxPerCluster` members, chosen by the deterministic id-hash
+    * lottery ([[Sampling.capPerKey]]) — the curation step that stops a
+    * dominant topic from swamping a training mix, composed from the
+    * cluster labeling above. Output (id, cluster) for the kept rows.
+    *
+    * Scale shape: the cluster labels come out of the CC loop behind a
+    * lazy checkpoint, so capPerKey's two references (partial top-k
+    * picks + restoring semi join) materialize the clustering once; the
+    * cap itself is one hash-key shuffle over label-sized rows. */
+  def clusterBalancedSample(vecs: DataFrame, idCol: String, vecCol: String,
+                            k: Int, maxPerCluster: Int,
+                            iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
+    Sampling.capPerKey(
+      semanticClusters(vecs, idCol, vecCol, k, iterations),
+      "cluster", "id", maxPerCluster)
+
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {

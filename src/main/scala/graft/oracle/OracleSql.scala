@@ -552,7 +552,13 @@ SELECT id, cluster FROM l$iterations"""
     * ASC) labeled by the q38 connected-component rounds. Per-vector
     * norms factor out of the cosine (IEEE-identical: same expressions,
     * same operands). */
-  def q107_semantic_clusters(k: Int, iterations: Int): String = {
+  def q107_semantic_clusters(k: Int, iterations: Int): String =
+    s"""${semanticClusterCtes(k, iterations)}
+SELECT id, cluster FROM l$iterations"""
+
+  /** The shared q107 CTE chain: mutual-kNN edges → CC rounds, ending at
+    * `l$iterations` (id, cluster). q108 appends the per-cluster cap. */
+  private def semanticClusterCtes(k: Int, iterations: Int): String = {
     val rounds = (1 to iterations).map { i =>
       s"""l$i AS MATERIALIZED (SELECT id, min(cluster) AS cluster FROM (
   SELECT id, cluster FROM l${i - 1}
@@ -573,9 +579,18 @@ kn AS MATERIALIZED (SELECT qid, nid FROM (
 pr AS MATERIALIZED (SELECT x.qid AS id_a, x.nid AS id_b FROM kn x JOIN kn y ON y.qid = x.nid AND y.nid = x.qid WHERE x.qid < x.nid),
 edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b AS s, id_a AS d FROM pr),
 l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS cluster FROM edges),
-$rounds
-SELECT id, cluster FROM l$iterations"""
+$rounds"""
   }
+
+  /** q108: cluster-balanced selection ([[graft.operators.Similarity
+    * .clusterBalancedSample]]) — the q107 labels capped at `maxN` per
+    * cluster by the q57b id-hash window (hash ASC, id ASC), hash taken
+    * over the member id. */
+  def q108_cluster_balanced(k: Int, iterations: Int, maxN: Int): String =
+    s"""${semanticClusterCtes(k, iterations)},
+hh AS (SELECT cluster, id, ((((id % $M + $M) % $M) * $A2 + $C2) % $M) AS hv FROM l$iterations),
+r AS (SELECT cluster, id, row_number() OVER (PARTITION BY cluster ORDER BY hv ASC, id ASC) AS rnk FROM hh)
+SELECT id, cluster FROM r WHERE rnk <= $maxN"""
 
   /** SimHash signature fold: acc*2 + bit over bits high→low; the list is
     * seeded with 0 so DuckDB's init-less reduce starts the fold at 0. */
@@ -2674,6 +2689,7 @@ FROM events GROUP BY user_id, event_type"""
     "q105_dup_blocks" -> q105_dup_blocks(8),
     "q106_dsir" -> q106_dsir(4096, 2),
     "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
+    "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),

@@ -42,6 +42,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(members.keys.min == c, s"cluster $c not labeled by its min id") }
   }
 
+  test("clusterBalancedSample: ≤ maxN per cluster, lowest id-hash first") {
+    val maxN = 2
+    val kept = Similarity.clusterBalancedSample(e, "vec_id", "embedding", 3, maxN,
+        iterations = 20)
+      .select(col("id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val labels = Similarity.semanticClusters(e, "vec_id", "embedding", 3, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    kept.foreach { case (id, c) => assert(labels(id) == c, s"kept ($id,$c) not a labeled member") }
+    def hv(id: Long): Long = ((id % K.M + K.M) % K.M * K.A2 + K.C2) % K.M
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      val got = kept.filter(_._2 == c).map(_._1).sortBy(id => (hv(id), id)).toSeq
+      val want = members.keys.toSeq.sortBy(id => (hv(id), id)).take(maxN)
+      assert(got == want, s"cluster $c kept $got, expected the $maxN lowest-hash $want")
+    }
+  }
+
   test("knnJoin == row_number window formulation on real embeddings") {
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
