@@ -163,10 +163,16 @@ object Kernel {
     * side's norm once instead of three folds per pair. `na` must be
     * the left vector's [[vecNorm]], `nb` the right's. */
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    // null guard FIRST: `NULL OR TRUE` is TRUE in SQL, so a null norm
+    // beside a zero norm would otherwise take the zero arm and turn the
+    // fused kernel's NULL into a 0.0 score
     org.apache.spark.sql.functions.when(
-      na === org.apache.spark.sql.functions.lit(0.0) ||
-        nb === org.apache.spark.sql.functions.lit(0.0),
-      org.apache.spark.sql.functions.lit(0.0))
+      na.isNull || nb.isNull,
+      org.apache.spark.sql.functions.lit(null).cast("double"))
+      .when(
+        na === org.apache.spark.sql.functions.lit(0.0) ||
+          nb === org.apache.spark.sql.functions.lit(0.0),
+        org.apache.spark.sql.functions.lit(0.0))
       .otherwise(
         Bridge.column(DotProd(Bridge.expression(a), Bridge.expression(b))) / (na * nb))
 

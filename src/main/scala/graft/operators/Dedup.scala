@@ -361,6 +361,9 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame,
                         iterations: Int = DefaultClusterIterations,
                         checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive (got $checkpointEvery); lineage must be cut " +
+        "periodically or the per-round plan tree grows exponentially")
     // localCheckpoint per round: labels is referenced three times per
     // round, so without a LINEAGE cut every round multiplies the
     // logical plan — exponentially many copies of the pair-graph

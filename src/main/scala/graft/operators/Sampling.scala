@@ -124,17 +124,38 @@ object Sampling {
     * smoothed-likelihood ratio t_mass/s_mass (how target-like a doc's
     * feature mix is relative to the background; the per-corpus
     * normalizers (T + B)/(S + B) scale every doc identically, so they
-    * cancel out of the ordering). Ties → lower id; a plain
-    * TakeOrderedAndProject over the masses — no global sort, no
-    * driver action. */
+    * cancel out of the ordering). The ratio is ordered EXACTLY via
+    * [[ratioKey]] — the masses are exact integers, and a long→double
+    * cast would round past 2^53, silently misordering docs at the
+    * selection boundary on corpora big enough to get there. Ties →
+    * lower id; a plain TakeOrderedAndProject over the masses — no
+    * global sort, no driver action. */
   def dsirTopK(df: DataFrame, idCol: String, textCol: String,
                target: DataFrame, k: Int, nBuckets: Int = 4096,
                n: Int = 2, maxLength: Int = K.MaxLength): DataFrame =
     dsirMasses(df, idCol, textCol, target, nBuckets, n, maxLength)
-      .orderBy((col("t_mass").cast("double") / col("s_mass").cast("double")).desc,
-        col(idCol))
+      .orderBy(ratioKey("t_mass", "s_mass").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("t_mass"), col("s_mass"))
+
+  /** Exact total order on the rational t/s (both positive longs) as a
+    * fixed-width decimal string: 19 integer digits, then 54 fraction
+    * digits computed by three rounds of exact remainder·10^18 DIV s
+    * long-division (the remainder·10^18 step peaks at 37 digits —
+    * inside DECIMAL(38,0), so every intermediate is value-exact).
+    * Lexicographic order on the key == numeric order on t/s: two
+    * distinct ratios with sub-2^63 denominators differ by at least
+    * 1/(s1·s2) > 1.1e-38, far above the 1e-54 truncation granularity.
+    * String-typed on purpose — no numeric SQL type holds 73 digits. */
+  private[graft] def ratioKey(t: String, s: String): Column = {
+    val E = "CAST(1000000000000000000 AS DECIMAL(38,0))" // 10^18
+    val x1 = s"(($t % $s) * $E)"
+    val c1 = s"($x1 DIV $s)"
+    val x2 = s"(CAST($x1 % $s AS BIGINT) * $E)"
+    val c2 = s"($x2 DIV $s)"
+    val c3 = s"((CAST($x2 % $s AS BIGINT) * $E) DIV $s)"
+    expr(s"format_string('%019d.%018d%018d%018d', $t DIV $s, $c1, $c2, $c3)")
+  }
 
   /** Per-key quota: at most `maxN` rows per key, chosen deterministically
     * (lowest id-hash first, ties → lower id) — the "cap any one domain"

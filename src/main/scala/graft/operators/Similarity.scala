@@ -651,8 +651,15 @@ object Similarity {
     * pointer doubling). Output (id, cluster) for every vector with at
     * least one mutual edge; isolated vectors are their own trivial
     * cluster and are omitted (the q38 convention). */
+  /** Default CC rounds for SEMANTIC clustering — deeper than
+    * [[Dedup.DefaultClusterIterations]] (5) because mutual-kNN
+    * components are chains, not near-dup cliques: the sf0.01/sf0.1
+    * corpora needed 8 rounds to reach the fixpoint, so 5 would hand a
+    * default caller non-converged labels. 12 is the gate setting. */
+  val DefaultSemanticIterations = 12
+
   def semanticClusters(vecs: DataFrame, idCol: String, vecCol: String,
-                       k: Int, iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
+                       k: Int, iterations: Int = DefaultSemanticIterations): DataFrame =
     semanticClustersFromKnn(mutualKnnPairs(vecs, idCol, vecCol, k), iterations)
 
   /** CC labeling over any precomputed mutual-pair frame (id_a, id_b) —
@@ -662,7 +669,7 @@ object Similarity {
     * materialization barriers matters more than the uncut rounds' tiny
     * label-plan re-derivation. */
   def semanticClustersFromKnn(pairs: DataFrame,
-                              iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
+                              iterations: Int = DefaultSemanticIterations): DataFrame =
     Dedup.duplicateClusters(pairs, iterations, checkpointEvery = 2)
 
   /** Topic-balanced selection: cap any one semantic cluster at
@@ -677,7 +684,7 @@ object Similarity {
     * cap itself is one hash-key shuffle over label-sized rows. */
   def clusterBalancedSample(vecs: DataFrame, idCol: String, vecCol: String,
                             k: Int, maxPerCluster: Int,
-                            iterations: Int = Dedup.DefaultClusterIterations): DataFrame =
+                            iterations: Int = DefaultSemanticIterations): DataFrame =
     Sampling.capPerKey(
       semanticClusters(vecs, idCol, vecCol, k, iterations),
       "cluster", "id", maxPerCluster)

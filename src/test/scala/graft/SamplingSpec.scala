@@ -54,6 +54,34 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top.toSet == Set(1L, 2L))
   }
 
+  test("ratioKey: exact ordering where a double-cast ratio collapses") {
+    import spark.implicits._
+    // (2^62+1)/2^62 < 2^62/(2^62-1), but BOTH ratios round to exactly
+    // 1.0 as doubles; plus boundary shapes (huge q, s=1, equal ratios
+    // in unequal terms) — the key must order precisely like BigDecimal
+    val p62 = 1L << 62
+    val rows = Seq(
+      (1L, p62 + 1, p62), (2L, p62, p62 - 1), (3L, Long.MaxValue, 1L),
+      (4L, 1L, Long.MaxValue), (5L, 6L, 4L), (6L, 3L, 2L), (7L, 7L, 2L))
+    val keys = rows.toDF("id", "t", "s")
+      .select(col("id"), Sampling.ratioKey("t", "s").as("key"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // scala BigDecimal./ rounds to DECIMAL128 (34 digits) — not enough
+    // here; divide at the key's own 54-digit scale explicitly
+    def exact(t: Long, s: Long) = new java.math.BigDecimal(t)
+      .divide(new java.math.BigDecimal(s), 54, java.math.RoundingMode.FLOOR)
+    for ((ia, ta, sa) <- rows; (ib, tb, sb) <- rows) {
+      val (ka, kb) = (keys(ia), keys(ib))
+      val cmp = exact(ta, sa).compareTo(exact(tb, sb))
+      assert(Integer.signum(ka.compareTo(kb)) == cmp,
+        s"key order for $ta/$sa vs $tb/$sb diverged from exact ($ka vs $kb)")
+    }
+    // the doubles really do collapse — the case the key exists for
+    assert(ta2d(p62 + 1, p62) == ta2d(p62, p62 - 1))
+    assert(keys(1L) < keys(2L))
+  }
+  private def ta2d(t: Long, s: Long): Double = t.toDouble / s.toDouble
+
   test("uniform sample: ~rate kept, decision is per-id stable") {
     val n = d.count().toDouble
     val kept = Sampling.sample(d, "doc_id", 0.3)
