@@ -578,6 +578,25 @@ object SparkEntry {
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
     "q21_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
+    // exact top-quantile length selection: keep docs at or above the
+    // exact 75th-percentile whitespace-token count (boundary ties all
+    // kept) — histogram-sized window, corpus side stays a narrow filter
+    "q109_quantile_filter" -> ((s, dir) =>
+      Sampling.quantileThreshold(
+        TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens").as("n_tokens")),
+        "doc_id", "n_tokens", 0.25)
+        .select(col("doc_id"), col("n_tokens"))),
+
+    // the exactly-k variant: boundary-score ties resolved to k =
+    // ceil(0.25*N) by the id-hash lottery over the one boundary bucket
+    "q109b_top_fraction" -> ((s, dir) =>
+      Sampling.topFraction(
+        TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens").as("n_tokens")),
+        "doc_id", "n_tokens", 0.25)
+        .select(col("doc_id"), col("n_tokens"))),
+
     // mapPartitions backend path — must be bit-identical to q01
     "q22_backend_embed" -> ((s, dir) => {
       val withTids = docs(s, dir)

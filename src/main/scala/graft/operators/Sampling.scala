@@ -157,6 +157,65 @@ object Sampling {
     expr(s"format_string('%019d.%018d%018d%018d', $t DIV $s, $c1, $c2, $c3)")
   }
 
+  /** Exact top-quantile threshold filter: keep every row whose integer
+    * `scoreCol` is ≥ the exact (1−frac) order-statistic boundary —
+    * "keep the best `frac` of the corpus by score", the quantile form
+    * of quality/length selection. Rows TIED at the boundary score are
+    * all kept (output ≥ ⌈frac·N⌉ rows); [[topFraction]] resolves the
+    * boundary to exactly k.
+    *
+    * Exactness: the threshold comes from a score HISTOGRAM with a
+    * running count — an exact two-pass order statistic, not an
+    * approx-percentile sketch. Scale shape: one partial-agg shuffle
+    * builds the histogram; the cumulative window runs over the
+    * HISTOGRAM ONLY (score-cardinality rows — bounded for the engine's
+    * quantized/length scores, the documented contract; never over the
+    * corpus); the 1-row threshold broadcasts back into a narrow
+    * filter. */
+  def quantileThreshold(df: DataFrame, idCol: String, scoreCol: String,
+                        frac: Double): DataFrame =
+    df.join(broadcast(boundaryRow(df, scoreCol, frac).select(col("__sc"))),
+        col(scoreCol) >= col("__sc"))
+      .drop("__sc")
+
+  /** Exactly-k top-fraction selection: [[quantileThreshold]] with the
+    * boundary score's ties resolved by the id-hash lottery (lowest
+    * hash, then lowest id) down to k = ⌈frac·N⌉ rows total. The
+    * tie-break ranks ONLY the boundary-score rows (one histogram
+    * bucket — the all-ties variant is the path when a single score
+    * bucket can be corpus-sized). */
+  def topFraction(df: DataFrame, idCol: String, scoreCol: String,
+                  frac: Double): DataFrame = {
+    val b = boundaryRow(df, scoreCol, frac)
+    val above = df.join(broadcast(b.select(col("__sc"))), col(scoreCol) > col("__sc"))
+      .drop("__sc")
+    val wn = org.apache.spark.sql.expressions.Window
+      .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
+    val boundary = df.join(broadcast(b), col(scoreCol) === col("__sc"))
+      .withColumn("__rn", row_number().over(wn))
+      .filter(col("__rn") <= col("__b"))
+      .drop("__sc", "__b", "__rn")
+    above.union(boundary)
+  }
+
+  /** The exact boundary: 1 row (__sc = threshold score, __b = how many
+    * boundary-score rows still fit under k). Histogram → cumulative
+    * count from the top → first score bucket reaching k. */
+  private def boundaryRow(df: DataFrame, scoreCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val hist = df.groupBy(col(scoreCol).as("__sc")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__sc").desc)))
+    val tot = hist.agg(sum(col("__c")).as("__n"))
+    val k = ceil(col("__n").cast("double") * lit(frac)).cast("long")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") >= k)
+      .select(col("__sc"), (k - (col("__cum") - col("__c"))).as("__b"))
+      .orderBy(col("__sc").desc)
+      .limit(1)
+  }
+
   /** Per-key quota: at most `maxN` rows per key, chosen deterministically
     * (lowest id-hash first, ties → lower id) — the "cap any one domain"
     * step that stops a hub site from dominating the mix. Partial top-k

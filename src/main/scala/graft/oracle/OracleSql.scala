@@ -1037,6 +1037,32 @@ SELECT qid, doc_id, rnk, score FROM fr WHERE rnk <= $k"""
   private val sampleHashSql: String =
     s"((((doc_id % $M + $M) % $M) * $A2 + $C2) % $M)"
 
+  /** q109/q109b: exact top-quantile selection by whitespace-token count
+    * ([[graft.operators.Sampling.quantileThreshold]]/[[graft.operators
+    * .Sampling.topFraction]]). The threshold is the first score bucket
+    * (descending) whose running count reaches k = ceil(frac·N); both
+    * engines compute k from the same IEEE double product. q109 keeps
+    * all boundary ties; q109b ranks the boundary bucket by the q57b
+    * id-hash (ASC, id ASC) and keeps the first b = k − |strictly above|. */
+  private def quantileCtes(frac: Double): String =
+    s"""WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))::BIGINT AS n_tokens FROM documents),
+h AS (SELECT n_tokens AS sc, count(*)::BIGINT AS c FROM t GROUP BY 1),
+w AS (SELECT sc, c, sum(c) OVER (ORDER BY sc DESC) AS cum FROM h),
+n AS (SELECT sum(c)::BIGINT AS total FROM h)"""
+
+  def q109_quantile_filter(frac: Double): String =
+    s"""${quantileCtes(frac)},
+thr AS (SELECT max(sc) AS thr FROM w, n WHERE cum >= ceil(total::DOUBLE * $frac))
+SELECT t.doc_id, t.n_tokens FROM t, thr WHERE t.n_tokens >= thr.thr"""
+
+  def q109b_top_fraction(frac: Double): String =
+    s"""${quantileCtes(frac)},
+bd AS (SELECT w.sc, (ceil(total::DOUBLE * $frac) - (w.cum - w.c))::BIGINT AS b FROM w, n WHERE w.cum >= ceil(total::DOUBLE * $frac) ORDER BY w.sc DESC LIMIT 1),
+above AS (SELECT t.doc_id, t.n_tokens FROM t, bd WHERE t.n_tokens > bd.sc),
+bnd AS (SELECT t.doc_id, t.n_tokens FROM t, bd WHERE t.n_tokens = bd.sc
+  QUALIFY row_number() OVER (ORDER BY $sampleHashSql ASC, doc_id ASC) <= bd.b)
+SELECT doc_id, n_tokens FROM above UNION ALL SELECT doc_id, n_tokens FROM bnd"""
+
   def q57_stratified_sample(rates: Seq[(String, Double)],
                             defaultRate: Double): String = {
     val arms = rates
@@ -2690,6 +2716,8 @@ FROM events GROUP BY user_id, event_type"""
     "q106_dsir" -> q106_dsir(4096, 2),
     "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
+    "q109_quantile_filter" -> q109_quantile_filter(0.25),
+    "q109b_top_fraction" -> q109b_top_fraction(0.25),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.functions.K
 import graft.operators.Sampling
 
 /** Deterministic sampling: rate accuracy, partitioning invariance,
@@ -81,6 +82,30 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(keys(1L) < keys(2L))
   }
   private def ta2d(t: Long, s: Long): Double = t.toDouble / s.toDouble
+
+  test("quantileThreshold/topFraction: exact order statistic, ties resolved to k") {
+    import spark.implicits._
+    // tie-heavy scores: one giant boundary bucket is the hard case
+    val rows = (1L to 100L).map(i => (i, if (i <= 10) 90L else if (i <= 60) 50L else 10L))
+    val df = rows.toDF("id", "score").repartition(7)
+    val k = math.ceil(0.3 * 100).toInt // 30: 10 at 90 + 20 of the fifty 50s
+    val exact = Sampling.topFraction(df, "id", "score", 0.3)
+      .select(col("id"), col("score")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.length == k, s"topFraction kept ${exact.length}, want exactly $k")
+    assert(exact.count(_._2 == 90L) == 10 && exact.count(_._2 == 50L) == 20)
+    // boundary picks are the lowest-hash 50-scored ids
+    def hv(id: Long): Long = ((id % K.M + K.M) % K.M * K.A2 + K.C2) % K.M
+    val wantBoundary = (11L to 60L).sortBy(id => (hv(id), id)).take(20).toSet
+    assert(exact.filter(_._2 == 50L).map(_._1).toSet == wantBoundary)
+    // threshold variant keeps the whole boundary bucket (a superset)
+    val loose = Sampling.quantileThreshold(df, "id", "score", 0.3)
+      .select(col("id"), col("score")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.length == 60 && loose.map(_._1).toSet.size == 60)
+    assert(exact.map(_._1).toSet.subsetOf(loose.map(_._1).toSet))
+    // frac = 1 keeps everything
+    assert(Sampling.quantileThreshold(df, "id", "score", 1.0).count() == 100)
+    assert(Sampling.topFraction(df, "id", "score", 1.0).count() == 100)
+  }
 
   test("uniform sample: ~rate kept, decision is per-id stable") {
     val n = d.count().toDouble
