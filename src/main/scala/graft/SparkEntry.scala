@@ -160,6 +160,14 @@ object SparkEntry {
     "q16_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 0.5)),
 
+    // Johnson–Lindenstrauss shrink 64→16 on the lshBucket plane family
+    // — narrow per-row map, RNG-free (exploded to scalars for the gate)
+    "q110_random_projection" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.randomProjection(col("embedding"), K.Dim, 16).as("__proj"))
+        .select(col("vec_id"), posexplode(col("__proj")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("val"))),
+
     "q17_ann_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -63,6 +63,26 @@ object Similarity {
     bridge.column(graft.functions.LshBucket(bridge.expression(vec), dim, nPlanes))
   }
 
+  /** Deterministic random-projection dimensionality reduction: project
+    * a `dim`-vector onto `outDim` pseudo-random hyperplanes — the SAME
+    * affine-stream planes as [[lshBucket]] (seed p+7), kept as signed
+    * dots instead of sign bits. The classic Johnson–Lindenstrauss
+    * shrink that makes downstream ANN/cluster passes O(outDim/dim)
+    * cheaper; RNG-free, so projections are reproducible across runs,
+    * partitionings, and engines.
+    *
+    * Scale shape: narrow per-row map (no shuffle); outDim is a plan
+    * constant so the column tree is a fixed array of codegen'd folds. */
+  def randomProjection(vec: Column, dim: Int, outDim: Int): Column = {
+    def planeDot(p: Int): Column =
+      aggregate(
+        zip_with(vec, sequence(lit(0L), lit(dim - 1L)), (x, d) =>
+          x.cast("double") *
+            ((Kernel.cell(lit(p.toLong + 7L), d).cast("double") / lit(K.M.toDouble)) * lit(2.0) - lit(1.0))),
+        lit(0.0), (a, x) => a + x)
+    array((0 until outDim).map(planeDot): _*)
+  }
+
   /** HOF formulation of [[lshBucket]]. */
   def lshBucketHof(vec: Column, dim: Int, nPlanes: Int): Column = {
     // dot(v, plane_p) as a fold over dims (order fixed → deterministic)

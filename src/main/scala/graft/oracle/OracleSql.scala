@@ -629,6 +629,15 @@ SELECT inter.id_a, inter.id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccar
 FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.id_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
 
+  /** q110: random projection ([[graft.operators.Similarity
+    * .randomProjection]]) — the lshBucketSql plane dots (same affine
+    * stream, seed p+7) kept as signed doubles instead of sign bits. */
+  def q110_random_projection(dim: Int, outDim: Int): String =
+    s"""WITH pr AS (SELECT vec_id, list_transform(range(0, $outDim), p ->
+list_reduce(list_transform(range(1, $dim + 1), i -> embedding[i]::DOUBLE * (((((p + 7)::BIGINT*$A + (i-1)*$B + $C) % $M)::DOUBLE / $M.0) * 2.0 - 1.0)), (a,b) -> a+b)) AS proj
+FROM embeddings)
+SELECT vec_id, CAST(generate_subscripts(proj, 1) - 1 AS BIGINT) AS dim, unnest(proj) AS val FROM pr"""
+
   /** Sign-LSH bucket over nPlanes pseudo-random hyperplanes. */
   def lshBucketSql(vecExpr: String, dim: Int, nPlanes: Int): String = {
     def planeDot(p: Int): String =
@@ -2718,6 +2727,7 @@ FROM events GROUP BY user_id, event_type"""
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q109_quantile_filter" -> q109_quantile_filter(0.25),
     "q109b_top_fraction" -> q109b_top_fraction(0.25),
+    "q110_random_projection" -> q110_random_projection(Dim, 16),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
