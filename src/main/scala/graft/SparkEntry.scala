@@ -586,6 +586,15 @@ object SparkEntry {
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
     "q21_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
+    // the whole curation recipe in ONE plan: clean → exact dedup →
+    // length-quantile keep → per-source cap → per-language rates; the
+    // corpus is cleaned/TextNorm'd once behind a lazy lineage cut
+    "q111_curation_pipeline" -> ((s, dir) =>
+      Sampling.curationPipeline(tbl(s, dir, "documents"), "doc_id", "text", "lang", "source",
+        lengthFrac = 0.5, maxPerSource = 20,
+        rates = Seq("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))),
+
     // exact top-quantile length selection: keep docs at or above the
     // exact 75th-percentile whitespace-token count (boundary ties all
     // kept) — histogram-sized window, corpus side stays a narrow filter

@@ -216,6 +216,45 @@ object Sampling {
       .limit(1)
   }
 
+  /** The end-to-end curation recipe as ONE plan — what a user actually
+    * runs to turn a raw crawl into a training mix:
+    *
+    *   1. clean markup ([[TextAnalysis.cleanText]]),
+    *   2. exact-dedup on the cleaned text (keep the lowest id per
+    *      normalized-text hash, [[Dedup.exact]]'s rule),
+    *   3. keep the longest `lengthFrac` by whitespace-token count
+    *      ([[quantileThreshold]] — exact order statistic, ties kept),
+    *   4. cap any one source at `maxPerSource` docs ([[capPerKey]]),
+    *   5. per-language stratified keep rates ([[stratifiedSample]]).
+    *
+    * Scale shape: the corpus is cleaned + TextNorm'd ONCE behind a lazy
+    * lineage cut (every later stage — keep-set agg, semi join, score
+    * histogram, threshold filter, cap, lottery — reuses that frame);
+    * the wide stages are one hash shuffle each (dedup keys, quota
+    * keys), the histogram window is score-cardinality-sized, and both
+    * sampling filters are narrow. */
+  def curationPipeline(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String, srcCol: String,
+                       lengthFrac: Double = 0.5, maxPerSource: Int = 20,
+                       rates: Seq[(String, Double)] = Nil,
+                       defaultRate: Double = 1.0): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val cleaned = df
+      .withColumn("__tn", bridge.column(graft.functions.TextNorm(
+        bridge.expression(TextAnalysis.cleanText(col(textCol))), Nil)))
+      .select(col(idCol), col(langCol), col(srcCol),
+        md5(col("__tn.norm")).as("__h"), col("__tn.ws_tokens").as("n_tokens"))
+      .localCheckpoint(false)
+    val keep = cleaned.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    val deduped = cleaned
+      .join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col(langCol), col(srcCol), col("n_tokens"))
+    val longEnough = quantileThreshold(deduped, idCol, "n_tokens", lengthFrac)
+    val capped = capPerKey(longEnough, srcCol, idCol, maxPerSource)
+    stratifiedSample(capped, idCol, langCol, rates, defaultRate)
+      .select(col(idCol), col(langCol), col(srcCol), col("n_tokens"))
+  }
+
   /** Per-key quota: at most `maxN` rows per key, chosen deterministically
     * (lowest id-hash first, ties → lower id) — the "cap any one domain"
     * step that stops a hub site from dominating the mix. Partial top-k

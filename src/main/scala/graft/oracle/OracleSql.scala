@@ -435,15 +435,50 @@ HAVING count(*) >= $minShared"""
   /** Raw-text cleaning: tag strip → entity decode (`&amp;` last, the
     * standard unescape order) → space/tab collapse → trim (regex subset
     * interpreted identically by Java and RE2). */
-  val q42_clean_text: String = {
-    val noTags = "regexp_replace(text, '<[^>]*>', ' ', 'g')"
+  /** The q42 markup-clean chain over a text expression (strip tags,
+    * decode entities `&amp;` last, collapse blanks) — shared with the
+    * q111 pipeline. */
+  private def cleanedSql(text: String): String = {
+    val noTags = s"regexp_replace($text, '<[^>]*>', ' ', 'g')"
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => s"regexp_replace($c, '$e', '$r', 'g')" }
-    val collapsed = s"trim(regexp_replace($decoded, '[ \\t]+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '[ \\t]+', ' ', 'g'))"
+  }
+
+  val q42_clean_text: String = {
+    val collapsed = cleanedSql("text")
     s"""SELECT doc_id, $collapsed AS clean_text, length($collapsed)::BIGINT AS n_chars_clean
 FROM documents"""
+  }
+
+  /** q111: the whole curation recipe ([[graft.operators.Sampling
+    * .curationPipeline]]) — clean → exact-dedup keep-lowest-id →
+    * top-`lengthFrac` token-count quantile (ties kept) → per-source cap
+    * (q57b window) → per-language stratified rates (q57 filter), each
+    * stage the already-gated formulation, chained over the cleaned
+    * text. */
+  def q111_curation_pipeline(lengthFrac: Double, maxPerSource: Int,
+                             rates: Seq[(String, Double)],
+                             defaultRate: Double): String = {
+    val arms = rates
+      .map { case (s0, r) => s"WHEN '$s0' THEN ${graft.operators.Sampling.threshold(r)}" }
+      .mkString(" ")
+    s"""WITH cl AS (SELECT doc_id, lang, source, ${cleanedSql("text")} AS ct FROM documents),
+cc AS (SELECT doc_id, lang, source, md5(array_to_string(${toks("ct")}, ' ')) AS h,
+  len(list_filter(string_split_regex(ct, '\\s+'), w -> w != ''))::BIGINT AS n_tokens FROM cl),
+keep AS (SELECT min(doc_id) AS kid FROM cc GROUP BY h),
+dd AS (SELECT cc.doc_id, cc.lang, cc.source, cc.n_tokens FROM cc JOIN keep ON keep.kid = cc.doc_id),
+h2 AS (SELECT n_tokens AS sc, count(*)::BIGINT AS c FROM dd GROUP BY 1),
+w2 AS (SELECT sc, sum(c) OVER (ORDER BY sc DESC) AS cum FROM h2),
+n2 AS (SELECT sum(c)::BIGINT AS total FROM h2),
+thr AS (SELECT max(sc) AS thr FROM w2, n2 WHERE cum >= ceil(total::DOUBLE * $lengthFrac)),
+fil AS (SELECT dd.* FROM dd, thr WHERE dd.n_tokens >= thr.thr),
+cap AS (SELECT doc_id, lang, source, n_tokens FROM fil
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY $sampleHashSql ASC, doc_id ASC) <= $maxPerSource)
+SELECT doc_id, lang, source, n_tokens FROM cap
+WHERE $sampleHashSql < (CASE lang $arms ELSE ${graft.operators.Sampling.threshold(defaultRate)} END)"""
   }
 
   /** Deterministic split buckets: per-bucket doc counts. Mirrors the
@@ -2728,6 +2763,7 @@ FROM events GROUP BY user_id, event_type"""
     "q109_quantile_filter" -> q109_quantile_filter(0.25),
     "q109b_top_fraction" -> q109b_top_fraction(0.25),
     "q110_random_projection" -> q110_random_projection(Dim, 16),
+    "q111_curation_pipeline" -> q111_curation_pipeline(0.5, 20, Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),

@@ -107,6 +107,32 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Sampling.topFraction(df, "id", "score", 1.0).count() == 100)
   }
 
+  test("curationPipeline: every stage's invariant holds on the kept rows") {
+    val full = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val rates = Seq("en" -> 0.5, "zh" -> 0.1)
+    val out = Sampling.curationPipeline(full, "doc_id", "text", "lang", "source",
+        lengthFrac = 0.5, maxPerSource = 20, rates = rates, defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // dedup invariant: only exact-dedup keep ids survive
+    val keepIds = graft.operators.Dedup.exact(
+        full.withColumn("__ct", graft.operators.TextAnalysis.cleanText(col("text")))
+          .select(col("doc_id"), col("__ct").as("text")), "doc_id", "text")
+      .select(col("keep_id")).collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => keepIds(r._1)), "a non-keeper survived dedup")
+    // quota invariant: no source above the cap
+    out.groupBy(_._3).foreach { case (src, rows) =>
+      assert(rows.length <= 20, s"source $src kept ${rows.length} > 20") }
+    // stratified invariant: every kept row clears its language's hash rate
+    def hv(id: Long): Long = ((id % K.M + K.M) % K.M * K.A2 + K.C2) % K.M
+    val rateOf = rates.toMap
+    out.foreach { case (id, lang, _, _) =>
+      val thr = Sampling.threshold(rateOf.getOrElse(lang, 0.25))
+      assert(hv(id) < thr, s"doc $id ($lang) fails its stratum's hash rate") }
+  }
+
   test("uniform sample: ~rate kept, decision is per-id stable") {
     val n = d.count().toDouble
     val kept = Sampling.sample(d, "doc_id", 0.3)
