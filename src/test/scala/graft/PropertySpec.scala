@@ -113,6 +113,54 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: ratioKey orders arbitrary positive rationals exactly") {
+    import graft.operators.Sampling
+    val longs = Gen.frequency(
+      5 -> Gen.chooseNum(1L, Long.MaxValue),
+      3 -> Gen.chooseNum(1L, 20L),
+      // near-collision neighborhoods: t/s vs (t±1)/(s±1) around 2^62
+      2 -> Gen.chooseNum((1L << 62) - 2, (1L << 62) + 2))
+    forAllSeeded(Gen.listOfN(14, Gen.zip(longs, longs)), trials = 6) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+        .toDF("id", "t", "s")
+      val keys = df.select(col("id"), Sampling.ratioKey("t", "s").as("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def exact(p: (Long, Long)) = new java.math.BigDecimal(p._1)
+        .divide(new java.math.BigDecimal(p._2), 54, java.math.RoundingMode.FLOOR)
+      for (((a, ia), (b, ib)) <- pairs.zipWithIndex.combinations(2).map(c => (c(0), c(1)))) {
+        assert(Integer.signum(keys(ia.toLong).compareTo(keys(ib.toLong))) ==
+          exact(a).compareTo(exact(b)),
+          s"ratioKey misordered ${a._1}/${a._2} vs ${b._1}/${b._2}")
+      }
+    }
+  }
+
+  test("property: topFraction keeps exactly ceil(frac*n) under arbitrary ties") {
+    import graft.operators.Sampling
+    val scores = Gen.chooseNum(0L, 6L) // tiny range -> massive tie buckets
+    forAllSeeded(Gen.zip(
+        Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, scores)),
+        Gen.chooseNum(1, 99)), trials = 8) { case (xs, pct) =>
+      val frac = pct / 100.0
+      val df = xs.zipWithIndex.map { case (sc, i) => (i.toLong, sc) }.toDF("id", "score")
+      val k = math.ceil(xs.length * frac).toLong
+      val kept = Sampling.topFraction(df, "id", "score", frac)
+        .select(col("id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(kept.length.toLong == k, s"kept ${kept.length}, want $k of ${xs.length}")
+      // kept multiset of scores == the k largest scores
+      val wantScores = xs.sorted(Ordering[Long].reverse).take(k.toInt)
+      assert(kept.map(_._2).sorted.toList == wantScores.sorted,
+        "kept scores are not the k largest")
+      // and the loose variant is a superset with every >=-threshold row
+      val minKept = kept.map(_._2).min
+      val loose = Sampling.quantileThreshold(df, "id", "score", frac)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(kept.map(_._1).toSet.subsetOf(loose))
+      assert(loose.size == xs.count(_ >= minKept))
+    }
+  }
+
   test("property: embedding is invariant under input partitioning") {
     forAllSeeded(Gen.zip(Gen.listOfN(20, text.suchThat(_.nonEmpty)), Gen.chooseNum(1, 7)), trials = 6) {
       case (texts: List[String], parts: Int) =>
