@@ -586,6 +586,25 @@ object SparkEntry {
     "q20_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
     "q21_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
+    // the retrieval-side capstone: chunk → embed → cosine top-20 per
+    // query → greedy-MMR diversify to 5, over a packed (doc, chunk)
+    // key so tie order stays (doc_id, chunk_id) lexicographic
+    "q112_rag_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = TextEmbedder.chunkEmbed(d, "doc_id", "text",
+          budget = 16, overlap = 4, dim = 16)
+        .select((col("doc_id") * 1024L + col("chunk_id")).as("cid"), col("emb"))
+      val qEmb = TextEmbedder(dim = 16).embed(d.filter(col("doc_id") < 4), "text", "emb")
+        .select(col("doc_id").as("qid"), col("emb").as("qv"))
+      val cand = Similarity.knnJoin(qEmb, "qid", "qv", chunks, "cid", "emb", 20)
+      val withVec = chunks.join(broadcast(cand), Seq("cid"))
+      Similarity.mmrRerank(withVec, "qid", "cid", "score", "emb", 5, 0.5)
+        .select(col("qid"),
+          floor(col("cid") / 1024L).cast("long").as("doc_id"),
+          pmod(col("cid"), lit(1024L)).as("chunk_id"),
+          col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // the whole curation recipe in ONE plan: clean → exact dedup →
     // length-quantile keep → per-source cap → per-language rates; the
     // corpus is cleaned/TextNorm'd once behind a lazy lineage cut

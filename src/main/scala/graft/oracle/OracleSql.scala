@@ -1128,31 +1128,68 @@ SELECT source, doc_id FROM r WHERE rnk <= $maxN"""
     * (score DESC, id ASC) ≡ the kernel's strict-> earliest-id rule.
     * Stage 1 keeps the literal − (1−λ)·0.0 term so the score doubles
     * match [[graft.functions.MmrKernel.select]] bit-for-bit. */
-  def q58_mmr_rerank(legK: Int, k: Int, lambda: Double): String = {
+  /** The greedy-MMR stage chain over a preceding CTE `c(qid, $id, rel,
+    * vec)`: emits p1/sel1/picks1/rem1 then pen/sc/p/sel/picks/rem for
+    * stages 2..k (see [[q58_mmr_rerank]]'s docstring for the
+    * bit-match rationale). Callers append the sel-union. */
+  private def mmrStagesSql(id: String, k: Int, lambda: Double): String = {
     val lam = lambda
     val oml = 1.0 - lambda
     val sb = new StringBuilder
-    sb.append(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
-j AS (SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS rel FROM embeddings e, q),
-c0 AS (SELECT qid, vec_id, rel FROM (SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn FROM j) t WHERE rn <= $legK),
-c AS (SELECT c0.qid, c0.vec_id, c0.rel, e.embedding AS vec FROM c0 JOIN embeddings e ON e.vec_id = c0.vec_id),
-p1 AS (SELECT qid, vec_id, rel, vec, $lam*rel - $oml*0.0 AS score FROM (SELECT c.*, row_number() OVER (PARTITION BY qid ORDER BY $lam*rel - $oml*0.0 DESC, vec_id ASC) AS rn FROM c) t WHERE rn = 1),
-sel1 AS (SELECT qid, vec_id, 1::BIGINT AS rnk, score FROM p1),
-picks1 AS (SELECT qid, vec_id, vec FROM p1),
-rem1 AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM p1 WHERE p1.qid = c.qid AND p1.vec_id = c.vec_id))""")
+    sb.append(s"""p1 AS (SELECT qid, $id, rel, vec, $lam*rel - $oml*0.0 AS score FROM (SELECT c.*, row_number() OVER (PARTITION BY qid ORDER BY $lam*rel - $oml*0.0 DESC, $id ASC) AS rn FROM c) t WHERE rn = 1),
+sel1 AS (SELECT qid, $id, 1::BIGINT AS rnk, score FROM p1),
+picks1 AS (SELECT qid, $id, vec FROM p1),
+rem1 AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM p1 WHERE p1.qid = c.qid AND p1.$id = c.$id))""")
     for (s <- 2 to k) {
       val r = s - 1
       sb.append(s""",
-pen$s AS (SELECT r.qid, r.vec_id, max(${cosineSql("r.vec", "p.vec")}) AS pen FROM rem$r r JOIN picks$r p ON p.qid = r.qid GROUP BY r.qid, r.vec_id),
-sc$s AS (SELECT r.qid, r.vec_id, r.rel, r.vec, $lam*r.rel - $oml*pn.pen AS score FROM rem$r r JOIN pen$s pn ON pn.qid = r.qid AND pn.vec_id = r.vec_id),
-p$s AS (SELECT qid, vec_id, rel, vec, score FROM (SELECT sc$s.*, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn FROM sc$s) t WHERE rn = 1),
-sel$s AS (SELECT qid, vec_id, $s::BIGINT AS rnk, score FROM p$s),
-picks$s AS (SELECT qid, vec_id, vec FROM picks$r UNION ALL SELECT qid, vec_id, vec FROM p$s),
-rem$s AS (SELECT r.* FROM rem$r r WHERE NOT EXISTS (SELECT 1 FROM p$s WHERE p$s.qid = r.qid AND p$s.vec_id = r.vec_id))""")
+pen$s AS (SELECT r.qid, r.$id, max(${cosineSql("r.vec", "p.vec")}) AS pen FROM rem$r r JOIN picks$r p ON p.qid = r.qid GROUP BY r.qid, r.$id),
+sc$s AS (SELECT r.qid, r.$id, r.rel, r.vec, $lam*r.rel - $oml*pn.pen AS score FROM rem$r r JOIN pen$s pn ON pn.qid = r.qid AND pn.$id = r.$id),
+p$s AS (SELECT qid, $id, rel, vec, score FROM (SELECT sc$s.*, row_number() OVER (PARTITION BY qid ORDER BY score DESC, $id ASC) AS rn FROM sc$s) t WHERE rn = 1),
+sel$s AS (SELECT qid, $id, $s::BIGINT AS rnk, score FROM p$s),
+picks$s AS (SELECT qid, $id, vec FROM picks$r UNION ALL SELECT qid, $id, vec FROM p$s),
+rem$s AS (SELECT r.* FROM rem$r r WHERE NOT EXISTS (SELECT 1 FROM p$s WHERE p$s.qid = r.qid AND p$s.$id = r.$id))""")
     }
-    sb.append("\n" +
-      (1 to k).map(s => s"SELECT qid, vec_id, rnk, score FROM sel$s").mkString(" UNION ALL "))
     sb.toString
+  }
+
+  def q58_mmr_rerank(legK: Int, k: Int, lambda: Double): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+j AS (SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS rel FROM embeddings e, q),
+c0 AS (SELECT qid, vec_id, rel FROM (SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn FROM j) t WHERE rn <= $legK),
+c AS (SELECT c0.qid, c0.vec_id, c0.rel, e.embedding AS vec FROM c0 JOIN embeddings e ON e.vec_id = c0.vec_id),
+${mmrStagesSql("vec_id", k, lambda)}
+""" + (1 to k).map(s => s"SELECT qid, vec_id, rnk, score FROM sel$s").mkString(" UNION ALL ")
+
+  /** q112: the retrieval-side capstone ([[graft.operators.Sampling]]'s
+    * q111 is the curation side) — chunk the corpus (q52's windows),
+    * embed chunks and queries through the same dense chain, cosine
+    * top-`legK` per query over a PACKED chunk key (doc_id·pack +
+    * chunk_id — tie order ≡ (doc_id, chunk_id) lexicographic since
+    * chunk_id < pack), then the q58 greedy-MMR stages diversify to
+    * `k`. */
+  def q112_rag_pipeline(budget: Int, overlap: Int, dim: Int,
+                        legK: Int, k: Int, lambda: Double,
+                        pack: Long = 1024L): String = {
+    val stride = budget - overlap
+    s"""WITH ctok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+ct2 AS (SELECT doc_id, tids FROM ctok WHERE len(tids) > 0),
+cst AS (SELECT doc_id, tids, unnest(list_filter(range(0, len(tids), $stride), s -> s = 0 OR s - $stride + $budget < len(tids))) AS s FROM ct2),
+cch AS (SELECT doc_id, (s // $stride)::BIGINT AS chunk_id, list_slice(tids, s + 1, s + $budget) AS ctd FROM cst),
+cm AS (SELECT doc_id, chunk_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(ctd, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(ctd)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM cch),
+cnr AS (SELECT doc_id, chunk_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM cm),
+cp AS (SELECT doc_id * $pack + chunk_id AS cid, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM cnr),
+qtok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents WHERE doc_id < 4),
+qt2 AS (SELECT doc_id, tids FROM qtok WHERE len(tids) > 0),
+qm AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(tids, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(tids)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM qt2),
+qnr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM qm),
+qe AS (SELECT doc_id AS qid, list_transform(mn, x -> x / (nv + 1e-12)) AS qv FROM qnr),
+j AS (SELECT q.qid, e.cid, ${cosineSql("e.emb", "q.qv")} AS rel FROM cp e, qe q),
+c0 AS (SELECT qid, cid, rel FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn FROM j) t WHERE rn <= $legK),
+c AS (SELECT c0.qid, c0.cid, c0.rel, e.emb AS vec FROM c0 JOIN cp e ON e.cid = c0.cid),
+${mmrStagesSql("cid", k, lambda)},
+allsel AS (${(1 to k).map(s => s"SELECT qid, cid, rnk, score FROM sel$s").mkString(" UNION ALL ")})
+SELECT qid, (cid // $pack)::BIGINT AS doc_id, (cid % $pack)::BIGINT AS chunk_id, rnk, score FROM allsel"""
   }
 
   /** Matryoshka CTEs ending in `me(vec_id, emb)` — truncate to `d` dims,
@@ -2764,6 +2801,7 @@ FROM events GROUP BY user_id, event_type"""
     "q109b_top_fraction" -> q109b_top_fraction(0.25),
     "q110_random_projection" -> q110_random_projection(Dim, 16),
     "q111_curation_pipeline" -> q111_curation_pipeline(0.5, 20, Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
+    "q112_rag_pipeline" -> q112_rag_pipeline(16, 4, 16, 20, 5, 0.5),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
