@@ -91,6 +91,28 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected partial aggregate below the exchange:\n$plan")
   }
 
+  test("quantile selection: the corpus side never enters a Window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val plan = planOf(Sampling.quantileThreshold(docs, "doc_id", "score", 0.25))
+    // exactly one Window (over the score histogram), fed by a partial
+    // aggregate — the corpus reaches only filters/joins
+    assert(plan.sliding("Window".length).count(_ == "Window") >= 1)
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0)
+    assert(plan.indexOf("HashAggregate", windowIdx) > windowIdx,
+      s"the Window must sit over the aggregated histogram, not raw rows:\n$plan")
+    // threshold joins back as a broadcast, not a shuffle of the corpus
+    assert(plan.contains("Broadcast"), s"expected broadcast threshold join:\n$plan")
+  }
+
+  test("randomProjection stays a narrow map: no exchange in the plan") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = planOf(e.select(col("vec_id"),
+      Similarity.randomProjection(col("embedding"), 64, 16).as("proj")))
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject (no full sort)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = Seq.fill(64)(0.1)
