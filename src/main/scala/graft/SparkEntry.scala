@@ -605,6 +605,28 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // the retrieval capstone on the IVF scale path: same recipe, but
+    // candidates come from nProbe-probed first-8-centroid cells —
+    // the composition a 100 TB corpus would actually run
+    "q112b_rag_ivf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = TextEmbedder.chunkEmbed(d, "doc_id", "text",
+          budget = 16, overlap = 4, dim = 16)
+        .select((col("doc_id") * 1024L + col("chunk_id")).as("cid"), col("emb"))
+        .localCheckpoint(false)
+      val cents = Similarity.firstKCentroids(chunks, "cid", "emb", 8)
+      val qEmb = TextEmbedder(dim = 16).embed(d.filter(col("doc_id") < 4), "text", "emb")
+        .select(col("doc_id").as("qid"), col("emb").as("qv"))
+      val cand = Similarity.ivfFlatWith(qEmb, "qid", "qv", chunks, "cid", "emb",
+        cents, nProbe = 2, k = 20)
+      val withVec = chunks.join(broadcast(cand), Seq("cid"))
+      Similarity.mmrRerank(withVec, "qid", "cid", "score", "emb", 5, 0.5)
+        .select(col("qid"),
+          floor(col("cid") / 1024L).cast("long").as("doc_id"),
+          pmod(col("cid"), lit(1024L)).as("chunk_id"),
+          col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // the whole curation recipe in ONE plan: clean → exact dedup →
     // length-quantile keep → per-source cap → per-language rates; the
     // corpus is cleaned/TextNorm'd once behind a lazy lineage cut

@@ -1168,9 +1168,10 @@ ${mmrStagesSql("vec_id", k, lambda)}
     * chunk_id — tie order ≡ (doc_id, chunk_id) lexicographic since
     * chunk_id < pack), then the q58 greedy-MMR stages diversify to
     * `k`. */
-  def q112_rag_pipeline(budget: Int, overlap: Int, dim: Int,
-                        legK: Int, k: Int, lambda: Double,
-                        pack: Long = 1024L): String = {
+  /** The shared q112 prefix: chunk embeddings `cp(cid, emb)` (packed
+    * key) and query embeddings `qe(qid, qv)` through the same dense
+    * chain. */
+  private def ragCtes(budget: Int, overlap: Int, dim: Int, pack: Long): String = {
     val stride = budget - overlap
     s"""WITH ctok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
 ct2 AS (SELECT doc_id, tids FROM ctok WHERE len(tids) > 0),
@@ -1183,14 +1184,46 @@ qtok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents WHERE doc_id < 4)
 qt2 AS (SELECT doc_id, tids FROM qtok WHERE len(tids) > 0),
 qm AS (SELECT doc_id, list_transform(range(0, $dim), d -> (list_reduce(list_transform(tids, t -> (t*$A + d*$B + $C) % $M), (a,b) -> a+b)::DOUBLE / len(tids)::DOUBLE / $M.0) * 2.0 - 1.0) AS mn FROM qt2),
 qnr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, y -> y*y), (a,b) -> a+b)) AS nv FROM qm),
-qe AS (SELECT doc_id AS qid, list_transform(mn, x -> x / (nv + 1e-12)) AS qv FROM qnr),
+qe AS (SELECT doc_id AS qid, list_transform(mn, x -> x / (nv + 1e-12)) AS qv FROM qnr)"""
+  }
+
+  private def ragTail(k: Int, lambda: Double, pack: Long): String =
+    s"""${mmrStagesSql("cid", k, lambda)},
+allsel AS (${(1 to k).map(s => s"SELECT qid, cid, rnk, score FROM sel$s").mkString(" UNION ALL ")})
+SELECT qid, (cid // $pack)::BIGINT AS doc_id, (cid % $pack)::BIGINT AS chunk_id, rnk, score FROM allsel"""
+
+  def q112_rag_pipeline(budget: Int, overlap: Int, dim: Int,
+                        legK: Int, k: Int, lambda: Double,
+                        pack: Long = 1024L): String =
+    s"""${ragCtes(budget, overlap, dim, pack)},
 j AS (SELECT q.qid, e.cid, ${cosineSql("e.emb", "q.qv")} AS rel FROM cp e, qe q),
 c0 AS (SELECT qid, cid, rel FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn FROM j) t WHERE rn <= $legK),
 c AS (SELECT c0.qid, c0.cid, c0.rel, e.emb AS vec FROM c0 JOIN cp e ON e.cid = c0.cid),
-${mmrStagesSql("cid", k, lambda)},
-allsel AS (${(1 to k).map(s => s"SELECT qid, cid, rnk, score FROM sel$s").mkString(" UNION ALL ")})
-SELECT qid, (cid // $pack)::BIGINT AS doc_id, (cid % $pack)::BIGINT AS chunk_id, rnk, score FROM allsel"""
-  }
+${ragTail(k, lambda, pack)}"""
+
+  /** q112b: the same retrieval recipe on the IVF scale path — q17c's
+    * first-nCells-centroid assignment and nProbe probing over the
+    * packed chunk key replace the brute candidate leg. */
+  def q112b_rag_ivf(budget: Int, overlap: Int, dim: Int,
+                    nCells: Int, nProbe: Int,
+                    legK: Int, k: Int, lambda: Double,
+                    pack: Long = 1024L): String =
+    s"""${ragCtes(budget, overlap, dim, pack)},
+cents AS (SELECT cid AS cell, emb AS cvec FROM cp WHERE cid < $nCells),
+assign AS (SELECT cid, emb, cell FROM (
+  SELECT e.cid, e.emb, c.cell,
+    row_number() OVER (PARTITION BY e.cid ORDER BY ${l2sqSql("e.emb", "c.cvec")}, c.cell) AS rn
+  FROM cp e CROSS JOIN cents c) t WHERE rn = 1),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM qe q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+jj AS (SELECT qp.qid, a.cid, ${cosineSql("a.emb", "qp.qv")} AS rel,
+  row_number() OVER (PARTITION BY qp.qid ORDER BY ${cosineSql("a.emb", "qp.qv")} DESC, a.cid ASC) AS rn
+  FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+c0 AS (SELECT qid, cid, rel FROM jj WHERE rn <= $legK),
+c AS (SELECT c0.qid, c0.cid, c0.rel, e.emb AS vec FROM c0 JOIN cp e ON e.cid = c0.cid),
+${ragTail(k, lambda, pack)}"""
 
   /** Matryoshka CTEs ending in `me(vec_id, emb)` — truncate to `d` dims,
     * widen to double, re-normalize with the engine's exact l2normalize
@@ -2802,6 +2835,7 @@ FROM events GROUP BY user_id, event_type"""
     "q110_random_projection" -> q110_random_projection(Dim, 16),
     "q111_curation_pipeline" -> q111_curation_pipeline(0.5, 20, Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q112_rag_pipeline" -> q112_rag_pipeline(16, 4, 16, 20, 5, 0.5),
+    "q112b_rag_ivf" -> q112b_rag_ivf(16, 4, 16, 8, 2, 20, 5, 0.5),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
