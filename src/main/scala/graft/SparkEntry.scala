@@ -591,9 +591,12 @@ object SparkEntry {
     // key so tie order stays (doc_id, chunk_id) lexicographic
     "q112_rag_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
+      // lazy cut: chunks feed both the candidate leg and the vector
+      // rejoin — tokenize/embed the corpus once, not per reference
       val chunks = TextEmbedder.chunkEmbed(d, "doc_id", "text",
           budget = 16, overlap = 4, dim = 16)
         .select((col("doc_id") * 1024L + col("chunk_id")).as("cid"), col("emb"))
+        .localCheckpoint(false)
       val qEmb = TextEmbedder(dim = 16).embed(d.filter(col("doc_id") < 4), "text", "emb")
         .select(col("doc_id").as("qid"), col("emb").as("qv"))
       val cand = Similarity.knnJoin(qEmb, "qid", "qv", chunks, "cid", "emb", 20)
