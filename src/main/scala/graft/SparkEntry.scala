@@ -630,6 +630,62 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // Count-Min sketch: token frequencies summarized into a fixed 3x16
+    // grid (one sketch-sized exchange); per-token min-over-rows estimate
+    // (>= truth by construction) + the heavy-hitter flag at 900
+    "q113_cms_estimates" -> ((s, dir) =>
+      Sketch.cmsEstimates(docs(s, dir), "text", depth = 3, width = 16)
+        .withColumn("heavy", col("est") >= 900L)),
+
+    // HLL distinct-shingle estimate per source next to the exact count:
+    // 64 buckets (p=6), integer rho/harmonic-sum, one final division
+    "q114_hll_distinct" -> ((s, dir) =>
+      Sketch.hllDistinctShingles(tbl(s, dir, "documents"), "source", "text",
+        n = 3, p = 6)),
+
+    // sketch MERGE is the 100 TB property: per-shard sketches union
+    // without a rescan. Two disjoint half-corpus CMS grids, cell-wise
+    // summed, must estimate exactly like the whole-corpus grid — the
+    // oracle IS q113's whole-corpus query
+    "q113b_cms_merged" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sk = Sketch.cmsMerge(
+        Sketch.cmsSketch(d.filter(col("doc_id") % 2 === 1), "text", 3, 16),
+        Sketch.cmsSketch(d.filter(col("doc_id") % 2 === 0), "text", 3, 16))
+      val cand = d.select(explode(Kernel.tokenIds(col("text"), K.MaxLength))
+        .as("token_id")).distinct()
+      Sketch.cmsEstimatesFrom(sk, cand, depth = 3, width = 16)
+        .withColumn("heavy", col("est") >= 900L)
+    }),
+
+    // same for HLL: per-(group,bucket) max over two value-disjoint
+    // half sketches must estimate exactly like the whole — q114's oracle
+    "q114b_hll_merged" -> ((s, dir) => {
+      val t = tbl(s, dir, "documents")
+      val sh = t.select(col("source"), Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
+        .filter(size(col("__tids")) >= 3)
+        .select(col("source"), explode(Dedup.shingles(col("__tids"), 3)).as("shingle"))
+        .distinct()
+        .localCheckpoint(false)
+      val merged = Sketch.hllMerge("source",
+        Sketch.hllSketchTable(sh.filter(col("shingle") % 2 === 1), "source", "shingle", 6),
+        Sketch.hllSketchTable(sh.filter(col("shingle") % 2 === 0), "source", "shingle", 6))
+      val est = Sketch.hllEstimateFrom(merged, "source", 6)
+      sh.groupBy(col("source")).agg(count(lit(1)).as("exact")).join(est, "source")
+    }),
+
+    // Bloom decontamination: the q41 eval split (doc_id < 100) folded
+    // into a 2^14-bit broadcast bitset (k=2); train docs probe it in a
+    // NARROW scan — flagged-shingle counts, false-positive surplus
+    // included, no corpus shuffle (vs q41's shingle equi-join)
+    "q115_bloom_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bank = Sketch.bloomBank(s, d.filter(col("doc_id") < 100),
+        "doc_id", "text", n = 3, k = 2, nBits = 1 << 14)
+      Sketch.bloomContamination(d.filter(col("doc_id") >= 100), bank,
+        "doc_id", "text", n = 3)
+    }),
+
     // the whole curation recipe in ONE plan: clean → exact dedup →
     // length-quantile keep → per-source cap → per-language rates; the
     // corpus is cleaned/TextNorm'd once behind a lazy lineage cut

@@ -1225,6 +1225,65 @@ c0 AS (SELECT qid, cid, rel FROM jj WHERE rn <= $legK),
 c AS (SELECT c0.qid, c0.cid, c0.rel, e.emb AS vec FROM c0 JOIN cp e ON e.cid = c0.cid),
 ${ragTail(k, lambda, pack)}"""
 
+  /** q113: Count-Min token-frequency estimates. The minhashPerm hash
+    * family is arithmetic in the row index i — a_i = ((2i+1)*B) mod P32,
+    * b_i = (i*C) mod P32 ([[Dedup.minhashPerm]]) — so the whole
+    * depth-row grid unrolls as a range join. est(t) = min over rows of
+    * the cell count; `heavy` flags est >= threshold. All-integer. */
+  def q113_cms_estimates(depth: Int, width: Int, threshold: Long): String =
+    s"""WITH tok AS (SELECT ${tids("text")} AS tids FROM documents),
+occ AS (SELECT unnest(tids) AS t FROM tok),
+cell AS (SELECT t, i, ((t * (((2*i+1)*$B) % $P32) + ((i*$C) % $P32)) % $P32) % $width AS bucket
+  FROM occ, (SELECT unnest(range(0, $depth)) AS i) r),
+sk AS (SELECT i, bucket, count(*) AS cnt FROM cell GROUP BY i, bucket),
+cand AS (SELECT DISTINCT t, i, bucket FROM cell)
+SELECT cand.t AS token_id, min(sk.cnt) AS est, min(sk.cnt) >= $threshold AS heavy
+FROM cand JOIN sk ON cand.i = sk.i AND cand.bucket = sk.bucket
+GROUP BY cand.t"""
+
+  /** q114: per-source distinct shingles, exact vs the HLL estimate.
+    * Integer-exact until the single final division: rho comes from
+    * threshold counts against a literal power table (no log2), the
+    * harmonic-mean denominator sums exact 2^(40-rho) terms, and the
+    * numerator alpha*m^2*2^40 is the SAME Scala Double the Spark plan
+    * embeds ([[graft.operators.Sketch.hllNumerator]]). */
+  def q114_hll_distinct(n: Int, p: Int): String = {
+    val m = 1 << p
+    val w = 32 - p
+    val (a, b) = Dedup.minhashPerm(graft.operators.Sketch.HllPermRow)
+    val powList = graft.operators.Sketch.hllPowTable(p).mkString("[", ", ", "]")
+    val thrList = (1 to w).map(i => 1L << (i - 1)).mkString("[", ", ", "]")
+    val num = graft.operators.Sketch.hllNumerator(p)
+    s"""WITH tok AS (SELECT source, ${tids("text")} AS tids FROM documents),
+sh AS (SELECT DISTINCT source, unnest(${shingleList("tids", n)}) AS shingle FROM tok WHERE len(tids) >= $n),
+h AS (SELECT source, ((shingle * $a + $b) % $P32) AS g FROM sh),
+br AS (SELECT source, g & ${m - 1} AS bucket,
+  ${w + 1} - len(list_filter($thrList, pw -> (g >> $p) >= pw)) AS rho FROM h),
+mx AS (SELECT source, bucket, max(rho) AS maxrho FROM br GROUP BY source, bucket),
+agg AS (SELECT source, sum(($powList)[maxrho]) AS s, count(*) AS nb FROM mx GROUP BY source),
+ex AS (SELECT source, count(*) AS exact FROM sh GROUP BY source)
+SELECT ex.source, ex.exact, $num / CAST(agg.s + ($m - agg.nb) * ${1L << 40} AS DOUBLE) AS est
+FROM ex JOIN agg USING (source)"""
+  }
+
+  /** q115: Bloom-filter decontamination. The eval side (doc_id < 100)
+    * reduces to its DISTINCT bit-position set; a train shingle is
+    * flagged iff all k of its positions are present (per-(doc,shingle)
+    * match count = k — duplicate positions within a shingle double-join
+    * exactly when both tests would pass, so the count test is the
+    * all-bits-set test). Same one-sided error as the bank probe:
+    * supersets the exact q41 join, never misses. */
+  def q115_bloom_decontam(n: Int, k: Int, nBits: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(${shingleList("tids", n)}) AS shingle FROM tok WHERE len(tids) >= $n),
+pos AS (SELECT doc_id, shingle, i, ((shingle * (((2*i+1)*$B) % $P32) + ((i*$C) % $P32)) % $P32) % $nBits AS pos
+  FROM sh, (SELECT unnest(range(0, $k)) AS i) r),
+ev AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 100),
+hit AS (SELECT p.doc_id, p.shingle, count(*) AS nset
+  FROM pos p JOIN ev USING (pos) WHERE p.doc_id >= 100
+  GROUP BY p.doc_id, p.shingle)
+SELECT doc_id, count(*) AS flagged_shingles FROM hit WHERE nset = $k GROUP BY doc_id"""
+
   /** Matryoshka CTEs ending in `me(vec_id, emb)` — truncate to `d` dims,
     * widen to double, re-normalize with the engine's exact l2normalize
     * tree (0-seeded square fold, nv + 1e-12 denominator). */
@@ -2836,6 +2895,13 @@ FROM events GROUP BY user_id, event_type"""
     "q111_curation_pipeline" -> q111_curation_pipeline(0.5, 20, Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q112_rag_pipeline" -> q112_rag_pipeline(16, 4, 16, 20, 5, 0.5),
     "q112b_rag_ivf" -> q112b_rag_ivf(16, 4, 16, 8, 2, 20, 5, 0.5),
+    "q113_cms_estimates" -> q113_cms_estimates(3, 16, 900L),
+    // merged-halves gates: the merge property says the composed sketch
+    // answers EXACTLY like the whole-corpus one, so the oracle is reused
+    "q113b_cms_merged" -> q113_cms_estimates(3, 16, 900L),
+    "q114_hll_distinct" -> q114_hll_distinct(3, 6),
+    "q114b_hll_merged" -> q114_hll_distinct(3, 6),
+    "q115_bloom_decontam" -> q115_bloom_decontam(3, 2, 1 << 14),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
