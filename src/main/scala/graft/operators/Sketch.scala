@@ -33,7 +33,7 @@ object Sketch {
     * hash row i, bucket_i = ((t*a_i + b_i) mod P32) mod width with
     * (a_i, b_i) = [[Dedup.minhashPerm]](i). t < M and a_i < P32 keep the
     * product far inside int64. */
-  private def cmsCells(t: Column, depth: Int, width: Int): Column =
+  private[graft] def cmsCells(t: Column, depth: Int, width: Int): Column =
     array((0 until depth).map { i =>
       val (a, b) = Dedup.minhashPerm(i)
       struct(lit(i.toLong).as("row"),
@@ -156,7 +156,17 @@ object Sketch {
   /** The HLL sketch in its mergeable table form: (group, bucket, maxrho),
     * at most m = 2^p rows per group. */
   def hllSketchTable(df: DataFrame, groupCol: String, valueCol: String,
-                     p: Int): DataFrame = {
+                     p: Int): DataFrame =
+    hllRows(df, groupCol, valueCol, p)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+
+  /** The NARROW half of the HLL sketch: appends (bucket, rho) for
+    * `valueCol` to every input row, keeping the other columns — shared
+    * by the batch table build and the streaming windowed build, which
+    * differ only in the grouping (`groupCol` vs window + `groupCol`). */
+  private[graft] def hllRows(df: DataFrame, groupCol: String,
+                             valueCol: String, p: Int): DataFrame = {
     val m = 1 << p
     val w = 32 - p
     val (a, b) = Dedup.minhashPerm(HllPermRow)
@@ -170,9 +180,7 @@ object Sketch {
     val rv = r
     val rho = lit((w + 1).toLong) -
       size(filter(thresholds, pw => rv >= pw)).cast("long")
-    df.select(col(groupCol), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(max(col("rho")).as("maxrho"))
+    df.select(df.columns.toIndexedSeq.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
   }
 
   /** Merges HLL sketch tables from disjoint (or overlapping — max is

@@ -139,6 +139,59 @@ object StreamingOps {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Windowed Count-Min sketch over a document stream: per tumbling
+    * window, the same fixed depth×width grid as the batch
+    * [[graft.operators.Sketch.cmsSketch]]. Streaming state is
+    * windows × d·w cells REGARDLESS of stream volume — the sketch's
+    * whole point; finalized windows' grids merge with historical ones
+    * via [[graft.operators.Sketch.cmsMerge]] (cell-wise sum). */
+  def cmsSketchStream(stream: DataFrame, textCol: String,
+                      eventTimeCol: String, watermark: String,
+                      windowLen: String, depth: Int, width: Int,
+                      maxLength: Int = graft.functions.K.MaxLength): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        explode(Kernel.tokenIds(col(textCol), maxLength)).as("t"))
+      .select(col(eventTimeCol),
+        explode(graft.operators.Sketch.cmsCells(col("t"), depth, width)).as("c"))
+      .groupBy(window(col(eventTimeCol), windowLen),
+        col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Windowed per-group HLL sketch tables over a document stream: per
+    * tumbling window the (group, bucket, maxrho) table of distinct-
+    * shingle ranks. State is windows × groups × 2^p rows; finalized
+    * windows merge with history via [[graft.operators.Sketch.hllMerge]]
+    * (per-bucket max — idempotent, so windows may even overlap) and
+    * estimate via [[graft.operators.Sketch.hllEstimateFrom]]. */
+  def hllSketchStream(stream: DataFrame, groupCol: String, textCol: String,
+                      eventTimeCol: String, watermark: String,
+                      windowLen: String, n: Int, p: Int,
+                      maxLength: Int = graft.functions.K.MaxLength): DataFrame = {
+    val sh = stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(groupCol), col(eventTimeCol),
+        Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .filter(size(col("__tids")) >= n)
+      .select(col(groupCol), col(eventTimeCol),
+        explode(array_distinct(graft.operators.Dedup.shingles(col("__tids"), n)))
+          .as("shingle"))
+    graft.operators.Sketch.hllRows(sh, groupCol, "shingle", p)
+      .groupBy(window(col(eventTimeCol), windowLen), col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+  }
+
+  /** Streaming Bloom decontamination: the bank probe is a NARROW
+    * stateless column expression, so the batch operator applies to a
+    * micro-batched stream unchanged — each arriving doc is flagged
+    * against the broadcast bitset with no state store at all. */
+  def bloomContaminationStream(stream: DataFrame,
+                               bank: graft.functions.BloomBank,
+                               idCol: String, textCol: String,
+                               n: Int = 3): DataFrame =
+    graft.operators.Sketch.bloomContamination(stream, bank, idCol, textCol, n)
+
   /** Windowed quality/volume stats over a document stream — watermarked
     * tumbling-window aggregation (late data beyond the watermark is
     * dropped, windows finalize incrementally). */

@@ -192,6 +192,93 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("cmsSketchStream: per-window grids == batch sketch of each window's docs") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.cmsSketchStream(
+      ms.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      "10 minutes", "10 minutes", depth = 3, width = 16)
+    val q = out.writeStream.format("memory").queryName("graft_cms")
+      .outputMode("complete").start()
+    try {
+      val w1 = Seq((0L, "spark join plan", Timestamp.valueOf("2026-01-01 10:01:00")),
+        (1L, "join the hash side", Timestamp.valueOf("2026-01-01 10:03:00")))
+      val w2 = Seq((2L, "spark spark spark", Timestamp.valueOf("2026-01-01 10:12:00")))
+      ms.addData(w1: _*)
+      q.processAllAvailable()
+      ms.addData(w2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_cms")
+        .select($"window.start", $"row", $"bucket", $"cnt")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      def batchGrid(rows: Seq[(Long, String, Timestamp)], start: String) =
+        graft.operators.Sketch.cmsSketch(
+          rows.toDF("doc_id", "text", "ts"), "text", 3, 16)
+          .collect().map(r => (start, r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batchGrid(w1, "2026-01-01 10:00:00.0") ++
+        batchGrid(w2, "2026-01-01 10:10:00.0"))
+    } finally q.stop()
+  }
+
+  test("hllSketchStream: window tables merge to the batch whole-corpus estimate") {
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val out = StreamingOps.hllSketchStream(
+      ms.toDF().toDF("doc_id", "source", "text", "ts"), "source", "text", "ts",
+      "10 minutes", "10 minutes", n = 2, p = 4)
+    val q = out.writeStream.format("memory").queryName("graft_hll")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (0L, "a", "spark join plan scan", Timestamp.valueOf("2026-01-01 10:01:00")),
+        (1L, "a", "join plan scan filter", Timestamp.valueOf("2026-01-01 10:12:00")),
+        (2L, "a", "spark join plan scan", Timestamp.valueOf("2026-01-01 10:13:00")))
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      // merge the per-window tables (duplicate shingles across windows —
+      // max is idempotent, so re-seen values cannot inflate the estimate)
+      val merged = graft.operators.Sketch.hllMerge("source",
+        spark.table("graft_hll").select($"source", $"bucket", $"maxrho"))
+      val est = graft.operators.Sketch.hllEstimateFrom(merged, "source", 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = graft.operators.Sketch.hllDistinct(
+        graft.operators.Dedup.shingleSet(
+          rows.toDF("doc_id", "source", "text", "ts"), "source", "text", 2)
+          .toDF("source", "shingle"),
+        "source", "shingle", 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(est == batch)
+    } finally q.stop()
+  }
+
+  test("bloomContaminationStream: narrow stateless probe == batch flags") {
+    val ms = MemoryStream[(Long, String)]
+    val eval = Seq((100L, "secret benchmark answer string onetwo"))
+      .toDF("doc_id", "text")
+    val bank = graft.operators.Sketch.bloomBank(spark, eval, "doc_id", "text",
+      n = 3, k = 2, nBits = 1 << 14)
+    val out = StreamingOps.bloomContaminationStream(
+      ms.toDF().toDF("doc_id", "text"), bank, "doc_id", "text", n = 3)
+    val q = out.writeStream.format("memory").queryName("graft_bloom")
+      .outputMode("append").start()
+    try {
+      val docs = Seq(
+        (0L, "leaked copy of the secret benchmark answer string"),
+        (1L, "perfectly ordinary training document text here"))
+      ms.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_bloom")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Sketch.bloomContamination(
+        docs.toDF("doc_id", "text"), bank, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.contains(0L))
+    } finally q.stop()
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
