@@ -2,9 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Side modes (dev workflow, formerly tools/Scratch.scala):
+  *   runMain graft.Verify --entry            flagship smoke (10 rows)
+  *   runMain graft.Verify --plan <query>     optimized plan + tokenizer
+  *                                           chain occurrence count
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0).startsWith("--")) { inspect(args); return }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -51,6 +58,39 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+
+  /** Plan/smoke inspection — configs aligned with the gate run so the
+    * audited plan is the plan that actually runs. */
+  private def inspect(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args(0) match {
+      case "--entry" =>
+        val rows = SparkEntry.entry(spark).collect()
+        println(s"=== entry rows: ${rows.length}")
+        rows.take(10).foreach(r => println("=== " + r))
+      case "--plan" =>
+        val df = SparkEntry.queries(args(1))(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+        if (sys.env.get("PLAN_MODE").contains("formatted")) df.explain("formatted")
+        else {
+          val plan = df.queryExecution.optimizedPlan.toString
+          println("=== occurrences of tokenizer chain (regexp_replace): " +
+            "regexp_replace".r.findAllIn(plan).length)
+          println("=== occurrences of ascii: " + "ascii".r.findAllIn(plan).length)
+          println("=== plan size chars: " + plan.length)
+          println(plan.take(Integer.parseInt(sys.env.getOrElse("PLAN_CHARS", "4000"))))
+        }
+      case other => System.err.println(s"unknown mode $other")
+    }
     spark.stop()
   }
 }

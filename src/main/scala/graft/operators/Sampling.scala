@@ -189,13 +189,46 @@ object Sampling {
     val b = boundaryRow(df, scoreCol, frac)
     val above = df.join(broadcast(b.select(col("__sc"))), col(scoreCol) > col("__sc"))
       .drop("__sc")
+    // The boundary bucket's (hash, id) tie-break WITHOUT funneling the
+    // whole bucket through one reducer: a degenerate corpus can put
+    // EVERY row on the boundary score (all-same-length docs), and a
+    // global row_number window would then serialize the corpus. The
+    // lottery order is recovered in two exact levels instead: a coarse
+    // histogram over ~4096 hash ranges finds the range containing the
+    // k-th ticket (hash ranges are order-aligned with the hash itself,
+    // so whole ranges below it are kept with a narrow filter), and
+    // only the ONE straddling range — ~1/4096 of the bucket — is
+    // ranked by the window. Same rows selected, single-reducer load
+    // divided by the range count.
+    val div = math.max(1L, K.M / 4096L)
+    val bnd = df.join(broadcast(b), col(scoreCol) === col("__sc"))
+      .withColumn("__hv", sampleHash(col(idCol)))
+      .withColumn("__hb", expr(s"__hv DIV $div"))
+      .localCheckpoint(false) // referenced by histogram + both keep legs
+    // __b (how many boundary rows still fit) is constant over bnd —
+    // max() carries it through the histogram agg
+    val hist = bnd.groupBy(col("__hb"))
+      .agg(count(lit(1)).as("__c"), max(col("__b")).as("__b"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__hb").asc)))
+    val cut = cum
+      .filter(col("__cum") >= col("__b"))
+      .orderBy(col("__hb").asc)
+      .limit(1)
+      .select(col("__hb").as("__hbStar"),
+        (col("__b") - (col("__cum") - col("__c"))).as("__need"))
+    val keptWhole = bnd
+      .join(broadcast(cut.select(col("__hbStar"))), col("__hb") < col("__hbStar"))
+      .drop("__sc", "__b", "__hv", "__hb", "__hbStar")
     val wn = org.apache.spark.sql.expressions.Window
-      .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
-    val boundary = df.join(broadcast(b), col(scoreCol) === col("__sc"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    val keptRanked = bnd
+      .join(broadcast(cut), col("__hb") === col("__hbStar"))
       .withColumn("__rn", row_number().over(wn))
-      .filter(col("__rn") <= col("__b"))
-      .drop("__sc", "__b", "__rn")
-    above.union(boundary)
+      .filter(col("__rn") <= col("__need"))
+      .drop("__sc", "__b", "__hv", "__hb", "__hbStar", "__need", "__rn")
+    above.union(keptWhole).union(keptRanked)
   }
 
   /** The exact boundary: 1 row (__sc = threshold score, __b = how many

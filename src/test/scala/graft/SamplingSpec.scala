@@ -107,6 +107,24 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Sampling.topFraction(df, "id", "score", 1.0).count() == 100)
   }
 
+  test("topFraction: degenerate single-score corpus — whole corpus on the boundary") {
+    import spark.implicits._
+    // every row ties at the boundary: the case where a naive global
+    // row_number window would funnel the ENTIRE corpus through one
+    // reducer; the two-level hash-range selection must keep exactly k
+    // and pick the same lowest-(hash, id) lottery winners
+    val n = 5000
+    val df = (1L to n.toLong).map(i => (i, 7L)).toDF("id", "score").repartition(11)
+    val frac = 0.2
+    val k = math.ceil(n * frac).toInt
+    val kept = Sampling.topFraction(df, "id", "score", frac)
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(kept.length == k, s"kept ${kept.length}, want exactly $k")
+    def hv(id: Long): Long = ((id % K.M + K.M) % K.M * K.A2 + K.C2) % K.M
+    val want = (1L to n.toLong).sortBy(id => (hv(id), id)).take(k).toSet
+    assert(kept.toSet == want, "degenerate boundary picked the wrong lottery winners")
+  }
+
   test("curationPipeline: every stage's invariant holds on the kept rows") {
     val full = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
