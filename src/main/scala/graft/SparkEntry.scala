@@ -438,6 +438,16 @@ object SparkEntry {
         4, maxPerCluster = 8, iterations = 12)
         .select(col("id"), col("cluster"))),
 
+    // the q107 labeling on the ANN scale path: candidates from the
+    // sign-LSH bucket self-join (hash-equi shuffle, corpus never
+    // broadcast) instead of the brute all-pairs kNN — the shape a
+    // 100 TB corpus actually clusters with; q107 stays as the exact
+    // baseline. 12 CC rounds — 1.5x the measured fixpoint, like q107
+    "q116_semantic_clusters_ann" -> ((s, dir) =>
+      Similarity.semanticClustersAnn(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        K.Dim, nPlanes = 4, k = 4, iterations = 12)
+        .select(col("id"), col("cluster"))),
+
     // DSIR importance masses: hashed word-bigram features, add-one-
     // smoothed target/source bucket counts as exact integer per-doc
     // masses; target = docs with doc_id < 100 (the q41 split)

@@ -666,6 +666,60 @@ object Similarity {
       .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
   }
 
+  /** Mutual-kNN edges from sign-LSH-bucketed candidates — the 100 TB
+    * path of [[mutualKnnPairs]]: the corpus NEVER broadcasts. Bucket
+    * assignment is narrow; the candidate pass is a hash-equi SELF-JOIN
+    * on the bucket key (both sides shuffle on the bucket — co-located,
+    * no driver or broadcast copy of the corpus), and ranking is the
+    * same partial top-k aggregate as [[knnJoin]] (≤ k+1 rows per
+    * vector per map task reach the exchange). Each vector ranks only
+    * its own bucket's members ([[annLshJoin]]'s candidate rule), so a
+    * cross-bucket near pair is missed — the standard LSH recall trade;
+    * more planes shrink buckets, fewer planes raise recall. The mutual
+    * transpose join then runs over the same n·(k+1)-row frame as the
+    * brute path. Reference seed: /root/reference/src/similarity.rs:31-40
+    * (top-k by score with original-order ties). */
+  def mutualAnnPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val knn = annBucketKnn(vecs, idCol, vecCol, dim, nPlanes, k)
+      .localCheckpoint(false)
+    knn.as("x").join(knn.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+      .filter(col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
+  }
+
+  /** The ANN candidate pass of [[mutualAnnPairs]]: top-(k+1) bucket
+    * mates per vector (self included) as (qid, nid) with self dropped.
+    * Exposed pre-checkpoint so plan audits can see the join shape. */
+  private[graft] def annBucketKnn(vecs: DataFrame, idCol: String, vecCol: String,
+                                  dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val b = vecs
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), dim, nPlanes))
+      .withColumn("__n", Kernel.vecNorm(col("__v")))
+      // lazy cut: the bucketed frame is BOTH sides of the self-join —
+      // bucket + norm compute once, not per side
+      .localCheckpoint(false)
+    b.as("q").join(b.as("c"), col("q.__bucket") === col("c.__bucket"))
+      .withColumn("score", Kernel.cosinePre(
+        col("c.__v"), col("q.__v"), col("c.__n"), col("q.__n")))
+      .groupBy(col("q.__id").as("qid"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("c.__id"), k + 1).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.id").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+  }
+
+  /** [[semanticClusters]] on the ANN candidate graph — the composition
+    * a 100 TB corpus actually runs: [[mutualAnnPairs]] (bucketed, no
+    * corpus broadcast) labeled by the same CC rounds. */
+  def semanticClustersAnn(vecs: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nPlanes: Int, k: Int,
+                          iterations: Int = DefaultSemanticIterations): DataFrame =
+    semanticClustersFromKnn(
+      mutualAnnPairs(vecs, idCol, vecCol, dim, nPlanes, k), iterations)
+
   /** Semantic clusters: the mutual-kNN graph labeled by connected
     * components ([[Dedup.duplicateClusters]] — seeded min-label +
     * pointer doubling). Output (id, cluster) for every vector with at

@@ -591,10 +591,10 @@ SELECT id, cluster FROM l$iterations"""
     s"""${semanticClusterCtes(k, iterations)}
 SELECT id, cluster FROM l$iterations"""
 
-  /** The shared q107 CTE chain: mutual-kNN edges → CC rounds, ending at
-    * `l$iterations` (id, cluster). q108 appends the per-cluster cap. */
-  private def semanticClusterCtes(k: Int, iterations: Int): String = {
-    val rounds = (1 to iterations).map { i =>
+  /** The q38/q107 CC-round CTE block: l1..l$iterations over `edges`
+    * (s, d) seeded from l0 — min-label + label-of-label per round. */
+  private def ccRoundsSql(iterations: Int): String =
+    (1 to iterations).map { i =>
       s"""l$i AS MATERIALIZED (SELECT id, min(cluster) AS cluster FROM (
   SELECT id, cluster FROM l${i - 1}
   UNION ALL
@@ -602,6 +602,11 @@ SELECT id, cluster FROM l$iterations"""
   UNION ALL
   SELECT a.id, b.cluster FROM l${i - 1} a JOIN l${i - 1} b ON b.id = a.cluster) u GROUP BY id)"""
     }.mkString(",\n")
+
+  /** The shared q107 CTE chain: mutual-kNN edges → CC rounds, ending at
+    * `l$iterations` (id, cluster). q108 appends the per-cluster cap. */
+  private def semanticClusterCtes(k: Int, iterations: Int): String = {
+    val rounds = ccRoundsSql(iterations)
     s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding,
   sqrt(list_reduce(list_transform(list_transform(embedding, x -> x::DOUBLE), y -> y*y), (a,b) -> a+b)) AS nrm FROM embeddings),
 dt AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -621,6 +626,31 @@ $rounds"""
     * .clusterBalancedSample]]) — the q107 labels capped at `maxN` per
     * cluster by the q57b id-hash window (hash ASC, id ASC), hash taken
     * over the member id. */
+  /** q116: semantic clusters on the ANN candidate graph
+    * ([[graft.operators.Similarity.semanticClustersAnn]]) — the q107
+    * chain with candidates restricted to sign-LSH bucket mates
+    * (c.bucket = q.bucket, the [[q17_ann_lsh]] bucket rule): top-(k+1)
+    * within bucket, self dropped, mutual filter, same CC rounds. */
+  def q116_semantic_clusters_ann(dim: Int, nPlanes: Int, k: Int,
+                                 iterations: Int): String = {
+    val rounds = ccRoundsSql(iterations)
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding,
+  ${lshBucketSql("embedding", dim, nPlanes)} AS bucket,
+  sqrt(list_reduce(list_transform(list_transform(embedding, x -> x::DOUBLE), y -> y*y), (a,b) -> a+b)) AS nrm FROM embeddings),
+dt AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+  CASE WHEN c.nrm = 0.0 OR q.nrm = 0.0 THEN 0.0 ELSE
+    list_reduce(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (a,b) -> a+b) / (c.nrm * q.nrm) END AS score
+  FROM v c JOIN v q ON c.bucket = q.bucket),
+kn AS MATERIALIZED (SELECT qid, nid FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM dt) t
+  WHERE rnk <= ${k + 1} AND qid != nid),
+pr AS MATERIALIZED (SELECT x.qid AS id_a, x.nid AS id_b FROM kn x JOIN kn y ON y.qid = x.nid AND y.nid = x.qid WHERE x.qid < x.nid),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b AS s, id_a AS d FROM pr),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS cluster FROM edges),
+$rounds
+SELECT id, cluster FROM l$iterations"""
+  }
+
   def q108_cluster_balanced(k: Int, iterations: Int, maxN: Int): String =
     s"""${semanticClusterCtes(k, iterations)},
 hh AS (SELECT cluster, id, ((((id % $M + $M) % $M) * $A2 + $C2) % $M) AS hv FROM l$iterations),
@@ -2888,6 +2918,7 @@ FROM events GROUP BY user_id, event_type"""
     "q105_dup_blocks" -> q105_dup_blocks(8),
     "q106_dsir" -> q106_dsir(4096, 2),
     "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
+    "q116_semantic_clusters_ann" -> q116_semantic_clusters_ann(graft.functions.K.Dim, 4, 4, 12),
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q109_quantile_filter" -> q109_quantile_filter(0.25),
     "q109b_top_fraction" -> q109b_top_fraction(0.25),

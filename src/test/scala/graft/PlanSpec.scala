@@ -106,6 +106,27 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("Broadcast"), s"expected broadcast threshold join:\n$plan")
   }
 
+  test("ANN bucket kNN: hash-equi self-join + partial top-k, corpus never broadcast") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = planOf(Similarity.annBucketKnn(e, "vec_id", "embedding", 64, 4, 4))
+    // the scale contract q116 exists for: candidates come from an
+    // equi-join on the bucket key, NOT a broadcast/cross of the corpus
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"ANN candidate pass must not broadcast or cross-join the corpus:\n$plan")
+    // an EQUI join on the bucket key — size-based auto-broadcast of a
+    // small side is fine (the planner's stats call, not a forced hint;
+    // with corpus-sized stats it falls back to a shuffle join), but the
+    // join keys must be the buckets
+    assert(Seq("BroadcastHashJoin [__bucket", "SortMergeJoin [__bucket",
+        "ShuffledHashJoin [__bucket").exists(plan.contains),
+      s"expected a bucket-key equi join:\n$plan")
+    // top-k is a partial ObjectHashAggregate below the per-vector exchange
+    val exchange = plan.indexOf("Exchange hashpartitioning(__id")
+    assert(exchange >= 0, s"expected a per-vector-id exchange:\n$plan")
+    assert(plan.indexOf("ObjectHashAggregate", exchange) > exchange,
+      s"expected partial top-k agg below the exchange:\n$plan")
+  }
+
   test("randomProjection stays a narrow map: no exchange in the plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val plan = planOf(e.select(col("vec_id"),
