@@ -1503,6 +1503,20 @@ object SparkEntry {
         "qid", "qtext", d, "doc_id", "text")
     }),
 
+    // the corpus-scale rerank: q31's scored product kept to each
+    // query's top-10 via the partial top-k aggregate — ≤ k rows per
+    // query per map task reach the exchange; no global sort anywhere
+    // (the reference's rerank loop, reranking/impl.rs:109-196, over a
+    // query batch at corpus scale)
+    "q117_rerank_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Reranker.rerankTopK(
+        d.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", d, "doc_id", "text", k = 10)
+        .select(col("qid"), col("index"),
+          col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // the backend route of the cross-encoder: pairEncode → RawBackend
     // forward → logits[:, 0] (I3's actual reference shape)
     "q31b_rerank_backend" -> ((s, dir) => {

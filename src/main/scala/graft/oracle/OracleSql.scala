@@ -352,6 +352,20 @@ s AS (SELECT qid, doc_id,
   FROM d, q)
 SELECT qid, doc_id AS "index", CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u::DOUBLE END AS score FROM s"""
 
+  /** q117: [[graft.operators.Reranker.rerankTopK]] — q31's Jaccard
+    * scoring kept to each query's top-k, rank ties by (score DESC,
+    * index ASC) = the TopKAgg heap order. */
+  def q117_rerank_topk(k: Int): String =
+    s"""WITH q AS (SELECT doc_id AS qid, list_distinct(${tids("text")}) AS qt FROM documents WHERE doc_id < 4),
+d AS (SELECT doc_id, list_distinct(${tids("text")}) AS dt FROM documents),
+s AS (SELECT qid, doc_id,
+  len(list_filter(dt, t -> list_contains(qt, t)))::BIGINT AS i,
+  (len(dt) + len(qt) - len(list_filter(dt, t -> list_contains(qt, t))))::BIGINT AS u
+  FROM d, q),
+sc AS (SELECT qid, doc_id, CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u::DOUBLE END AS score FROM s),
+r AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+SELECT qid, doc_id AS "index", rnk, score FROM r WHERE rnk <= $k"""
+
   val q10_pair_scores: String =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 list_reduce(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y) AS dot,
@@ -2973,6 +2987,7 @@ FROM events GROUP BY user_id, event_type"""
     "q30_registry_embed" -> q02_cls_embed,
     "q30b_registry_384" -> denseSelect("tids0", 384),
     "q31_rerank_multi" -> q31_rerank_multi,
+    "q117_rerank_topk" -> q117_rerank_topk(10),
     "q31b_rerank_backend" -> q31b_rerank_backend,
     "q36b_wav_embed" -> q36_audio_embed(16, 16),
     "q32_prefixed_embed" -> q32_prefixed_embed,

@@ -127,6 +127,21 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected partial top-k agg below the exchange:\n$plan")
   }
 
+  test("rerankTopK: partial top-k below the qid exchange, no global sort") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = d.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val plan = planOf(Reranker.rerankTopK(q, "qid", "qtext", d, "doc_id", "text", 10))
+    // the scored corpus×queries product must never range-partition or
+    // globally sort — only the k-sized per-query heaps reach the exchange
+    assert(!plan.contains("rangepartitioning") && !plan.contains("Sort "),
+      s"rerankTopK must not sort the scored product:\n$plan")
+    val exchange = plan.indexOf("Exchange hashpartitioning(qid")
+    assert(exchange >= 0, s"expected a qid exchange:\n$plan")
+    assert(plan.indexOf("ObjectHashAggregate", exchange) > exchange,
+      s"expected partial top-k agg below the exchange:\n$plan")
+  }
+
   test("randomProjection stays a narrow map: no exchange in the plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val plan = planOf(e.select(col("vec_id"),
