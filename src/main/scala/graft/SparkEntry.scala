@@ -448,6 +448,15 @@ object SparkEntry {
         K.Dim, nPlanes = 4, k = 4, iterations = 12)
         .select(col("id"), col("cluster"))),
 
+    // q108's topic-balanced cap composed over the q116 ANN labels —
+    // bucketed candidates (no corpus broadcast) feed the same CC rounds
+    // and id-hash lottery: the balanced-curation shape at 100 TB;
+    // q108 stays the exact brute-kNN baseline
+    "q119_cluster_balanced_ann" -> ((s, dir) =>
+      Similarity.clusterBalancedSampleAnn(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        K.Dim, nPlanes = 4, k = 4, maxPerCluster = 8, iterations = 12)
+        .select(col("id"), col("cluster"))),
+
     // DSIR importance masses: hashed word-bigram features, add-one-
     // smoothed target/source bucket counts as exact integer per-doc
     // masses; target = docs with doc_id < 100 (the q41 split)

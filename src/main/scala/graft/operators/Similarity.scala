@@ -763,6 +763,19 @@ object Similarity {
       semanticClusters(vecs, idCol, vecCol, k, iterations),
       "cluster", "id", maxPerCluster)
 
+  /** [[clusterBalancedSample]] on the ANN scale path: the labels come
+    * from [[semanticClustersAnn]]'s sign-LSH-bucketed candidate graph
+    * (hash-equi bucket self-join — the corpus never broadcasts), then
+    * the same [[Sampling.capPerKey]] id-hash lottery. This is the
+    * topic-balancing composition a 100 TB corpus actually runs;
+    * [[clusterBalancedSample]] stays the exact brute-kNN baseline. */
+  def clusterBalancedSampleAnn(vecs: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, nPlanes: Int, k: Int, maxPerCluster: Int,
+                               iterations: Int = DefaultSemanticIterations): DataFrame =
+    Sampling.capPerKey(
+      semanticClustersAnn(vecs, idCol, vecCol, dim, nPlanes, k, iterations),
+      "cluster", "id", maxPerCluster)
+
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {

@@ -646,7 +646,24 @@ $rounds"""
     * (c.bucket = q.bucket, the [[q17_ann_lsh]] bucket rule): top-(k+1)
     * within bucket, self dropped, mutual filter, same CC rounds. */
   def q116_semantic_clusters_ann(dim: Int, nPlanes: Int, k: Int,
-                                 iterations: Int): String = {
+                                 iterations: Int): String =
+    s"""${semanticClusterAnnCtes(dim, nPlanes, k, iterations)}
+SELECT id, cluster FROM l$iterations"""
+
+  /** q119: [[graft.operators.Similarity.clusterBalancedSampleAnn]] —
+    * the q108 id-hash-lottery cap over the q116 ANN cluster labels:
+    * the topic-balancing composition on the scale path. */
+  def q119_cluster_balanced_ann(dim: Int, nPlanes: Int, k: Int,
+                                iterations: Int, maxN: Int): String =
+    s"""${semanticClusterAnnCtes(dim, nPlanes, k, iterations)},
+hh AS (SELECT cluster, id, ((((id % $M + $M) % $M) * $A2 + $C2) % $M) AS hv FROM l$iterations),
+r AS (SELECT cluster, id, row_number() OVER (PARTITION BY cluster ORDER BY hv ASC, id ASC) AS rnk FROM hh)
+SELECT id, cluster FROM r WHERE rnk <= $maxN"""
+
+  /** The shared q116/q119 CTE chain, ending in `l{iterations}(id,
+    * cluster)` — ANN mutual-kNN labeling over sign-LSH bucket mates. */
+  private def semanticClusterAnnCtes(dim: Int, nPlanes: Int, k: Int,
+                                     iterations: Int): String = {
     val rounds = ccRoundsSql(iterations)
     s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding,
   ${lshBucketSql("embedding", dim, nPlanes)} AS bucket,
@@ -661,8 +678,7 @@ kn AS MATERIALIZED (SELECT qid, nid FROM (
 pr AS MATERIALIZED (SELECT x.qid AS id_a, x.nid AS id_b FROM kn x JOIN kn y ON y.qid = x.nid AND y.nid = x.qid WHERE x.qid < x.nid),
 edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b AS s, id_a AS d FROM pr),
 l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS cluster FROM edges),
-$rounds
-SELECT id, cluster FROM l$iterations"""
+$rounds"""
   }
 
   def q108_cluster_balanced(k: Int, iterations: Int, maxN: Int): String =
@@ -2933,6 +2949,7 @@ FROM events GROUP BY user_id, event_type"""
     "q106_dsir" -> q106_dsir(4096, 2),
     "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
     "q116_semantic_clusters_ann" -> q116_semantic_clusters_ann(graft.functions.K.Dim, 4, 4, 12),
+    "q119_cluster_balanced_ann" -> q119_cluster_balanced_ann(graft.functions.K.Dim, 4, 4, 12, 8),
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q109_quantile_filter" -> q109_quantile_filter(0.25),
     "q109b_top_fraction" -> q109b_top_fraction(0.25),
