@@ -981,6 +981,62 @@ object SparkEntry {
         .select(col("doc_id"), element_at(col("embedding"), 1).as("score"))
     }),
 
+    // the END-TO-END learned retrieval journey in ONE plan: embed →
+    // search → rerank (reference README usage; similarity.rs:31-40
+    // candidates feeding reranking/impl.rs:109-196). One full-model
+    // forward embeds corpus AND query (the query rides as doc_id -1);
+    // IVF assignment + probing retrieves candidates by cosine (no
+    // corpus broadcast — the probe list broadcasts, corpus stays
+    // partitioned); the learned cross-encoder head then rescores JUST
+    // the <= k candidate docs. Lazy cuts pin one tokenize and one
+    // corpus forward for the whole composition.
+    "q118_learned_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val oracle = graft.oracle.OracleSql
+      val wp = graft.model.WordPiece.fixture
+      val maxLen = oracle.q95MaxLen
+      val qWords = oracle.q96Query.split(" ").toSeq
+      val qIds = qWords.flatMap(wp.tokenizeWord)
+      val (w, b) = graft.backend.RerankHeadBank.loadedQuantized
+      // WordPiece once per doc: the SAME ids feed the embed forward
+      // and the candidates-only pair-encode
+      val withIds = docs(s, dir)
+        .select(col("doc_id"),
+          bridge.column(graft.functions.WordPieceIds(
+            bridge.expression(col("text")), wp)).as("__ids"))
+        .localCheckpoint(false)
+      val qRow = Seq((-1L, (wp.clsId.toLong +: qIds.map(_.toLong)) :+ wp.sepId.toLong))
+        .toDF("doc_id", "tids")
+      val embedded = BackendEmbedder.embed(
+        withIds.select(col("doc_id"), slice(col("__ids"), 1, maxLen).as("tids"))
+          .unionByName(qRow),
+        "doc_id", "tids", graft.backend.DecoderLayerBackend.fullModel(), minTokens = 3)
+        .localCheckpoint(false) // ONE corpus forward: centroids, assignment, probe all read it
+      val corpus = embedded.filter(col("doc_id") >= 0)
+      val qEmb = embedded.filter(col("doc_id") === -1L)
+        .select(lit(0L).as("__qid"), col("embedding").as("__qv"))
+      val cents = Similarity.firstKCentroids(corpus, "doc_id", "embedding", 8)
+      val cand = Similarity.ivfFlatWith(qEmb, "__qid", "__qv",
+          corpus, "doc_id", "embedding", cents, nProbe = 2, k = 10)
+        .select(col("doc_id"), col("score").as("rel"))
+        .localCheckpoint(false) // candidate set reads twice (rerank input + final join)
+      val pe = withIds
+        .join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .withColumn("__pe", Reranker.wordPiecePairEncode(
+          qWords, col("__ids"), wp, oracle.q96MaxLen))
+        .select(col("doc_id"), col("__pe.input_ids").as("tids"))
+      val scored = BackendEmbedder.embed(pe, "doc_id", "tids",
+        graft.backend.RerankHeadBackend(
+          graft.backend.DecoderLayerBackend.fullModel(), w, b),
+        minTokens = qIds.length + 4)
+        .select(col("doc_id"), element_at(col("embedding"), 1).as("score"))
+      cand.join(scored, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+    }),
+
     // the vision tower's LEARNED PatchMerger: windowed attention as in
     // q71, then each window's 48 concatenated values project through a
     // real [16 x 48] F32 MLP row instead of hash cells

@@ -1945,6 +1945,61 @@ sel AS (SELECT doc_id, tids, len(tids) AS n FROM pe)""",
 SELECT doc_id, list_reduce(list_transform(range(0, $H), d3 -> ((${hk("d3")})::DOUBLE / 1024.0) * mn[d3 + 1]), (a,b) -> a + b) + (${graft.backend.RerankHeadBank.headK(H)})::DOUBLE / 1024.0 AS score FROM fn"""))
   }
 
+  /** q118: the reference's END-TO-END learned retrieval journey —
+    * embed → search → rerank in ONE statement
+    * (/root/reference/README.md usage: TextEmbedding candidates via
+    * src/similarity.rs:31-40 feeding src/reranking/impl.rs:109-196).
+    * The q95 full learned model embeds corpus AND query in one chain
+    * (the query rides as doc_id −1), q17c's first-`nCells` IVF
+    * assignment + `nProbe` probing retrieves `legK` candidates by
+    * cosine, and the q96 learned cross-encoder head rescores JUST
+    * those candidates — the rerank chain's input is the candidate
+    * join, so the second forward touches `legK` docs, not the corpus.
+    * Output: doc_id, retrieval cosine `rel`, learned `score`, and the
+    * final rerank-ordered `rnk`. */
+  def q118_learned_retrieval(nCells: Int, nProbe: Int, legK: Int): String = {
+    val wp = graft.model.WordPiece.fixture
+    val H = graft.backend.AttnBank.Hidden
+    val dim = graft.backend.EmbTableBank.Dim
+    val qWords = q96Query.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val qIds = qWords.flatMap(wp.tokenizeWord)
+    val budgetB = q96MaxLen - qIds.length - 3
+    require(budgetB > 0, s"q96MaxLen $q96MaxLen leaves no room for the doc")
+    val head = (wp.clsId +: qIds :+ wp.sepId)
+      .map(i => s"CAST($i AS BIGINT)").mkString("[", ", ", "]")
+    def hk(i: String) = s"((($i) + 5001) * $B3 + $A3) % 4001 - 2000"
+    val s0 = (t: String, d: String) =>
+      s"CAST(floor((((($t) * $dim + ($d) + 1) * $C3 + $B3) % 4001 - 2000)::DOUBLE / 1024.0 * 1000000.0 + 0.5) AS BIGINT)"
+    s"""${wordpieceCtes()},
+esel AS (SELECT doc_id, list_slice(s2, 1, $q95MaxLen) AS tids, least(len(s2), $q95MaxLen) AS n FROM sq WHERE len(s2) > 2
+  UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id, $head AS tids, ${qIds.length + 2} AS n),
+${decoderChainCtes("e", s0)},
+enr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM efn),
+eemb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM enr),
+cents AS (SELECT doc_id AS cell, emb AS cvec FROM eemb WHERE doc_id >= 0 AND doc_id < $nCells),
+assign AS (SELECT doc_id, emb, cell FROM (
+  SELECT e.doc_id, e.emb, c.cell,
+    row_number() OVER (PARTITION BY e.doc_id ORDER BY ${l2sqSql("e.emb", "c.cvec")}, c.cell) AS rn
+  FROM eemb e CROSS JOIN cents c WHERE e.doc_id >= 0) t WHERE rn = 1),
+qe AS (SELECT emb AS qvec FROM eemb WHERE doc_id = -1),
+qprobe AS (SELECT cell, qvec FROM (
+  SELECT c.cell, q.qvec, row_number() OVER (ORDER BY ${l2sqSql("q.qvec", "c.cvec")}, c.cell) AS rn
+  FROM qe q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+jj AS (SELECT a.doc_id, ${cosineSql("a.emb", "qp.qvec")} AS rel,
+  row_number() OVER (ORDER BY ${cosineSql("a.emb", "qp.qvec")} DESC, a.doc_id ASC) AS rn
+  FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+cand AS (SELECT doc_id, rel FROM jj WHERE rn <= $legK),
+rpe AS (SELECT sq.doc_id, list_concat(list_concat($head, list_slice(list_slice(s2, 2, len(s2) - 1), 1, $budgetB)), [CAST(${wp.sepId} AS BIGINT)]) AS tids
+  FROM sq JOIN cand ON cand.doc_id = sq.doc_id),
+rsel AS (SELECT doc_id, tids, len(tids) AS n FROM rpe),
+${decoderChainCtes("r", s0)},
+sc AS (SELECT doc_id, list_reduce(list_transform(range(0, $H), d3 -> ((${hk("d3")})::DOUBLE / 1024.0) * mn[d3 + 1]), (a,b) -> a + b) + (${graft.backend.RerankHeadBank.headK(H)})::DOUBLE / 1024.0 AS score FROM rfn)
+SELECT c.doc_id, c.rel, sc.score,
+  CAST(row_number() OVER (ORDER BY sc.score DESC, c.doc_id ASC) AS BIGINT) AS rnk
+FROM cand c JOIN sc ON sc.doc_id = c.doc_id"""
+  }
+
   /** q99: the LEARNED ColBERT head — per-token vectors from the full
     * learned stack: every post-stack state except the first token's
     * (the reference's colbert output is `[batch, seq_len - 1, dim]`,
@@ -2006,6 +2061,30 @@ SELECT doc_id, term_id, max(w) AS weight FROM tv GROUP BY doc_id, term_id HAVING
                                 s0Cell: (String, String) => String,
                                 tail: Option[String] = None,
                                 allPositions: Boolean = false): String = {
+    val epilogue =
+      if (allPositions) tail.getOrElse(
+        throw new IllegalArgumentException("allPositions requires a custom tail"))
+      else tail.getOrElse(defaultL2ExplodeEpilogue)
+    s"""$inputCtes,
+${decoderChainCtes("", s0Cell, allPositions)}$epilogue"""
+  }
+
+  /** Default decoder epilogue over `fn(doc_id, mn)`: l2-normalize and
+    * explode to (doc_id, dim, val). */
+  private def defaultL2ExplodeEpilogue: String = s""",
+nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
+emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
+SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb"""
+
+  /** The decoder forward as PREFIX-NAMED CTEs: reads `${p}sel(doc_id,
+    * tids, n)` (n ≥ 1) and emits `${p}fn(doc_id, mn)` — or, with
+    * allPositions, ends at `${p}br2(doc_id, n, r2l)` (position-aligned
+    * post-stack states; the caller's tail pools/projects). Prefixing
+    * lets two independent forwards share one statement — q118 runs the
+    * embed chain (`e`) and the candidates-only rerank chain (`r`)
+    * side by side. */
+  private def decoderChainCtes(p: String, s0Cell: (String, String) => String,
+                               allPositions: Boolean = false): String = {
     val H = graft.backend.AttnBank.Hidden
     val NH = graft.backend.AttnBank.NHeads
     val D = graft.backend.AttnBank.HeadDim
@@ -2093,27 +2172,22 @@ ${p}r2 AS (SELECT doc_id, n,
     list_transform(range(0, $H), d ->
       r1l[qi][d + 1] + CAST(floor(((list_reduce(list_transform(range(0, $I), i -> (${wm(s"$mOff + $offDown + d * $I + i")}) * al[qi][i + 1]), (a,b) -> a + b))::DOUBLE / 1024.0 / $M3.0 / $M3.0) * $qs + 0.5) AS BIGINT))) AS r2l FROM ${p}av)"""
     val chainB =
-      if (allPositions) layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "n", "qi")
-      else layerChain("b", "r2l", "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")
-    // with allPositions the epilogue reads the position-aligned state
-    // list br2(doc_id, n, r2l) directly (a custom tail is required);
-    // otherwise fn(doc_id, mn) is the pooled final-norm hidden
-    val epilogue =
-      if (allPositions) tail.getOrElse(
-        throw new IllegalArgumentException("allPositions requires a custom tail"))
+      if (allPositions) layerChain(p + "b", "r2l", p + "ar2", aTot, mTot, g1b1, g1b1 + H, "n", "qi")
+      else layerChain(p + "b", "r2l", p + "ar2", aTot, mTot, g1b1, g1b1 + H, "1", "n")
+    // with allPositions the chain ends at ${p}br2 (a custom tail reads
+    // the position-aligned states); otherwise ${p}fn is the pooled
+    // final-norm hidden
+    val fnCte =
+      if (allPositions) ""
       else s""",
-fn AS (SELECT doc_id,
+${p}fn AS (SELECT doc_id,
   list_transform(range(0, $H), e2 ->
-    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM br2)${tail.getOrElse(s""",
-nr AS (SELECT doc_id, mn, sqrt(list_reduce(list_transform(mn, v -> v*v), (a,b) -> a + b)) AS nv FROM fn),
-emb AS (SELECT doc_id, list_transform(mn, x -> x / (nv + 1e-12)) AS emb FROM nr)
-SELECT doc_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, unnest(emb) AS val FROM emb""")}"""
-    s"""$inputCtes,
-s0c AS (SELECT doc_id, n,
+    ((r2l[1][e2 + 1]::DOUBLE / $qs) / sqrt(((list_reduce(list_transform(r2l[1], v -> v * v), (a,b) -> a + b))::DOUBLE / $qs / $qs) / $H.0 + 1e-6)) * ((${gain(s"${2 * H} + e2")})::DOUBLE / 2048.0)) AS mn FROM ${p}br2)"""
+    s"""${p}s0c AS (SELECT doc_id, n,
   list_transform(range(1, n + 1), j ->
-    list_transform(range(0, $H), e -> ${s0Cell("tids[j]", "e")})) AS s0l FROM sel),
-${layerChain("a", "s0l", "s0c", 0, 0, 0, H, "n", "qi")},
-$chainB$epilogue"""
+    list_transform(range(0, $H), e -> ${s0Cell("tids[j]", "e")})) AS s0l FROM ${p}sel),
+${layerChain(p + "a", "s0l", p + "s0c", 0, 0, 0, H, "n", "qi")},
+$chainB$fnCte"""
   }
 
   /** q104 sequence cap: bounds the bidirectional O(n²) per-layer pass;
@@ -3040,6 +3114,7 @@ FROM events GROUP BY user_id, event_type"""
     "q94_attn_bias" -> q94_attn_bias,
     "q95_full_model" -> q95_full_model,
     "q96_learned_rerank" -> q96_learned_rerank(q96Query, q96MaxLen),
+    "q118_learned_retrieval" -> q118_learned_retrieval(8, 2, 10),
     "q97_bpe" -> q97_bpe,
     "q102_unigram" -> q102_unigram,
     "q103_e5_embed" -> q103_e5_embed(),

@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected partial top-k agg below the exchange:\n$plan")
   }
 
+  test("q118: candidate-bounded rerank, no corpus cross join") {
+    val plan = planOf(SparkEntry.queries("q118_learned_retrieval")(spark, dir))
+    // the end-to-end journey must never cross/NLJ-join the corpus: IVF
+    // candidates come from the broadcast probe equi-join, and the
+    // second (rerank) forward reads only the candidate semi join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q118 must not cross-join the corpus:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"rerank input must be the candidate semi join:\n$plan")
+  }
+
   test("randomProjection stays a narrow map: no exchange in the plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val plan = planOf(e.select(col("vec_id"),
