@@ -102,7 +102,10 @@ object Bench {
     // truncates long stdout lines (r10's artifact kept only the tail,
     // "parsed": null), so the machine-readable per-query/per-pass map
     // must survive somewhere length-proof.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // default name carries the sf tag so concurrent runs (or runs at
+    // different scales) don't clobber one artifact
+    val sfTag = new java.io.File(sfDir).getName
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_$sfTag.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }

@@ -77,6 +77,10 @@ object Verify {
         val rows = SparkEntry.entry(spark).collect()
         println(s"=== entry rows: ${rows.length}")
         rows.take(10).foreach(r => println("=== " + r))
+      case "--plan" if args.length < 2 =>
+        System.err.println("usage: Verify --plan <query_name>")
+        spark.stop()
+        sys.exit(1)
       case "--plan" =>
         val df = SparkEntry.queries(args(1))(spark,
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
@@ -89,7 +93,10 @@ object Verify {
           println("=== plan size chars: " + plan.length)
           println(plan.take(Integer.parseInt(sys.env.getOrElse("PLAN_CHARS", "4000"))))
         }
-      case other => System.err.println(s"unknown mode $other")
+      case other =>
+        System.err.println(s"unknown mode $other (expected --entry or --plan)")
+        spark.stop()
+        sys.exit(1)
     }
     spark.stop()
   }

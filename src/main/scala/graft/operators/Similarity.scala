@@ -691,7 +691,16 @@ object Similarity {
 
   /** The ANN candidate pass of [[mutualAnnPairs]]: top-(k+1) bucket
     * mates per vector (self included) as (qid, nid) with self dropped.
-    * Exposed pre-checkpoint so plan audits can see the join shape. */
+    * Exposed pre-checkpoint so plan audits can see the join shape.
+    *
+    * Cost model: the bucket self-join scores Σ_b |bucket_b|² pairs, so
+    * `nPlanes` must GROW with the corpus — pick it so 2^nPlanes ≈
+    * n / target_bucket_size (the gated nPlanes=4 is sized for the sf
+    * test corpora, not a constant). The largest bucket bounds both
+    * skew and the quadratic term; if bucket skew bites at the next
+    * scale gate, salt the hot bucket (append a salt key to both sides
+    * and union the k-lists) or multi-probe neighboring buckets to
+    * spread mass — the recall/cost trade is the standard LSH one. */
   private[graft] def annBucketKnn(vecs: DataFrame, idCol: String, vecCol: String,
                                   dim: Int, nPlanes: Int, k: Int): DataFrame = {
     val b = vecs
