@@ -1106,7 +1106,12 @@ object SparkEntry {
     // learned stack — every post-stack state but the first (the
     // reference's colbert output is [batch, seq_len - 1, dim], the
     // leading special dropped) through the real colbert_linear.weight
-    // matrix, l2 per token
+    // matrix, l2 per token.
+    // Cost floor (profiled at sf0.1): tokenize ~0.4 s, forward+head
+    // ~1.3 s, per-dim fan-out ~0.2 s. ONE forward per doc — the extra
+    // cost over q95 is the all-positions layer-1 pass that per-token
+    // outputs require, not a second forward; it parallelizes linearly
+    // with executors at scale
     "q99_learned_colbert" -> ((s, dir) => {
       val bridge = org.apache.spark.sql.graftbridge.Bridge
       val maxLen = graft.oracle.OracleSql.q95MaxLen

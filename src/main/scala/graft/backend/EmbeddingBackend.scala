@@ -139,30 +139,35 @@ object BackendEmbedder {
     * ([[DecoderLayerBackend.colbertTokens]] — the reference's
     * `[batch, seq_len - 1, dim]` third head). Narrow flatMap, no
     * shuffle; the model instantiates once per executor through the
-    * registry (the S5 per-executor-session pattern, like [[embed]]). */
+    * registry (the S5 per-executor-session pattern, like [[embed]]).
+    * The typed boundary emits ONE row per token (id, pos, vector);
+    * the per-dim fan-out is a codegen'd in-plan posexplode — profiled
+    * ~10% faster at sf0.1 than per-dim Scala tuples (the remaining
+    * cost is the forward itself: per-token outputs need the layer-1
+    * pass at EVERY position, unlike the pooled single-position q95). */
   def colbertTokens(df: DataFrame, idCol: String, tidsCol: String,
                     model: DecoderLayerBackend,
                     w: IndexedSeq[Long], outDim: Int,
                     minTokens: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
     val bKey = "colbert:" + model.toString
-    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
-        org.apache.spark.sql.functions.col(tidsCol))
+    df.select(col(idCol).cast("long"), col(tidsCol))
       .as[(Long, Array[Long])]
       .filter((r: (Long, Array[Long])) => r._2 != null && r._2.length >= minTokens)
       .mapPartitions { it =>
         val be = BackendRegistry.getOrCreate(bKey, () => model)
           .asInstanceOf[DecoderLayerBackend]
         it.flatMap { case (id, tids) =>
-          be.colbertTokens(tids, w, outDim).iterator.zipWithIndex.flatMap {
-            case (vec, p) => vec.iterator.zipWithIndex.map {
-              case (v, d) => (id, p.toLong, d.toLong, v)
-            }
+          be.colbertTokens(tids, w, outDim).iterator.zipWithIndex.map {
+            case (vec, p) => (id, p.toLong, vec)
           }
         }
       }
-      .toDF(idCol, "pos", "dim", "val")
+      .toDF(idCol, "pos", "__vec")
+      .select(col(idCol), col("pos"), posexplode(col("__vec")).as(Seq("dim", "val")))
+      .select(col(idCol), col("pos"), col("dim").cast("long").as("dim"), col("val"))
   }
 
   /** Tied-vocab sparse extraction over the full learned stack
