@@ -102,16 +102,100 @@ object ModelRegistry {
       Pooling.Mean)
   ).map(m => m.name -> m).toMap
 
+  /** The breadth catalog: one row per reference registry variant, with
+    * the reference's REAL structural metadata — dim, default pooling
+    * (text_embedding/impl.rs:158-218), quantization mode
+    * (impl.rs:220-268: `Q` names quantize; six families dynamically —
+    * the single-batch rule — the rest statically; the 4-bit variant is
+    * batching-safe `None`), output-key override (text_embedding.rs:423
+    * `sentence_embedding`), and external-initializer side files
+    * (text_embedding.rs:293-296, 332, 422-443; reranking.rs:32) —
+    * under synthetic names (zero-egress: the checkpoints themselves
+    * are meaningless here; the catalog SHAPE is what the registry
+    * surface and its exhaustiveness spec exercise). Counts mirror the
+    * reference exactly: 46 dense text (text_embedding.rs:603-719's
+    * exhaustive guard), 2 sparse (sparse.rs), 1 quantized joint
+    * (bgem3.rs), 4 rerankers (reranking.rs), 5 image
+    * (image_embedding.rs). */
+  private val catalog: Map[String, ModelInfo] = {
+    import Pooling.{Cls, Mean}
+    import Quantization.{Dynamic, Static}
+    val none = Quantization.None
+    // (ordinal, dim, pooling, quantization, outputKey, additionalFiles)
+    val text: Seq[ModelInfo] = Seq[(Int, Int, Pooling, Quantization, Option[String], Seq[String])](
+      (1, 384, Mean, none, None, Nil), (2, 384, Mean, Dynamic, None, Nil),
+      (3, 384, Mean, none, None, Nil), (4, 384, Mean, Dynamic, None, Nil),
+      (5, 768, Mean, none, None, Nil),
+      (6, 768, Cls, none, None, Nil), (7, 768, Cls, Static, None, Nil),
+      (8, 1024, Cls, none, None, Nil), (9, 1024, Cls, Static, None, Nil),
+      (10, 384, Cls, none, None, Nil), (11, 384, Cls, Static, None, Nil),
+      (12, 768, Mean, none, None, Nil), (13, 768, Mean, none, None, Nil),
+      (14, 768, Mean, Dynamic, None, Nil),
+      (15, 384, Mean, none, None, Nil), (16, 384, Mean, Static, None, Nil),
+      (17, 768, Mean, none, None, Nil),
+      (18, 512, Cls, none, None, Nil), (19, 1024, Cls, none, None, Nil),
+      (20, 1024, Cls, none, None,
+        Seq("onnx/model.onnx_data", "onnx/Constant_7_attr__value")),
+      (21, 1024, Mean, none, None, Nil),
+      (22, 384, Mean, none, None, Nil), (23, 768, Mean, none, None, Nil),
+      (24, 1024, Mean, none, None, Seq("model.onnx_data")),
+      (25, 1024, Cls, none, None, Nil), (26, 1024, Cls, Dynamic, None, Nil),
+      (27, 768, Cls, none, None, Nil), (28, 768, Cls, Dynamic, None, Nil),
+      (29, 1024, Cls, none, None, Nil), (30, 1024, Cls, Dynamic, None, Nil),
+      (31, 512, Mean, none, None, Nil),
+      (32, 768, Mean, none, None, Nil), (33, 768, Mean, none, None, Nil),
+      (34, 768, Mean, none, Some("sentence_embedding"), Seq("onnx/model.onnx_data")),
+      (35, 768, Mean, none, Some("sentence_embedding"), Seq("onnx/model_q4.onnx_data")),
+      (36, 768, Mean, Dynamic, Some("sentence_embedding"), Seq("onnx/model_quantized.onnx_data")),
+      (37, 384, Cls, none, None, Nil), (38, 384, Cls, Dynamic, None, Nil),
+      (39, 384, Cls, none, None, Nil), (40, 384, Cls, Dynamic, None, Nil),
+      (41, 768, Cls, none, None, Nil), (42, 768, Cls, Dynamic, None, Nil),
+      (43, 768, Cls, none, None, Nil), (44, 768, Cls, Dynamic, None, Nil),
+      (45, 1024, Cls, none, None, Nil), (46, 1024, Cls, Dynamic, None, Nil)
+    ).map { case (i, dim, pool, quant, ok, af) =>
+      ModelInfo(f"graft-text-$i%02d-$dim", dim,
+        s"catalog text model $i: $dim-d, ${pool.toString.toLowerCase} pooling" +
+          (if (quant != none) s", ${quant.toString.toLowerCase} quantization" else ""),
+        pool, quant, kind = ModelKind.Dense, outputKey = ok, additionalFiles = af)
+    }
+    // sparse.rs: SPLADE++ and the BGE-M3 sparse head (dim 0 = vocab-sized)
+    val sparse = Seq(
+      ModelInfo("graft-catalog-sparse-01", 0, "catalog sparse model 1 (SPLADE role)",
+        Mean, kind = ModelKind.Sparse),
+      ModelInfo("graft-catalog-sparse-02", 0, "catalog sparse model 2 (M3 sparse head role)",
+        Mean, kind = ModelKind.Sparse,
+        additionalFiles = Seq("onnx/model.onnx_data", "onnx/Constant_7_attr__value")))
+    // bgem3.rs: the quantized joint dense+sparse+colbert checkpoint
+    val joint = Seq(
+      ModelInfo("graft-catalog-joint-01-q", 1024, "catalog quantized joint model (M3 role)",
+        Cls, Static, kind = ModelKind.Bgem3))
+    // reranking.rs: four cross-encoders; dim 1 = one score per pair
+    val rerank = Seq(
+      ModelInfo("graft-catalog-rerank-01", 1, "catalog reranker 1", Cls, kind = ModelKind.Rerank),
+      ModelInfo("graft-catalog-rerank-02", 1, "catalog reranker 2", Cls, kind = ModelKind.Rerank,
+        additionalFiles = Seq("model.onnx.data")),
+      ModelInfo("graft-catalog-rerank-03", 1, "catalog reranker 3", Cls, kind = ModelKind.Rerank),
+      ModelInfo("graft-catalog-rerank-04", 1, "catalog reranker 4", Cls, kind = ModelKind.Rerank))
+    // image_embedding.rs: five vision towers
+    val image = Seq((1, 512), (2, 2048), (3, 768), (4, 512), (5, 768)).map {
+      case (i, dim) =>
+        ModelInfo(f"graft-catalog-image-$i%02d-$dim", dim,
+          s"catalog image model $i: $dim-d", Mean, kind = ModelKind.Image)
+    }
+    (text ++ sparse ++ joint ++ rerank ++ image).map(m => m.name -> m).toMap
+  }
+
   @volatile private var userModels: Map[String, ModelInfo] = Map.empty
 
   /** "Bring your own model" (src/text_embedding/init.rs:88-138 analogue). */
   def register(info: ModelInfo): Unit = synchronized { userModels += (info.name -> info) }
 
-  def get(name: String): Option[ModelInfo] = userModels.get(name).orElse(builtin.get(name))
+  def get(name: String): Option[ModelInfo] =
+    userModels.get(name).orElse(builtin.get(name)).orElse(catalog.get(name))
   def apply(name: String): ModelInfo =
     get(name).getOrElse(throw new NoSuchElementException(s"unknown model: $name"))
   def listSupportedModels(): Seq[ModelInfo] =
-    (builtin ++ userModels).values.toSeq.sortBy(_.name)
+    (catalog ++ builtin ++ userModels).values.toSeq.sortBy(_.name)
 
   /** Per-modality listing — the analogue of each reference registry's
     * own `list_supported_models`. */

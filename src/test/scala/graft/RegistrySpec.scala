@@ -66,6 +66,34 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("breadth catalog mirrors the reference's variant counts") {
+    // the reference's exhaustive guards pin its registries at 46 text
+    // variants (models/text_embedding.rs:603-719), 2 sparse
+    // (sparse.rs), 1 quantized joint (bgem3.rs), 4 rerankers
+    // (reranking.rs), 5 image (image_embedding.rs)
+    val all = ModelRegistry.listSupportedModels()
+    assert(all.count(_.name.startsWith("graft-text-")) == 46)
+    assert(all.count(_.name.startsWith("graft-catalog-sparse-")) == 2)
+    assert(all.count(_.name.startsWith("graft-catalog-joint-")) == 1)
+    assert(all.count(_.name.startsWith("graft-catalog-rerank-")) == 4)
+    assert(all.count(_.name.startsWith("graft-catalog-image-")) == 5)
+    // the quantization split mirrors impl.rs:220-268: 12 dynamic
+    // catalog variants (six families), 4 static, and the 4-bit row
+    // stays batching-safe None
+    val text = all.filter(_.name.startsWith("graft-text-"))
+    import graft.model.Quantization
+    assert(text.count(_.quantization == Quantization.Dynamic) == 12)
+    assert(text.count(_.quantization == Quantization.Static) == 4)
+    // the Gemma-role rows carry the sentence_embedding output key and
+    // external data beside the graph (text_embedding.rs:422-443)
+    assert(text.count(_.outputKey.contains("sentence_embedding")) == 3)
+    assert(text.count(_.additionalFiles.nonEmpty) == 5)
+    // every catalog row resolves and lists under its kind
+    import graft.model.ModelKind
+    assert(ModelRegistry.listSupportedModels(ModelKind.Image)
+      .count(_.name.startsWith("graft-catalog-image-")) == 5)
+  }
+
   test("Backends.forModel constructs the registered backends (S5/A4 wiring)") {
     assert(graft.backend.Backends.forModel("graft-transformer-8") ==
       graft.backend.TransformerBackend(dim = 8))
