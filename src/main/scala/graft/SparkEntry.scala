@@ -448,6 +448,20 @@ object SparkEntry {
         K.Dim, nPlanes = 4, k = 4, iterations = 12)
         .select(col("id"), col("cluster"))),
 
+    // q116 at its SCALE settings: 8 planes (256-way bucket split, the
+    // nPlanes-grows-with-n rule) with all 1-flip probe buckets on the
+    // query side buying the recall back, and the candidate side salted
+    // 4-way. The oracle doesn't model salt — it's a pure parallelism
+    // knob — so this row gating green IS the salt-invariance proof.
+    // k=2 (vs q116's 4): multi-probe recall makes k=4 mutual edges so
+    // dense the graph fuses into one giant component whose CC chain
+    // outruns 12 naive-SQL oracle rounds at sf0.1; k=2 keeps clusters
+    // fine-grained (≈400 components, fixpoint in ≤10 rounds).
+    "q120_semantic_clusters_annmp" -> ((s, dir) =>
+      Similarity.semanticClustersAnn(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        K.Dim, nPlanes = 8, k = 2, iterations = 12, probes = 8, salt = 4)
+        .select(col("id"), col("cluster"))),
+
     // q108's topic-balanced cap composed over the q116 ANN labels —
     // bucketed candidates (no corpus broadcast) feed the same CC rounds
     // and id-hash lottery: the balanced-curation shape at 100 TB;

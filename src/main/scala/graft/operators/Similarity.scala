@@ -680,8 +680,9 @@ object Similarity {
     * brute path. Reference seed: /root/reference/src/similarity.rs:31-40
     * (top-k by score with original-order ties). */
   def mutualAnnPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    val knn = annBucketKnn(vecs, idCol, vecCol, dim, nPlanes, k)
+                     dim: Int, nPlanes: Int, k: Int,
+                     probes: Int = 0, salt: Int = 1): DataFrame = {
+    val knn = annBucketKnn(vecs, idCol, vecCol, dim, nPlanes, k, probes, salt)
       .localCheckpoint(false)
     knn.as("x").join(knn.as("y"),
         col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
@@ -696,13 +697,29 @@ object Similarity {
     * Cost model: the bucket self-join scores Σ_b |bucket_b|² pairs, so
     * `nPlanes` must GROW with the corpus — pick it so 2^nPlanes ≈
     * n / target_bucket_size (the gated nPlanes=4 is sized for the sf
-    * test corpora, not a constant). The largest bucket bounds both
-    * skew and the quadratic term; if bucket skew bites at the next
-    * scale gate, salt the hot bucket (append a salt key to both sides
-    * and union the k-lists) or multi-probe neighboring buckets to
-    * spread mass — the recall/cost trade is the standard LSH one. */
+    * test corpora, not a constant). Growing nPlanes costs recall
+    * (cross-bucket near pairs are missed); `probes` buys it back:
+    * each vector ALSO probes, as the QUERY side only, the buckets at
+    * Hamming distance 1 on its first `probes` planes (the q17b
+    * multi-probe rule) — the 1-flip relation is symmetric, so the
+    * downstream mutuality filter is unchanged in meaning. Candidate
+    * cost becomes (probes+1)·Σ_b |b_q||b_c| over adjacent bucket
+    * pairs instead of one quadratic term per bucket, and the bucket
+    * population stays 2^nPlanes-way split — more planes + probes is
+    * strictly finer-grained than fewer planes.
+    *
+    * `salt` addresses SKEW, not total cost: the candidate side of a
+    * hot bucket splits into `salt` deterministic sub-groups (id-hash)
+    * while the query side replicates across all of them, so the
+    * largest single join group shrinks `salt`× and the heap work
+    * spreads over `salt`× more tasks. Each (q, c) pair still meets
+    * exactly once (c holds one salt; q covers all), so the result is
+    * salt-INVARIANT — a physical-parallelism knob, asserted by spec. */
   private[graft] def annBucketKnn(vecs: DataFrame, idCol: String, vecCol: String,
-                                  dim: Int, nPlanes: Int, k: Int): DataFrame = {
+                                  dim: Int, nPlanes: Int, k: Int,
+                                  probes: Int = 0, salt: Int = 1): DataFrame = {
+    require(probes >= 0 && probes <= nPlanes, s"probes must be in [0, $nPlanes]")
+    require(salt >= 1, "salt must be >= 1")
     val b = vecs
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
       .withColumn("__bucket", lshBucket(col("__v"), dim, nPlanes))
@@ -710,7 +727,17 @@ object Similarity {
       // lazy cut: the bucketed frame is BOTH sides of the self-join —
       // bucket + norm compute once, not per side
       .localCheckpoint(false)
-    b.as("q").join(b.as("c"), col("q.__bucket") === col("c.__bucket"))
+    // candidate side: one deterministic salt sub-group per row
+    val c = if (salt == 1) b else b.withColumn("__s", pmod(col("__id"), lit(salt.toLong)))
+    // query side: own bucket + 1-flip probe buckets, × every salt group
+    val probed = (0 until probes).foldLeft(b) { (acc, p) =>
+      acc.unionByName(b.withColumn("__bucket", col("__bucket").bitwiseXOR(lit(1L << p))))
+    }
+    val q = if (salt == 1) probed
+      else probed.withColumn("__s", explode(sequence(lit(0L), lit(salt - 1L))))
+    val joinKeys = if (salt == 1) Seq("__bucket") else Seq("__bucket", "__s")
+    val cond = joinKeys.map(kk => col(s"q.$kk") === col(s"c.$kk")).reduce(_ && _)
+    q.as("q").join(c.as("c"), cond)
       .withColumn("score", Kernel.cosinePre(
         col("c.__v"), col("q.__v"), col("c.__n"), col("q.__n")))
       .groupBy(col("q.__id").as("qid"))
@@ -725,9 +752,10 @@ object Similarity {
     * corpus broadcast) labeled by the same CC rounds. */
   def semanticClustersAnn(vecs: DataFrame, idCol: String, vecCol: String,
                           dim: Int, nPlanes: Int, k: Int,
-                          iterations: Int = DefaultSemanticIterations): DataFrame =
+                          iterations: Int = DefaultSemanticIterations,
+                          probes: Int = 0, salt: Int = 1): DataFrame =
     semanticClustersFromKnn(
-      mutualAnnPairs(vecs, idCol, vecCol, dim, nPlanes, k), iterations)
+      mutualAnnPairs(vecs, idCol, vecCol, dim, nPlanes, k, probes, salt), iterations)
 
   /** Semantic clusters: the mutual-kNN graph labeled by connected
     * components ([[Dedup.duplicateClusters]] — seeded min-label +

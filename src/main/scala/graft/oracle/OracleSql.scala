@@ -660,18 +660,40 @@ hh AS (SELECT cluster, id, ((((id % $M + $M) % $M) * $A2 + $C2) % $M) AS hv FROM
 r AS (SELECT cluster, id, row_number() OVER (PARTITION BY cluster ORDER BY hv ASC, id ASC) AS rnk FROM hh)
 SELECT id, cluster FROM r WHERE rnk <= $maxN"""
 
-  /** The shared q116/q119 CTE chain, ending in `l{iterations}(id,
-    * cluster)` — ANN mutual-kNN labeling over sign-LSH bucket mates. */
+  /** q120: [[graft.operators.Similarity.semanticClustersAnn]] at its
+    * SCALE settings — the q116 chain with more planes (finer bucket
+    * split) and every 1-flip probe bucket on the QUERY side (the q17b
+    * multi-probe rule) buying the recall back. The gated Spark run
+    * also salts the candidate side 4-way; the oracle does not model
+    * salt — it is a pure parallelism knob — so this row doubling as
+    * the salt-invariance proof is the point. */
+  def q120_semantic_clusters_annmp(dim: Int, nPlanes: Int, k: Int,
+                                   iterations: Int, probes: Int): String =
+    s"""${semanticClusterAnnCtes(dim, nPlanes, k, iterations, probes)}
+SELECT id, cluster FROM l$iterations"""
+
+  /** The shared q116/q119/q120 CTE chain, ending in `l{iterations}(id,
+    * cluster)` — ANN mutual-kNN labeling over sign-LSH bucket mates;
+    * with `probes` > 0 each vector additionally queries the buckets at
+    * Hamming distance 1 on its first `probes` planes. */
   private def semanticClusterAnnCtes(dim: Int, nPlanes: Int, k: Int,
-                                     iterations: Int): String = {
+                                     iterations: Int, probes: Int = 0): String = {
     val rounds = ccRoundsSql(iterations)
+    val qSide = if (probes == 0) "v" else "qp"
+    val qpCte = if (probes == 0) "" else {
+      val flips = (0 until probes)
+        .map(p => s"SELECT vec_id, embedding, nrm, xor(bucket, ${1L << p}) AS bucket FROM v")
+        .mkString(" UNION ALL ")
+      s"""qp AS (SELECT vec_id, embedding, nrm, bucket FROM v UNION ALL $flips),
+"""
+    }
     s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding,
   ${lshBucketSql("embedding", dim, nPlanes)} AS bucket,
   sqrt(list_reduce(list_transform(list_transform(embedding, x -> x::DOUBLE), y -> y*y), (a,b) -> a+b)) AS nrm FROM embeddings),
-dt AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+${qpCte}dt AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
   CASE WHEN c.nrm = 0.0 OR q.nrm = 0.0 THEN 0.0 ELSE
     list_reduce(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (a,b) -> a+b) / (c.nrm * q.nrm) END AS score
-  FROM v c JOIN v q ON c.bucket = q.bucket),
+  FROM v c JOIN $qSide q ON c.bucket = q.bucket),
 kn AS MATERIALIZED (SELECT qid, nid FROM (
   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM dt) t
   WHERE rnk <= ${k + 1} AND qid != nid),
@@ -3023,6 +3045,7 @@ FROM events GROUP BY user_id, event_type"""
     "q106_dsir" -> q106_dsir(4096, 2),
     "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
     "q116_semantic_clusters_ann" -> q116_semantic_clusters_ann(graft.functions.K.Dim, 4, 4, 12),
+    "q120_semantic_clusters_annmp" -> q120_semantic_clusters_annmp(graft.functions.K.Dim, 8, 2, 12, 8),
     "q119_cluster_balanced_ann" -> q119_cluster_balanced_ann(graft.functions.K.Dim, 4, 4, 12, 8),
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q109_quantile_filter" -> q109_quantile_filter(0.25),

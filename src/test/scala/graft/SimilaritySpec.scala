@@ -187,4 +187,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
           .map(x => (x.getLong(0), x.getDouble(1))).toList).toMap
     assert(run(1) == run(13))
   }
+
+  test("annBucketKnn: multi-probe candidates = own + 1-flip buckets; salt is result-invariant") {
+    val nPlanes = 6; val k = 3
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = edges(Similarity.annBucketKnn(
+      e, "vec_id", "embedding", K.Dim, nPlanes, k, probes = nPlanes, salt = 1))
+    // salt only re-shards the candidate side of the join — the (q, c)
+    // pair set, and so the top-k result, must be bit-identical
+    val salted = edges(Similarity.annBucketKnn(
+      e, "vec_id", "embedding", K.Dim, nPlanes, k, probes = nPlanes, salt = 3))
+    assert(probed == salted, "salt must be a pure parallelism knob")
+    // reference formulation: window rank over the probe-expanded
+    // candidate product, built from the SAME expressions so float
+    // ordering matches bit-exactly
+    val b = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      Similarity.lshBucket(col("embedding"), K.Dim, nPlanes).as("bucket"),
+      Kernel.vecNorm(col("embedding")).as("cn"))
+    val q0 = b.select(col("cid").as("qid"), col("cv").as("qv"),
+      col("bucket"), col("cn").as("qn"))
+    val qp = (0 until nPlanes).foldLeft(q0) { (acc, p) =>
+      acc.unionByName(q0.withColumn("bucket", col("bucket").bitwiseXOR(lit(1L << p))))
+    }
+    val expected = edges(b.join(qp, "bucket")
+      .withColumn("score", Kernel.cosinePre(col("cv"), col("qv"), col("cn"), col("qn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("rnk") <= k + 1 && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")))
+    assert(probed == expected)
+    // no-probe candidates are a subset relation at the BUCKET level:
+    // with probes every query sees a superset of its own bucket, so a
+    // query's no-probe candidate list can only be displaced by
+    // higher-scoring probed candidates — sanity: probes found at least
+    // one cross-bucket edge at this plane count, else the knob is moot
+    val plain = edges(Similarity.annBucketKnn(
+      e, "vec_id", "embedding", K.Dim, nPlanes, k, probes = 0, salt = 1))
+    assert((probed -- plain).nonEmpty, "expected some cross-bucket recall gain")
+  }
 }
