@@ -808,9 +808,10 @@ object Similarity {
     * [[clusterBalancedSample]] stays the exact brute-kNN baseline. */
   def clusterBalancedSampleAnn(vecs: DataFrame, idCol: String, vecCol: String,
                                dim: Int, nPlanes: Int, k: Int, maxPerCluster: Int,
-                               iterations: Int = DefaultSemanticIterations): DataFrame =
+                               iterations: Int = DefaultSemanticIterations,
+                               probes: Int = 0, salt: Int = 1): DataFrame =
     Sampling.capPerKey(
-      semanticClustersAnn(vecs, idCol, vecCol, dim, nPlanes, k, iterations),
+      semanticClustersAnn(vecs, idCol, vecCol, dim, nPlanes, k, iterations, probes, salt),
       "cluster", "id", maxPerCluster)
 
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
