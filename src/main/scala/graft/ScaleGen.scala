@@ -1,12 +1,15 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-validation data generator (VERDICT r11 brief item 2).
+/** Scale-validation data generator (VERDICT r11 brief item 2; the sole
+  * generator after the r13 consolidation of the former
+  * `ScaleData.scala`/`ScaleGen.scala` pair — this file's recipe is the
+  * one that produced the committed `testdata_sf1/`).
   *
   * Replicates a driver-generated sf directory `factor`× so the bench can
-  * measure how each query's cost actually grows with data — the first
+  * measure how each query's cost actually grows with data — the
   * empirical check of the "would this survive 100×" plan-inspection
   * claims. Usage:
   *
@@ -17,47 +20,74 @@ import org.apache.spark.sql.functions._
   *
   *  - Replica 0 is byte-identical to the source, so point lookups the
   *    queries make (`doc_id === 0`, `vec_id < 8`) still hit.
-  *  - Fact-table keys are offset per replica (`doc_id + i·n`), and
+  *  - All keys — fact AND scaling-dimension — are offset per replica by
+  *    `keyCeil` (max key + 1, derived from the source keyspace so
+  *    replicas can never collide even if ids are non-dense), and
   *    offsets are applied consistently across join sides
-  *    (o_custkey ↔ c_custkey, o_orderkey ↔ l_orderkey), so join
-  *    fan-outs scale linearly like a real bigger corpus — not
-  *    quadratically like a keyspace collision would.
-  *  - Replica texts get a deterministic per-replica word permutation:
-  *    10 exact copies of every doc would inflate dedup/LSH candidate
-  *    pairs ~factor² (every doc in a 10-clique), which no real 10×
-  *    corpus does. Permuting words keeps length/vocab/token stats
-  *    identical but breaks shingle identity between replicas, so
-  *    near-dup density per doc stays at the source corpus's rate.
-  *  - Replica embeddings get a small deterministic per-element jitter
-  *    (±5%), for the same reason: identical vectors would put every
-  *    replica family at cosine 1.0, collapsing kNN/ANN structure into
-  *    factor-sized ties instead of a realistically thicker space.
-  *  - Dimension tables (nation, region, part, supplier) are copied
-  *    unchanged — dimensions don't grow with corpus size, and q25's
-  *    broadcast of nation must stay realistically broadcast-sized.
+  *    (o_custkey ↔ c_custkey, o_orderkey ↔ l_orderkey,
+  *    p_partkey ↔ l_partkey, s_suppkey ↔ l_suppkey), so per-key join
+  *    fan-out stays identical to the base corpus while key cardinality
+  *    grows linearly — like a real bigger corpus, not quadratically
+  *    like a keyspace collision would.
+  *  - `part` and `supplier` SCALE with the corpus (real TPC-H grows
+  *    them with sf; only `nation`/`region` are fixed). Copying them
+  *    unchanged would make per-partkey fan-out grow ×factor while
+  *    group-by-part cardinality stayed flat — a shape no genuinely
+  *    larger corpus has.
+  *  - Replica texts get a deterministic per-replica word PERMUTATION
+  *    with the seed mixed nonlinearly into every rank via the
+  *    MurmurHash3 64-bit finalizer (`fmix64`): 10 exact copies of every
+  *    doc would inflate dedup/LSH candidate pairs ~factor² (every doc
+  *    in a 10-clique), and a linear seed→rank mix degenerates to a
+  *    cyclic ROTATION (seeds differ by an additive constant in the sort
+  *    key), which preserves nearly all shingles and has the same
+  *    cliquing artifact. fmix64 decorrelates ranks across seeds, so
+  *    replicas of one doc share only chance shingles
+  *    (ScaleGenSpec asserts cross-seed 3-shingle Jaccard ≈ 0) while
+  *    length/vocab/token statistics stay identical.
+  *  - Replica embeddings get their DIMENSIONS rotated by a per-seed
+  *    lag (29·seed mod dim — nonzero and distinct for all seed pairs
+  *    when factor ≤ dim/2): norms and within-replica geometry are
+  *    preserved exactly, while cross-replica cosine drops to the
+  *    circular autocorrelation of the vector (measured mean |cos|
+  *    ≈ 0.10 on the driver's sf0.1 embeddings vs typical top-5
+  *    neighbor cosine ≈ 0.37 — replicas compete like ordinary corpus
+  *    points, not ties; ScaleGenSpec asserts this). A ±ε jitter was
+  *    rejected: it leaves replica pairs at cosine ≈ 0.9996, i.e.
+  *    still effective kNN ties.
+  *  - `nation`/`region` are copied unchanged — true dimensions don't
+  *    grow with corpus size, and q25's broadcast of nation must stay
+  *    realistically broadcast-sized.
   *
   * Output lives under the repo (gitignored), never under /root/testdata.
   */
 object ScaleGen {
-  /** Deterministic word shuffle; identity at seed 0. Fibonacci-hash rank
-    * per position, stable sort — reproducible across runs and JVMs. */
+  /** MurmurHash3 64-bit finalizer (public-domain algorithm): full
+    * avalanche, so adjacent (j, seed) inputs give uncorrelated ranks. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Deterministic word shuffle; identity at seed 0. Seed and position
+    * are mixed nonlinearly (fmix64) so different seeds yield independent
+    * permutations — NOT rotations of each other. */
   def permuteWords(text: String, seed: Int): String =
     if (seed == 0) text
     else {
       val w = text.split(" ", -1)
       w.indices
-        .sortBy(j => (j * 2654435761L + seed * 0x9e3779b9L) & 0x7fffffffL)
+        .sortBy(j => fmix64(j.toLong ^ (seed.toLong << 32)))
         .map(w)
         .mkString(" ")
     }
 
-  /** ±5% multiplicative jitter on one element; identity at seed 0. */
-  def jitter(v: Float, vecId: Long, dim: Int, seed: Int): Float =
-    if (seed == 0) v
-    else {
-      val h = (vecId * 31L + dim * 7L + seed * 0x9e3779b9L) & 0x7fffffffL
-      (v * (1.0 + ((h % 2001L) - 1000L) / 2e4)).toFloat
-    }
+  /** Per-seed dimension-rotation lag; nonzero and pairwise-distinct for
+    * seeds 1..factor-1 whenever factor ≤ dim/2 (29 is coprime to any
+    * power-of-two dim). */
+  def rotationLag(seed: Int, dim: Int): Int = ((seed * 29) % dim + dim) % dim
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -75,7 +105,6 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
@@ -83,45 +112,56 @@ object ScaleGen {
       System.err.println(s"[scalegen] wrote $name")
     }
 
-    /** Union `factor` per-replica projections of `df`. */
+    /** Union `factor` per-replica projections of `df`; replica 0 is the
+      * untouched base so small-id query/eval splits survive. */
     def replicate(df: DataFrame)(project: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(i => project(df, i)).reduce(_ unionAll _)
+      (0 until factor).map(i => if (i == 0) df else project(df, i)).reduce(_ unionAll _)
+
+    // uniform collision-safe replica step: max source key + 1
+    def keyCeil(name: String, key: String): Long =
+      tbl(name).agg(max(col(key))).head().getLong(0) + 1L
 
     // documents: offset ids, permute replica texts, recompute n_chars
-    val nDocs = tbl("documents").count()
+    val docStep = keyCeil("documents", "doc_id")
     val permute = udf(permuteWords _)
     write(
       replicate(tbl("documents")) { (d, i) =>
         d.select(
-          (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+          (col("doc_id") + lit(i * docStep)).as("doc_id"),
           permute(col("text"), lit(i)).as("text"),
           col("lang"), col("source"))
-      }.withColumn("n_chars", length(col("text")).cast("long")),
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      },
       "documents")
 
-    // embeddings: offset ids, jitter replica vectors (stay FloatType)
-    val nVecs = tbl("embeddings").count()
-    val jitterVec = udf { (vec: Seq[Float], vecId: Long, seed: Int) =>
-      vec.zipWithIndex.map { case (v, d) => jitter(v, vecId, d, seed) }
+    // embeddings: offset ids, rotate replica vector dimensions by a
+    // per-seed lag (norm-preserving, neighborhood-scrambling)
+    val vecStep = keyCeil("embeddings", "vec_id")
+    def rotateDims(v: Column, seed: Int): Column = {
+      val n = size(v)
+      val k = pmod(lit(seed * 29), n)
+      when(n <= 1, v).otherwise(concat(slice(v, k + 1, n - k), slice(v, lit(1), k)))
     }
     write(
       replicate(tbl("embeddings")) { (e, i) =>
         e.select(
-          (col("vec_id") + lit(i * nVecs)).as("vec_id"),
-          jitterVec(col("embedding"), col("vec_id"), lit(i)).as("embedding"),
+          (col("vec_id") + lit(i * vecStep)).as("vec_id"),
+          rotateDims(col("embedding"), i).as("embedding"),
           col("label"))
       },
       "embeddings")
 
-    // fact tables: consistent key offsets across join sides, derived
-    // from the source keyspace so replicas never collide at any sf
-    def keyCeil(name: String, key: String): Long =
-      tbl(name).agg(max(col(key))).head().getLong(0) + 1L
+    // fact + scaling-dimension tables: consistent key offsets across
+    // all join sides
     val orderStep = keyCeil("orders", "o_orderkey")
     val custStep = keyCeil("customer", "c_custkey")
+    val partStep = keyCeil("part", "p_partkey")
+    val suppStep = keyCeil("supplier", "s_suppkey")
     write(
       replicate(tbl("lineitem")) { (l, i) =>
         l.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStep))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * partStep))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppStep))
       },
       "lineitem")
     write(
@@ -135,17 +175,27 @@ object ScaleGen {
         c.withColumn("c_custkey", col("c_custkey") + lit(i * custStep))
       },
       "customer")
-    val nEvents = tbl("events").count()
+    write(
+      replicate(tbl("part")) { (p, i) =>
+        p.withColumn("p_partkey", col("p_partkey") + lit(i * partStep))
+      },
+      "part")
+    write(
+      replicate(tbl("supplier")) { (s, i) =>
+        s.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppStep))
+      },
+      "supplier")
+    val eventStep = keyCeil("events", "event_id")
     val userStep = keyCeil("events", "user_id")
     write(
       replicate(tbl("events")) { (e, i) =>
-        e.withColumn("event_id", col("event_id") + lit(i * nEvents))
+        e.withColumn("event_id", col("event_id") + lit(i * eventStep))
           .withColumn("user_id", col("user_id") + lit(i * userStep))
       },
       "events")
 
-    // dimension tables: unchanged (dimensions don't grow with the corpus)
-    Seq("nation", "region", "part", "supplier").foreach(t => write(tbl(t), t))
+    // true dimension tables: unchanged (they don't grow with the corpus)
+    Seq("nation", "region").foreach(t => write(tbl(t), t))
 
     System.err.println(s"[scalegen] done: $out = $src × $factor")
     spark.stop()
