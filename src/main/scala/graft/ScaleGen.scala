@@ -35,16 +35,23 @@ import org.apache.spark.sql.functions._
   *    group-by-part cardinality stayed flat — a shape no genuinely
   *    larger corpus has.
   *  - Replica texts get a deterministic per-replica word PERMUTATION
-  *    with the seed mixed nonlinearly into every rank via the
-  *    MurmurHash3 64-bit finalizer (`fmix64`): 10 exact copies of every
-  *    doc would inflate dedup/LSH candidate pairs ~factor² (every doc
-  *    in a 10-clique), and a linear seed→rank mix degenerates to a
-  *    cyclic ROTATION (seeds differ by an additive constant in the sort
-  *    key), which preserves nearly all shingles and has the same
-  *    cliquing artifact. fmix64 decorrelates ranks across seeds, so
-  *    replicas of one doc share only chance shingles
+  *    composed with a per-replica VOCABULARY SUBSTITUTION
+  *    ([[perturbWords]]): 10 exact copies of every doc would inflate
+  *    dedup/LSH candidate pairs ~factor² (every doc in a 10-clique).
+  *    The permutation mixes seed and position nonlinearly via the
+  *    MurmurHash3 64-bit finalizer (`fmix64`) — a linear seed→rank mix
+  *    degenerates to a cyclic ROTATION (seeds differ by an additive
+  *    constant in the sort key), which preserves nearly all shingles
+  *    and keeps the cliquing artifact. fmix64 decorrelates ranks across
+  *    seeds, so replicas of one doc share only chance shingles
   *    (ScaleGenSpec asserts cross-seed 3-shingle Jaccard ≈ 0) while
-  *    length/vocab/token statistics stay identical.
+  *    length/vocab/token statistics stay identical. The substitution
+  *    then retags ~25% of each replica's word types, because
+  *    permutation preserves the token MULTISET and multiset-invariant
+  *    signatures (SimHash above all) would otherwise still see every
+  *    replica family as 10-way exact duplicates; half the vocabulary
+  *    is retagged per replica (see [[substituteWords]] for the
+  *    measured calibration).
   *  - Replica embeddings get their DIMENSIONS rotated by a per-seed
   *    lag (29·seed mod dim — nonzero and distinct for all seed pairs
   *    when factor ≤ dim/2): norms and within-replica geometry are
@@ -83,6 +90,40 @@ object ScaleGen {
         .map(w)
         .mkString(" ")
     }
+
+  /** Deterministic per-seed VOCABULARY substitution: ~1/`denom` of the
+    * word types get a seed-tagged variant (`w` → `w<seed>`), keyed on
+    * word CONTENT so a substituted word substitutes consistently
+    * throughout the replica. Permutation alone preserves the token
+    * MULTISET, and any multiset-invariant signature — SimHash bit-votes
+    * over unigram token ids above all — is therefore identical across
+    * replicas, putting every replica family at Hamming distance 0 and
+    * re-creating the factor² dedup-candidate artifact for those
+    * queries. The default retags HALF the vocabulary (denom=2): the
+    * driver's synthetic docs draw from a ~31-type vocabulary with the
+    * usual frequency skew, and measured through the real SimHash
+    * kernel, 25% substitution leaves ~40% of replica pairs within the
+    * q15 near-dup radius while 50% pushes ~94% of pairs past it
+    * (avg Hamming 19/60 — ScaleGenSpec asserts the rate); the ~6%
+    * stragglers are docs dominated by unsubstituted types, a plausible
+    * natural near-dup rate. Half-substitution also keeps cross-replica
+    * vocabulary sharing Heaps-plausible (a real 10× corpus carries new
+    * vocabulary but shares most of the old), while word count,
+    * word-length shape, and whitespace statistics stay effectively
+    * unchanged. */
+  def substituteWords(text: String, seed: Int, denom: Int = 2): String =
+    if (seed == 0) text
+    else text.split(" ", -1).map { w =>
+      val h = fmix64(w.hashCode.toLong ^ (seed.toLong * 0x9e3779b97f4a7c15L))
+      if ((h & 0x7fffffffL) % denom == 0) w + seed else w
+    }.mkString(" ")
+
+  /** The full replica-text perturbation: independent word permutation
+    * (breaks order-sensitive signatures: shingles, minhash, n-gram
+    * Jaccard) composed with vocabulary substitution (breaks
+    * multiset-invariant signatures: SimHash, exact term stats). */
+  def perturbWords(text: String, seed: Int): String =
+    substituteWords(permuteWords(text, seed), seed)
 
   /** Per-seed dimension-rotation lag; nonzero and pairwise-distinct for
     * seeds 1..factor-1 whenever factor ≤ dim/2 (29 is coprime to any
@@ -123,12 +164,12 @@ object ScaleGen {
 
     // documents: offset ids, permute replica texts, recompute n_chars
     val docStep = keyCeil("documents", "doc_id")
-    val permute = udf(permuteWords _)
+    val perturb = udf((t: String, s: Int) => perturbWords(t, s))
     write(
       replicate(tbl("documents")) { (d, i) =>
         d.select(
           (col("doc_id") + lit(i * docStep)).as("doc_id"),
-          permute(col("text"), lit(i)).as("text"),
+          perturb(col("text"), lit(i)).as("text"),
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       },

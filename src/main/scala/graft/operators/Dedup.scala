@@ -325,8 +325,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: identical result (hamming is a function
+      // of the pair), but the dedup exchange then carries only true
+      // near-dup pairs instead of every band-collision candidate — at
+      // 10x corpus the candidate stream grows ~quadratically with bucket
+      // occupancy while the near-dup result grows ~linearly, so the
+      // other order shuffles the quadratic term
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Duplicate-cluster labeling: connected components of the near-dup

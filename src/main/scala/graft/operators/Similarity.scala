@@ -715,6 +715,22 @@ object Similarity {
     * spreads over `salt`× more tasks. Each (q, c) pair still meets
     * exactly once (c holds one salt; q covers all), so the result is
     * salt-INVARIANT — a physical-parallelism knob, asserted by spec. */
+  /** Auto-size `nPlanes` from the cost-model rule above: the smallest
+    * plane count with 2^nPlanes ≥ n / targetBucket, i.e. expected
+    * bucket occupancy ≤ targetBucket, so the bucket self-join's
+    * Σ|bucket|² term stays ≈ n·targetBucket (linear in n) instead of
+    * n²/2^nPlanes blowing up when a caller carries a small-corpus
+    * constant to a bigger corpus. Clamped to [0, 62] (the bucket id is
+    * a Long bitmask). Callers that know `n` only as a DataFrame can
+    * pass `df.count()` — one cheap count-star job against an index
+    * build that is already O(n). */
+  def nPlanesFor(n: Long, targetBucket: Long = 256L): Int = {
+    require(n >= 0 && targetBucket >= 1, "need n >= 0 and targetBucket >= 1")
+    var p = 0
+    while (p < 62 && (n >> p) > targetBucket) p += 1
+    p
+  }
+
   private[graft] def annBucketKnn(vecs: DataFrame, idCol: String, vecCol: String,
                                   dim: Int, nPlanes: Int, k: Int,
                                   probes: Int = 0, salt: Int = 1): DataFrame = {

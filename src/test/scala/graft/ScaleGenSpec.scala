@@ -49,6 +49,52 @@ class ScaleGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(lags.distinct.size == lags.size)
   }
 
+  test("substituteWords: seed 0 identity; consistent per-type tagging; word count preserved") {
+    assert(ScaleGen.substituteWords(doc, 0) == doc)
+    val s = ScaleGen.substituteWords("a b a c a b", 3)
+    val ws = s.split(" ")
+    assert(ws.length == 6)
+    // content-keyed: every occurrence of a type substitutes the same way
+    assert(ws.zip("a b a c a b".split(" ")).groupBy(_._2).forall {
+      case (_, occ) => occ.map(_._1).distinct.length == 1
+    })
+    // roughly half the types tagged over a big vocab (the calibrated
+    // default — see substituteWords scaladoc)
+    val big = (0 until 2000).map(i => s"w$i").mkString(" ")
+    val tagged = ScaleGen.substituteWords(big, 1).split(" ")
+      .count(w => w.endsWith("1") && !w.dropRight(1).endsWith("1"))
+    assert(tagged > 800 && tagged < 1200, s"tagged $tagged of 2000")
+  }
+
+  test("perturbWords breaks SimHash replica identity (real kernel, real docs)") {
+    // Permutation alone leaves the token multiset — and so the SimHash
+    // signature — IDENTICAL across replicas (hamming 0, a 10-way exact
+    // dup family). The composed perturbation must push replica pairs
+    // past the q15 near-dup radius (maxDist 3) for nearly all docs;
+    // a small straggler rate (docs dominated by unsubstituted types)
+    // is a plausible natural near-dup rate, not an artifact.
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    val perturbU = udf((t: String, s: Int) => ScaleGen.perturbWords(t, s))
+    def sigs(seed: Int) = graft.operators.Dedup.simhash(
+      base.withColumn("text", perturbU(col("text"), lit(seed))), "doc_id", "text")
+      .withColumnRenamed("simhash", s"sig$seed")
+    val joined = sigs(0).join(sigs(1), "doc_id").join(sigs(2), "doc_id")
+      .select(
+        bit_count(col("sig0").bitwiseXOR(col("sig1"))).as("h01"),
+        bit_count(col("sig0").bitwiseXOR(col("sig2"))).as("h02"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("h12"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("h01") <= 3, 1).otherwise(0)
+          + when(col("h02") <= 3, 1).otherwise(0)
+          + when(col("h12") <= 3, 1).otherwise(0)).as("near"))
+      .head()
+    val frac = joined.getLong(1).toDouble / (3 * joined.getLong(0))
+    assert(frac < 0.12, s"${frac * 100}% of replica pairs still simhash-near")
+    base.unpersist()
+  }
+
   test("embedding rotation: replica-pair cosine well below typical neighbor cosine") {
     // The sf0.1 corpus's typical top-5 neighbor cosine is ~0.37; a ±5%
     // jitter leaves replica pairs at ~0.9996 (an effective kNN tie).

@@ -226,4 +226,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       e, "vec_id", "embedding", K.Dim, nPlanes, k, probes = 0, salt = 1))
     assert((probed -- plain).nonEmpty, "expected some cross-bucket recall gain")
   }
+
+  test("nPlanesFor: smallest plane count with expected occupancy <= target") {
+    import Similarity.nPlanesFor
+    assert(nPlanesFor(0) == 0)
+    assert(nPlanesFor(256) == 0) // fits one bucket already
+    assert(nPlanesFor(257) == 1)
+    assert(nPlanesFor(2000) == 3) // 2000/8 = 250 <= 256; 2000/4 > 256
+    assert(nPlanesFor(20000) == 7)
+    assert(nPlanesFor(20000, targetBucket = 64) == 9)
+    // the invariant itself, over a sweep: occupancy bound holds and the
+    // count is minimal (one fewer plane would violate the bound)
+    for (n <- Seq(1L, 100L, 4096L, 123456L, 100000000000L); t <- Seq(64L, 256L, 1024L)) {
+      val p = nPlanesFor(n, t)
+      assert((n >> p) <= t, s"n=$n t=$t p=$p occupancy bound")
+      assert(p == 0 || (n >> (p - 1)) > t, s"n=$n t=$t p=$p not minimal")
+    }
+    assert(nPlanesFor(Long.MaxValue, 1) == 62) // clamp: Long bitmask
+  }
+
+  test("annBucketKnn salt-invariance at 10x scale (testdata_sf1, skew-relevant buckets)") {
+    // Salt only matters under bucket skew, and sf0.001 buckets are tiny;
+    // re-assert the invariance where buckets are ~150 rows. Runs only
+    // when the (gitignored) scale corpus has been generated.
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("testdata_sf1/embeddings.parquet")),
+      "testdata_sf1 not generated")
+    val big = spark.read.parquet("testdata_sf1/embeddings.parquet")
+    val n = big.count()
+    val nPlanes = Similarity.nPlanesFor(n) // 20k rows -> 7 planes
+    def edges(salt: Int) = Similarity.annBucketKnn(
+      big, "vec_id", "embedding", K.Dim, nPlanes, k = 3, probes = 2, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = edges(1)
+    val salted = edges(4)
+    assert(plain.nonEmpty)
+    assert(plain == salted, "salt must stay a pure parallelism knob at scale")
+  }
 }
