@@ -157,6 +157,18 @@ object SparkEntry {
         Dedup.simhash(docs(s, dir), "doc_id", "text"), "doc_id")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
+    // q15b with the hub-bucket cap — the 100 TB form when signatures
+    // concentrate (small vocab / boilerplate): a hub band-key's
+    // self-join is quadratic in occupancy, and on the 50k-doc scale
+    // corpus the ten largest buckets carried ~2/3 of the 1.1e8
+    // candidate pairs. Cap 2000 is a no-op at the sf0.01 gate scale
+    // (same rows as q15b there — like q13's cap, the oracle mirrors
+    // the HAVING and the hub semantics are spec-gated), and bites at
+    // bench scale
+    "q15c_simhash_capped" -> ((s, dir) =>
+      Dedup.simhashNearDupsText(docs(s, dir), "doc_id", "text", maxBucketSize = 2000)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
     "q16_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 0.5)),
 

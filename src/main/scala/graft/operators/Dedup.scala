@@ -305,20 +305,34 @@ object Dedup {
   def simhashNearDupsText(df: DataFrame, idCol: String, textCol: String,
                           maxDist: Int = 3, bits: Int = 60,
                           bands: Int = 4,
-                          maxLength: Int = K.MaxLength): DataFrame =
+                          maxLength: Int = K.MaxLength,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame =
     simhashNearDups(simhash(df, idCol, textCol, bits, maxLength),
-      idCol, maxDist, bits, bands)
+      idCol, maxDist, bits, bands, maxBucketSize)
 
+  /** `maxBucketSize` is the same hub-bucket cap as [[lshCandidates]]'s
+    * (skip non-discriminative band buckets; true near-dups almost
+    * always recur in a smaller bucket of another band). It matters
+    * MORE here than for minhash when signatures concentrate: a corpus
+    * with a small type vocabulary (or heavy boilerplate) collapses
+    * many docs onto few signatures, and a single hub band-key's
+    * self-join is quadratic in its occupancy — measured on the 50k-doc
+    * scale corpus, the top bucket held 5,373 docs and the uncapped
+    * candidate stream was ~1.1·10⁸ pairs, ~2/3 of it from the ten
+    * largest buckets. Default unlimited = exact pigeonhole semantics
+    * (q15/q15b); the capped form is gated separately (q15c). */
   def simhashNearDups(sigs: DataFrame, idCol: String,
                       maxDist: Int = 3, bits: Int = 60,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandBits = bits / bands
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         (shiftrightunsigned(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("key")))
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded0 = sigs.select(col(idCol), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = capBuckets(banded0, maxBucketSize)
     val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("band"), col("key"))
     val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("band"), col("key"))
     l.join(r, Seq("band", "key"))

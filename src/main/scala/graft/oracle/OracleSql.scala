@@ -722,15 +722,22 @@ SELECT id, cluster FROM r WHERE rnk <= $maxN"""
 t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0)
 SELECT doc_id, ${simhashSig(bits)} AS simhash FROM t2"""
 
-  def q15_simhash_neardups(bits: Int, maxDist: Int, bands: Int = 4): String = {
+  def q15_simhash_neardups(bits: Int, maxDist: Int, bands: Int = 4,
+                           maxBucketSize: Int = Int.MaxValue): String = {
     val bandBits = bits / bands
     val bandSelects = (0 until bands)
       .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * bandBits}) % ${1L << bandBits} AS key FROM sig")
       .mkString(" UNION ALL ")
+    // hub-bucket cap mirrors Dedup.capBuckets (q13's bandok pattern)
+    val capCtes =
+      if (maxBucketSize == Int.MaxValue) "band AS (SELECT * FROM band0),"
+      else s"""bandok AS (SELECT band, key FROM band0 GROUP BY band, key HAVING count(*) <= $maxBucketSize),
+band AS (SELECT band0.* FROM band0 JOIN bandok USING (band, key)),"""
     s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
 t2 AS (SELECT doc_id, tids FROM tok WHERE len(tids) > 0),
 sig AS (SELECT doc_id, ${simhashSig(bits)} AS simhash FROM t2),
-band AS ($bandSelects),
+band0 AS ($bandSelects),
+$capCtes
 pair AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
   FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM pair WHERE hamming <= $maxDist"""
@@ -3015,6 +3022,7 @@ FROM events GROUP BY user_id, event_type"""
     "q14_simhash" -> q14_simhash(32),
     "q15_simhash_neardups" -> q15_simhash_neardups(32, 3),
     "q15b_simhash60" -> q15_simhash_neardups(60, 3),
+    "q15c_simhash_capped" -> q15_simhash_neardups(60, 3, maxBucketSize = 2000),
     "q16_ngram_jaccard" -> q16_ngram_jaccard(150L, 0.5),
     "q17_ann_lsh" -> q17_ann_lsh(Dim, 8, 5),
     "q17b_ann_multiprobe" -> q17b_ann_multiprobe(Dim, 16, 5),

@@ -234,6 +234,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(exact.count() == 66L)
   }
 
+  test("simhashNearDups threads the hub-bucket cap end to end") {
+    // 12 identical texts: identical signatures, so every band bucket is
+    // a 12-doc hub. cap=4 drops the hub; the exact default (unlimited)
+    // finds all 66 hamming-0 pairs. Real docs with DISTINCT signatures
+    // must survive the cap untouched.
+    val hub = ((0L until 12L).map(i => (i, "spark shuffles data between stages fast"))
+      :+ (100L, "a completely different sentence about regional sales")
+      :+ (101L, "a completely different sentence about regional sale"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDupsText(hub, "doc_id", "text", maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a < 12 && b < 12 }, "hub must be dropped")
+    val exact = Dedup.simhashNearDupsText(hub, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.count { case (a, b) => a < 12 && b < 12 } == 66)
+    // the non-hub near pair (if simhash-close) is identical either way
+    assert(capped == exact.filter { case (a, b) => !(a < 12 && b < 12) })
+  }
+
   test("embeddingNearDups caps hub buckets; opt-out restores all pairs") {
     // 10 identical vectors land in one LSH bucket (a hub): capped run
     // emits nothing, opt-out emits all 45 cosine≈1 pairs

@@ -127,6 +127,21 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected partial top-k agg below the exchange:\n$plan")
   }
 
+  test("simhash near-dups: hamming filter sits below the distinct exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.simhashNearDupsText(docs, "doc_id", "text"))
+    // the r13 scale fix: the dedup (distinct) exchange must carry only
+    // pairs that already passed hamming <= maxDist — at 10x corpus the
+    // band-collision candidate stream grows ~quadratically while the
+    // near-dup result grows ~linearly, so a filter ABOVE the exchange
+    // would shuffle the quadratic term
+    val exchange = plan.indexOf("Exchange hashpartitioning(id_a")
+    assert(exchange >= 0, s"expected the distinct exchange on the pair key:\n$plan")
+    val below = plan.substring(exchange)
+    assert(below.contains("bit_count") && below.contains("<= 3"),
+      s"expected the hamming filter below the distinct exchange:\n$plan")
+  }
+
   test("rerankTopK: partial top-k below the qid exchange, no global sort") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val q = d.filter(col("doc_id") < 4)
