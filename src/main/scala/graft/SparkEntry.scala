@@ -474,6 +474,18 @@ object SparkEntry {
         K.Dim, nPlanes = 8, k = 2, iterations = 12, probes = 8, salt = 4)
         .select(col("id"), col("cluster"))),
 
+    // the production auto-sized form: nPlanesFor(count) picks the plane
+    // count (SCALING.md measures why the fixed constant cannot scale).
+    // The sf0.01 gate corpus (500 embeddings) auto-sizes to 1 plane, so
+    // this row gating green pins the sizing rule itself — the oracle
+    // hardcodes the q116 chain at nPlanes 1 and any other choice
+    // hash-mismatches. (The 0-plane ≡ brute small-corpus degradation
+    // is spec-gated.)
+    "q121_semantic_clusters_auto" -> ((s, dir) =>
+      Similarity.semanticClustersAnnAuto(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        K.Dim, k = 4, iterations = 12)
+        .select(col("id"), col("cluster"))),
+
     // q108's topic-balanced cap composed over the q116 ANN labels —
     // bucketed candidates (no corpus broadcast) feed the same CC rounds
     // and id-hash lottery: the balanced-curation shape at 100 TB;

@@ -773,6 +773,26 @@ object Similarity {
     semanticClustersFromKnn(
       mutualAnnPairs(vecs, idCol, vecCol, dim, nPlanes, k, probes, salt), iterations)
 
+  /** [[semanticClustersAnn]] with the plane count auto-sized from the
+    * corpus ([[nPlanesFor]]) — the production entry point, closing the
+    * carried-small-corpus-constant failure SCALING.md measures (a
+    * fixed nPlanes=4 grows ~quadratically: 61 s at 30×, vs 9 s
+    * auto-sized). Costs one count() job up front — O(n) scan against
+    * an index build that is already O(n). `probes` is clamped to the
+    * chosen plane count. Small corpora degrade gracefully to the EXACT
+    * graph: n ≤ targetBucket chooses 0 planes = one bucket = all-pairs
+    * candidates, so the result equals the brute [[semanticClusters]]
+    * semantics (the q121 oracle gates exactly this identity). */
+  def semanticClustersAnnAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, k: Int,
+                              iterations: Int = DefaultSemanticIterations,
+                              targetBucket: Long = 256L,
+                              probes: Int = 0, salt: Int = 1): DataFrame = {
+    val nPlanes = nPlanesFor(vecs.count(), targetBucket)
+    semanticClustersAnn(vecs, idCol, vecCol, dim, nPlanes, k, iterations,
+      math.min(probes, nPlanes), salt)
+  }
+
   /** Semantic clusters: the mutual-kNN graph labeled by connected
     * components ([[Dedup.duplicateClusters]] — seeded min-label +
     * pointer doubling). Output (id, cluster) for every vector with at

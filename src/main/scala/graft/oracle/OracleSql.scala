@@ -762,11 +762,13 @@ list_reduce(list_transform(range(1, $dim + 1), i -> embedding[i]::DOUBLE * (((((
 FROM embeddings)
 SELECT vec_id, CAST(generate_subscripts(proj, 1) - 1 AS BIGINT) AS dim, unnest(proj) AS val FROM pr"""
 
-  /** Sign-LSH bucket over nPlanes pseudo-random hyperplanes. */
+  /** Sign-LSH bucket over nPlanes pseudo-random hyperplanes. 0 planes
+    * = the degenerate single bucket (mirrors LshBucket's empty loop). */
   def lshBucketSql(vecExpr: String, dim: Int, nPlanes: Int): String = {
     def planeDot(p: Int): String =
       s"list_reduce(list_transform(range(1, $dim + 1), i -> $vecExpr[i]::DOUBLE * ((((${p + 7}::BIGINT*$A + (i-1)*$B + $C) % $M)::DOUBLE / $M.0) * 2.0 - 1.0)), (a,b) -> a+b)"
-    (0 until nPlanes)
+    if (nPlanes == 0) "0"
+    else (0 until nPlanes)
       .map(p => s"(CASE WHEN ${planeDot(p)} > 0.0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
   }
@@ -3054,6 +3056,12 @@ FROM events GROUP BY user_id, event_type"""
     "q107_semantic_clusters" -> q107_semantic_clusters(4, 12),
     "q116_semantic_clusters_ann" -> q116_semantic_clusters_ann(graft.functions.K.Dim, 4, 4, 12),
     "q120_semantic_clusters_annmp" -> q120_semantic_clusters_annmp(graft.functions.K.Dim, 8, 2, 12, 8),
+    // auto-sized planes: the sf0.01 gate corpus has 500 embeddings, so
+    // nPlanesFor(500) = 1 and the oracle is the q116 chain at nPlanes
+    // = 1 — the gate pins the auto-sizing rule itself (a different
+    // plane choice hash-mismatches); the 0-plane ≡ brute identity is
+    // spec-gated in SimilaritySpec
+    "q121_semantic_clusters_auto" -> q116_semantic_clusters_ann(graft.functions.K.Dim, 1, 4, 12),
     "q119_cluster_balanced_ann" -> q119_cluster_balanced_ann(graft.functions.K.Dim, 4, 4, 12, 8),
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q109_quantile_filter" -> q109_quantile_filter(0.25),

@@ -245,6 +245,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nPlanesFor(Long.MaxValue, 1) == 62) // clamp: Long bitmask
   }
 
+  test("semanticClustersAnnAuto: auto == explicit nPlanesFor params; 0 planes == brute graph") {
+    val n = e.count()
+    val auto = Similarity.semanticClustersAnnAuto(e, "vec_id", "embedding",
+      K.Dim, k = 3, iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicitP = Similarity.semanticClustersAnn(e, "vec_id", "embedding",
+      K.Dim, Similarity.nPlanesFor(n), k = 3, iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicitP)
+    // a corpus that fits one bucket (n <= 256 -> 0 planes): the 0-plane
+    // ANN candidate edges must be the full brute top-k relation
+    val small = e.filter(col("vec_id") < 200)
+    assert(Similarity.nPlanesFor(small.count()) == 0)
+    val annEdges = Similarity.annBucketKnn(small, "vec_id", "embedding", K.Dim, 0, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = small.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.knnJoin(q, "qid", "qv", small, "vec_id", "embedding", 4)
+      .filter(col("qid") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(annEdges == brute)
+  }
+
   test("annBucketKnn salt-invariance at 10x scale (testdata_sf1, skew-relevant buckets)") {
     // Salt only matters under bucket skew, and sf0.001 buckets are tiny;
     // re-assert the invariance where buckets are ~150 rows. Runs only
