@@ -495,6 +495,15 @@ object SparkEntry {
         K.Dim, nPlanes = 4, k = 4, maxPerCluster = 8, iterations = 12)
         .select(col("id"), col("cluster"))),
 
+    // the balanced sampler on the q121 auto-sized path: nPlanesFor picks
+    // the plane count (1 at the sf0.01 gate corpus — the oracle hardcodes
+    // the q119 chain at nPlanes 1, so any other sizing hash-mismatches);
+    // q119 stays the fixed-constant contrast, q108 the exact baseline
+    "q122_cluster_balanced_auto" -> ((s, dir) =>
+      Similarity.clusterBalancedSampleAnnAuto(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        K.Dim, k = 4, maxPerCluster = 8, iterations = 12)
+        .select(col("id"), col("cluster"))),
+
     // DSIR importance masses: hashed word-bigram features, add-one-
     // smoothed target/source bucket counts as exact integer per-doc
     // masses; target = docs with doc_id < 100 (the q41 split)

@@ -850,6 +850,25 @@ object Similarity {
       semanticClustersAnn(vecs, idCol, vecCol, dim, nPlanes, k, iterations, probes, salt),
       "cluster", "id", maxPerCluster)
 
+  /** [[clusterBalancedSampleAnn]] with the plane count auto-sized from
+    * the corpus ([[nPlanesFor]]) — the production entry point for
+    * topic-balanced curation, completing the auto-sizing story
+    * [[semanticClustersAnnAuto]] opened: without it the balanced
+    * sampler still forces callers to carry a plane constant, the exact
+    * failure SCALING.md measures (fixed nPlanes=4 → 5.7× growth for 3×
+    * data at 30×). One count() job up front, `probes` clamped to the
+    * chosen plane count, small corpora degrade to the exact brute
+    * graph (0 planes = one bucket) like the clustering form. */
+  def clusterBalancedSampleAnnAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                                   dim: Int, k: Int, maxPerCluster: Int,
+                                   iterations: Int = DefaultSemanticIterations,
+                                   targetBucket: Long = 256L,
+                                   probes: Int = 0, salt: Int = 1): DataFrame = {
+    val nPlanes = nPlanesFor(vecs.count(), targetBucket)
+    clusterBalancedSampleAnn(vecs, idCol, vecCol, dim, nPlanes, k, maxPerCluster,
+      iterations, math.min(probes, nPlanes), salt)
+  }
+
   def annLshJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  dim: Int, nPlanes: Int, k: Int): DataFrame = {

@@ -3063,6 +3063,10 @@ FROM events GROUP BY user_id, event_type"""
     // spec-gated in SimilaritySpec
     "q121_semantic_clusters_auto" -> q116_semantic_clusters_ann(graft.functions.K.Dim, 1, 4, 12),
     "q119_cluster_balanced_ann" -> q119_cluster_balanced_ann(graft.functions.K.Dim, 4, 4, 12, 8),
+    // auto-sized planes (nPlanesFor(500) = 1 at the sf0.01 gate corpus):
+    // the q119 chain at nPlanes = 1 — like q121, the gate pins the
+    // sizing rule for the balanced-sampling composition
+    "q122_cluster_balanced_auto" -> q119_cluster_balanced_ann(graft.functions.K.Dim, 1, 4, 12, 8),
     "q108_cluster_balanced" -> q108_cluster_balanced(4, 12, 8),
     "q109_quantile_filter" -> q109_quantile_filter(0.25),
     "q109b_top_fraction" -> q109b_top_fraction(0.25),

@@ -267,6 +267,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(annEdges == brute)
   }
 
+  test("clusterBalancedSampleAnnAuto: auto == explicit nPlanesFor params") {
+    val n = e.count()
+    val auto = Similarity.clusterBalancedSampleAnnAuto(e, "vec_id", "embedding",
+      K.Dim, k = 3, maxPerCluster = 4, iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicitP = Similarity.clusterBalancedSampleAnn(e, "vec_id", "embedding",
+      K.Dim, Similarity.nPlanesFor(n), k = 3, maxPerCluster = 4, iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.nonEmpty)
+    assert(auto == explicitP)
+    // the cap binds: no cluster keeps more than maxPerCluster members
+    val perCluster = auto.groupBy(_._2).values.map(_.size)
+    assert(perCluster.max <= 4)
+  }
+
   test("annBucketKnn salt-invariance at 10x scale (testdata_sf1, skew-relevant buckets)") {
     // Salt only matters under bucket skew, and sf0.001 buckets are tiny;
     // re-assert the invariance where buckets are ~150 rows. Runs only
