@@ -127,8 +127,38 @@ object ScaleGen {
 
   /** Per-seed dimension-rotation lag; nonzero and pairwise-distinct for
     * seeds 1..factor-1 whenever factor ≤ dim/2 (29 is coprime to any
-    * power-of-two dim). */
+    * power-of-two dim). Lags REPEAT with period `dim` in the seed, so
+    * factor > dim alone would hand colliding seed pairs (s, s+dim)
+    * byte-identical vectors — exact kNN ties; [[signVector]] breaks
+    * the tie for those groups. */
   def rotationLag(seed: Int, dim: Int): Int = ((seed * 29) % dim + dim) % dim
+
+  /** Per-seed Rademacher (±1) sign pattern, used (composed with
+    * [[affinePerm]]) for replica groups PAST the rotation-lag period
+    * (seed ≥ dim). Signs ALONE are not enough: the cosine between
+    * sign-flipped copies of one vector is a ±-weighted sum of SQUARED
+    * components, whose spread scales with the vector's kurtosis — on
+    * the driver's energy-concentrated embeddings that measured mean
+    * |cos| ≈ 0.22, double the rotation regime. */
+  def signVector(seed: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      if ((fmix64(i.toLong ^ (seed.toLong * 0x9e3779b97f4a7c15L)) & 1L) == 0L) 1f else -1f
+    }
+
+  /** Per-seed affine dimension permutation i → (a·i + b) mod dim (a
+    * odd, so a bijection on any power-of-two dim), for seeds past the
+    * rotation-lag period. Unlike a sign pattern on a SHARED rotation,
+    * a differing permutation pairs each component with an unrelated
+    * component of the partner replica, so the cross-replica cosine is
+    * a sum of cross terms with spread ≈ 1/√dim regardless of how the
+    * vector's energy concentrates (ScaleGenSpec asserts the composed
+    * transform lands colliding-lag pairs in the ordinary-point range,
+    * alongside the first-group rotation test). */
+  def affinePerm(seed: Int, dim: Int): Array[Int] = {
+    val a = (2L * ((fmix64(seed.toLong) >>> 1) % (dim / 2)) + 1L).toInt
+    val b = ((fmix64(seed.toLong * 0x9e3779b97f4a7c15L) >>> 1) % dim).toInt
+    Array.tabulate(dim)(i => ((a.toLong * i + b) % dim).toInt)
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -176,18 +206,29 @@ object ScaleGen {
       "documents")
 
     // embeddings: offset ids, rotate replica vector dimensions by a
-    // per-seed lag (norm-preserving, neighborhood-scrambling)
+    // per-seed lag (norm-preserving, neighborhood-scrambling); past the
+    // lag period (seed ≥ dim — factors > 64 at the driver's dim) the
+    // rotation is composed with the per-seed sign pattern so colliding
+    // lags can't produce byte-identical vectors
     val vecStep = keyCeil("embeddings", "vec_id")
+    val dim = tbl("embeddings").select(size(col("embedding"))).head().getInt(0)
     def rotateDims(v: Column, seed: Int): Column = {
       val n = size(v)
       val k = pmod(lit(seed * 29), n)
       when(n <= 1, v).otherwise(concat(slice(v, k + 1, n - k), slice(v, lit(1), k)))
     }
+    def perturbVec(v: Column, seed: Int): Column =
+      if (seed < dim) rotateDims(v, seed)
+      else {
+        val p = affinePerm(seed, dim)
+        val sg = signVector(seed, dim)
+        array(p.indices.map(j => v.getItem(p(j)) * lit(sg(j))): _*)
+      }
     write(
       replicate(tbl("embeddings")) { (e, i) =>
         e.select(
           (col("vec_id") + lit(i * vecStep)).as("vec_id"),
-          rotateDims(col("embedding"), i).as("embedding"),
+          perturbVec(col("embedding"), i).as("embedding"),
           col("label"))
       },
       "embeddings")

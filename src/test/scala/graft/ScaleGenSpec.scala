@@ -118,5 +118,39 @@ class ScaleGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val mean = cosines.sum / cosines.length
       assert(mean < 0.2, s"seed $seed mean replica-pair |cos| $mean")
     }
+
+    // Past the lag period (seed ≥ dim — factor-100 territory) lags
+    // collide: seeds 0 and 64 share lag 0 and rotation alone would
+    // leave them byte-identical (cos 1, an exact tie). High-group
+    // seeds switch to the affine permutation composed with per-seed
+    // signs, which must land colliding-lag pairs in the same
+    // ordinary-point range. (A shared-rotation sign pattern alone
+    // measured mean |cos| ≈ 0.22 here — kurtosis-bound.)
+    assert(ScaleGen.rotationLag(64, 64) == ScaleGen.rotationLag(0, 64))
+    def applyHigh(v: Array[Float], seed: Int): Array[Float] = {
+      val p = ScaleGen.affinePerm(seed, v.length)
+      val s = ScaleGen.signVector(seed, v.length)
+      Array.tabulate(v.length)(j => v(p(j)) * s(j))
+    }
+    for (seed <- Seq(64, 87, 93)) { // lags collide with seeds 0, 23, 29
+      assert(ScaleGen.rotationLag(seed, 64) == ScaleGen.rotationLag(seed - 64, 64))
+      val perm = ScaleGen.affinePerm(seed, 64)
+      assert(perm.distinct.length == 64, "affinePerm must be a bijection")
+      val cosines = vecs.map { v =>
+        val a = applyHigh(v, seed)
+        val b = rotate(v, ScaleGen.rotationLag(seed - 64, 64))
+        math.abs(cos(a, b))
+      }
+      val mean = cosines.sum / cosines.length
+      assert(mean < 0.2, s"seed pair (${seed - 64},$seed) mean replica-pair |cos| $mean")
+    }
+    // and high-group pairs against EACH OTHER
+    val highPairs = for (Seq(s1, s2) <- Seq(64, 87, 93, 99).combinations(2).toSeq) yield {
+      val cosines = vecs.map(v => math.abs(cos(applyHigh(v, s1), applyHigh(v, s2))))
+      (s1, s2, cosines.sum / cosines.length)
+    }
+    highPairs.foreach { case (s1, s2, mean) =>
+      assert(mean < 0.2, s"high seed pair ($s1,$s2) mean replica-pair |cos| $mean")
+    }
   }
 }
