@@ -793,6 +793,25 @@ object Similarity {
       math.min(probes, nPlanes), salt)
   }
 
+  /** [[semanticClustersAnnAuto]] with the CC loop run TO THE FIXPOINT
+    * ([[Dedup.duplicateClustersConverged]]) instead of a fixed round
+    * budget — auto-sized planes AND auto-terminated rounds, so the
+    * caller needs to know nothing about the corpus: the plane count
+    * follows n and the barrier count follows the graph's actual
+    * diameter (the gated q121 burns the full 12 rounds so the oracle
+    * can mirror them; production graphs that converge in 6 get the
+    * other 6 barriers back, and pathological ones deeper than 12
+    * still converge instead of silently mislabeling). */
+  def semanticClustersAnnConverged(vecs: DataFrame, idCol: String, vecCol: String,
+                                   dim: Int, k: Int,
+                                   targetBucket: Long = 256L,
+                                   probes: Int = 0, salt: Int = 1): DataFrame = {
+    val nPlanes = nPlanesFor(vecs.count(), targetBucket)
+    Dedup.duplicateClustersConverged(
+      mutualAnnPairs(vecs, idCol, vecCol, dim, nPlanes, k,
+        math.min(probes, nPlanes), salt))
+  }
+
   /** Semantic clusters: the mutual-kNN graph labeled by connected
     * components ([[Dedup.duplicateClusters]] — seeded min-label +
     * pointer doubling). Output (id, cluster) for every vector with at

@@ -267,6 +267,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(annEdges == brute)
   }
 
+  test("semanticClustersAnnConverged: fixpoint labels == the fixed 12-round gate labels") {
+    // 12 rounds is past this graph's fixpoint, so the converged form —
+    // which stops as soon as two checks agree — must produce identical
+    // labels while spending fewer barriers.
+    val conv = Similarity.semanticClustersAnnConverged(e, "vec_id", "embedding",
+      K.Dim, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.semanticClustersAnnAuto(e, "vec_id", "embedding",
+      K.Dim, k = 3, iterations = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(conv.nonEmpty)
+    assert(conv == fixed)
+  }
+
   test("clusterBalancedSampleAnnAuto: auto == explicit nPlanesFor params") {
     val n = e.count()
     val auto = Similarity.clusterBalancedSampleAnnAuto(e, "vec_id", "embedding",
