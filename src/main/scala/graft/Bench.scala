@@ -14,6 +14,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate's sort-based fallback fires at 128 DISTINCT
+      // KEYS by default: any partial TypedImperativeAggregate over more
+      // than 128 groups per partition (every top-k / sketch agg here —
+      // thousands to millions of qids) abandons the hash map and SORTS
+      // the full per-partition input stream. At 100× that turned a
+      // bounded-heap candidate pass into a 39M-row sort churning ~35 GB
+      // of humongous sort pages (measured; ~10× slowdown). All graft
+      // typed aggregates carry bounded buffers (k-sized heaps,
+      // fixed-size sketches), so a 1M-key map (~100 MB/task worst case)
+      // is safe and keeps map-side combine genuinely partial.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

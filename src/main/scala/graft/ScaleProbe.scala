@@ -30,6 +30,8 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench.scala: 128-key fallback would sort the candidate stream
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -38,20 +40,38 @@ object ScaleProbe {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = vecs.count()
     val auto = Similarity.nPlanesFor(n)
+    // SPARK_GRAFT_PROBE=label,label skips the others — the fixed legs
+    // are ~quadratic BY DESIGN (670 s at 100×), so re-measuring only
+    // the linear variants must not re-pay them
+    val only = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
 
-    def time(label: String, nPlanes: Int, k: Int, probes: Int, salt: Int): Unit = {
-      val secs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
+    def timed(label: String, nPlanes: Int, probes: Int, salt: Int)(mk: => org.apache.spark.sql.DataFrame): Unit =
+      if (only.forall(_.contains(label))) {
+        val secs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          // untimed purge between reps (the Bench protocol): back-to-back
+          // runs on a large heap starve the ContextCleaner — dereferenced
+          // lineages (localCheckpoint blocks, shuffle state) are only
+          // released after a GC notices them, and without one, rep N+1
+          // pays rep N's accumulation (measured: 31.6/89.8/259.2 s reps
+          // of the SAME query at 100× without this)
+          System.gc()
+          Thread.sleep(1000)
+          sec
+        }.sorted
+        val med = secs(secs.length / 2)
+        println(f"""{"probe":"$label","sf":"$sfDir","n":$n,"nPlanes":$nPlanes,"probes":$probes,"salt":$salt,"median_sec":$med%.3f,"passes":[${secs.map(s => f"$s%.3f").mkString(",")}]}""")
+      }
+
+    def time(label: String, nPlanes: Int, k: Int, probes: Int, salt: Int): Unit =
+      timed(label, nPlanes, probes, salt) {
         Similarity.semanticClustersAnn(vecs, "vec_id", "embedding",
             K.Dim, nPlanes = nPlanes, k = k, iterations = 12,
             probes = probes, salt = salt)
           .select(col("id"), col("cluster"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val med = secs(secs.length / 2)
-      println(f"""{"probe":"$label","sf":"$sfDir","n":$n,"nPlanes":$nPlanes,"probes":$probes,"salt":$salt,"median_sec":$med%.3f,"passes":[${secs.map(s => f"$s%.3f").mkString(",")}]}""")
-    }
+      }
 
     // q116's gated constants vs its auto-sized twin
     time("fixed_q116", nPlanes = 4, k = 4, probes = 0, salt = 1)
@@ -59,6 +79,20 @@ object ScaleProbe {
     // q120's gated constants vs its auto-sized twin (probes track planes)
     time("fixed_q120", nPlanes = 8, k = 2, probes = 8, salt = 4)
     time("auto_q120", nPlanes = auto, k = 2, probes = math.min(8, auto), salt = 4)
+    // the auto composition with the CC fixpoint early-exit replacing
+    // the fixed 12-round budget — same candidate pass as auto_q116, so
+    // the delta IS the barrier rounds bought back
+    timed("conv_q116", auto, 0, 1) {
+      Similarity.semanticClustersAnnConverged(vecs, "vec_id", "embedding",
+          K.Dim, k = 4)
+        .select(col("id"), col("cluster"))
+    }
+    // localization probe: the candidate pass alone (bucket self-join +
+    // partial top-k + mutual filter, no CC labeling) — the full-query
+    // delta against this is the 12-round label loop's cost
+    timed("edges_q116", auto, 0, 1) {
+      Similarity.mutualAnnPairs(vecs, "vec_id", "embedding", K.Dim, auto, 4)
+    }
     spark.stop()
   }
 }

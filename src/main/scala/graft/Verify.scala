@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench.scala: 128-key fallback would sort the candidate stream
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
       // InferFiltersFromGenerate copies the full (expensive) generator
       // child expression into a Filter — for embedding pipelines that
       // doubles the per-row work for no benefit.
