@@ -20,11 +20,16 @@ object Bench {
       // thousands to millions of qids) abandons the hash map and SORTS
       // the full per-partition input stream. At 100× that turned a
       // bounded-heap candidate pass into a 39M-row sort churning ~35 GB
-      // of humongous sort pages (measured; ~10× slowdown). All graft
-      // typed aggregates carry bounded buffers (k-sized heaps,
-      // fixed-size sketches), so a 1M-key map (~100 MB/task worst case)
-      // is safe and keeps map-side combine genuinely partial.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
+      // of humongous sort pages (measured: 167–292 s vs a deterministic
+      // 23–26 s hash-aggregated). 128k keys is the measured sweet spot:
+      // graft's own typed aggregates carry BOUNDED buffers (k-sized
+      // heaps, fixed-size sketches — a 128k map is ~10 MB/task), while
+      // builtins with UNBOUNDED buffers (the collect_list in the BM25
+      // deterministic fold: millions of (query, doc) groups) must still
+      // fall back before the map itself becomes the memory problem — a
+      // 1M-key setting sent q55b/q56 2–4× slower building GB-scale maps
+      // that fell back anyway.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

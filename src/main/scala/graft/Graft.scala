@@ -35,6 +35,27 @@ final case class InitOptions(
   * index (Spark rows are unordered; order is recovered with ORDER BY). */
 object Graft {
 
+  /** Recommended session settings for the bucketed/partial-agg
+    * operators at scale, for callers that bring their own SparkSession
+    * (the graft harness mains already set these in their builders).
+    * The critical one: Spark's ObjectHashAggregate falls back to
+    * SORT-BASED aggregation at 128 distinct keys per partition
+    * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`),
+    * which silently turns every partial top-k / sketch aggregate here
+    * (thousands-to-millions of group keys) into a full sort of the
+    * per-partition candidate stream — measured 10× slower on a 100×
+    * corpus. 128k keys is the measured sweet spot (see the Bench
+    * scaladoc for the two-sided calibration: graft's typed aggregate
+    * buffers are bounded, so the map stays ~10 MB/task, while builtins
+    * with unbounded buffers still fall back before the map itself
+    * becomes the memory problem). Mutates only runtime-settable SQL
+    * confs; returns the same session for chaining. */
+  def tuneForScale(spark: SparkSession): SparkSession = {
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
+    spark
+  }
+
   private def resolved(opts: InitOptions) = {
     val m = ModelRegistry(opts.modelName)
     (m, opts.maxLength.getOrElse(m.maxLength))

@@ -31,7 +31,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.scala: 128-key fallback would sort the candidate stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,7 +20,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.scala: 128-key fallback would sort the candidate stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
       // InferFiltersFromGenerate copies the full (expensive) generator
       // child expression into a Filter — for embedding pipelines that
       // doubles the per-row work for no benefit.

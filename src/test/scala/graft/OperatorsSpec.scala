@@ -383,6 +383,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got4.values.forall(_ == 0L))
   }
 
+  test("Graft.tuneForScale: sets the hash-agg fallback threshold on a user session") {
+    val s = Graft.tuneForScale(spark)
+    assert(s eq spark)
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == (1 << 17).toString)
+  }
+
   test("duplicateClustersConverged: fixpoint equals a sufficient fixed budget; early exit is invisible") {
     import spark.implicits._
     // the 34-node chain that EXCEEDS the default 5-round budget: the

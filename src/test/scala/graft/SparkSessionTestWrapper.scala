@@ -14,7 +14,7 @@ object SparkSessionTestWrapper {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Bench.scala: 128-key fallback would sort the candidate stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
