@@ -93,6 +93,22 @@ object ScaleProbe {
     timed("edges_q116", auto, 0, 1) {
       Similarity.mutualAnnPairs(vecs, "vec_id", "embedding", K.Dim, auto, 4)
     }
+    // the PRODUCTION shape of the q114 HLL gate: sketch over the RAW
+    // shingle stream — HLL inserts are duplicate-idempotent (per-bucket
+    // max rho), so only the gate's exact-verification leg needs the
+    // global `.distinct()`; a real pipeline ships this plan, whose only
+    // full-data exchange is the (group, bucket) partial max
+    timed("hll_raw", 0, 0, 0) {
+      import org.apache.spark.sql.functions.{explode, size => asize}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Sketch.hllDistinct(
+        docs.select(col("source"),
+            graft.functions.Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
+          .filter(asize(col("__tids")) >= 3)
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("__tids"), 3)).as("shingle")),
+        "source", "shingle", p = 6)
+    }
     spark.stop()
   }
 }
