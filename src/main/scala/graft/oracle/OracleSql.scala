@@ -1127,13 +1127,19 @@ bw AS (SELECT btf.doc_id, btf.token_id, btf.tf, bst.df,
   }
 
   /** BM25 search CTEs (query terms → ranked results `br`), appended
-    * after [[bm25Ctes]]. */
-  private def bm25SearchCtes(maxQid: Int): String =
+    * after [[bm25Ctes]]. The (qid, doc) score is the fixed-point sum
+    * [[graft.operators.FullText.ScoreScale]] defines: floor(w·2^35+0.5)
+    * summed as integers (exact, order-independent on both engines —
+    * the weights themselves are bit-identical, so the snapped longs
+    * are too), then /2^35 (≤ 2^49, exact in double). */
+  private def bm25SearchCtes(maxQid: Int): String = {
+    val s = graft.operators.FullText.ScoreScale
     s"""bq AS (SELECT DISTINCT qid, token_id FROM (
   SELECT doc_id AS qid, unnest(tids) AS token_id FROM btok WHERE doc_id < $maxQid) t),
 bj AS (SELECT bq.qid, bw.doc_id, bw.token_id, bw.weight FROM bw JOIN bq USING (token_id)),
-bs AS (SELECT qid, doc_id, list_reduce(list_concat([0.0::DOUBLE], list(weight ORDER BY token_id)), (a,b) -> a+b) AS score FROM bj GROUP BY qid, doc_id),
+bs AS (SELECT qid, doc_id, sum(CAST(floor(weight * $s + 0.5) AS BIGINT))::DOUBLE / $s AS score FROM bj GROUP BY qid, doc_id),
 br AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk FROM bs)"""
+  }
 
   def q55_bm25_weights(k1: Double, b: Double): String =
     s"""WITH ${bm25Ctes(k1, b)}

@@ -53,8 +53,9 @@ class FullTextSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     val got = FullText.bm25Search(q, "qid", "qtext", d, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
-    // recompute from the weights table: sum of the doc's weights over the
-    // query's distinct terms, in ascending token order (the operator's fold)
+    // recompute from the weights table: the doc's weights over the
+    // query's distinct terms, snapped to the fixed-point grid and summed
+    // as longs (the operator's order-independent fold), then /ScoreScale
     val qTerms = d.filter(col("doc_id") === 2)
       .select(explode(array_distinct(Kernel.tokenIds(col("text")))).as("t"))
       .collect().map(_.getLong(0)).toSet
@@ -63,7 +64,9 @@ class FullTextSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .filter(t => qTerms.contains(t._2))
       .groupBy(_._1)
     got.foreach { case (docId, score) =>
-      val expected = byDoc(docId).sortBy(_._2).map(_._3).foldLeft(0.0)(_ + _)
+      val expected = byDoc(docId)
+        .map(t => math.floor(t._3 * FullText.ScoreScale + 0.5).toLong)
+        .sum.toDouble / FullText.ScoreScale
       assert(score == expected, s"doc $docId: $score vs $expected")
     }
   }
