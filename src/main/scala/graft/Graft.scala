@@ -53,6 +53,16 @@ object Graft {
   def tuneForScale(spark: SparkSession): SparkSession = {
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
+    // With AQE on, the INITIAL shuffle partition count is what bounds
+    // per-task aggregate/join state — a fixed small number (cores) makes
+    // big exchanges spill once per-partition data outgrows the task's
+    // hash map, which is how exact distinct-counts went super-linear at
+    // 100× (measured: q114's distinct 6.7× for 3× data). Start wide
+    // (8 × parallelism) and let AQE's coalescer merge the post-shuffle
+    // reads of SMALL stages back down — wide costs only extra shuffle
+    // buckets; narrow costs spill.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (spark.sparkContext.defaultParallelism * 8).toString)
     spark
   }
 

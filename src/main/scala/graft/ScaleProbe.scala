@@ -32,6 +32,8 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.scala: 128-key fallback would sort the candidate stream
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
+      // wide-then-coalesce exchanges, aligned with Bench/tuneForScale
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
