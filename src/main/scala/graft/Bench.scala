@@ -30,10 +30,12 @@ object Bench {
       // 1M-key setting sent q55b/q56 2–4× slower building GB-scale maps
       // that fell back anyway.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
-      // start exchanges wide, AQE-coalesce small stages back down: a
-      // fixed cores-sized count made big exact-distinct exchanges spill
-      // at 100× (see Graft.tuneForScale)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
+      // initial exchange width sized to the corpus, AQE-coalesce small
+      // stages back down: a fixed cores-sized count made big
+      // exact-distinct exchanges spill at 100×, while a flat wide
+      // constant taxed the small-sf suite (see Graft.tuneForScale)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

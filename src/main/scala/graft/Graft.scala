@@ -50,20 +50,54 @@ object Graft {
     * with unbounded buffers still fall back before the map itself
     * becomes the memory problem). Mutates only runtime-settable SQL
     * confs; returns the same session for chaining. */
-  def tuneForScale(spark: SparkSession): SparkSession = {
+  def tuneForScale(spark: SparkSession, inputBytes: Option[Long] = None): SparkSession = {
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
     // With AQE on, the INITIAL shuffle partition count is what bounds
-    // per-task aggregate/join state — a fixed small number (cores) makes
+    // per-task aggregate/join state — a fixed cores-sized number makes
     // big exchanges spill once per-partition data outgrows the task's
     // hash map, which is how exact distinct-counts went super-linear at
-    // 100× (measured: q114's distinct 6.7× for 3× data). Start wide
-    // (8 × parallelism) and let AQE's coalescer merge the post-shuffle
-    // reads of SMALL stages back down — wide costs only extra shuffle
-    // buckets; narrow costs spill.
+    // 100× (measured: q114's distinct 6.7× for 3× data). But a flat
+    // wide constant taxes SMALL workloads (measured: +6% across a
+    // 147-query sf0.1 suite at 8× parallelism — many tiny exchanges
+    // each paying extra shuffle buckets and AQE planning). So size the
+    // initial count to the data when the caller knows it
+    // ([[initialPartitionsFor]]); default to 8 × parallelism when it
+    // doesn't (the cluster-safe side: wide costs buckets, narrow costs
+    // spill).
+    val init = inputBytes
+      .map(b => initialPartitionsFor(b, spark.sparkContext.defaultParallelism))
+      .getOrElse(spark.sparkContext.defaultParallelism * 8)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      (spark.sparkContext.defaultParallelism * 8).toString)
+      init.toString)
     spark
+  }
+
+  /** Initial shuffle partition count for `inputBytes` of on-disk input:
+    * one initial partition per ~4 MB of raw input (headroom for the
+    * ~10–20× post-tokenize/explode blowup of text pipelines, keeping
+    * per-task exchange state well under task memory), clamped to
+    * [parallelism, 16 × parallelism]. AQE's coalescer merges the
+    * post-shuffle reads of stages that turn out small, so the cost of
+    * the upper bound is map-side bucket count, not reducer tasks. */
+  def initialPartitionsFor(inputBytes: Long, parallelism: Int): Int = {
+    val perPartition = 4L << 20
+    math.max(parallelism,
+      math.min(16L * parallelism, inputBytes / perPartition).toInt)
+  }
+
+  /** Total bytes of regular files under `dir` (0 if absent) — the
+    * `inputBytes` feeder for [[initialPartitionsFor]] when the input is
+    * a local/posix directory of parquet tables. */
+  def dirBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(q => java.nio.file.Files.isRegularFile(q))
+        .mapToLong(q => java.nio.file.Files.size(q)).sum
+      finally s.close()
+    }
   }
 
   private def resolved(opts: InitOptions) = {

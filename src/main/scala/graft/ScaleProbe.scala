@@ -32,8 +32,9 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.scala: 128-key fallback would sort the candidate stream
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
-      // wide-then-coalesce exchanges, aligned with Bench/tuneForScale
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
+      // data-sized initial exchange width, aligned with Bench
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -728,16 +728,19 @@ object SparkEntry {
     // half sketches must estimate exactly like the whole — q114's oracle
     "q114b_hll_merged" -> ((s, dir) => {
       val t = tbl(s, dir, "documents")
-      val sh = t.select(col("source"), Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
+      // raw stream, no materialized distinct (see hllDistinctShingles):
+      // the %2 split sends every occurrence of a shingle to the same
+      // half, and the per-(group, bucket) max is duplicate-idempotent,
+      // so merge(sk(odd), sk(even)) is unchanged by dedup
+      def sh = t.select(col("source"), Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
         .filter(size(col("__tids")) >= 3)
         .select(col("source"), explode(Dedup.shingles(col("__tids"), 3)).as("shingle"))
-        .distinct()
-        .localCheckpoint(false)
       val merged = Sketch.hllMerge("source",
         Sketch.hllSketchTable(sh.filter(col("shingle") % 2 === 1), "source", "shingle", 6),
         Sketch.hllSketchTable(sh.filter(col("shingle") % 2 === 0), "source", "shingle", 6))
       val est = Sketch.hllEstimateFrom(merged, "source", 6)
-      sh.groupBy(col("source")).agg(count(lit(1)).as("exact")).join(est, "source")
+      sh.groupBy(col("source"))
+        .agg(countDistinct(col("shingle")).as("exact")).join(est, "source")
     }),
 
     // Bloom decontamination: the q41 eval split (doc_id < 100) folded

@@ -21,9 +21,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.scala: 128-key fallback would sort the candidate stream
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
-      // wide-then-coalesce exchanges, aligned with Bench/tuneForScale —
-      // the gate must prove results invariant under the scale config
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
+      // data-sized initial exchange width, aligned with Bench — the gate
+      // must prove results invariant under the scale config (it did:
+      // 147/147 bit-identical at 8× width, the rule's upper regime)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
       // InferFiltersFromGenerate copies the full (expensive) generator
       // child expression into a Filter — for embedding pipelines that
       // doubles the per-row work for no benefit.
