@@ -388,6 +388,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(s eq spark)
     assert(spark.conf.get(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == (1 << 17).toString)
+    // unknown input size -> the cluster-safe wide default
+    assert(spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
+      (spark.sparkContext.defaultParallelism * 8).toString)
+    // known input size -> the data-sized rule
+    Graft.tuneForScale(spark, Some(100L << 30))
+    assert(spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
+      Graft.initialPartitionsFor(100L << 30,
+        spark.sparkContext.defaultParallelism).toString)
+    // leave the shared session at the small-input setting for the suite
+    Graft.tuneForScale(spark, Some(0L))
+  }
+
+  test("Graft.initialPartitionsFor: ~4 MB of input per partition, clamped to [p, 16p]") {
+    import Graft.initialPartitionsFor
+    assert(initialPartitionsFor(0L, 32) == 32)                 // lower clamp
+    assert(initialPartitionsFor(17L << 20, 32) == 32)          // sf0.1-sized stays at cores
+    assert(initialPartitionsFor(460L << 20, 32) == 115)        // mid scale grows with data
+    assert(initialPartitionsFor(1600L << 20, 32) == 400)       // 100x point
+    assert(initialPartitionsFor(1L << 40, 32) == 512)          // upper clamp 16p
+    // monotone in bytes
+    val xs = Seq(0L, 1L << 20, 1L << 25, 1L << 30, 1L << 35, 1L << 40)
+      .map(initialPartitionsFor(_, 32))
+    assert(xs == xs.sorted)
   }
 
   test("duplicateClustersConverged: fixpoint equals a sufficient fixed budget; early exit is invisible") {
