@@ -142,6 +142,26 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected the hamming filter below the distinct exchange:\n$plan")
   }
 
+  test("bm25Search: the score fold is a codegen'd long-sum HashAggregate, not an object agg") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = d.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val plan = planOf(FullText.bm25Search(q, "qid", "qtext", d, "doc_id", "text", 5))
+    // the r13 scale fix: the per-(query, doc) score is an exact
+    // fixed-point LONG sum — a plain partial HashAggregate with
+    // map-side combine. A collect_list/sort_array fold here would plan
+    // as ObjectHashAggregate over millions of groups, whose object maps
+    // sort-fall-back at scale (measured 7.5x growth for 10x data); the
+    // only ObjectHashAggregate allowed in this plan is the k-sized
+    // per-query top-k heap ABOVE the (qid, doc) fold
+    val fold = plan.indexOf("- HashAggregate(keys=[qid")
+    assert(fold >= 0, s"expected a plain (qid, doc) HashAggregate fold:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"the score fold must not collect lists:\n$plan")
+    assert(plan.toLowerCase.contains("sum(floor("),
+      s"expected the fixed-point long sum in the fold:\n$plan")
+  }
+
   test("rerankTopK: partial top-k below the qid exchange, no global sort") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val q = d.filter(col("doc_id") < 4)
