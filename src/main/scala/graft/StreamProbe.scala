@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType, TimestampType}
+import graft.streaming.StreamingOps
+
+/** Streaming-throughput harness behind SCALING.md's streaming section:
+  * stages an sf corpus's documents as chunked parquet files, replays
+  * them through Structured Streaming micro-batches (file source,
+  * `maxFilesPerTrigger`), and times three representative workloads
+  * end-to-end (source → state → sink):
+  *
+  *  - `embed`   — stateless narrow embedding ([[StreamingOps.embedStream]]);
+  *                the batch equivalent is timed on the same staged files,
+  *                so the printed ratio isolates the micro-batch
+  *                scheduling overhead from the compute.
+  *  - `dedup`   — watermark-bounded exact dedup
+  *                ([[StreamingOps.dedupExactStream]] —
+  *                `dropDuplicatesWithinWatermark` state).
+  *  - `hll`     — windowed HLL sketch build
+  *                ([[StreamingOps.hllSketchStream]] — per-(window,
+  *                group, bucket) max-rho aggregation state).
+  *
+  * Event time is synthesized from doc_id (one hour of arrivals), so
+  * watermarks and windows exercise real state expiry paths. Results
+  * print as one JSON line per workload: rows, seconds, rows/s, and
+  * micro-batch count.
+  *
+  * Usage: runMain graft.StreamProbe <sfDir> [maxFilesPerTrigger=8]
+  */
+object StreamProbe {
+  private val Schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType), StructField("ts", TimestampType)))
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: StreamProbe <sfDir> [maxFilesPerTrigger=8]"); sys.exit(1) }
+    val sfDir = args(0)
+    val mfpt = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.schemaInference", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // stage: 32 chunk files with a synthesized event-time column (one
+    // hour of arrivals so the 10-minute watermark and 15-minute windows
+    // see real expiry, not one degenerate window)
+    val stageDir = s"/tmp/graft_streamprobe/${new java.io.File(sfDir).getName}"
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"),
+        to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 3600)).as("ts"))
+    src.repartition(32).write.mode("overwrite").parquet(stageDir)
+    val rows = spark.read.parquet(stageDir).count()
+
+    def run(name: String)(mk: DataFrame => DataFrame): Unit = {
+      val ckpt = s"$stageDir-ckpt-$name"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val stream = spark.readStream.schema(Schema)
+        .option("maxFilesPerTrigger", mfpt).parquet(stageDir)
+      val out = mk(stream)
+      val isAgg = out.isStreaming && name == "hll"
+      val t0 = System.nanoTime()
+      val q = out.writeStream.format("noop")
+        .outputMode(if (isAgg) "update" else "append")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.length
+      q.stop()
+      println(f"""{"probe":"stream_$name","sf":"$sfDir","rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"micro_batches":$batches,"maxFilesPerTrigger":$mfpt}""")
+    }
+
+    // batch reference for the stateless leg: same staged files, same plan
+    val tb0 = System.nanoTime()
+    StreamingOps.embedStream(spark.read.parquet(stageDir), "text", "emb")
+      .write.format("noop").mode("overwrite").save()
+    val batchSec = (System.nanoTime() - tb0) / 1e9
+    println(f"""{"probe":"batch_embed","sf":"$sfDir","rows":$rows,"sec":$batchSec%.3f,"rows_per_sec":${rows / batchSec}%.0f}""")
+
+    run("embed")(st => StreamingOps.embedStream(st, "text", "emb"))
+    run("dedup")(st => StreamingOps.dedupExactStream(st, "text", "ts", "10 minutes"))
+    run("hll")(st => StreamingOps.hllSketchStream(st, "source", "text", "ts",
+      watermark = "10 minutes", windowLen = "15 minutes", n = 3, p = 6))
+    spark.stop()
+  }
+}
