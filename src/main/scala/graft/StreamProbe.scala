@@ -48,6 +48,12 @@ object StreamProbe {
         Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.schemaInference", "false")
+      // SPARK_GRAFT_STATE=rocksdb swaps the state store provider so the
+      // default-vs-RocksDB claim in SCALING.md is measured, not asserted
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
