@@ -10,36 +10,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // ObjectHashAggregate's sort-based fallback fires at 128 DISTINCT
-      // KEYS by default: any partial TypedImperativeAggregate over more
-      // than 128 groups per partition (every top-k / sketch agg here —
-      // thousands to millions of qids) abandons the hash map and SORTS
-      // the full per-partition input stream. At 100× that turned a
-      // bounded-heap candidate pass into a 39M-row sort churning ~35 GB
-      // of humongous sort pages (measured: 167–292 s vs a deterministic
-      // 23–26 s hash-aggregated). 128k keys is the measured sweet spot:
-      // graft's own typed aggregates carry BOUNDED buffers (k-sized
-      // heaps, fixed-size sketches — a 128k map is ~10 MB/task), while
-      // builtins with UNBOUNDED buffers (the collect_list in the BM25
-      // deterministic fold: millions of (query, doc) groups) must still
-      // fall back before the map itself becomes the memory problem — a
-      // 1M-key setting sent q55b/q56 2–4× slower building GB-scale maps
-      // that fell back anyway.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
-      // initial exchange width sized to the corpus, AQE-coalesce small
-      // stages back down: a fixed cores-sized count made big
-      // exact-distinct exchanges spill at 100×, while a flat wide
-      // constant taxed the small-sf suite (see Graft.tuneForScale)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
+    // Shared scale-tuned block lives in Graft.tunedBuilder. The two
+    // load-bearing settings it carries, calibrated here in round 13:
+    //
+    // - ObjectHashAggregate's sort-based fallback fires at 128 DISTINCT
+    //   KEYS by default: any partial TypedImperativeAggregate over more
+    //   than 128 groups per partition (every top-k / sketch agg here —
+    //   thousands to millions of qids) abandons the hash map and SORTS
+    //   the full per-partition input stream. At 100× that turned a
+    //   bounded-heap candidate pass into a 39M-row sort churning ~35 GB
+    //   of humongous sort pages (measured: 167–292 s vs a deterministic
+    //   23–26 s hash-aggregated). 128k keys is the measured sweet spot:
+    //   graft's own typed aggregates carry BOUNDED buffers (k-sized
+    //   heaps, fixed-size sketches — a 128k map is ~10 MB/task), while
+    //   builtins with UNBOUNDED buffers (the collect_list in the BM25
+    //   deterministic fold: millions of (query, doc) groups) must still
+    //   fall back before the map itself becomes the memory problem — a
+    //   1M-key setting sent q55b/q56 2–4× slower building GB-scale maps
+    //   that fell back anyway.
+    // - Initial exchange width sized to the corpus, AQE-coalesce small
+    //   stages back down: a fixed cores-sized count made big
+    //   exact-distinct exchanges spill at 100×, while a flat wide
+    //   constant taxed the small-sf suite (see Graft.tuneForScale).
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run the full q01 pipeline once untimed so JIT/codegen/session

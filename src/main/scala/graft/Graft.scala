@@ -86,6 +86,28 @@ object Graft {
       math.min(16L * parallelism, inputBytes / perPartition).toInt)
   }
 
+  /** The scale-tuned local session builder shared by the measurement
+    * mains (Bench, ScaleProbe, StreamProbe — previously three copies of
+    * this block): `local[cpus]`, cores-sized shuffle partitions with
+    * AQE on, the 128k hash-agg fallback threshold (see the Bench
+    * scaladoc for the two-sided calibration), a data-sized initial
+    * exchange width ([[initialPartitionsFor]] over [[dirBytes]] of the
+    * input directory), and the nanos-as-long parquet compat the driver
+    * testdata needs. Returns the BUILDER so callers can append their
+    * own configs (Bench's optimizer exclusion, StreamProbe's state
+    * store provider) before `getOrCreate()`. */
+  def tunedBuilder(sfDir: String, cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 17).toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitionsFor(dirBytes(sfDir), cpus).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
   /** Total bytes of regular files under `dir` (0 if absent) — the
     * `inputBytes` feeder for [[initialPartitionsFor]] when the input is
     * a local/posix directory of parquet tables. */

@@ -129,8 +129,9 @@ object ScaleGen {
     * seeds 1..factor-1 whenever factor ≤ dim/2 (29 is coprime to any
     * power-of-two dim). Lags REPEAT with period `dim` in the seed, so
     * factor > dim alone would hand colliding seed pairs (s, s+dim)
-    * byte-identical vectors — exact kNN ties; [[signVector]] breaks
-    * the tie for those groups. */
+    * byte-identical vectors — exact kNN ties; high seeds therefore
+    * substitute [[affinePerm]] composed with [[signVector]] for the
+    * rotation. */
   def rotationLag(seed: Int, dim: Int): Int = ((seed * 29) % dim + dim) % dim
 
   /** Per-seed Rademacher (±1) sign pattern, used (composed with
@@ -153,10 +154,29 @@ object ScaleGen {
     * a sum of cross terms with spread ≈ 1/√dim regardless of how the
     * vector's energy concentrates (ScaleGenSpec asserts the composed
     * transform lands colliding-lag pairs in the ordinary-point range,
-    * alongside the first-group rotation test). */
+    * alongside the first-group rotation test).
+    *
+    * The (a, b) pair is assigned INJECTIVELY in the seed: the dim²/2
+    * possible pairs (dim/2 odd multipliers × dim offsets) are walked
+    * with a fixed odd stride — a bijection on Z_{dim²/2} for
+    * power-of-two dim — so any window of dim²/2 consecutive seeds
+    * (2048 at dim 64, far past any factor the bench runs) gets
+    * pairwise-distinct pairs by construction. The previous independent
+    * per-seed hash draw collided at birthday rate: seeds 83 and 84
+    * both drew (a=13, b=2) at dim 64, collapsing that replica pair to
+    * the sign-only regime whose mean |cos| ≈ 0.22 the [[signVector]]
+    * docstring measures — exactly the tie-adjacent geometry this
+    * transform exists to avoid (ScaleGenSpec pins the pair and the
+    * window-wide injectivity). Seeds whose pairs DO share a multiplier
+    * (idx ≡ mod dim/2) differ by a pure offset shift, the
+    * rotation-grade regime (|cos| ≈ 0.10) — still ordinary-point. */
   def affinePerm(seed: Int, dim: Int): Array[Int] = {
-    val a = (2L * ((fmix64(seed.toLong) >>> 1) % (dim / 2)) + 1L).toInt
-    val b = ((fmix64(seed.toLong * 0x9e3779b97f4a7c15L) >>> 1) % dim).toInt
+    val m = dim * dim / 2
+    val stride = (2L * ((fmix64(dim.toLong) >>> 1) % (m / 2)) + 1L).toInt
+    val start = ((fmix64(dim.toLong * 0x9e3779b97f4a7c15L) >>> 1) % m).toInt
+    val idx = (((seed.toLong % m) * stride + start) % m).toInt
+    val a = 2 * (idx % (dim / 2)) + 1
+    val b = idx / (dim / 2)
     Array.tabulate(dim)(i => ((a.toLong * i + b) % dim).toInt)
   }
 
@@ -208,7 +228,8 @@ object ScaleGen {
     // embeddings: offset ids, rotate replica vector dimensions by a
     // per-seed lag (norm-preserving, neighborhood-scrambling); past the
     // lag period (seed ≥ dim — factors > 64 at the driver's dim) the
-    // rotation is composed with the per-seed sign pattern so colliding
+    // rotation is REPLACED by a per-seed affine dimension permutation
+    // composed with a per-seed Rademacher sign pattern, so colliding
     // lags can't produce byte-identical vectors
     val vecStep = keyCeil("embeddings", "vec_id")
     val dim = tbl("embeddings").select(size(col("embedding"))).head().getInt(0)

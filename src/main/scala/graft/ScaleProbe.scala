@@ -26,18 +26,9 @@ object ScaleProbe {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // see Bench.scala: 128-key fallback would sort the candidate stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
-      // data-sized initial exchange width, aligned with Bench
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared scale-tuned block (128k fallback threshold, data-sized
+    // exchange width) — see Graft.tunedBuilder / the Bench calibration
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -39,14 +39,9 @@ object StreamProbe {
     val sfDir = args(0)
     val mfpt = if (args.length > 1) args(1).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Graft.initialPartitionsFor(Graft.dirBytes(sfDir), cpus.toInt).toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // shared scale-tuned block (see Graft.tunedBuilder) + the
+    // streaming-specific configs
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt)
       .config("spark.sql.streaming.schemaInference", "false")
       // SPARK_GRAFT_STATE=rocksdb swaps the state store provider so the
       // default-vs-RocksDB claim in SCALING.md is measured, not asserted
@@ -54,7 +49,6 @@ object StreamProbe {
         if (sys.env.get("SPARK_GRAFT_STATE").contains("rocksdb"))
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -81,7 +75,9 @@ object StreamProbe {
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
-      val batches = q.recentProgress.length
+      // lastProgress.batchId is the true count; recentProgress is a
+      // ring buffer (default cap 100) that under-reports long replays
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
       q.stop()
       println(f"""{"probe":"stream_$name","sf":"$sfDir","rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"micro_batches":$batches,"maxFilesPerTrigger":$mfpt}""")
     }

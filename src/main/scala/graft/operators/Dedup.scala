@@ -470,7 +470,16 @@ object Dedup {
         val s = Option(labels
           .agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
           .head().getDecimal(0))
-        if (prevSum == s) converged = true else prevSum = s
+        // compareTo, not equals: BigDecimal.equals is scale-sensitive
+        // (1E+2 != 100). Both sides come from the same decimal(38,0)
+        // agg today, so scales match — but numeric equality keeps the
+        // invariant robust to any future cast change.
+        val same = (prevSum, s) match {
+          case (Some(p), Some(c)) => p.compareTo(c) == 0
+          case (None, None)       => true
+          case _                  => false
+        }
+        if (same) converged = true else prevSum = s
       }
       i += 1
     }

@@ -731,6 +731,28 @@ object Similarity {
     p
   }
 
+  /** Recommended probe count for an auto-sized plane count — the
+    * recall companion to [[nPlanesFor]]. Under the random-hyperplane
+    * model a near pair at angle θ shares all buckets with probability
+    * (1−θ/π)^nPlanes, so every plane the auto-sizer ADDS as the corpus
+    * grows costs recall multiplicatively; probing the 1-flip buckets
+    * of the first `p` planes adds back the pairs split by exactly one
+    * probed plane — worth p·(θ/π)·(1−θ/π)^(nPlanes−1), i.e. the
+    * recovery grows linearly in p while candidate cost grows as
+    * (p+1)·n·targetBucket (still linear in n; ScaleProbe's multiprobe
+    * leg measures the per-probe cost at ~1× the base candidate pass).
+    * Probing HALF the planes keeps the recovered first-order term
+    * growing with the plane count at a bounded constant-factor cost.
+    * This is a RECOMMENDATION, not the auto entry points' default:
+    * the gated q121/q122 run probes=0 because their DuckDB oracles
+    * mirror the exact candidate set, and changing the default would
+    * silently change gated results — callers opt in with
+    * `probes = Similarity.probesFor(nPlanes)`. */
+  def probesFor(nPlanes: Int): Int = {
+    require(nPlanes >= 0, "need nPlanes >= 0")
+    nPlanes / 2
+  }
+
   private[graft] def annBucketKnn(vecs: DataFrame, idCol: String, vecCol: String,
                                   dim: Int, nPlanes: Int, k: Int,
                                   probes: Int = 0, salt: Int = 1): DataFrame = {
@@ -782,7 +804,19 @@ object Similarity {
     * chosen plane count. Small corpora degrade gracefully to the EXACT
     * graph: n ≤ targetBucket chooses 0 planes = one bucket = all-pairs
     * candidates, so the result equals the brute [[semanticClusters]]
-    * semantics (the q121 oracle gates exactly this identity). */
+    * semantics (the q121 oracle gates exactly this identity).
+    *
+    * RECALL NOTE — the `probes = 0` default: auto-sizing holds the
+    * candidate COST linear by adding planes as n grows, and each added
+    * plane multiplies a near pair's all-bucket collision probability
+    * by (1−θ/π) — plane growth without probing trades recall for that
+    * linearity. The default stays 0 because the gated oracle mirrors
+    * the exact candidate set; production callers growing past the
+    * small-corpus regime should pass
+    * `probes = Similarity.probesFor(nPlanesFor(n))` (half the planes —
+    * see [[probesFor]] for the recovery-vs-cost arithmetic; ScaleProbe
+    * measures the auto-sized composition at 22–28× under the carried
+    * fixed constant at 100× even before probing). */
   def semanticClustersAnnAuto(vecs: DataFrame, idCol: String, vecCol: String,
                               dim: Int, k: Int,
                               iterations: Int = DefaultSemanticIterations,

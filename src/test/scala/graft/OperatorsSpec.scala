@@ -384,22 +384,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("Graft.tuneForScale: sets the hash-agg fallback threshold on a user session") {
-    val s = Graft.tuneForScale(spark)
-    assert(s eq spark)
-    assert(spark.conf.get(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == (1 << 17).toString)
-    // unknown input size -> the cluster-safe wide default
-    assert(spark.conf.get(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
-      (spark.sparkContext.defaultParallelism * 8).toString)
-    // known input size -> the data-sized rule
-    Graft.tuneForScale(spark, Some(100L << 30))
-    assert(spark.conf.get(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
-      Graft.initialPartitionsFor(100L << 30,
-        spark.sparkContext.defaultParallelism).toString)
-    // leave the shared session at the small-input setting for the suite
-    Graft.tuneForScale(spark, Some(0L))
+    // snapshot the confs this test mutates on the SHARED session and
+    // restore them afterwards — leaving them set would make the rest
+    // of the suite's plans depend on test order
+    val keys = Seq(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      val s = Graft.tuneForScale(spark)
+      assert(s eq spark)
+      assert(spark.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == (1 << 17).toString)
+      // unknown input size -> the cluster-safe wide default
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
+        (spark.sparkContext.defaultParallelism * 8).toString)
+      // known input size -> the data-sized rule
+      Graft.tuneForScale(spark, Some(100L << 30))
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
+        Graft.initialPartitionsFor(100L << 30,
+          spark.sparkContext.defaultParallelism).toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("Graft.initialPartitionsFor: ~4 MB of input per partition, clamped to [p, 16p]") {

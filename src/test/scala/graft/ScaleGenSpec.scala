@@ -144,13 +144,32 @@ class ScaleGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val mean = cosines.sum / cosines.length
       assert(mean < 0.2, s"seed pair (${seed - 64},$seed) mean replica-pair |cos| $mean")
     }
-    // and high-group pairs against EACH OTHER
-    val highPairs = for (Seq(s1, s2) <- Seq(64, 87, 93, 99).combinations(2).toSeq) yield {
+    // and high-group pairs against EACH OTHER — including (83, 84),
+    // the pair the r13 independent-hash draw collided to one (a, b)
+    // (both drew (13, 2) at dim 64), which collapsed it to the
+    // sign-only regime (mean |cos| ≈ 0.22) this assertion rejects
+    val highPairs = for (Seq(s1, s2) <- Seq(64, 83, 84, 87, 93, 99).combinations(2).toSeq) yield {
       val cosines = vecs.map(v => math.abs(cos(applyHigh(v, s1), applyHigh(v, s2))))
       (s1, s2, cosines.sum / cosines.length)
     }
     highPairs.foreach { case (s1, s2, mean) =>
       assert(mean < 0.2, s"high seed pair ($s1,$s2) mean replica-pair |cos| $mean")
     }
+  }
+
+  test("affinePerm: (a, b) pairwise distinct across the full dim²/2 seed window") {
+    // the injectivity that makes the sign-only regime unreachable by
+    // construction: every seed in a window of dim²/2 consecutive seeds
+    // (2048 at dim 64 — far past any bench factor) must get its own
+    // (a, b), i.e. its own permutation ARRAY; the r13 birthday-collision
+    // counterexample (83, 84) is inside the asserted window
+    val dim = 64
+    val perms = (dim until dim + dim * dim / 2).map { s =>
+      val p = ScaleGen.affinePerm(s, dim)
+      assert(p.distinct.length == dim, s"affinePerm($s) must be a bijection")
+      p.toSeq
+    }
+    assert(perms.distinct.length == perms.length,
+      "affinePerm must assign distinct permutations within the seed window")
   }
 }

@@ -245,6 +245,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nPlanesFor(Long.MaxValue, 1) == 62) // clamp: Long bitmask
   }
 
+  test("probesFor: half the planes, clamp-compatible, monotone") {
+    import Similarity.probesFor
+    assert(probesFor(0) == 0)   // small corpus: 0 planes, nothing to probe
+    assert(probesFor(1) == 0)
+    assert(probesFor(4) == 2)
+    assert(probesFor(10) == 5)  // the sf10 auto-sized plane count
+    for (p <- 0 to 62) assert(probesFor(p) <= p, s"probes must fit annBucketKnn's [0, nPlanes] bound at $p")
+    val xs = (0 to 62).map(probesFor)
+    assert(xs == xs.sorted, "probe budget must not shrink as planes grow")
+    // and the recommendation composes with the auto entry point: the
+    // result stays a valid clustering (same id domain as probes = 0 on
+    // a one-bucket corpus, where probing is a no-op by clamping)
+    val small = e.filter(col("vec_id") < 200)
+    val n = small.count()
+    assert(Similarity.nPlanesFor(n) == 0)
+    val withRec = Similarity.semanticClustersAnnAuto(small, "vec_id", "embedding",
+      K.Dim, k = 3, iterations = 8, probes = probesFor(Similarity.nPlanesFor(n)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val without = Similarity.semanticClustersAnnAuto(small, "vec_id", "embedding",
+      K.Dim, k = 3, iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withRec == without)
+  }
+
   test("semanticClustersAnnAuto: auto == explicit nPlanesFor params; 0 planes == brute graph") {
     val n = e.count()
     val auto = Similarity.semanticClustersAnnAuto(e, "vec_id", "embedding",
