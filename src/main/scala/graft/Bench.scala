@@ -11,7 +11,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Shared scale-tuned block lives in Graft.tunedBuilder. The two
-    // load-bearing settings it carries, calibrated here in round 13:
+    // load-bearing settings it carries, calibrated here in round 13
+    // (round 14 gated the threshold on input size — below 64 MB
+    // Spark's default 128 wins, measured +8.9% suite cost widened at
+    // sf0.1; see Graft.fallbackThresholdFor / DRIFT_AB artifacts):
     //
     // - ObjectHashAggregate's sort-based fallback fires at 128 DISTINCT
     //   KEYS by default: any partial TypedImperativeAggregate over more

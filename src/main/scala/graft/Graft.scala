@@ -48,11 +48,27 @@ object Graft {
     * scaladoc for the two-sided calibration: graft's typed aggregate
     * buffers are bounded, so the map stays ~10 MB/task, while builtins
     * with unbounded buffers still fall back before the map itself
-    * becomes the memory problem). Mutates only runtime-settable SQL
-    * confs; returns the same session for chaining. */
+    * becomes the memory problem).
+    *
+    * BOTH knobs are gated on the input size, because both have a
+    * measured small-input cost, not just a large-input win: a
+    * same-session A/B of the full 147-query suite (DriftProbe, round
+    * 14) put the widened threshold at +8.9% TOTAL at sf0.1 (17 MB —
+    * the per-partition candidate streams are small enough that the
+    * sort-based fallback's sequential merge beats the object hash
+    * map's per-update indirection, worst on the ANN clustering gates:
+    * q120 1.34×, q119 1.32×), while the same cohort at 10× the data
+    * (154 MB) already runs 13% FASTER widened — and 100× unwidened is
+    * the catastrophic regime (22× on auto-sized clustering). The gate
+    * sits at [[ScaleConfigMinBytes]] (64 MB, the power-of-two nearest
+    * the geometric midpoint of the two measured points); an UNKNOWN
+    * input size widens — the small side costs percent, the large side
+    * costs multiples. Mutates only runtime-settable SQL confs; returns
+    * the same session for chaining. */
   def tuneForScale(spark: SparkSession, inputBytes: Option[Long] = None): SparkSession = {
     spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      fallbackThresholdFor(inputBytes).toString)
     // With AQE on, the INITIAL shuffle partition count is what bounds
     // per-task aggregate/join state — a fixed cores-sized number makes
     // big exchanges spill once per-partition data outgrows the task's
@@ -73,6 +89,21 @@ object Graft {
     spark
   }
 
+  /** Input-size gate for the scale config: below this, Spark's
+    * defaults win (measured +8.9% suite cost for the widened threshold
+    * at 17 MB); at or above it, the widened settings win (measured
+    * −13% at 154 MB, and they are the difference between linear and
+    * catastrophic at 1.6 GB). 64 MB = the power of two nearest the
+    * geometric midpoint of the two measured points (~51 MB). */
+  val ScaleConfigMinBytes: Long = 64L << 20
+
+  /** The hash-agg fallback threshold for a given input size: Spark's
+    * default 128 below [[ScaleConfigMinBytes]], the calibrated 128k at
+    * or above it — and for UNKNOWN sizes, because the mis-sized cost
+    * is asymmetric (percent vs multiples; see [[tuneForScale]]). */
+  def fallbackThresholdFor(inputBytes: Option[Long]): Int =
+    if (inputBytes.forall(_ >= ScaleConfigMinBytes)) 1 << 17 else 128
+
   /** Initial shuffle partition count for `inputBytes` of on-disk input:
     * one initial partition per ~4 MB of raw input (headroom for the
     * ~10–20× post-tokenize/explode blowup of text pipelines, keeping
@@ -89,24 +120,29 @@ object Graft {
   /** The scale-tuned local session builder shared by the measurement
     * mains (Bench, ScaleProbe, StreamProbe — previously three copies of
     * this block): `local[cpus]`, cores-sized shuffle partitions with
-    * AQE on, the 128k hash-agg fallback threshold (see the Bench
-    * scaladoc for the two-sided calibration), a data-sized initial
-    * exchange width ([[initialPartitionsFor]] over [[dirBytes]] of the
-    * input directory), and the nanos-as-long parquet compat the driver
-    * testdata needs. Returns the BUILDER so callers can append their
-    * own configs (Bench's optimizer exclusion, StreamProbe's state
-    * store provider) before `getOrCreate()`. */
-  def tunedBuilder(sfDir: String, cpus: Int): SparkSession.Builder =
+    * AQE on, the data-GATED hash-agg fallback threshold
+    * ([[fallbackThresholdFor]] — Spark's default below 64 MB of input,
+    * the calibrated 128k above; see the Bench scaladoc and
+    * [[tuneForScale]] for the two-sided measurements), a data-sized
+    * initial exchange width ([[initialPartitionsFor]] over
+    * [[dirBytes]] of the input directory), and the nanos-as-long
+    * parquet compat the driver testdata needs. Returns the BUILDER so
+    * callers can append their own configs (Bench's optimizer
+    * exclusion, StreamProbe's state store provider) before
+    * `getOrCreate()`. */
+  def tunedBuilder(sfDir: String, cpus: Int): SparkSession.Builder = {
+    val bytes = dirBytes(sfDir)
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 17).toString)
+        fallbackThresholdFor(Some(bytes)).toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialPartitionsFor(dirBytes(sfDir), cpus).toString)
+        initialPartitionsFor(bytes, cpus).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Total bytes of regular files under `dir` (0 if absent) — the
     * `inputBytes` feeder for [[initialPartitionsFor]] when the input is

@@ -54,15 +54,35 @@ object StreamProbe {
 
     // stage: 32 chunk files with a synthesized event-time column (one
     // hour of arrivals so the 10-minute watermark and 15-minute windows
-    // see real expiry, not one degenerate window)
-    val stageDir = s"/tmp/graft_streamprobe/${new java.io.File(sfDir).getName}"
-    val src = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("source"),
-        to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 3600)).as("ts"))
+    // see real expiry, not one degenerate window).
+    //
+    // SPARK_GRAFT_STAGE_FACTOR=N (default 1) widens the staged corpus
+    // N× with distinct texts (replica tag appended) and offset doc_ids
+    // — the state-size knob for the memory-crossover experiment: with
+    // a watermark longer than the event span nothing expires, so the
+    // dedup state grows to N × corpus keys while per-row compute stays
+    // identical. SPARK_GRAFT_WATERMARK overrides the dedup watermark
+    // ("2 hours" > the 1-hour event span = retain every key).
+    val stageFactor = math.max(1, sys.env.get("SPARK_GRAFT_STAGE_FACTOR")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1))
+    val watermark = sys.env.getOrElse("SPARK_GRAFT_WATERMARK", "10 minutes")
+    val runsSel = sys.env.get("SPARK_GRAFT_RUNS").map(_.split(",").toSet)
+    val stageDir = s"/tmp/graft_streamprobe/${new java.io.File(sfDir).getName}-x$stageFactor"
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docStep = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val src = (0 until stageFactor).map { i =>
+        val d = if (i == 0) base
+          else base.select((col("doc_id") + lit(i * docStep)).as("doc_id"),
+            concat(col("text"), lit(s" r$i")).as("text"), col("lang"), col("source"),
+            col("n_chars"))
+        d.select(col("doc_id"), col("text"), col("source"),
+          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 3600)).as("ts"))
+      }.reduce(_ unionAll _)
     src.repartition(32).write.mode("overwrite").parquet(stageDir)
     val rows = spark.read.parquet(stageDir).count()
 
-    def run(name: String)(mk: DataFrame => DataFrame): Unit = {
+    def run(name: String)(mk: DataFrame => DataFrame): Unit =
+      if (runsSel.forall(_.contains(name))) {
       val ckpt = s"$stageDir-ckpt-$name"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       val stream = spark.readStream.schema(Schema)
@@ -78,19 +98,27 @@ object StreamProbe {
       // lastProgress.batchId is the true count; recentProgress is a
       // ring buffer (default cap 100) that under-reports long replays
       val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      // state-store footprint from the final progress — the crossover
+      // experiment's x-axis (rows) and the provider's own memory claim
+      val (stateRows, stateBytes) = Option(q.lastProgress)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum))
+        .getOrElse((0L, 0L))
       q.stop()
-      println(f"""{"probe":"stream_$name","sf":"$sfDir","rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"micro_batches":$batches,"maxFilesPerTrigger":$mfpt}""")
+      println(f"""{"probe":"stream_$name","sf":"$sfDir","rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"micro_batches":$batches,"maxFilesPerTrigger":$mfpt,"stage_factor":$stageFactor,"state_rows":$stateRows,"state_bytes":$stateBytes,"heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20}}""")
     }
 
     // batch reference for the stateless leg: same staged files, same plan
-    val tb0 = System.nanoTime()
-    StreamingOps.embedStream(spark.read.parquet(stageDir), "text", "emb")
-      .write.format("noop").mode("overwrite").save()
-    val batchSec = (System.nanoTime() - tb0) / 1e9
-    println(f"""{"probe":"batch_embed","sf":"$sfDir","rows":$rows,"sec":$batchSec%.3f,"rows_per_sec":${rows / batchSec}%.0f}""")
+    if (runsSel.forall(_.contains("batch"))) {
+      val tb0 = System.nanoTime()
+      StreamingOps.embedStream(spark.read.parquet(stageDir), "text", "emb")
+        .write.format("noop").mode("overwrite").save()
+      val batchSec = (System.nanoTime() - tb0) / 1e9
+      println(f"""{"probe":"batch_embed","sf":"$sfDir","rows":$rows,"sec":$batchSec%.3f,"rows_per_sec":${rows / batchSec}%.0f}""")
+    }
 
     run("embed")(st => StreamingOps.embedStream(st, "text", "emb"))
-    run("dedup")(st => StreamingOps.dedupExactStream(st, "text", "ts", "10 minutes"))
+    run("dedup")(st => StreamingOps.dedupExactStream(st, "text", "ts", watermark))
     run("hll")(st => StreamingOps.hllSketchStream(st, "source", "text", "ts",
       watermark = "10 minutes", windowLen = "15 minutes", n = 3, p = 6))
     spark.stop()

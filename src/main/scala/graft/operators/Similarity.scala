@@ -739,8 +739,9 @@ object Similarity {
     * of the first `p` planes adds back the pairs split by exactly one
     * probed plane — worth p·(θ/π)·(1−θ/π)^(nPlanes−1), i.e. the
     * recovery grows linearly in p while candidate cost grows as
-    * (p+1)·n·targetBucket (still linear in n; ScaleProbe's multiprobe
-    * leg measures the per-probe cost at ~1× the base candidate pass).
+    * (p+1)·n·targetBucket — still linear in n (ScaleProbe's
+    * fixed_q120/auto_q120 legs exercise the probed composition
+    * end-to-end at every scale point).
     * Probing HALF the planes keeps the recovered first-order term
     * growing with the plane count at a bounded constant-factor cost.
     * This is a RECOMMENDATION, not the auto entry points' default:

@@ -406,6 +406,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ==
         Graft.initialPartitionsFor(100L << 30,
           spark.sparkContext.defaultParallelism).toString)
+      // known SMALL input -> the widened threshold is gated back to
+      // Spark's default (the measured +8.9% sf0.1 cost)
+      Graft.tuneForScale(spark, Some(1L << 20))
+      assert(spark.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "128")
+      // the gate itself: default below 64 MB, 128k at/above, widened
+      // when unknown (mis-sizing is percent small-side, multiples
+      // large-side)
+      assert(Graft.fallbackThresholdFor(Some(Graft.ScaleConfigMinBytes - 1)) == 128)
+      assert(Graft.fallbackThresholdFor(Some(Graft.ScaleConfigMinBytes)) == (1 << 17))
+      assert(Graft.fallbackThresholdFor(None) == (1 << 17))
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
