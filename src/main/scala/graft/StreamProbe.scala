@@ -70,15 +70,24 @@ object StreamProbe {
     val stageDir = s"/tmp/graft_streamprobe/${new java.io.File(sfDir).getName}-x$stageFactor"
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val docStep = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    val src = (0 until stageFactor).map { i =>
-        val d = if (i == 0) base
-          else base.select((col("doc_id") + lit(i * docStep)).as("doc_id"),
-            concat(col("text"), lit(s" r$i")).as("text"), col("lang"), col("source"),
-            col("n_chars"))
-        d.select(col("doc_id"), col("text"), col("source"),
-          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 3600)).as("ts"))
-      }.reduce(_ unionAll _)
-    src.repartition(32).write.mode("overwrite").parquet(stageDir)
+    // SPARK_GRAFT_REUSE_STAGE=1 skips re-staging when the staged dir is
+    // already complete — the memory-crossover runs deliberately shrink
+    // the heap below what the ×N staging write itself needs, so the
+    // corpus is staged once at a healthy heap and the constrained runs
+    // measure ONLY the streaming leg
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE_STAGE").contains("1") &&
+      new java.io.File(stageDir, "_SUCCESS").exists()
+    if (!reuse) {
+      val src = (0 until stageFactor).map { i =>
+          val d = if (i == 0) base
+            else base.select((col("doc_id") + lit(i * docStep)).as("doc_id"),
+              concat(col("text"), lit(s" r$i")).as("text"), col("lang"), col("source"),
+              col("n_chars"))
+          d.select(col("doc_id"), col("text"), col("source"),
+            to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 3600)).as("ts"))
+        }.reduce(_ unionAll _)
+      src.repartition(32).write.mode("overwrite").parquet(stageDir)
+    }
     val rows = spark.read.parquet(stageDir).count()
 
     def run(name: String)(mk: DataFrame => DataFrame): Unit =
