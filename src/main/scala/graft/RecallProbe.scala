@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.functions.K
+import graft.operators.Similarity
+
+/** Recall companion to `ScaleProbe`: the cost side of plane growth is
+  * measured there (fixed-constant vs auto-sized, 22–28× at 100×); this
+  * probe measures the RECALL side — what fraction of the exact mutual
+  * kNN graph's edges the bucketed ANN candidate pass keeps as planes
+  * grow, and how much of the loss the 1-flip multiprobe rule
+  * ([[Similarity.probesFor]]) buys back at what cost.
+  *
+  * Ground truth is the brute mutual-kNN edge set
+  * ([[Similarity.mutualKnnPairs]] — O(n²), which is why this probe
+  * runs at sf0.1/sf1 corpus sizes where the exact graph is computable;
+  * recall at a GIVEN plane count is a per-pair geometric event, so the
+  * probes-vs-planes trade measured here transfers to bigger corpora
+  * plane-for-plane). Edge recall = |ANN ∩ exact| / |exact| over
+  * unordered id pairs.
+  *
+  * Usage: runMain graft.RecallProbe <sfDir> [k=4]
+  * Prints one JSON line per probed variant.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: RecallProbe <sfDir> [k=4]"); sys.exit(1) }
+    val sfDir = args(0)
+    val k = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Graft.tunedBuilder(sfDir, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = vecs.count()
+    val auto = Similarity.nPlanesFor(n)
+
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect()
+        .map(r => { val (a, b) = (r.getLong(0), r.getLong(1)); (math.min(a, b), math.max(a, b)) })
+        .toSet
+
+    val t0 = System.nanoTime()
+    val exact = edges(Similarity.mutualKnnPairs(vecs, "vec_id", "embedding", k))
+    val exactSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"recall_exact","sf":"$sfDir","n":$n,"k":$k,"edges":${exact.size},"sec":$exactSec%.3f}""")
+
+    // per-edge cosine for stratified recall: random-hyperplane collision
+    // probability is (1 − θ/π)^nPlanes, so recall is a function of the
+    // pair's ANGLE — a single number over all mutual edges mixes the
+    // near-dup-grade pairs (the ones dedup exists to find) with the
+    // weak-tie tail. The id→vector map is corpus-sized on the DRIVER
+    // only because the probe runs at exact-computable corpus sizes.
+    val vecMap = vecs.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecMap(a), vecMap(b))
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / math.max(math.sqrt(nx) * math.sqrt(ny), 1e-12)
+    }
+    val bands = Seq(("cos_ge_0.8", 0.8, 1.01), ("cos_0.6_0.8", 0.6, 0.8),
+      ("cos_0.4_0.6", 0.4, 0.6), ("cos_lt_0.4", -1.01, 0.4))
+    val exactByBand = bands.map { case (name, lo, hi) =>
+      name -> exact.filter { case (a, b) => val c = cos(a, b); c >= lo && c < hi }
+    }.toMap
+
+    val variants = Seq(
+      ("auto_probes0", auto, 0),
+      ("auto_probesFor", auto, Similarity.probesFor(auto)),
+      ("auto_probesAll", auto, auto),
+      ("fixed4_probes0", math.min(4, auto), 0))
+    for ((label, nPlanes, probes) <- variants) {
+      val t1 = System.nanoTime()
+      val ann = edges(Similarity.mutualAnnPairs(vecs, "vec_id", "embedding",
+        K.Dim, nPlanes, k, probes, salt = 1))
+      val sec = (System.nanoTime() - t1) / 1e9
+      val hit = ann.intersect(exact).size
+      val recall = if (exact.isEmpty) 1.0 else hit.toDouble / exact.size
+      val bandJson = bands.map { case (name, _, _) =>
+        val ex = exactByBand(name)
+        val r = if (ex.isEmpty) 1.0 else ann.intersect(ex).size.toDouble / ex.size
+        f""""$name":{"exact":${ex.size},"recall":$r%.4f}"""
+      }.mkString(",")
+      println(f"""{"probe":"recall_$label","sf":"$sfDir","n":$n,"k":$k,"nPlanes":$nPlanes,"probes":$probes,"edges":${ann.size},"hit":$hit,"recall":$recall%.4f,"sec":$sec%.3f,$bandJson}""")
+    }
+
+    // PLANTED near-dup eval: the generator decorrelates replicas by
+    // design (ordinary-point |cos| ≈ 0.10), so the corpus's mutual
+    // edges are ALL weak ties (cos 0.4–0.6 at sf1) — the regime
+    // sign-LSH is worst at, and NOT the regime embedding-dedup exists
+    // for. Plant ground truth instead: a deterministic jittered copy
+    // of every 20th vector at cos ≈ 0.95 (near-dup grade), union it
+    // in, and measure what fraction of the planted pairs each variant
+    // keeps as edges. Needs no brute-force graph, so it works at any
+    // corpus size. Jitter is fmix64-seeded — reproducible, no RNG.
+    val idCeil = vecMap.keys.max + 1L
+    val planted = vecMap.toSeq.sortBy(_._1).filter(_._1 % 20 == 0).map { case (id, v) =>
+      val noise = Array.tabulate(v.length) { i =>
+        val h = ScaleGen.fmix64(id * 0x9e3779b97f4a7c15L ^ i.toLong)
+        ((h & 0xffff).toFloat / 0x8000 - 1f)
+      }
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nn = math.sqrt(noise.map(x => x.toDouble * x).sum)
+      // noise scaled to ~1/3 of the vector norm -> cos ≈ 0.95
+      val s = (0.33 * vn / math.max(nn, 1e-9)).toFloat
+      (id + idCeil, v.indices.map(i => v(i) + s * noise(i)).toArray)
+    }
+    val plantedPairs = planted.map { case (jid, _) => (jid - idCeil, jid) }.toSet
+    val plantedCos = planted.map { case (jid, jv) =>
+      val v = vecMap(jid - idCeil)
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- v.indices) { d += v(i) * jv(i); nx += v(i) * v(i); ny += jv(i) * jv(i) }
+      d / math.sqrt(nx * ny)
+    }
+    import spark.implicits._
+    val aug = vecs.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .unionByName(planted.toDF("vec_id", "embedding"))
+    val nAug = n + planted.size
+    val autoAug = Similarity.nPlanesFor(nAug)
+    for ((label, nPlanes, probes) <- Seq(
+        ("auto_probes0", autoAug, 0),
+        ("auto_probesFor", autoAug, Similarity.probesFor(autoAug)),
+        ("auto_probesAll", autoAug, autoAug))) {
+      val ann = edges(Similarity.mutualAnnPairs(aug, "vec_id", "embedding",
+        K.Dim, nPlanes, k, probes, salt = 1))
+      val hit = ann.intersect(plantedPairs).size
+      val r = hit.toDouble / plantedPairs.size
+      println(f"""{"probe":"planted_$label","sf":"$sfDir","n":$nAug,"k":$k,"nPlanes":$nPlanes,"probes":$probes,"planted":${plantedPairs.size},"mean_cos":${plantedCos.sum / plantedCos.size}%.3f,"hit":$hit,"recall":$r%.4f}""")
+    }
+    spark.stop()
+  }
+}

@@ -741,7 +741,10 @@ object Similarity {
     * recovery grows linearly in p while candidate cost grows as
     * (p+1)·n·targetBucket — still linear in n (ScaleProbe's
     * fixed_q120/auto_q120 legs exercise the probed composition
-    * end-to-end at every scale point).
+    * end-to-end at every scale point). MEASUREMENT-BACKED
+    * (RecallProbe, planted cos ≈ 0.95 pairs at 7 auto planes): the
+    * model predicts 47.4% same-bucket / 63% at 3 probes / 85% at 7;
+    * measured 48.4% / 62.5% / 82.2%.
     * Probing HALF the planes keeps the recovered first-order term
     * growing with the plane count at a bounded constant-factor cost.
     * This is a RECOMMENDATION, not the auto entry points' default:
