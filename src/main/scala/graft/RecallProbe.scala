@@ -19,14 +19,19 @@ import graft.operators.Similarity
   * plane-for-plane). Edge recall = |ANN ∩ exact| / |exact| over
   * unordered id pairs.
   *
-  * Usage: runMain graft.RecallProbe <sfDir> [k=4]
-  * Prints one JSON line per probed variant.
+  * Usage: runMain graft.RecallProbe <sfDir> [k=4] [planted]
+  * Prints one JSON line per probed variant. The optional `planted`
+  * argument skips the brute exact-graph legs and runs ONLY the
+  * planted-pair eval — the form that scales to any corpus size
+  * (sf10's 200k vectors would need 40G cosine pairs for the exact
+  * graph; the planted ground truth needs none).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: RecallProbe <sfDir> [k=4]"); sys.exit(1) }
+    if (args.isEmpty) { System.err.println("usage: RecallProbe <sfDir> [k=4] [planted]"); sys.exit(1) }
     val sfDir = args(0)
     val k = if (args.length > 1) args(1).toInt else 4
+    val plantedOnly = args.contains("planted")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Graft.tunedBuilder(sfDir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,10 +46,13 @@ object RecallProbe {
         .map(r => { val (a, b) = (r.getLong(0), r.getLong(1)); (math.min(a, b), math.max(a, b)) })
         .toSet
 
-    val t0 = System.nanoTime()
-    val exact = edges(Similarity.mutualKnnPairs(vecs, "vec_id", "embedding", k))
-    val exactSec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"probe":"recall_exact","sf":"$sfDir","n":$n,"k":$k,"edges":${exact.size},"sec":$exactSec%.3f}""")
+    val exact: Set[(Long, Long)] = if (plantedOnly) Set.empty else {
+      val t0 = System.nanoTime()
+      val e = edges(Similarity.mutualKnnPairs(vecs, "vec_id", "embedding", k))
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"recall_exact","sf":"$sfDir","n":$n,"k":$k,"edges":${e.size},"sec":$exactSec%.3f}""")
+      e
+    }
 
     // per-edge cosine for stratified recall: random-hyperplane collision
     // probability is (1 − θ/π)^nPlanes, so recall is a function of the
@@ -67,7 +75,7 @@ object RecallProbe {
       name -> exact.filter { case (a, b) => val c = cos(a, b); c >= lo && c < hi }
     }.toMap
 
-    val variants = Seq(
+    val variants = if (plantedOnly) Seq.empty else Seq(
       ("auto_probes0", auto, 0),
       ("auto_probesFor", auto, Similarity.probesFor(auto)),
       ("auto_probesAll", auto, auto),
