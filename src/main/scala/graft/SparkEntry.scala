@@ -254,6 +254,38 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // q49b's exact semantics through the PERSISTED index: build writes
+    // cell-partitioned codes + sidecar quantizers once; search reads the
+    // sidecars and ONLY the probed cells' partitions (directory pruning
+    // at the FileIndex — the build-once/query-many 100 TB serving shape)
+    "q123_ivfpq_indexed" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q123_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // incremental maintenance: build on the first 250 ids, APPEND the
+    // rest encoded with the SAVED quantizers (no retrain, no rewrite) —
+    // must hash-match the full-build oracle exactly
+    "q123b_ivfpq_append" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q123b_idx").toString
+      VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = path)
+      VectorIndex.append(e.filter(col("vec_id") >= 250), "vec_id", "embedding", path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {

@@ -182,7 +182,7 @@ object Similarity {
                       cVecCol: String, k: Int): Array[(Long, Array[Double])] =
     collectCentroids(corpus, cIdCol, cVecCol, k)
 
-  private def collectCentroids(corpus: DataFrame, cIdCol: String,
+  private[operators] def collectCentroids(corpus: DataFrame, cIdCol: String,
                                cVecCol: String, k: Int): Array[(Long, Array[Double])] =
     corpus.filter(col(cIdCol) < k)
       .select(col(cIdCol).cast("long"), col(cVecCol))
@@ -202,7 +202,7 @@ object Similarity {
     collectCentroids(corpus, cIdCol, cVecCol, k).map(_._2)
 
   /** A full-dim (k × dim) codebook as per-subspace books (m × k × sub). */
-  private def subBooks(codebook: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
+  private[operators] def subBooks(codebook: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
     val sub = codebook.head.length / m
     Array.tabulate(m)(j =>
       codebook.map(c => java.util.Arrays.copyOfRange(c, j * sub, (j + 1) * sub)))
@@ -212,7 +212,7 @@ object Similarity {
     * expression over the codebook bank — shared by the PQ encoders and
     * [[ivfPq]] (codes must be built identically for full-probe IVF-PQ
     * to reduce to plain PQ). */
-  private def pqCodesCol(bank: graft.functions.CodebookBank,
+  private[operators] def pqCodesCol(bank: graft.functions.CodebookBank,
                          vecCol: Column): Column = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     bridge.column(graft.functions.PqEncode(bridge.expression(vecCol), bank))
@@ -221,7 +221,7 @@ object Similarity {
   /** Asymmetric distance Σ_j ‖q_sub_j − book_j[code_j]‖², accumulated in
     * subspace order over the bank — shared by the PQ searchers and
     * [[ivfPq]]. */
-  private def adcDistCol(bank: graft.functions.CodebookBank,
+  private[operators] def adcDistCol(bank: graft.functions.CodebookBank,
                          qVec: Column, codes: Column): Column = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     bridge.column(graft.functions.AdcDist(

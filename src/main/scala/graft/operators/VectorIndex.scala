@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ vector index — the build-once / query-many serving
+  * shape for a 100 TB corpus (semantics per the reference's flat search,
+  * `/root/reference/src/similarity.rs`; the IVF/PQ decomposition follows
+  * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011).
+  *
+  * [[Similarity.ivfPq]] re-derives the quantizers and re-encodes the
+  * corpus on every call — fine for one-shot analytics, wrong for serving:
+  * at 100 TB the encode pass alone reads the whole corpus. This module
+  * splits the lifecycle:
+  *
+  *   - '''build''' ([[writeIvfPq]]/[[writeIvfPqTrained]]): one corpus
+  *     pass assigns each row its coarse cell and m PQ codes, written as
+  *     parquet '''partitioned by cell''' — plus the two driver-small
+  *     sidecars (centroids, per-subspace codebooks) and a 1-row meta
+  *     table. The raw vectors never need to be read again.
+  *   - '''append''' ([[append]]): encode NEW rows with the SAVED
+  *     quantizers and add their files to the existing cell directories —
+  *     incremental maintenance with zero retraining and zero rewrite of
+  *     the existing 100 TB. (Standard IVF practice: the coarse geometry
+  *     is stable; re-train only on drift.)
+  *   - '''search''' ([[search]]): load the k-sized sidecars, probe each
+  *     query's `nProbe` nearest cells, and scan ONLY the probed cells'
+  *     files — the `cell IN (...)` filter lands on the partition column,
+  *     so the FileIndex prunes unprobed directories before any I/O
+  *     happens (the spec asserts `PartitionFilters` in the scan). At 16
+  *     probes of 65k cells that is ~0.02% of the file listing, where
+  *     [[Similarity.ivfPq]]'s in-plan form still scans every row.
+  *
+  * Results are bit-identical to [[Similarity.ivfPq]] built from the same
+  * quantizers (same NearestCell assignment, same subspace-ordered ADC
+  * accumulation, same partial top-k tie-breaks) — gated by q123/q123b
+  * against the q49b oracle and by IvfPqIndexSpec.
+  */
+object VectorIndex {
+  private val bridge = org.apache.spark.sql.graftbridge.Bridge
+
+  /** Build with the deterministic first-k quantizers (the oracle-exact
+    * form, matching [[Similarity.ivfPq]]'s internals). */
+  def writeIvfPq(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                 nCells: Int, m: Int, nCentsPq: Int, path: String): Unit = {
+    val cents = Similarity.collectCentroids(corpus, cIdCol, cVecCol, nCells)
+    val books = Similarity.subBooks(
+      Similarity.pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m)
+    writeWith(corpus, cIdCol, cVecCol, cents, books, path)
+  }
+
+  /** Build with TRAINED quantizers (Lloyd coarse cells + per-subspace PQ
+    * books) — the production quality path; same persisted layout. */
+  def writeIvfPqTrained(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                        dim: Int, nCells: Int, m: Int, nCentsPq: Int,
+                        iterations: Int, path: String): Unit = {
+    val cents = Similarity.trainKmeans(corpus, cIdCol, cVecCol, nCells, iterations)
+    val books = Similarity.trainPqCodebooks(corpus, cIdCol, cVecCol,
+      dim, m, nCentsPq, iterations)
+    writeWith(corpus, cIdCol, cVecCol, cents, books, path)
+  }
+
+  /** Persist explicit quantizers + the encoded corpus. Layout:
+    * `path/centroids` (cell, vec), `path/books` (j, code, vec),
+    * `path/meta` (dim, m, n_cells, k_pq), `path/codes` partitioned by
+    * `cell` with columns (id, codes). Sidecars are driver-small (k×dim);
+    * the codes table is the only corpus-sized artifact — (long, m longs)
+    * per row against dim floats, the PQ footprint cut. */
+  def writeWith(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                cents: Array[(Long, Array[Double])],
+                books: Array[Array[Array[Double]]], path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = cents.head._2.length
+    Seq((dim, books.length, cents.length, books.head.length))
+      .toDF("dim", "m", "n_cells", "k_pq")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "vec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    books.zipWithIndex.toSeq.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, code) => (j, code, v.toSeq) }
+    }.toDF("j", "code", "vec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/books")
+    encodeInto(corpus, cIdCol, cVecCol, cents, books, path, SaveMode.Overwrite)
+  }
+
+  /** Incremental maintenance: encode `newRows` with the index's SAVED
+    * quantizers and append into the existing cell partitions. No
+    * retraining, no touch of existing files — the 100 TB ingest path
+    * (a day's new documents encode in one narrow pass over just them). */
+  def append(newRows: DataFrame, cIdCol: String, cVecCol: String,
+             path: String): Unit = {
+    val (cents, books) = loadQuantizers(newRows.sparkSession, path)
+    encodeInto(newRows, cIdCol, cVecCol, cents, books, path, SaveMode.Append)
+  }
+
+  /** ANN search against a prebuilt index. Loads the k-sized sidecars,
+    * probes nProbe cells per query, reads ONLY the probed partitions
+    * (`cell IN` on the partition column → directory-level pruning), and
+    * ranks by the same subspace-ordered ADC + partial top-k as
+    * [[Similarity.ivfPq]]. Output (qIdCol, id, rank, dist). */
+  def search(spark: SparkSession, queries: DataFrame,
+             qIdCol: String, qVecCol: String,
+             path: String, nProbe: Int, k: Int): DataFrame = {
+    val (cents, books) = loadQuantizers(spark, path)
+    val bank = graft.functions.CentroidBank.of(spark, cents)
+    val bookBank = graft.functions.CodebookBank.of(spark, books)
+
+    val probes = queries.withColumn("cell",
+        explode(bridge.column(graft.functions.ProbeCells(
+          bridge.expression(col(qVecCol)), bank, nProbe))))
+      .select(col(qIdCol), col(qVecCol), col("cell"))
+    // union of probed cells: bounded by nCells (bank-sized), never by data
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    // IN on the partition column only → evaluated against partition
+    // values at file-listing time; unprobed cell directories are never
+    // listed into the scan (works through the widening cast if the
+    // partition value inferred int)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+
+    val dist = Similarity.adcDistCol(bookBank, col(qVecCol), col("codes"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .withColumn("__negd", -dist)
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col("id"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as("id"),
+        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+  }
+
+  /** One narrow pass: (id, cell, codes) per row, written under
+    * `path/codes/cell=<c>/`. Append mode reuses existing directories. */
+  private def encodeInto(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                         cents: Array[(Long, Array[Double])],
+                         books: Array[Array[Array[Double]]],
+                         path: String, mode: SaveMode): Unit = {
+    val spark = corpus.sparkSession
+    val bank = graft.functions.CentroidBank.of(spark, cents)
+    val bookBank = graft.functions.CodebookBank.of(spark, books)
+    corpus.select(
+        col(cIdCol).cast("long").as("id"),
+        bridge.column(graft.functions.NearestCell(
+          bridge.expression(col(cVecCol)), bank)).as("cell"),
+        Similarity.pqCodesCol(bookBank, col(cVecCol)).as("codes"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Load the driver-small sidecars back into the bank contracts. */
+  def loadQuantizers(spark: SparkSession, path: String)
+      : (Array[(Long, Array[Double])], Array[Array[Array[Double]]]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val books = spark.read.parquet(s"$path/books")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    (cents, books)
+  }
+}

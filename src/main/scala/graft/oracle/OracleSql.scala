@@ -3037,6 +3037,11 @@ FROM events GROUP BY user_id, event_type"""
     "q17c_ivf_flat" -> q17c_ivf_flat(16, 4, 5),
     "q49_pq_ann" -> q49_pq_ann(Dim, 8, 16, 5),
     "q49b_ivf_pq" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    // the persisted-index forms are result-identical to the in-plan
+    // q49b by construction (same quantizers, ADC order, tie-breaks) —
+    // same oracle, independently hash-gated
+    "q123_ivfpq_indexed" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q123b_ivfpq_append" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),

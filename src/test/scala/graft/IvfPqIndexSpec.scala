@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.K
+import graft.operators.{Similarity, VectorIndex}
+
+/** Persisted IVF-PQ index: build-once/query-many must equal the in-plan
+  * one-shot form, appends must equal a full rebuild, and search must
+  * prune to the probed cell partitions. */
+class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def q = e.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) = df
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("indexed search == in-plan ivfPq from the same quantizers") {
+    val path = tmp("graft_ivfpq")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+      nCentsPq = 16, path = path)
+    val indexed = asSet(VectorIndex.search(spark, q, "qid", "qv", path,
+      nProbe = 4, k = 5).select(col("qid"), col("id"), col("rank"), col("dist")))
+    val inPlan = asSet(Similarity.ivfPq(q, "qid", "qv", e, "vec_id", "embedding",
+      nCells = 16, nProbe = 4, m = 8, nCentsPq = 16, k = 5)
+      .select(col("qid"), col("vec_id").cast("long"), col("rank"), col("dist")))
+    assert(indexed == inPlan)
+    assert(indexed.nonEmpty)
+  }
+
+  test("append with saved quantizers == full rebuild") {
+    // quantizers are first-16 rows; both halves' builds see ids 0..15,
+    // so incremental append must be bit-identical to a full build
+    val pHalf = tmp("graft_ivfpq_half")
+    val pFull = tmp("graft_ivfpq_full")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, pHalf)
+    VectorIndex.append(e.filter(col("vec_id") >= 250), "vec_id", "embedding", pHalf)
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pFull)
+    val a = asSet(VectorIndex.search(spark, q, "qid", "qv", pHalf, 4, 5))
+    val b = asSet(VectorIndex.search(spark, q, "qid", "qv", pFull, 4, 5))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("search prunes unprobed cell partitions at the scan") {
+    val path = tmp("graft_ivfpq_prune")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    val res = VectorIndex.search(spark, q, "qid", "qv", path, nProbe = 2, k = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"expected partition filters:\n$plan")
+    // the filter must land on the partition column as an IN over the
+    // probed cells — that is what the FileIndex evaluates per directory
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), s"partition filter must bind cell: $pf")
+    assert(pf.contains("IN") || pf.contains(" in"),
+      s"expected an IN filter over probed cells: $pf")
+    assert(res.count() > 0)
+  }
+
+  test("loadQuantizers round-trips centroids and books exactly") {
+    val path = tmp("graft_ivfpq_rt")
+    val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
+    val books = Array.tabulate(8) { j =>
+      cents.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, j * (K.Dim / 8), (j + 1) * (K.Dim / 8))
+      }
+    }
+    VectorIndex.writeWith(e, "vec_id", "embedding", cents, books, path)
+    val (c2, b2) = VectorIndex.loadQuantizers(spark, path)
+    assert(c2.map(_._1).toSeq == cents.map(_._1).toSeq)
+    assert(c2.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(b2.length == books.length)
+    assert(b2.zip(books).forall { case (ba, bb) =>
+      ba.zip(bb).forall { case (x, y) => x.sameElements(y) } })
+  }
+}
