@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, VectorIndex}
+
+/** Scale harness for the persisted IVF-PQ index (SCALING.md): measures
+  * what [[graft.operators.VectorIndex]] exists to buy at 100 TB —
+  * '''per-batch query cost decoupled from corpus size'''.
+  *
+  * Three timed legs per corpus, nCells sized to hold cell occupancy
+  * ~constant (≈512 rows/cell, the auto-sizing discipline q121 gates for
+  * LSH planes):
+  *
+  *   - `oneshot`  — [[Similarity.ivfPq]]: the in-plan form re-derives
+  *     quantizers and re-encodes EVERY corpus row on EVERY query batch;
+  *     per-batch cost is O(N) by construction.
+  *   - `indexed`  — [[VectorIndex.search]] against a prebuilt index:
+  *     reads only the probed cells' partitions (directory pruning), so
+  *     per-batch cost tracks probed rows ≈ nProbe × occupancy — flat
+  *     across corpus growth when occupancy is held.
+  *   - `unpruned` — the same persisted codes scanned WITHOUT the
+  *     partition filter (filter applied post-scan on a non-partition
+  *     copy of the cell id): isolates how much of `indexed`'s win is
+  *     the directory pruning vs just having precomputed codes.
+  *
+  * Build and append are timed once each (`build`, `append` of ~1% new
+  * rows with saved quantizers) — the amortization denominator and the
+  * daily-ingest cost.
+  *
+  * Usage: runMain graft.IndexProbe <sfDir> [reps=3] [batches=5]
+  * Prints one JSON line per leg.
+  */
+object IndexProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: IndexProbe <sfDir> [reps=3] [batches=5]"); sys.exit(1) }
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = vecs.count()
+    // hold occupancy ≈ 512 rows/cell as the corpus grows (cells must be
+    // first-k-representable: ids 0..nCells-1 exist in every replica-0 base)
+    val nCells = math.max(16, math.min(2000, (n / 512L).toInt))
+    val nProbe = 4
+    val m = 8
+    val k = 5
+    // gate-shaped batch (8 queries): a serving batch probes a small
+    // UNION of cells — pruning leverage is (union of probed cells)/nCells,
+    // so a batch as diverse as the whole index would mask it
+    val queries = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    val path = java.nio.file.Files.createTempDirectory("graft_idxprobe").toString
+
+    def timed(label: String, extra: String = "")(body: => Unit): Double = {
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        // untimed purge between reps (ScaleProbe's protocol): release
+        // dereferenced lineage/shuffle state so rep N+1 doesn't pay it
+        System.gc()
+        Thread.sleep(1000)
+        sec
+      }
+      val best = secs.min
+      println(f"""{"probe":"index_$label","sf":"$sfDir","n":$n,"n_cells":$nCells,"n_probe":$nProbe,"sec":$best%.3f,"passes":[${secs.map(s => f"$s%.3f").mkString(",")}]$extra}""")
+      best
+    }
+
+    def drain(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- build (once; the amortization denominator) ----
+    timed("build") {
+      VectorIndex.writeIvfPq(vecs, "vec_id", "embedding", nCells, m, nCells.min(256), path)
+    }
+
+    // ---- per-batch legs ----
+    timed("oneshot_per_batch") {
+      drain(Similarity.ivfPq(queries, "qid", "qv", vecs, "vec_id", "embedding",
+        nCells, nProbe, m, nCells.min(256), k))
+    }
+
+    timed("indexed_per_batch") {
+      drain(VectorIndex.search(spark, queries, "qid", "qv", path, nProbe, k))
+    }
+
+    // steady-state serving: sidecars loaded ONCE per session (outside
+    // the timer), many batches against them
+    val idx = VectorIndex.load(spark, path)
+    val bank0 = graft.functions.CentroidBank.of(spark, idx.cents)
+    val bridge0 = org.apache.spark.sql.graftbridge.Bridge
+    val probedUnion = queries.withColumn("cell",
+        explode(bridge0.column(graft.functions.ProbeCells(
+          bridge0.expression(col("qv")), bank0, nProbe))))
+      .select(col("cell")).distinct().count()
+    timed("indexed_steady_per_batch", extra = s""","probed_cells":$probedUnion""") {
+      drain(VectorIndex.searchLoaded(spark, queries, "qid", "qv", idx, nProbe, k))
+    }
+
+    // unpruned contrast: same persisted codes, same join/ADC/top-k, but
+    // the cell filter binds a DERIVED column so the FileIndex cannot
+    // prune — every partition's files are scanned
+    timed("unpruned_per_batch") {
+      val (cents, books) = VectorIndex.loadQuantizers(spark, path)
+      val bank = graft.functions.CentroidBank.of(spark, cents)
+      val bookBank = graft.functions.CodebookBank.of(spark, books)
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val probes = queries.withColumn("cell",
+          explode(bridge.column(graft.functions.ProbeCells(
+            bridge.expression(col("qv")), bank, nProbe))))
+        .select(col("qid"), col("qv"), col("cell"))
+      val codes = spark.read.parquet(s"$path/codes")
+        .withColumn("cell", (col("cell") + lit(0)).cast("long")) // breaks partition-filter extraction
+      val dist = bridge.column(graft.functions.AdcDist(
+        bridge.expression(col("qv")), bridge.expression(col("codes")), bookBank))
+      drain(codes.join(broadcast(probes), Seq("cell"))
+        .withColumn("__negd", -dist)
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topK(col("__negd"), col("id"), k).as("__top"))
+        .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t"))))
+    }
+
+    // ---- incremental append: ~1% new rows, saved quantizers ----
+    val newRows = vecs.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
+    timed("append_1pct") {
+      VectorIndex.append(newRows, "vec_id", "embedding", path)
+    }
+
+    spark.stop()
+  }
+}

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * quantizers (same NearestCell assignment, same subspace-ordered ADC
   * accumulation, same partial top-k tie-breaks) — gated by q123/q123b
   * against the q49b oracle and by IvfPqIndexSpec.
+  *
+  * Measured (`IndexProbe`, SCALING.md): steady-state per-batch search is
+  * FLAT across a 100× corpus growth (0.37–0.55 s) while the one-shot
+  * form grows with N — 3.1× at 100× reading 8% of cells; serving
+  * sessions must hold a [[load]] handle (sidecars + partition listing
+  * amortize across batches).
   */
 object VectorIndex {
   private val bridge = org.apache.spark.sql.graftbridge.Bridge
@@ -100,12 +106,35 @@ object VectorIndex {
     * (`cell IN` on the partition column → directory-level pruning), and
     * ranks by the same subspace-ordered ADC + partial top-k as
     * [[Similarity.ivfPq]]. Output (qIdCol, id, rank, dist). */
+  /** A session-lifetime handle on one index: the k-sized quantizer
+    * sidecars plus the codes DataFrame whose (expensive, nCells-wide)
+    * partition listing is built once and reused across query batches.
+    * Snapshot semantics: rows [[append]]ed after [[load]] are invisible
+    * until the next load — standard serving-index staleness. */
+  final case class Loaded(cents: Array[(Long, Array[Double])],
+                          books: Array[Array[Array[Double]]],
+                          codes: DataFrame)
+
+  /** Load an index once per serving session ([[search]] per batch would
+    * re-read both sidecars AND re-list every partition directory). */
+  def load(spark: SparkSession, path: String): Loaded = {
+    val (cents, books) = loadQuantizers(spark, path)
+    Loaded(cents, books, spark.read.parquet(s"$path/codes"))
+  }
+
   def search(spark: SparkSession, queries: DataFrame,
              qIdCol: String, qVecCol: String,
-             path: String, nProbe: Int, k: Int): DataFrame = {
-    val (cents, books) = loadQuantizers(spark, path)
-    val bank = graft.functions.CentroidBank.of(spark, cents)
-    val bookBank = graft.functions.CodebookBank.of(spark, books)
+             path: String, nProbe: Int, k: Int): DataFrame =
+    searchLoaded(spark, queries, qIdCol, qVecCol, load(spark, path), nProbe, k)
+
+  /** [[search]] against a PRELOADED index — the steady-state serving
+    * call: sidecar reads and directory listing amortize across every
+    * batch the session runs. */
+  def searchLoaded(spark: SparkSession, queries: DataFrame,
+                   qIdCol: String, qVecCol: String, idx: Loaded,
+                   nProbe: Int, k: Int): DataFrame = {
+    val bank = graft.functions.CentroidBank.of(spark, idx.cents)
+    val bookBank = graft.functions.CodebookBank.of(spark, idx.books)
 
     val probes = queries.withColumn("cell",
         explode(bridge.column(graft.functions.ProbeCells(
@@ -115,11 +144,11 @@ object VectorIndex {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
 
-    // IN on the partition column only → evaluated against partition
-    // values at file-listing time; unprobed cell directories are never
-    // listed into the scan (works through the widening cast if the
-    // partition value inferred int)
-    val codes = spark.read.parquet(s"$path/codes")
+    // IN on the partition column only → evaluated against the cached
+    // partition spec at planning time; unprobed cell directories never
+    // reach the scan (works through the widening cast if the partition
+    // value inferred int)
+    val codes = idx.codes
       .filter(col("cell").isin(probedCells: _*))
       .withColumn("cell", col("cell").cast("long"))
 
@@ -147,6 +176,12 @@ object VectorIndex {
         bridge.column(graft.functions.NearestCell(
           bridge.expression(col(cVecCol)), bank)).as("cell"),
         Similarity.pqCodesCol(bookBank, col(cVecCol)).as("codes"))
+      // cluster by cell BEFORE the partitioned write: unordered input
+      // would make every task write a file into every cell directory
+      // (tasks × cells tiny files — measured 2.6× slower to SEARCH than
+      // the one-shot form at 100×, and a 26 s build); one narrow-payload
+      // shuffle at build time compacts each cell to one file per append
+      .repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
   }
 

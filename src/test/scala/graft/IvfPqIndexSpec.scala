@@ -63,6 +63,24 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(res.count() > 0)
   }
 
+  test("searchLoaded (session-cached sidecars + listing) == search") {
+    val path = tmp("graft_ivfpq_loaded")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    val idx = VectorIndex.load(spark, path)
+    val viaLoaded = asSet(VectorIndex.searchLoaded(spark, q, "qid", "qv", idx, 4, 5))
+    val viaPath = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    assert(viaLoaded == viaPath)
+    assert(viaLoaded.nonEmpty)
+    // the handle is reusable: a second batch plans against the SAME
+    // cached partition listing and must still prune
+    val q2 = e.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val second = VectorIndex.searchLoaded(spark, q2, "qid", "qv", idx, 2, 3)
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"expected partition filters:\n$plan")
+    assert(second.count() > 0)
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
