@@ -140,6 +140,18 @@ object SparkEntry {
     "q13_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.35)),
 
+    // incremental dedup: the even-id corpus is INDEXED once (bucketed
+    // banded keys + signatures); the odd-id "ingest batch" signs only
+    // itself, joins the prebuilt keys, and verifies candidates with the
+    // signature-overlap estimator — corpus text is never re-read
+    "q124_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupIndex.writeMinhash(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", table = "graft_q124_idx")
+      DedupIndex.nearDupsAgainst(s, d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", table = "graft_q124_idx", threshold = 0.35)
+    }),
+
     // legacy 32-bit form (explicit bits: the operator default is now the
     // scale-safe 60-bit signature, exercised by q15b via the defaults)
     "q14_simhash" -> ((s, dir) =>

@@ -85,7 +85,7 @@ object Dedup {
   /** Band key: fold of a band's minhash values into one bigint — the ONE
     * definition both the relational and narrow candidate paths (and, via
     * constants, the SQL oracle's bandKeySql) must share. */
-  private def bandKeyFold(ms: Seq[Column]): Column =
+  private[operators] def bandKeyFold(ms: Seq[Column]): Column =
     ms.foldLeft(lit(0L): Column)((a, m) => (a * lit(1000003L) + m) % lit(911382323007L))
 
   /** Skew guard shared by the candidate paths: drop (band, key) buckets
@@ -93,7 +93,7 @@ object Dedup {
     * non-discriminative and would self-join quadratically; its true
     * near-dup pairs almost always recur in a smaller bucket of another
     * band (the standard MinHash hub-shingle mitigation). */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+  private[operators] def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
       val ok = banded.groupBy(col("band"), col("key"))
@@ -158,7 +158,7 @@ object Dedup {
 
   /** Adds `__sig: array<bigint>` (the minhash signature) to a frame that
     * carries `__tids`. */
-  private def withSigArray(base: DataFrame, n: Int, numHashes: Int): DataFrame = {
+  private[operators] def withSigArray(base: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val perms = (0 until numHashes).map(minhashPerm)
     base.withColumn("__sig", bridge.column(graft.functions.MinhashSigs(

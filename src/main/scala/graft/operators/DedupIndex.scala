@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{K, Kernel}
+
+/** Persisted MinHash dedup index — incremental near-dup detection for a
+  * growing corpus (signature semantics per
+  * `/root/reference/src/similarity.rs`'s text pipeline and the standard
+  * MMDS ch.3 MinHash/LSH construction; the incremental split follows how
+  * production training-data pipelines dedup a DAILY ingest batch against
+  * the accumulated corpus rather than re-deduping the corpus).
+  *
+  * [[Dedup.minhashNearDups]] is the one-shot form: every call tokenizes,
+  * shingles, and signs the WHOLE corpus, then self-joins its banded keys.
+  * At 100 TB that per-ingest cost is the corpus, not the batch. This
+  * module persists what the self-join actually needs:
+  *
+  *   - `<table>_bands` — (id, band, key), BUCKETED on (band, key): the
+  *     corpus side of every future candidate join is pre-shuffled; only
+  *     the (small) new batch exchanges at query time.
+  *   - `<table>_sigs`  — (id, sig array<bigint>): the per-doc signature,
+  *     for estimator verification of candidates without re-reading text.
+  *
+  * [[nearDupsAgainst]] signs ONLY the new batch (narrow, per-row
+  * kernels), joins its banded keys against the bucketed corpus keys, and
+  * verifies candidates with the signature-overlap Jaccard estimator
+  * (matching components / numHashes — the unbiased MMDS estimator;
+  * E[overlap] = J). The one-shot exact-Jaccard verification stays
+  * available in-batch ([[Dedup.minhashNearDups]]); the index path trades
+  * it for never touching corpus text again. [[appendBatch]] then adds
+  * the clean batch's rows to both tables — the corpus grows without ever
+  * being re-signed.
+  *
+  * Gated: q124 (estimator against a DuckDB mirror of the split), spec
+  * (index path ≡ recomputed-from-scratch path, bucketed join elides the
+  * corpus-side exchange).
+  */
+object DedupIndex {
+
+  /** Build the index over the current corpus: banded keys (bucketed on
+    * the join key) + signatures. `maxBucketSize` drops hub buckets at
+    * BUILD time (the non-discriminative keys are a property of the
+    * corpus, so the guard belongs in the index, not each query). */
+  def writeMinhash(corpus: DataFrame, idCol: String, textCol: String,
+                   table: String, n: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4,
+                   maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                   numBuckets: Int = 32): Unit = {
+    prepareManagedTable(corpus.sparkSession, s"${table}_sigs")
+    prepareManagedTable(corpus.sparkSession, s"${table}_bands")
+    val sigs = signed(corpus, idCol, textCol, n, numHashes)
+    sigs.select(col(idCol), col("__sig").as("sig"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_sigs")
+    Dedup.capBuckets(banded(sigs, idCol, numHashes, bands), maxBucketSize)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(s"${table}_bands")
+  }
+
+  /** Near-dup pairs between a NEW batch and the indexed corpus:
+    * (idCol = batch id, corpus_id, est_jaccard) where the
+    * signature-overlap estimate ≥ threshold. Only the batch is signed;
+    * the corpus side of the candidate join reads pre-bucketed keys. */
+  def nearDupsAgainst(spark: SparkSession, newBatch: DataFrame,
+                      idCol: String, textCol: String, table: String,
+                      threshold: Double, n: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    val bSigs = signed(newBatch, idCol, textCol, n, numHashes)
+    val bBands = banded(bSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("__bid"), col("band"), col("key"))
+    val cBands = spark.table(s"${table}_bands")
+      .select(col(idCol).as("corpus_id"), col("band"), col("key"))
+    val cands = cBands.join(bBands, Seq("band", "key"))
+      .select(col("__bid"), col("corpus_id"))
+      .distinct()
+    val est = estJaccard(col("sig_a"), col("sig_b"), numHashes)
+    cands
+      .join(bSigs.select(col(idCol).as("__bid"), col("__sig").as("sig_a")), Seq("__bid"))
+      .join(spark.table(s"${table}_sigs")
+        .select(col(idCol).as("corpus_id"), col("sig").as("sig_b")), Seq("corpus_id"))
+      .select(col("__bid").as(idCol), col("corpus_id"),
+        est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Grow the index with a (deduplicated) batch: sign it once, append to
+    * both tables. Hub-bucket capping is NOT re-run across old+new here —
+    * a bucket that becomes a hub only through appends is re-guarded at
+    * the next [[writeMinhash]] rebuild (the standard compaction step). */
+  def appendBatch(spark: SparkSession, batch: DataFrame,
+                  idCol: String, textCol: String, table: String,
+                  n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                  numBuckets: Int = 32): Unit = {
+    val sigs = signed(batch, idCol, textCol, n, numHashes)
+    sigs.select(col(idCol), col("__sig").as("sig"))
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_sigs")
+    // appended files must declare the table's bucketing (numBuckets must
+    // match the build) — each append adds per-bucket files, it never
+    // rewrites existing ones
+    banded(sigs, idCol, numHashes, bands)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(s"${table}_bands")
+  }
+
+  /** Clear a rebuild target: drop the catalog entry AND any orphaned
+    * warehouse directory. An in-memory catalog forgets tables between
+    * sessions while their directories persist — a fresh session's
+    * `overwrite` would otherwise die with LOCATION_ALREADY_EXISTS. */
+  private[operators] def prepareManagedTable(spark: SparkSession,
+                                             name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** The MMDS signature-overlap estimator: matching components / total.
+    * Component order is positional, so the fold is deterministic. */
+  def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(element_at(a, i + 1) === element_at(b, i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+
+  private def signed(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, numHashes: Int): DataFrame =
+    Dedup.withSigArray(
+      df.select(col(idCol), Kernel.tokenIds(col(textCol), K.MaxLength).as("__tids"))
+        .filter(size(col("__tids")) >= n),
+      n, numHashes)
+
+  private def banded(sigs: DataFrame, idCol: String,
+                     numHashes: Int, bands: Int): DataFrame = {
+    val rpb = numHashes / bands
+    val bandKey: Int => Column = b =>
+      Dedup.bandKeyFold((b * rpb until (b + 1) * rpb)
+        .map(i => element_at(col("__sig"), i + 1)))
+    sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
+  }
+}

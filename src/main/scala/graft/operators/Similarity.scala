@@ -452,11 +452,14 @@ object Similarity {
     * again. */
   def writeLshIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
                     dim: Int, nPlanes: Int, table: String,
-                    numBuckets: Int = 32): Unit =
+                    numBuckets: Int = 32): Unit = {
+    // clears stale warehouse dirs a fresh session's catalog doesn't know
+    DedupIndex.prepareManagedTable(corpus.sparkSession, table)
     corpus.withColumn("bucket", lshBucket(col(cVecCol), dim, nPlanes))
       .write.mode("overwrite")
       .bucketBy(numBuckets, "bucket").sortBy("bucket")
       .saveAsTable(table)
+  }
 
   /** ANN lookup against a prebuilt [[writeLshIndex]] table. */
   def annLshJoinIndexed(spark: SparkSession, queries: DataFrame,

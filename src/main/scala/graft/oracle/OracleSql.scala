@@ -418,6 +418,30 @@ FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.
 WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $threshold"""
   }
 
+  /** q124: incremental dedup — batch docs (odd ids) near-dup-checked
+    * against the indexed corpus (even ids) via LSH candidates + the
+    * signature-overlap Jaccard estimator (matching components / total). */
+  def q124_dedup_incremental(threshold: Double, numHashes: Int, bands: Int,
+                             maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String = {
+    val rpb = numHashes / bands
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rpb)} AS key FROM sig")
+      .mkString(" UNION ALL ")
+    val matchSum = (0 until numHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    shingleCtes(3) + s""",
+sig AS (SELECT doc_id, ${minhashCols(numHashes)} FROM sh GROUP BY doc_id),
+band0 AS ($bandSelects),
+corpusband0 AS (SELECT * FROM band0 WHERE doc_id % 2 = 0),
+bandok AS (SELECT band, key FROM corpusband0 GROUP BY band, key HAVING count(*) <= $maxBucketSize),
+corpusband AS (SELECT corpusband0.* FROM corpusband0 JOIN bandok USING (band, key)),
+batchband AS (SELECT * FROM band0 WHERE doc_id % 2 = 1),
+cand AS (SELECT DISTINCT t.doc_id AS doc_id, c.doc_id AS corpus_id FROM batchband t JOIN corpusband c ON t.band = c.band AND t.key = c.key)
+SELECT cand.doc_id, cand.corpus_id, ($matchSum)::DOUBLE / $numHashes.0 AS est_jaccard
+FROM cand JOIN sig a ON a.doc_id = cand.doc_id JOIN sig b ON b.doc_id = cand.corpus_id
+WHERE ($matchSum)::DOUBLE / $numHashes.0 >= $threshold"""
+  }
+
   /** Deduplicated corpus: drop id_b of every near-dup pair. */
   def q34_dedup_corpus(threshold: Double, numHashes: Int, bands: Int): String =
     s"""SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN
@@ -3027,6 +3051,7 @@ FROM events GROUP BY user_id, event_type"""
     "q12_minhash_sigs" -> q12_minhash_sigs(16),
     "q12b_minhash_sigs_narrow" -> q12_minhash_sigs(16),
     "q13_minhash_neardups" -> q13_minhash_neardups(0.35, 16, 4),
+    "q124_dedup_incremental" -> q124_dedup_incremental(0.35, 16, 4),
     "q14_simhash" -> q14_simhash(32),
     "q15_simhash_neardups" -> q15_simhash_neardups(32, 3),
     "q15b_simhash60" -> q15_simhash_neardups(60, 3),

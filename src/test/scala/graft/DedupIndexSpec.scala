@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DedupIndex
+
+/** Persisted MinHash dedup index: incremental ingest must equal a full
+  * rebuild, and the corpus side of the candidate join must read
+  * pre-bucketed keys. Absolute correctness of the estimator path is the
+  * q124 DuckDB gate; these pin the index lifecycle. */
+class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def corpus = d.filter(col("doc_id") % 2 === 0)
+  private def batch = d.filter(col("doc_id") % 2 === 1)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("appendBatch == rebuilding the index over the grown corpus") {
+    DedupIndex.writeMinhash(corpus.filter(col("doc_id") < 250),
+      "doc_id", "text", table = "graft_didx_a")
+    DedupIndex.appendBatch(spark, corpus.filter(col("doc_id") >= 250),
+      "doc_id", "text", table = "graft_didx_a")
+    DedupIndex.writeMinhash(corpus, "doc_id", "text", table = "graft_didx_b")
+    val incr = asSet(DedupIndex.nearDupsAgainst(spark, batch,
+      "doc_id", "text", "graft_didx_a", threshold = 0.3))
+    val full = asSet(DedupIndex.nearDupsAgainst(spark, batch,
+      "doc_id", "text", "graft_didx_b", threshold = 0.3))
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
+
+  test("corpus bands table joins bucketed: merge self-join has no exchange") {
+    DedupIndex.writeMinhash(corpus, "doc_id", "text", table = "graft_didx_c")
+    val t = spark.table("graft_didx_c_bands")
+    val l = t.select(col("doc_id").as("id_a"), col("band"), col("key"))
+    val r = t.select(col("doc_id").as("id_b"), col("band"), col("key"))
+    val joined = l.hint("merge").join(r.hint("merge"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+  }
+
+  test("estimator column: overlap fraction of positionally-matched components") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L))
+    ).toDF("a", "b")
+    val got = df.select(DedupIndex.estJaccard(col("a"), col("b"), 4).as("e"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.75, 0.0))
+  }
+}
