@@ -126,6 +126,111 @@ object IndexProbe {
         .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t"))))
     }
 
+    // ---- recall: the quality side of nProbe (the speed legs above are
+    // meaningless if the probed cells miss the true neighbors). Ground
+    // truth = exact full-precision L2 top-k over the whole corpus
+    // (queries-sized broadcast, one corpus pass — computable at any n).
+    val exactTop: Map[Long, Set[Long]] = {
+      val dist = Similarity.l2sq(col("embedding"), col("qv"))
+      vecs.crossJoin(broadcast(queries))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topK((-dist).cast("double"),
+          col("vec_id").cast("long"), k).as("__top"))
+        .select(col("qid"), col("__top"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[Long]("id")).toSet))
+        .toMap
+    }
+    def recallSweep(label: String, idxPath: String): Unit = {
+      val idx = VectorIndex.load(spark, idxPath)
+      val bank = graft.functions.CentroidBank.of(spark, idx.cents)
+      val br = org.apache.spark.sql.graftbridge.Bridge
+      for (p <- Seq(1, 2, 4, 8, 16)) {
+        val got = VectorIndex.searchLoaded(spark, queries, "qid", "qv", idx, p, k)
+          .select(col("qid"), col("id"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rows) => (q, rows.map(_.getLong(1)).toSet) }
+        val recall = exactTop.map { case (q, truth) =>
+          got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+        }.sum / exactTop.size
+        val perQProbes: Map[Long, Set[Long]] = queries.withColumn("cell",
+            explode(br.column(graft.functions.ProbeCells(
+              br.expression(col("qv")), bank, p))))
+          .select(col("qid"), col("cell")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        val union = perQProbes.values.flatten.toSet.size
+        // coverage: fraction of TRUE neighbors whose assigned cell is
+        // probed — the coarse-quantizer loss, independent of ADC ordering
+        val truthIds = exactTop.values.flatten.toSet.toSeq
+        val truthCells: Map[Long, Long] = vecs
+          .filter(col("vec_id").isin(truthIds: _*))
+          .select(col("vec_id").cast("long"),
+            br.column(graft.functions.NearestCell(
+              br.expression(col("embedding")), bank)))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val covered = exactTop.toSeq.map { case (q, truth) =>
+          truth.count(t => perQProbes.getOrElse(q, Set.empty)
+            .contains(truthCells(t))).toDouble / truth.size
+        }
+        val coverage = covered.sum / covered.size
+        // rescored: ADC candidates (k×4 overfetch) re-ranked by exact L2
+        // from the cell-partitioned vecs table — the ordering-quality fix
+        val rescoredRecall = idx.vecs.map { _ =>
+          val gotR = VectorIndex.searchRescored(spark, queries, "qid", "qv",
+              idx, p, k)
+            .select(col("qid"), col("id"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rows) => (q, rows.map(_.getLong(1)).toSet) }
+          exactTop.map { case (q, truth) =>
+            gotR.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+          }.sum / exactTop.size
+        }
+        val rescoredField = rescoredRecall
+          .map(r => f""","rescored_recall":$r%.3f""").getOrElse("")
+        println(f"""{"probe":"index_recall_$label","sf":"$sfDir","n":$n,"n_cells":$nCells,"n_probe":$p,"k":$k,"recall":$recall%.3f,"coverage":$coverage%.3f,"probed_union":$union$rescoredField}""")
+      }
+    }
+    recallSweep("firstk", path)
+
+    // trained quantizers: the production-quality build (Lloyd coarse
+    // cells + per-subspace PQ books, raw vectors stored for rescoring) —
+    // the recall contrast that shows WHY training matters when the
+    // first-k ADC ordering caps out
+    val trainedPath = java.nio.file.Files.createTempDirectory("graft_idxprobe_t").toString
+    timed("build_trained") {
+      VectorIndex.writeIvfPqTrained(vecs, "vec_id", "embedding",
+        dim = graft.functions.K.Dim, nCells = nCells, m = m,
+        nCentsPq = nCells.min(256), iterations = 2, path = trainedPath,
+        storeVectors = true)
+    }
+    recallSweep("trained", trainedPath)
+
+    // the serving cost of rescoring (steady-state, trained index)
+    val idxT = VectorIndex.load(spark, trainedPath)
+    timed("rescored_steady_per_batch") {
+      drain(VectorIndex.searchRescored(spark, queries, "qid", "qv",
+        idxT, nProbe, k))
+    }
+
+    // overfetch sweep: how wide must the ADC candidate window be for
+    // exact re-ranking to recover the truth (candidate fetch stays
+    // |Q|·k·overfetch — driver-irrelevant at any corpus size)
+    for (of <- Seq(4, 16, 64, 256)) {
+      val gotR = VectorIndex.searchRescored(spark, queries, "qid", "qv",
+          idxT, nProbe, k, overfetch = of)
+        .select(col("qid"), col("id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => (q, rows.map(_.getLong(1)).toSet) }
+      val r = exactTop.map { case (q, truth) =>
+        gotR.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exactTop.size
+      println(f"""{"probe":"index_rescored_overfetch","sf":"$sfDir","n":$n,"n_cells":$nCells,"n_probe":$nProbe,"k":$k,"overfetch":$of,"rescored_recall":$r%.3f}""")
+    }
+
     // ---- incremental append: ~1% new rows, saved quantizers ----
     val newRows = vecs.filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))

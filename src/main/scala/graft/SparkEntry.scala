@@ -298,6 +298,24 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // the serving-quality form: ADC candidates (k×4 overfetch) from the
+    // persisted index re-ranked by EXACT L2 fetched from the
+    // cell-partitioned vecs table — candidate-sized I/O buys back the PQ
+    // ordering loss (measured recall 0.45 → 1.0 at overfetch 64;
+    // SCALING.md)
+    "q125_ivfpq_rescored" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q125_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path, storeVectors = true)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.searchRescored(s, q, "qid", "qv",
+          VectorIndex.load(s, path), nProbe = 4, k = 5, overfetch = 4)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {

@@ -49,33 +49,39 @@ object VectorIndex {
   /** Build with the deterministic first-k quantizers (the oracle-exact
     * form, matching [[Similarity.ivfPq]]'s internals). */
   def writeIvfPq(corpus: DataFrame, cIdCol: String, cVecCol: String,
-                 nCells: Int, m: Int, nCentsPq: Int, path: String): Unit = {
+                 nCells: Int, m: Int, nCentsPq: Int, path: String,
+                 storeVectors: Boolean = false): Unit = {
     val cents = Similarity.collectCentroids(corpus, cIdCol, cVecCol, nCells)
     val books = Similarity.subBooks(
       Similarity.pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m)
-    writeWith(corpus, cIdCol, cVecCol, cents, books, path)
+    writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors)
   }
 
   /** Build with TRAINED quantizers (Lloyd coarse cells + per-subspace PQ
     * books) — the production quality path; same persisted layout. */
   def writeIvfPqTrained(corpus: DataFrame, cIdCol: String, cVecCol: String,
                         dim: Int, nCells: Int, m: Int, nCentsPq: Int,
-                        iterations: Int, path: String): Unit = {
+                        iterations: Int, path: String,
+                        storeVectors: Boolean = false): Unit = {
     val cents = Similarity.trainKmeans(corpus, cIdCol, cVecCol, nCells, iterations)
     val books = Similarity.trainPqCodebooks(corpus, cIdCol, cVecCol,
       dim, m, nCentsPq, iterations)
-    writeWith(corpus, cIdCol, cVecCol, cents, books, path)
+    writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors)
   }
 
   /** Persist explicit quantizers + the encoded corpus. Layout:
     * `path/centroids` (cell, vec), `path/books` (j, code, vec),
     * `path/meta` (dim, m, n_cells, k_pq), `path/codes` partitioned by
-    * `cell` with columns (id, codes). Sidecars are driver-small (k×dim);
-    * the codes table is the only corpus-sized artifact — (long, m longs)
-    * per row against dim floats, the PQ footprint cut. */
+    * `cell` with columns (id, codes), and — when `storeVectors` — a
+    * `path/vecs` table (id, vec) partitioned by cell for
+    * [[searchRescored]]. Sidecars are driver-small (k×dim); codes is
+    * (long, m longs) per row against dim floats (the PQ footprint cut);
+    * the optional vecs table is corpus-sized but only its probed cells'
+    * top candidates are ever fetched. */
   def writeWith(corpus: DataFrame, cIdCol: String, cVecCol: String,
                 cents: Array[(Long, Array[Double])],
-                books: Array[Array[Array[Double]]], path: String): Unit = {
+                books: Array[Array[Array[Double]]], path: String,
+                storeVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = cents.head._2.length
@@ -88,7 +94,8 @@ object VectorIndex {
       book.zipWithIndex.map { case (v, code) => (j, code, v.toSeq) }
     }.toDF("j", "code", "vec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/books")
-    encodeInto(corpus, cIdCol, cVecCol, cents, books, path, SaveMode.Overwrite)
+    encodeInto(corpus, cIdCol, cVecCol, cents, books, path, SaveMode.Overwrite,
+      storeVectors)
   }
 
   /** Incremental maintenance: encode `newRows` with the index's SAVED
@@ -98,14 +105,16 @@ object VectorIndex {
   def append(newRows: DataFrame, cIdCol: String, cVecCol: String,
              path: String): Unit = {
     val (cents, books) = loadQuantizers(newRows.sparkSession, path)
-    encodeInto(newRows, cIdCol, cVecCol, cents, books, path, SaveMode.Append)
+    // appends mirror the build's layout choice: keep the vecs table in
+    // sync iff the index was built with storeVectors
+    val vecsDir = new org.apache.hadoop.fs.Path(s"$path/vecs")
+    val hasVecs = vecsDir
+      .getFileSystem(newRows.sparkSession.sparkContext.hadoopConfiguration)
+      .exists(vecsDir)
+    encodeInto(newRows, cIdCol, cVecCol, cents, books, path, SaveMode.Append,
+      storeVectors = hasVecs)
   }
 
-  /** ANN search against a prebuilt index. Loads the k-sized sidecars,
-    * probes nProbe cells per query, reads ONLY the probed partitions
-    * (`cell IN` on the partition column → directory-level pruning), and
-    * ranks by the same subspace-ordered ADC + partial top-k as
-    * [[Similarity.ivfPq]]. Output (qIdCol, id, rank, dist). */
   /** A session-lifetime handle on one index: the k-sized quantizer
     * sidecars plus the codes DataFrame whose (expensive, nCells-wide)
     * partition listing is built once and reused across query batches.
@@ -113,15 +122,27 @@ object VectorIndex {
     * until the next load — standard serving-index staleness. */
   final case class Loaded(cents: Array[(Long, Array[Double])],
                           books: Array[Array[Array[Double]]],
-                          codes: DataFrame)
+                          codes: DataFrame,
+                          vecs: Option[DataFrame] = None)
 
   /** Load an index once per serving session ([[search]] per batch would
-    * re-read both sidecars AND re-list every partition directory). */
+    * re-read both sidecars AND re-list every partition directory).
+    * Picks up the optional raw-vector table when the build stored it. */
   def load(spark: SparkSession, path: String): Loaded = {
     val (cents, books) = loadQuantizers(spark, path)
-    Loaded(cents, books, spark.read.parquet(s"$path/codes"))
+    val vecsDir = new org.apache.hadoop.fs.Path(s"$path/vecs")
+    val hasVecs = vecsDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(vecsDir)
+    Loaded(cents, books, spark.read.parquet(s"$path/codes"),
+      if (hasVecs) Some(spark.read.parquet(s"$path/vecs")) else None)
   }
 
+  /** ANN search against a prebuilt index. Loads the k-sized sidecars,
+    * probes nProbe cells per query, reads ONLY the probed partitions
+    * (`cell IN` on the partition column → directory-level pruning), and
+    * ranks by the same subspace-ordered ADC + partial top-k as
+    * [[Similarity.ivfPq]]. Output (qIdCol, id, rank, dist). */
   def search(spark: SparkSession, queries: DataFrame,
              qIdCol: String, qVecCol: String,
              path: String, nProbe: Int, k: Int): DataFrame =
@@ -132,7 +153,43 @@ object VectorIndex {
     * batch the session runs. */
   def searchLoaded(spark: SparkSession, queries: DataFrame,
                    qIdCol: String, qVecCol: String, idx: Loaded,
-                   nProbe: Int, k: Int): DataFrame = {
+                   nProbe: Int, k: Int): DataFrame =
+    adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k)._2
+
+  /** [[searchLoaded]] + exact re-ranking: ADC over codes picks
+    * `k × overfetch` candidates per query, then ONLY those candidates'
+    * raw vectors are fetched (from the cell-partitioned `vecs` table,
+    * pruned to the same probed cells) and ranked by exact L2. The
+    * serving-quality form: PQ compression caps ADC ordering quality
+    * (measured: recall@5 0.45 trained / 0.28 first-k at m=8, dim 64,
+    * flat in nProbe because coverage is already 1.0 — see SCALING.md),
+    * and rescoring buys the ordering back for candidate-sized I/O.
+    * Requires an index built with `storeVectors = true`.
+    * Output (qIdCol, id, rank, dist) with exact squared-L2 dist. */
+  def searchRescored(spark: SparkSession, queries: DataFrame,
+                     qIdCol: String, qVecCol: String, idx: Loaded,
+                     nProbe: Int, k: Int, overfetch: Int = 4): DataFrame = {
+    val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
+      "searchRescored needs an index built with storeVectors = true (no vecs/ table)"))
+    val (probedCells, adc) =
+      adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k * overfetch)
+    val cands = adc.select(col(qIdCol), col("id"))
+    val pruned = vecsDf
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id"), col("vec"))
+    pruned.join(broadcast(cands), Seq("id"))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .withColumn("__negd", -Similarity.l2sq(col("vec"), col(qVecCol)))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col("id"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as("id"),
+        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+  }
+
+  private def adcSearch(spark: SparkSession, queries: DataFrame,
+                        qIdCol: String, qVecCol: String, idx: Loaded,
+                        nProbe: Int, k: Int): (Array[Long], DataFrame) = {
     val bank = graft.functions.CentroidBank.of(spark, idx.cents)
     val bookBank = graft.functions.CodebookBank.of(spark, idx.books)
 
@@ -153,36 +210,44 @@ object VectorIndex {
       .withColumn("cell", col("cell").cast("long"))
 
     val dist = Similarity.adcDistCol(bookBank, col(qVecCol), col("codes"))
-    codes.join(broadcast(probes), Seq("cell"))
+    val ranked = codes.join(broadcast(probes), Seq("cell"))
       .withColumn("__negd", -dist)
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAgg.topK(col("__negd"), col("id"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
       .select(col(qIdCol), col("__t.id").as("id"),
         (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+    (probedCells, ranked)
   }
 
   /** One narrow pass: (id, cell, codes) per row, written under
-    * `path/codes/cell=<c>/`. Append mode reuses existing directories. */
+    * `path/codes/cell=<c>/` (+ `path/vecs/cell=<c>/` when vectors are
+    * stored for rescoring). Append mode reuses existing directories. */
   private def encodeInto(corpus: DataFrame, cIdCol: String, cVecCol: String,
                          cents: Array[(Long, Array[Double])],
                          books: Array[Array[Array[Double]]],
-                         path: String, mode: SaveMode): Unit = {
+                         path: String, mode: SaveMode,
+                         storeVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val bank = graft.functions.CentroidBank.of(spark, cents)
     val bookBank = graft.functions.CodebookBank.of(spark, books)
-    corpus.select(
+    val assigned = corpus.select(
         col(cIdCol).cast("long").as("id"),
         bridge.column(graft.functions.NearestCell(
           bridge.expression(col(cVecCol)), bank)).as("cell"),
-        Similarity.pqCodesCol(bookBank, col(cVecCol)).as("codes"))
+        Similarity.pqCodesCol(bookBank, col(cVecCol)).as("codes"),
+        col(cVecCol).as("vec"))
       // cluster by cell BEFORE the partitioned write: unordered input
       // would make every task write a file into every cell directory
       // (tasks × cells tiny files — measured 2.6× slower to SEARCH than
       // the one-shot form at 100×, and a 26 s build); one narrow-payload
       // shuffle at build time compacts each cell to one file per append
       .repartition(col("cell"))
+    assigned.select(col("id"), col("cell"), col("codes"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
+    if (storeVectors)
+      assigned.select(col("id"), col("cell"), col("vec"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$path/vecs")
   }
 
   /** Load the driver-small sidecars back into the bank contracts. */

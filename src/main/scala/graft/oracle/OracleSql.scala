@@ -986,6 +986,46 @@ rk AS (SELECT qid, vec_id, dist,
 SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   }
 
+  /** q125: q49b's IVF-PQ candidates widened to k×overfetch, then exact-L2
+    * re-ranked — the rescored serving search (candidate-sized vector
+    * fetch buys back the PQ ordering loss). */
+  def q125_ivfpq_rescored(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                          nCentsPq: Int, k: Int, overfetch: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
+    s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
+cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk0 AS (SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk0 FROM adist),
+wide AS (SELECT qid, vec_id FROM rk0 WHERE rnk0 <= ${k * overfetch}),
+ex AS (SELECT w.qid, w.vec_id, ${l2sqSql("q.qv", "e.embedding")} AS dist
+  FROM wide w JOIN q ON q.qid = w.qid JOIN embeddings e ON e.vec_id = w.vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM ex)
+SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
+  }
+
   /** Embedding-cosine near-dups: same-bucket self-join + cosine gate,
     * hub buckets above the cap skipped (mirrors the operator's guard). */
   def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double,
@@ -3067,6 +3107,7 @@ FROM events GROUP BY user_id, event_type"""
     // same oracle, independently hash-gated
     "q123_ivfpq_indexed" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q123b_ivfpq_append" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),

@@ -81,6 +81,46 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(second.count() > 0)
   }
 
+  test("searchRescored with all cells probed + wide overfetch == brute L2 top-k") {
+    val path = tmp("graft_ivfpq_resc")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path,
+      storeVectors = true)
+    val idx = VectorIndex.load(spark, path)
+    assert(idx.vecs.nonEmpty, "storeVectors build must produce vecs/")
+    // probe every cell and overfetch past the corpus size: the ADC stage
+    // can no longer lose anything, so exact re-ranking IS brute force
+    val rescored = VectorIndex.searchRescored(spark, q, "qid", "qv", idx,
+        nProbe = 16, k = 5, overfetch = 200)
+      .select(col("qid"), col("id"), col("rank"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = e.crossJoin(broadcast(q))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        (-Similarity.l2sq(col("embedding"), col("qv"))).cast("double"),
+        col("vec_id").cast("long"), 5).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), col("__t.id"), (col("__r") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rescored == brute)
+    assert(rescored.nonEmpty)
+  }
+
+  test("append keeps the vecs table in sync for rescored search") {
+    val pHalf = tmp("graft_ivfpq_resc_half")
+    val pFull = tmp("graft_ivfpq_resc_full")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, pHalf, storeVectors = true)
+    VectorIndex.append(e.filter(col("vec_id") >= 250), "vec_id", "embedding", pHalf)
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pFull,
+      storeVectors = true)
+    def res(p: String) = VectorIndex.searchRescored(spark, q, "qid", "qv",
+        VectorIndex.load(spark, p), 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val a = res(pHalf)
+    assert(a == res(pFull))
+    assert(a.nonEmpty)
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
