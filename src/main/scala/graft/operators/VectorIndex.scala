@@ -98,6 +98,79 @@ object VectorIndex {
       storeVectors)
   }
 
+  /** Logical delete: record `ids` as tombstones. O(batch) — no corpus
+    * file is touched; [[search]]/[[searchRescored]] anti-join the
+    * tombstone set out of the candidate stream BEFORE ranking (so top-k
+    * backfills exactly as if the rows were physically gone), and
+    * [[compact]] later folds the tombstones into the cell files. This is
+    * the standard serving-index delete split (the removal-request path at
+    * 100 TB: the request must take effect now; the rewrite can wait for
+    * the maintenance window). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** Physical compaction: rewrite ONLY the cells that contain tombstoned
+    * rows (found by one narrow join over the codes table — id + m codes
+    * per row, a small fraction of corpus bytes), dropping those rows, then
+    * clear the tombstone set. Each rewritten cell is also re-clustered to
+    * one file, folding the per-[[append]] file growth back down. Cells
+    * without deletes keep their files byte-identical — the rewrite cost is
+    * proportional to the affected cells, never the corpus.
+    *
+    * `mergeAll = true` additionally rewrites every cell (file-merge-only
+    * compaction for an index that accumulated many appends). */
+  def compact(spark: SparkSession, path: String,
+              mergeAll: Boolean = false): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombDir.getFileSystem(hconf)
+    val hasTombs = fs.exists(tombDir)
+    if (!hasTombs && !mergeAll) return
+    import spark.implicits._
+    val tombs =
+      if (hasTombs) spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
+      else spark.emptyDataset[Long].toDF("id")
+    val codes = spark.read.parquet(s"$path/codes")
+    // bounded by nCells (the partition-column cardinality), never by data
+    val affected =
+      (if (mergeAll) codes.select(col("cell").cast("long"))
+       else codes.join(tombs, Seq("id")).select(col("cell").cast("long")))
+        .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      rewriteCells(spark, s"$path/codes", affected, tombs)
+      val vecsDir = new org.apache.hadoop.fs.Path(s"$path/vecs")
+      if (fs.exists(vecsDir)) rewriteCells(spark, s"$path/vecs", affected, tombs)
+    }
+    if (hasTombs) fs.delete(tombDir, true)
+  }
+
+  /** Rewrite the given cell partitions of one table minus the tombstoned
+    * ids: stage into `<table>_compact`, then swap directories (write
+    * fully materializes before any source dir is touched — Spark cannot
+    * overwrite a path it is reading). A cell whose rows are all deleted
+    * simply loses its directory. */
+  private def rewriteCells(spark: SparkSession, tablePath: String,
+                           cells: Array[Long], tombs: DataFrame): Unit = {
+    val tmpPath = s"${tablePath}_compact"
+    spark.read.parquet(tablePath)
+      .filter(col("cell").isin(cells: _*))
+      .join(tombs, Seq("id"), "left_anti")
+      .withColumn("cell", col("cell").cast("long"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmpPath)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cells.foreach { c =>
+      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/cell=$c")
+      val src = new org.apache.hadoop.fs.Path(s"$tmpPath/cell=$c")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
+  }
+
   /** Incremental maintenance: encode `newRows` with the index's SAVED
     * quantizers and append into the existing cell partitions. No
     * retraining, no touch of existing files — the 100 TB ingest path
@@ -123,19 +196,22 @@ object VectorIndex {
   final case class Loaded(cents: Array[(Long, Array[Double])],
                           books: Array[Array[Array[Double]]],
                           codes: DataFrame,
-                          vecs: Option[DataFrame] = None)
+                          vecs: Option[DataFrame] = None,
+                          tombs: Option[DataFrame] = None)
 
   /** Load an index once per serving session ([[search]] per batch would
     * re-read both sidecars AND re-list every partition directory).
     * Picks up the optional raw-vector table when the build stored it. */
   def load(spark: SparkSession, path: String): Loaded = {
     val (cents, books) = loadQuantizers(spark, path)
-    val vecsDir = new org.apache.hadoop.fs.Path(s"$path/vecs")
-    val hasVecs = vecsDir
+    val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(vecsDir)
+    def opt(sub: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub")))
+        Some(spark.read.parquet(s"$path/$sub"))
+      else None
     Loaded(cents, books, spark.read.parquet(s"$path/codes"),
-      if (hasVecs) Some(spark.read.parquet(s"$path/vecs")) else None)
+      opt("vecs"), opt("tombstones"))
   }
 
   /** ANN search against a prebuilt index. Loads the k-sized sidecars,
@@ -205,9 +281,15 @@ object VectorIndex {
     // partition spec at planning time; unprobed cell directories never
     // reach the scan (works through the widening cast if the partition
     // value inferred int)
-    val codes = idx.codes
+    val survivors = idx.codes
       .filter(col("cell").isin(probedCells: _*))
       .withColumn("cell", col("cell").cast("long"))
+    // tombstoned rows leave the candidate stream BEFORE ranking, so the
+    // top-k backfills exactly as a physical delete would; the anti-join
+    // runs over the probed-cells subset only, and AQE broadcasts the
+    // (compaction-bounded) tombstone side when it is small
+    val codes = idx.tombs.fold(survivors)(t =>
+      survivors.join(t.select(col("id")), Seq("id"), "left_anti"))
 
     val dist = Similarity.adcDistCol(bookBank, col(qVecCol), col("codes"))
     val ranked = codes.join(broadcast(probes), Seq("cell"))

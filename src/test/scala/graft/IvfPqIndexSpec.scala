@@ -121,6 +121,89 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a.nonEmpty)
   }
 
+  test("delete: tombstoned rows leave the ranking; equals rebuild on survivors") {
+    val pDel = tmp("graft_ivfpq_del")
+    val pRef = tmp("graft_ivfpq_delref")
+    val gone = col("vec_id") % 7 === 0 && col("vec_id") >= 16
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pDel)
+    VectorIndex.delete(spark, pDel, e.filter(gone).select(col("vec_id")), "vec_id")
+    // quantizers are the first-16 rows, all of which survive — so a
+    // from-scratch build on the surviving corpus derives the SAME
+    // quantizers, and logical-delete search must match it exactly
+    // (including the top-k backfill where a deleted row used to rank)
+    VectorIndex.writeIvfPq(e.filter(!gone), "vec_id", "embedding", 16, 8, 16, pRef)
+    val a = asSet(VectorIndex.search(spark, q, "qid", "qv", pDel, 4, 5))
+    val b = asSet(VectorIndex.search(spark, q, "qid", "qv", pRef, 4, 5))
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(!a.exists { case (_, id, _, _) => id % 7 == 0 && id >= 16 })
+  }
+
+  test("compact: only affected cells rewritten, tombstones cleared, search unchanged") {
+    val path = tmp("graft_ivfpq_cmp")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    import spark.implicits._
+    VectorIndex.delete(spark, path, Seq(100L, 200L).toDF("vec_id"), "vec_id")
+    val before = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 16, 5))
+    val affected = spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(100L, 200L))
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    def cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName.stripPrefix("cell=").toLong)
+    def files(c: Long) = new java.io.File(s"$path/codes/cell=$c").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val untouched = cellDirs.filterNot(affected).toSeq
+    assert(untouched.nonEmpty, "expected some cells without deleted rows")
+    val filesBefore = untouched.map(c => c -> files(c)).toMap
+    VectorIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(), "tombstones must clear")
+    untouched.foreach(c => assert(files(c) == filesBefore(c),
+      s"cell $c had no deletes and must keep its files byte-identical"))
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(100L, 200L)).count() == 0, "rows physically gone")
+    val after = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 16, 5))
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
+  test("compact(mergeAll): per-append file growth folds to one file per cell") {
+    val path = tmp("graft_ivfpq_merge")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 200), "vec_id", "embedding",
+      16, 8, 16, path)
+    VectorIndex.append(e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      "vec_id", "embedding", path)
+    VectorIndex.append(e.filter(col("vec_id") >= 350), "vec_id", "embedding", path)
+    def fileCounts = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.exists(_ >= 2), "appends must have grown some cell's file count")
+    val before = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    VectorIndex.compact(spark, path, mergeAll = true)
+    assert(fileCounts.forall(_ == 1), "mergeAll must leave one file per cell")
+    val after = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
+  test("rescored search excludes tombstoned rows and their vectors") {
+    val path = tmp("graft_ivfpq_delresc")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path,
+      storeVectors = true)
+    import spark.implicits._
+    // delete a row that brute-force says is a top hit for query 0 (its
+    // own vector): id 0 itself
+    VectorIndex.delete(spark, path, Seq(0L).toDF("vec_id"), "vec_id")
+    val idx = VectorIndex.load(spark, path)
+    assert(idx.tombs.nonEmpty, "load must pick up tombstones")
+    val res = VectorIndex.searchRescored(spark, q, "qid", "qv", idx,
+        nProbe = 16, k = 5, overfetch = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!res.exists(_._2 == 0L), "deleted id must never surface")
+    assert(res.nonEmpty)
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
