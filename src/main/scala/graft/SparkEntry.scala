@@ -316,6 +316,26 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // the delete→compact lifecycle: logical tombstones take effect at
+    // the next search (anti-joined out BEFORE ranking, so top-k
+    // backfills), then compaction rewrites ONLY the affected cells and
+    // the post-compact search must still match the excluded oracle —
+    // deletion never retrains the quantizers
+    "q126_ivfpq_deleted" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q126_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      VectorIndex.delete(s, path,
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+      VectorIndex.compact(s, path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {
@@ -829,6 +849,25 @@ object SparkEntry {
     // exact top-quantile length selection: keep docs at or above the
     // exact 75th-percentile whitespace-token count (boundary ties all
     // kept) — histogram-sized window, corpus side stays a narrow filter
+    // sequence packing — curated docs into fixed token-budget training
+    // windows. Offset form: per-shard token stream cut every 256 tokens
+    // (pure window cumsum → codegen; the shard count is the 100 TB
+    // parallelism knob — the per-shard sort is shard-sized, never global)
+    "q127_pack_offset" -> ((s, dir) =>
+      Sampling.packByOffset(
+        TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens")),
+        "doc_id", "ws_tokens", budget = 256L, nShards = 8)),
+
+    // greedy first-fit form: documents never split across windows; the
+    // sequential recurrence runs as one ordered fold per shard
+    // (flatMapGroups), mirrored by a linear recursive CTE in the oracle
+    "q128_pack_greedy" -> ((s, dir) =>
+      Sampling.packGreedyFirstFit(
+        TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens")),
+        "doc_id", "ws_tokens", budget = 256L, nShards = 8)),
+
     "q109_quantile_filter" -> ((s, dir) =>
       Sampling.quantileThreshold(
         TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")

@@ -303,4 +303,63 @@ object Sampling {
       .select(col(keyCol), col("__t.id").as(idCol))
     df.join(picks, Seq(keyCol, idCol), "left_semi")
   }
+
+  /** Sequence packing — assemble curated documents into fixed
+    * token-budget training windows, the step between curation and the
+    * training dataloader. Both forms shard the corpus first
+    * (`shard = id mod nShards`): packing is inherently a sequential
+    * recurrence over an ordered stream, so the shard is the parallelism
+    * unit — each shard's stream packs independently, and at 100 TB
+    * `nShards` scales with the cluster (pick ≥ a few × total cores;
+    * the per-shard work is a sort of a shard-sized run, never a global
+    * sort). Determinism: within a shard, documents pack in id order.
+    *
+    * [[packByOffset]] is "concat-and-chunk": the shard's token stream is
+    * concatenated in id order and cut every `budget` tokens, each
+    * document labeled with the window its FIRST token falls in — a
+    * document may straddle a boundary (expected straddle fraction ≈
+    * mean_len/budget), which is the semantics most LLM pretraining
+    * pipelines use. Pure window cumsum → whole-stage codegen, one hash
+    * exchange on shard. Output (idCol, shard, pack, n_tokens). */
+  def packByOffset(df: DataFrame, idCol: String, tokCol: String,
+                   budget: Long, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+        col(tokCol).cast("long").as("n_tokens"))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"),
+        floor((col("__end") - col("n_tokens")) / lit(budget)).as("pack"),
+        col("n_tokens"))
+  }
+
+  /** Contiguous greedy packing: documents never split — walking the
+    * shard in id order, a new pack starts whenever adding the next
+    * document would exceed `budget` (an over-budget document still gets
+    * its own pack). The recurrence is sequential, so it runs as one
+    * ordered fold per shard via flatMapGroups; the shard buffer is the
+    * memory bound — size `nShards` so corpus/nShards fits a task
+    * (exactly the constraint any mapGroups state carries). Output
+    * (idCol, shard, pack, n_tokens), same schema as [[packByOffset]]. */
+  def packGreedyFirstFit(df: DataFrame, idCol: String, tokCol: String,
+                         budget: Long, nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        pmod(col(idCol), lit(nShards)).cast("long"),
+        col(tokCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        var pack = 0L
+        var used = 0L
+        docs.iterator.map { case (id, _, tok) =>
+          if (used > 0 && used + tok > budget) { pack += 1; used = 0L }
+          used += tok
+          (id, shard, pack, tok)
+        }
+      }
+      .toDF(idCol, "shard", "pack", "n_tokens")
+  }
 }

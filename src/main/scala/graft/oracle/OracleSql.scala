@@ -953,9 +953,13 @@ SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $topK"""
   }
 
   /** q49b: IVF-PQ — q17c's coarse assignment/probe composed with q49's
-    * codes and asymmetric distance, ranking only probed-cell members. */
+    * codes and asymmetric distance, ranking only probed-cell members.
+    * `candFilter` (e.g. `"WHERE a.vec_id % 7 != 0"`) excludes rows from
+    * the candidate stage only — quantizers stay trained on the full
+    * corpus, mirroring a post-build [[graft.operators.VectorIndex
+    * .delete]] where deletion never retrains (q126). */
   def q49b_ivf_pq(dim: Int, nCells: Int, nProbe: Int, m: Int,
-                  nCentsPq: Int, k: Int): String = {
+                  nCentsPq: Int, k: Int, candFilter: String = ""): String = {
     val sub = dim / m
     def subL2(a: String, b: String, j: String): String =
       s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
@@ -976,7 +980,7 @@ qprobe AS (SELECT qid, qv, cell FROM (
   SELECT q.qid, q.qv, c.cell,
     row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
   FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
-cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell $candFilter),
 qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
   FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
 adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
@@ -1267,6 +1271,39 @@ above AS (SELECT t.doc_id, t.n_tokens FROM t, bd WHERE t.n_tokens > bd.sc),
 bnd AS (SELECT t.doc_id, t.n_tokens FROM t, bd WHERE t.n_tokens = bd.sc
   QUALIFY row_number() OVER (ORDER BY $sampleHashSql ASC, doc_id ASC) <= bd.b)
 SELECT doc_id, n_tokens FROM above UNION ALL SELECT doc_id, n_tokens FROM bnd"""
+
+  /** q127: offset-binned sequence packing ([[graft.operators.Sampling
+    * .packByOffset]]) — per-shard token stream cut every `budget`
+    * tokens, each doc labeled with the window its first token falls in.
+    * Pure window cumsum, so the mirror is the same cumsum. */
+  def q127_pack_offset(budget: Long, nShards: Int): String =
+    s"""WITH t AS (SELECT doc_id, doc_id % $nShards AS shard,
+  len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))::BIGINT AS tok
+FROM documents),
+c AS (SELECT doc_id, shard, tok,
+  sum(tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend FROM t)
+SELECT doc_id, shard::BIGINT AS shard,
+  CAST(floor((cend - tok)::DOUBLE / $budget) AS BIGINT) AS pack,
+  tok AS n_tokens
+FROM c"""
+
+  /** q128: contiguous greedy packing ([[graft.operators.Sampling
+    * .packGreedyFirstFit]]) — the sequential first-fit recurrence
+    * replayed as a linear recursive CTE, one doc per shard per
+    * iteration (iterations = max docs per shard). */
+  def q128_pack_greedy(budget: Long, nShards: Int): String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $nShards AS shard,
+  len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))::BIGINT AS tok,
+  row_number() OVER (PARTITION BY doc_id % $nShards ORDER BY doc_id) AS rn
+FROM documents),
+g AS (
+  SELECT doc_id, shard, rn, tok, 0::BIGINT AS pack, tok AS used FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.rn, t.tok,
+    CASE WHEN g.used + t.tok > $budget THEN g.pack + 1 ELSE g.pack END AS pack,
+    CASE WHEN g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
+  FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
+SELECT doc_id, shard::BIGINT AS shard, pack, tok AS n_tokens FROM g"""
 
   def q57_stratified_sample(rates: Seq[(String, Double)],
                             defaultRate: Double): String = {
@@ -3107,6 +3144,10 @@ FROM events GROUP BY user_id, event_type"""
     // same oracle, independently hash-gated
     "q123_ivfpq_indexed" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q123b_ivfpq_append" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q126_ivfpq_deleted" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5,
+      candFilter = "WHERE a.vec_id % 7 != 0"),
+    "q127_pack_offset" -> q127_pack_offset(256L, 8),
+    "q128_pack_greedy" -> q128_pack_greedy(256L, 8),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),

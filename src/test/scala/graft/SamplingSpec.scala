@@ -198,6 +198,66 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected)
   }
 
+  test("packGreedyFirstFit: budget respected, packs contiguous, every doc kept once") {
+    import spark.implicits._
+    val docsDf = graft.operators.TextAnalysis
+      .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens"))
+    val budget = 256L
+    val got = Sampling.packGreedyFirstFit(docsDf, "doc_id", "ws_tokens", budget, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == docsDf.count(), "every doc assigned exactly once")
+    // no pack exceeds the budget unless it is a single over-budget doc
+    got.groupBy(t => (t._2, t._3)).foreach { case ((sh, p), rows) =>
+      val total = rows.map(_._4).sum
+      assert(total <= budget || rows.length == 1,
+        s"shard $sh pack $p holds $total tokens across ${rows.length} docs")
+    }
+    // within a shard, walking docs in id order the pack id is
+    // non-decreasing and steps by at most 1 (contiguity), and matches a
+    // driver-side replay of the first-fit recurrence
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      var pack = 0L; var used = 0L
+      inOrder.foreach { case (id, _, gotPack, tok) =>
+        if (used > 0 && used + tok > budget) { pack += 1; used = 0L }
+        used += tok
+        assert(gotPack == pack, s"shard $sh doc $id: pack $gotPack != replay $pack")
+      }
+    }
+    // partitioning invariance: the recurrence depends only on id order
+    val rep = Sampling.packGreedyFirstFit(docsDf.repartition(13),
+        "doc_id", "ws_tokens", budget, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSet == got.toSet)
+  }
+
+  test("packByOffset: pack = first-token window of the per-shard concat stream") {
+    val docsDf = graft.operators.TextAnalysis
+      .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens"))
+    val budget = 256L
+    val got = Sampling.packByOffset(docsDf, "doc_id", "ws_tokens", budget, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      var offset = 0L
+      rows.sortBy(_._1).foreach { case (id, _, pack, tok) =>
+        assert(pack == offset / budget, s"shard $sh doc $id: pack $pack != ${offset / budget}")
+        offset += tok
+      }
+    }
+    // offset binning packs tighter than first-fit: same pack count or
+    // fewer per shard (no fragmentation — it splits docs at boundaries)
+    val greedy = Sampling.packGreedyFirstFit(docsDf, "doc_id", "ws_tokens", budget, 8)
+      .groupBy(col("shard")).agg(max(col("pack")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).max <= greedy(sh))
+    }
+  }
+
   test("plan shapes: sample is a narrow filter; cap has no Window") {
     val samplePlan = Sampling.sample(d, "doc_id", 0.3)
       .queryExecution.executedPlan.toString
