@@ -336,6 +336,16 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // the drift reading that decides WHEN to retrain a persisted index:
+    // mean nearest-cell distance, fixed-point-exact (min is order-free,
+    // the sum is commutative longs) — here the build-baseline form over
+    // the whole corpus against the first-16 coarse cells
+    "q129_index_drift" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      VectorIndex.meanCellDist(e,
+        "embedding", Similarity.firstKCentroids(e, "vec_id", "embedding", 16))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {

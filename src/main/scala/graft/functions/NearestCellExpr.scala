@@ -55,3 +55,42 @@ object NearestCell {
             centroids: Array[Array[Double]]): NearestCell =
     NearestCell(child, InlineBank(cells, centroids))
 }
+
+/** [[NearestCell]]'s distance twin: the minimal squared-L2 distance
+  * itself (a per-row residual-energy reading). min over a fixed bank is
+  * order-free, so the value is bit-identical to the oracle's
+  * `min(l2sq)` — the quantization-drift baseline/score path
+  * ([[graft.operators.VectorIndex.meanCellDist]]) builds on it. */
+case class NearestCellDist(child: Expression, bank: CentroidBank)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    evalVec(input.asInstanceOf[ArrayData])
+
+  def evalVec(v: ArrayData): Double = {
+    val centroids = bank.vecs
+    val n = v.numElements()
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = BankKernels.l2To(v, elemIsFloat, 0, n, centroids(c))
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellDist", this,
+      classOf[NearestCellDist].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalVec($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellDist =
+    copy(child = newChild)
+}

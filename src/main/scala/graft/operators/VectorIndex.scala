@@ -85,8 +85,13 @@ object VectorIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = cents.head._2.length
-    Seq((dim, books.length, cents.length, books.head.length))
-      .toDF("dim", "m", "n_cells", "k_pq")
+    // drift baseline: one extra column-pruned pass over the corpus (the
+    // vec column only) — paid once at build so every later driftScore
+    // reads only its batch
+    val baseline = meanCellDist(corpus.select(col(cVecCol)), cVecCol, cents)
+      .collect()(0).getDouble(1)
+    Seq((dim, books.length, cents.length, books.head.length, baseline))
+      .toDF("dim", "m", "n_cells", "k_pq", "mean_cell_dist")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "vec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
@@ -96,6 +101,44 @@ object VectorIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/books")
     encodeInto(corpus, cIdCol, cVecCol, cents, books, path, SaveMode.Overwrite,
       storeVectors)
+  }
+
+  /** Fixed-point-exact mean nearest-cell distance of a vector set
+    * against a centroid bank — the residual-energy reading that anchors
+    * drift detection. Per row: min squared-L2 to the bank (min is
+    * order-free, so the double is bit-identical to the oracle's
+    * `min(l2sq)`), quantized `floor(d·S + 0.5)` to a long BEFORE the sum
+    * (commutative — the trainKmeans trick), mean = Σq/(n·S). One narrow
+    * column-pruned pass; output one row (n_rows, mean_dist). */
+  def meanCellDist(df: DataFrame, vecCol: String,
+                   cents: Array[(Long, Array[Double])],
+                   scale: Long = 1000000L): DataFrame = {
+    val bank = graft.functions.CentroidBank.of(df.sparkSession, cents)
+    val d = bridge.column(graft.functions.NearestCellDist(
+      bridge.expression(col(vecCol)), bank))
+    df.select(floor(d * lit(scale.toDouble) + lit(0.5)).cast("long").as("__q"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__q")).as("__s"))
+      .select(col("n_rows"),
+        (col("__s").cast("double") /
+          (col("n_rows") * lit(scale)).cast("double")).as("mean_dist"))
+  }
+
+  /** Quantization-drift score for an ingest batch: the batch's mean
+    * nearest-cell distance over the index's build-time baseline (stored
+    * in `meta.mean_cell_dist` at build). ≈1 → the coarse geometry still
+    * fits the arriving data; a sustained score well above 1 means new
+    * rows land far from every centroid — probe recall degrades — so
+    * retrain ([[writeIvfPqTrained]]) and re-encode. Costs one narrow
+    * pass over the BATCH only (the baseline was paid once at build);
+    * both sides use the fixed-point sum, so the score is deterministic
+    * run-over-run. */
+  def driftScore(spark: SparkSession, batch: DataFrame, vecCol: String,
+                 path: String): Double = {
+    val (cents, _) = loadQuantizers(spark, path)
+    val baseline = spark.read.parquet(s"$path/meta")
+      .collect()(0).getAs[Double]("mean_cell_dist")
+    val b = meanCellDist(batch, vecCol, cents).collect()(0).getDouble(1)
+    b / baseline
   }
 
   /** Logical delete: record `ids` as tombstones. O(batch) — no corpus
@@ -330,6 +373,36 @@ object VectorIndex {
     if (storeVectors)
       assigned.select(col("id"), col("cell"), col("vec"))
         .write.mode(mode).partitionBy("cell").parquet(s"$path/vecs")
+  }
+
+  /** Index health reading: one row of layout statistics — cell count and
+    * occupancy spread (the skew that decides whether nCells still fits
+    * the corpus: a hot cell degrades every probe that hits it), row
+    * total, pending tombstones, and files-per-cell (append growth; fold
+    * with [[compact]](mergeAll) when it creeps). One narrow pass over
+    * the codes table's (cell) column + a cells-bounded agg; the file
+    * listing reuses the FileIndex the read already built. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val codes = spark.read.parquet(s"$path/codes")
+    val occ = codes.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_occupancy"),
+        max(col("n")).as("max_occupancy"),
+        avg(col("n")).as("avg_occupancy"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val nTombs =
+      if (fs.exists(tombDir))
+        spark.read.parquet(s"$path/tombstones").select(col("id")).distinct().count()
+      else 0L
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    val nFiles = cellDirs.map(d => fs.listStatus(d.getPath)
+      .count(f => f.getPath.getName.endsWith(".parquet"))).sum
+    occ.withColumn("pending_tombstones", lit(nTombs))
+      .withColumn("n_files", lit(nFiles.toLong))
   }
 
   /** Load the driver-small sidecars back into the bank contracts. */

@@ -1030,6 +1030,18 @@ rk AS (SELECT qid, vec_id, dist,
 SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   }
 
+  /** q129: mean nearest-cell distance ([[graft.operators.VectorIndex
+    * .meanCellDist]]) — the drift baseline/score reading. min over the
+    * bank is order-free; the per-row double quantizes to a long before
+    * the (commutative) sum, so the mean is cross-engine exact. */
+  def q129_index_drift(nCells: Int, scale: Long): String =
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+d AS (SELECT e.vec_id, min(${l2sqSql("e.embedding", "c.cvec")}) AS dmin
+  FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id)
+SELECT count(*)::BIGINT AS n_rows,
+  sum(CAST(floor(dmin * $scale + 0.5) AS BIGINT))::DOUBLE / (count(*) * $scale)::DOUBLE AS mean_dist
+FROM d"""
+
   /** Embedding-cosine near-dups: same-bucket self-join + cosine gate,
     * hub buckets above the cap skipped (mirrors the operator's guard). */
   def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double,
@@ -3148,6 +3160,7 @@ FROM events GROUP BY user_id, event_type"""
       candFilter = "WHERE a.vec_id % 7 != 0"),
     "q127_pack_offset" -> q127_pack_offset(256L, 8),
     "q128_pack_greedy" -> q128_pack_greedy(256L, 8),
+    "q129_index_drift" -> q129_index_drift(16, 1000000L),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),

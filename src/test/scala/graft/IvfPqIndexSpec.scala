@@ -204,6 +204,45 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(res.nonEmpty)
   }
 
+  test("driftScore: exactly 1.0 on the build distribution, large on a shifted batch") {
+    val path = tmp("graft_ivfpq_drift")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    // same rows → both sides of the ratio are the same fixed-point sum,
+    // so the score is EXACTLY 1 (no float tolerance needed)
+    assert(VectorIndex.driftScore(spark, e, "embedding", path) == 1.0)
+    // a +1-per-dim shift moves every vector far from every centroid:
+    // the coarse geometry no longer fits and the score must say so
+    val shifted = e.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(1.0f)))
+    assert(VectorIndex.driftScore(spark, shifted, "embedding", path) > 1.5)
+  }
+
+  test("stats: occupancy/tombstone/file readings track the lifecycle") {
+    val path = tmp("graft_ivfpq_stats")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 400), "vec_id", "embedding",
+      16, 8, 16, path)
+    def st = VectorIndex.stats(spark, path).collect()(0)
+    val s0 = st
+    assert(s0.getAs[Long]("n_rows") == 400L)
+    assert(s0.getAs[Long]("pending_tombstones") == 0L)
+    assert(s0.getAs[Long]("min_occupancy") >= 1L)
+    assert(s0.getAs[Long]("max_occupancy") <= 400L)
+    val files0 = s0.getAs[Long]("n_files")
+    VectorIndex.append(e.filter(col("vec_id") >= 400), "vec_id", "embedding", path)
+    import spark.implicits._
+    VectorIndex.delete(spark, path, Seq(5L, 6L).toDF("vec_id"), "vec_id")
+    val s1 = st
+    assert(s1.getAs[Long]("n_rows") == 500L)
+    assert(s1.getAs[Long]("pending_tombstones") == 2L)
+    assert(s1.getAs[Long]("n_files") > files0, "append must grow the file count")
+    VectorIndex.compact(spark, path, mergeAll = true)
+    val s2 = st
+    assert(s2.getAs[Long]("n_rows") == 498L)
+    assert(s2.getAs[Long]("pending_tombstones") == 0L)
+    assert(s2.getAs[Long]("n_files") == s2.getAs[Long]("n_cells"),
+      "mergeAll leaves one file per cell")
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
