@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.functions.Kernel
-import graft.operators.TextEmbedder
+import graft.operators.{Dedup, DedupIndex, TextEmbedder, VectorIndex}
 
 /** Structured Streaming surface — beyond parity (the reference is
   * strictly batch, SURVEY.md §2.7), but a training-data pipeline ingests
@@ -208,4 +209,72 @@ object StreamingOps {
         min(col("__nw")).as("min_words"),
         max(col("__nw")).as("max_words"))
   }
+
+  /** Continuous ANN-index maintenance: each micro-batch of (id, vector)
+    * rows encodes with the persisted index's SAVED quantizers and
+    * appends into its cell partitions ([[graft.operators.VectorIndex
+    * .append]]) — the streaming form of the daily-ingest path, shrunk to
+    * micro-batch granularity. `foreachBatch` because the sink is a
+    * multi-table layout (codes + optional vecs), not one parquet dir;
+    * the encode pass is narrow over just the batch, so per-batch cost is
+    * O(batch), never O(corpus). Serving sessions see new rows at their
+    * next `VectorIndex.load` — the standard snapshot-staleness contract.
+    * Caller starts the returned writer (checkpoint location etc. are
+    * sink config, exactly as for any streaming sink). */
+  def ivfPqAppendSink(stream: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) VectorIndex.append(batch.toDF(), idCol, vecCol, indexPath)
+    }
+
+  /** Streaming ingest dedup against the persisted MinHash index
+    * ([[graft.operators.DedupIndex]]): per micro-batch —
+    *
+    *  1. within-batch near-dups via the one-shot exact-verify pass
+    *     (batch-sized, so the exact Jaccard stays affordable); the
+    *     LATER id of each pair is dropped,
+    *  2. survivors near-dup-checked against the indexed corpus (only
+    *     the batch signs and exchanges — the corpus side reads
+    *     pre-bucketed keys),
+    *  3. both kinds of hits appended to `dupsPath` as
+    *     (idCol, dup_of, similarity, scope∈{batch,corpus}) for audit,
+    *  4. only CLEAN rows appended to the index.
+    *
+    * Batches self-accumulate: a doc admitted at batch N is corpus for
+    * batch N+1, so cross-batch duplicates are caught even though each
+    * batch is checked independently. Per-batch cost is O(batch·log) +
+    * the candidate joins — never a corpus re-sign. */
+  def dedupIngestSink(stream: DataFrame, idCol: String, textCol: String,
+                      table: String, threshold: Double, dupsPath: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      numBuckets: Int = 32): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (rows: Dataset[Row], _: Long) =>
+        val batch = rows.toDF()
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val inBatch = Dedup.minhashNearDups(batch, idCol, textCol,
+              threshold, n, numHashes, bands)
+            .select(col("id_a"), col("id_b"), col("jaccard"))
+            .localCheckpoint(false)
+          val localClean = batch.join(
+            inBatch.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          val corpusPairs = DedupIndex.nearDupsAgainst(spark, localClean,
+              idCol, textCol, table, threshold, n, numHashes, bands)
+            .localCheckpoint(false)
+          inBatch
+            .select(col("id_b").as(idCol), col("id_a").as("dup_of"),
+              col("jaccard").as("similarity"), lit("batch").as("scope"))
+            .unionByName(corpusPairs
+              .select(col(idCol), col("corpus_id").as("dup_of"),
+                col("est_jaccard").as("similarity"), lit("corpus").as("scope")))
+            .write.mode("append").parquet(dupsPath)
+          val clean = localClean.join(
+            corpusPairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          DedupIndex.appendBatch(spark, clean, idCol, textCol, table,
+            n, numHashes, bands, numBuckets)
+        }
+    }
 }

@@ -279,6 +279,76 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("ivfPqAppendSink: streamed micro-batches == full batch rebuild") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pStream = java.nio.file.Files.createTempDirectory("graft_sink_idx").toString
+    val pFull = java.nio.file.Files.createTempDirectory("graft_sink_full").toString
+    // quantizers come from the first-16 rows, present in the seed build,
+    // so streamed appends must reproduce the full build bit-for-bit
+    graft.operators.VectorIndex.writeIvfPq(e.filter($"vec_id" < 250),
+      "vec_id", "embedding", 16, 8, 16, pStream)
+    graft.operators.VectorIndex.writeIvfPq(e, "vec_id", "embedding",
+      16, 8, 16, pFull)
+    val rest = e.filter($"vec_id" >= 250)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = rest.partition(_._1 < 380)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = StreamingOps.ivfPqAppendSink(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", pStream)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val queries = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def res(p: String) = graft.operators.VectorIndex
+      .search(spark, queries, "qid", "qv", p, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val streamed = res(pStream)
+    assert(streamed == res(pFull))
+    assert(streamed.nonEmpty)
+  }
+
+  test("dedupIngestSink: batch + corpus dups audited, clean rows self-accumulate") {
+    val table = "graft_stream_dedup"
+    val dups = java.nio.file.Files.createTempDirectory("graft_sink_dups").toString + "/pairs"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    graft.operators.DedupIndex.writeMinhash(corpus, "doc_id", "text",
+      table = table, numBuckets = 4)
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val q = StreamingOps.dedupIngestSink(ms.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", table, threshold = 0.5, dupsPath = dups,
+        numBuckets = 4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(
+        (10L, "alpha beta gamma delta epsilon zeta"), // dup of corpus 1
+        (11L, "red orange yellow green blue purple"), // new → admitted
+        (12L, "red orange yellow green blue purple"), // in-batch dup of 11
+        (13L, "cat dog bird fish mouse horse"))       // new → admitted
+      q.processAllAvailable()
+      // self-accumulation: 11 was admitted last batch, so its copy is a
+      // CORPUS dup now, even though the base index never saw it
+      ms.addData(
+        (20L, "red orange yellow green blue purple"),
+        (21L, "mercury venus earth mars jupiter saturn"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val audited = spark.read.parquet(dups)
+      .select($"doc_id", $"dup_of", $"scope")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(audited == Set(
+      (10L, 1L, "corpus"), (12L, 11L, "batch"), (20L, 11L, "corpus")))
+    val indexed = spark.table(s"${table}_sigs")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 11L, 13L, 21L))
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
