@@ -238,6 +238,56 @@ object IndexProbe {
       VectorIndex.append(newRows, "vec_id", "embedding", path)
     }
 
+    def timedOnce(label: String, extra: String = "")(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"index_$label","sf":"$sfDir","n":$n,"n_cells":$nCells,"n_probe":$nProbe,"sec":$sec%.3f$extra}""")
+      System.gc(); Thread.sleep(1000)
+    }
+
+    // ---- delete → compact lifecycle ----
+    // un-ingest the appended batch: tombstone write is O(deleted ids),
+    // corpus-size-independent — the removal request takes effect at the
+    // next search without touching a corpus file
+    val delIds = newRows.select(col("vec_id"))
+    val nDel = delIds.count()
+    timedOnce("delete_batch", extra = s""","n_deleted":$nDel""") {
+      VectorIndex.delete(spark, path, delIds, "vec_id")
+    }
+    // the pre-compaction serving tax: tombstones anti-joined out of the
+    // probed-cell candidate stream per batch
+    timed("tombstoned_per_batch") {
+      drain(VectorIndex.search(spark, queries, "qid", "qv", path, nProbe, k))
+    }
+    // the appended ids spread ~uniformly over cells, so this compaction
+    // is the WORST case — nearly every cell rewritten (≈ a full rewrite)
+    timedOnce("compact_uniform") {
+      VectorIndex.compact(spark, path)
+    }
+    timed("compacted_per_batch") {
+      drain(VectorIndex.search(spark, queries, "qid", "qv", path, nProbe, k))
+    }
+    // clustered delete: one cell's rows — the rewrite touches ONE cell's
+    // files regardless of corpus size (cost ∝ affected cells, the scale
+    // property the affected-cells-only design buys)
+    val cell0Ids = spark.read.parquet(s"$path/codes")
+      .filter(col("cell") === 0).select(col("id").as("vec_id"))
+    val nCell0 = cell0Ids.count()
+    timedOnce("delete_one_cell", extra = s""","n_deleted":$nCell0""") {
+      VectorIndex.delete(spark, path, cell0Ids, "vec_id")
+    }
+    timedOnce("compact_clustered", extra = s""","affected_cells":1""") {
+      VectorIndex.compact(spark, path)
+    }
+    // drift score on a FIXED 500-row batch: the retrain trigger reads
+    // only its batch (the corpus baseline was paid once at build), so
+    // the cost must stay flat as the corpus grows
+    val driftBatch = vecs.filter(col("vec_id") < 500)
+    timed("drift_fixed_batch") {
+      VectorIndex.driftScore(spark, driftBatch, "embedding", path)
+    }
+
     spark.stop()
   }
 }
