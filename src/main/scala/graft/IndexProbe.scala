@@ -195,6 +195,23 @@ object IndexProbe {
     }
     recallSweep("firstk", path)
 
+    // residual-encoding contrast (in-plan q130 form): same first-k book
+    // budget as recall_firstk above, but PQ operates in the residual
+    // frame — the recall this buys is the reason the standard IVF-ADC
+    // formulation quantizes residuals
+    for (p <- Seq(1, 4, 16)) {
+      val got = Similarity.ivfPqResidual(queries, "qid", "qv", vecs,
+          "vec_id", "embedding", nCells, p, m, nCells.min(256), k)
+        .select(col("qid"), col("vec_id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => (q, rows.map(_.getLong(1)).toSet) }
+      val recall = exactTop.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exactTop.size
+      println(f"""{"probe":"index_recall_residual","sf":"$sfDir","n":$n,"n_cells":$nCells,"n_probe":$p,"k":$k,"recall":$recall%.3f}""")
+    }
+
     // trained quantizers: the production-quality build (Lloyd coarse
     // cells + per-subspace PQ books, raw vectors stored for rescoring) —
     // the recall contrast that shows WHY training matters when the

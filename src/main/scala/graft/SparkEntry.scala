@@ -336,6 +336,18 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // residual-encoded IVF-PQ: PQ codes quantize vec − centroid[cell]
+    // and queries compare in the probed cell's residual frame — the
+    // standard formulation; same m buys materially more ordering
+    "q130_ivfpq_residual" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPqResidual(q, "qid", "qv", e, "vec_id", "embedding",
+        nCells = 16, nProbe = 4, m = 8, nCentsPq = 16, k = 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // the drift reading that decides WHEN to retrain a persisted index:
     // mean nearest-cell distance, fixed-point-exact (min is order-free,
     // the sum is commutative longs) — here the build-baseline form over
@@ -877,6 +889,16 @@ object SparkEntry {
         TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
           .select(col("doc_id"), col("ws_tokens")),
         "doc_id", "ws_tokens", budget = 256L, nShards = 8)),
+
+    // pack-level fill/fragmentation stats — the reading that tunes the
+    // budget/shard choices; partial agg to packs-sized output
+    "q131_pack_stats" -> ((s, dir) =>
+      Sampling.packStats(
+        Sampling.packGreedyFirstFit(
+          TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+            .select(col("doc_id"), col("ws_tokens")),
+          "doc_id", "ws_tokens", budget = 256L, nShards = 8),
+        budget = 256L)),
 
     "q109_quantile_filter" -> ((s, dir) =>
       Sampling.quantileThreshold(

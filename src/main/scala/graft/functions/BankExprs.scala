@@ -206,6 +206,48 @@ case class PqEncode(child: Expression, bank: CodebookBank)
     copy(child = newChild)
 }
 
+/** The coarse residual `vec − centroid[cell]` as array<double> — the
+  * vector a RESIDUAL-encoded IVF-PQ quantizes and queries with (the
+  * standard Jégou et al. 2011 formulation: within a cell only the
+  * residual energy remains for PQ to resolve, so the same m codes buy
+  * more ordering than quantizing the raw vector). Cell ids resolve by
+  * binary search over the bank's sorted cells; composes with
+  * [[PqEncode]] / [[AdcDist]] unchanged (both accept double arrays). */
+case class ResidualVec(left: Expression, right: Expression, bank: CentroidBank)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    evalPair(v.asInstanceOf[ArrayData], cell.asInstanceOf[Long])
+
+  def evalPair(v: ArrayData, cell: Long): ArrayData = {
+    val i = java.util.Arrays.binarySearch(bank.cells, cell)
+    require(i >= 0, s"cell $cell not in the centroid bank")
+    val cent = bank.vecs(i)
+    val n = math.min(v.numElements(), cent.length)
+    val out = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      out(d) = (if (elemIsFloat) v.getFloat(d).toDouble else v.getDouble(d)) - cent(d)
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("residualVec", this, classOf[ResidualVec].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.evalPair($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): ResidualVec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Asymmetric PQ distance Σ_j ‖q_sub_j − book_j[code_j]‖² between a
   * full-precision query vector (left) and a corpus code row (right,
   * array<bigint> of length m) — the ADC search kernel over the bank,

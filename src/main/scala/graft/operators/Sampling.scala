@@ -362,4 +362,16 @@ object Sampling {
       }
       .toDF(idCol, "shard", "pack", "n_tokens")
   }
+
+  /** Pack-level summary of a packing assignment (either form's output):
+    * docs per pack, token total, and fill ratio against the budget —
+    * the fragmentation reading that tunes budget/shard choices (greedy
+    * packing wastes (1 − fill) of every window; offset packing fills
+    * exactly but straddles). One partial aggregation to packs-sized
+    * output. */
+  def packStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill_ratio",
+        col("pack_tokens").cast("double") / lit(budget.toDouble))
 }

@@ -384,6 +384,71 @@ object Similarity {
         (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
   }
 
+  /** [[ivfPq]] with RESIDUAL encoding (Jégou et al. 2011, the standard
+    * IVF-ADC formulation): each corpus row's PQ codes quantize
+    * `vec − centroid[cell]` instead of the raw vector, and each query
+    * compares in the residual frame of the PROBED cell — within a cell
+    * only the residual energy remains for PQ to resolve, so the same m
+    * codes buy more ordering (the measured contrast is `IndexProbe`'s
+    * `index_recall_residual` leg vs `index_recall_firstk`). The
+    * codebook is the deterministic residuals of rows
+    * [nCells, nCells+nCentsPq) — offset past the centroid-coincident
+    * rows, whose residuals are zero (a trained book slots into the same
+    * contract); plan shape is identical to [[ivfPq]] — one narrow
+    * encode pass, broadcast probes, partial top-k. Oracle-gated (q130). */
+  def ivfPqResidual(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    corpus: DataFrame, cIdCol: String, cVecCol: String,
+                    nCells: Int, nProbe: Int, m: Int, nCentsPq: Int,
+                    k: Int): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    val cents = collectCentroids(corpus, cIdCol, cVecCol, nCells)
+    val bank = graft.functions.CentroidBank.of(spark, cents)
+    def cellOf(v: Column): Column =
+      bridge.column(graft.functions.NearestCell(bridge.expression(v), bank))
+    def residual(v: Column, cell: Column): Column =
+      bridge.column(graft.functions.ResidualVec(
+        bridge.expression(v), bridge.expression(cell), bank))
+
+    // deterministic first-k book — but offset PAST the centroid rows:
+    // with first-k coarse centroids, rows 0..nCells-1 ARE the centroids
+    // and their residuals are zero vectors (a degenerate codebook);
+    // rows nCells..nCells+nCentsPq-1 carry real within-cell offsets
+    val resBookRows = corpus
+      .filter(col(cIdCol) >= nCells && col(cIdCol) < nCells + nCentsPq)
+      .select(col(cIdCol).cast("long"),
+        residual(col(cVecCol), cellOf(col(cVecCol))).as("__res"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val books = graft.functions.CodebookBank.of(spark,
+      subBooks(resBookRows, m))
+
+    // one narrow pass: coarse cell + residual PQ codes per corpus row
+    val indexed = corpus
+      .select(col(cIdCol),
+        cellOf(col(cVecCol)).as("__cell"), col(cVecCol))
+      .select(col(cIdCol), col("__cell"),
+        pqCodesCol(books, residual(col(cVecCol), col("__cell"))).as("codes"))
+
+    val probes = queries.withColumn("__cell",
+        explode(bridge.column(graft.functions.ProbeCells(
+          bridge.expression(col(qVecCol)), bank, nProbe))))
+      .select(col(qIdCol), col(qVecCol), col("__cell"))
+
+    // ADC in the probed cell's residual frame
+    val dist = adcDistCol(books,
+      residual(col(qVecCol), col("__cell")), col("codes"))
+
+    indexed.join(broadcast(probes), Seq("__cell"))
+      .withColumn("__negd", -dist)
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col(cIdCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qIdCol), col("__t.id").as(cIdCol),
+        (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
+  }
+
   /** Deterministic k-means (Lloyd) training for the quantizers: init =
     * the first-k centroids, then `iterations` rounds of
     * assign-and-recompute. The per-cell mean is accumulated as EXACT

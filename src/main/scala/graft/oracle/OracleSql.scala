@@ -990,6 +990,53 @@ rk AS (SELECT qid, vec_id, dist,
 SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   }
 
+  /** q130: RESIDUAL-encoded IVF-PQ ([[graft.operators.Similarity
+    * .ivfPqResidual]]) — q49b's machinery with every PQ operand moved
+    * into the residual frame: the codebook is rows
+    * [nCells, nCells+nCentsPq)'s residuals (past the zero-residual
+    * centroid rows), each row encodes `vec − centroid[assigned cell]`, and
+    * the query compares as `qv − centroid[probed cell]`. Residuals are
+    * double-exact on both engines (float→double cast, then subtraction),
+    * so the distances stay bit-identical. */
+  def q130_ivfpq_residual(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                          nCentsPq: Int, k: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i] - $b[$j*$sub + i]) * ($a[$j*$sub + i] - $b[$j*$sub + i])), (x,y) -> x+y)"
+    def resid(v: String, cv: String): String =
+      s"list_transform(range(1, ${dim + 1}), i -> $v[i]::DOUBLE - $cv[i]::DOUBLE)"
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+resid AS (SELECT a.vec_id, a.cell, ${resid("e.embedding", "c.cvec")} AS rv
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell),
+cb AS (SELECT vec_id AS c, rv AS cv FROM resid
+  WHERE vec_id >= $nCells AND vec_id < ${nCells + nCentsPq}),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT r.vec_id, s.j, cb.c, ${subL2("r.rv", "cb.cv", "s.j")} AS d
+  FROM resid r CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+qres AS (SELECT qp.qid, qp.cell, ${resid("qp.qv", "c.cvec")} AS qr
+  FROM qprobe qp JOIN cents c ON c.cell = qp.cell),
+cand AS (SELECT qr.qid, qr.qr, a.vec_id FROM assign a JOIN qres qr ON a.cell = qr.cell),
+qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qr", "cb.cv", "en.j")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
+SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
+  }
+
   /** q125: q49b's IVF-PQ candidates widened to k×overfetch, then exact-L2
     * re-ranked — the rescored serving search (candidate-sized vector
     * fetch buys back the PQ ordering loss). */
@@ -1316,6 +1363,26 @@ g AS (
     CASE WHEN g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
   FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
 SELECT doc_id, shard::BIGINT AS shard, pack, tok AS n_tokens FROM g"""
+
+  /** q131: pack-level stats over the greedy packing ([[graft.operators
+    * .Sampling.packStats]]) — q128's recurrence aggregated to
+    * (shard, pack) with exact long token sums and the fill ratio. */
+  def q131_pack_stats(budget: Long, nShards: Int): String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $nShards AS shard,
+  len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))::BIGINT AS tok,
+  row_number() OVER (PARTITION BY doc_id % $nShards ORDER BY doc_id) AS rn
+FROM documents),
+g AS (
+  SELECT doc_id, shard, rn, tok, 0::BIGINT AS pack, tok AS used FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.rn, t.tok,
+    CASE WHEN g.used + t.tok > $budget THEN g.pack + 1 ELSE g.pack END AS pack,
+    CASE WHEN g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
+  FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
+SELECT shard::BIGINT AS shard, pack, count(*)::BIGINT AS n_docs,
+  sum(tok)::BIGINT AS pack_tokens,
+  sum(tok)::DOUBLE / $budget AS fill_ratio
+FROM g GROUP BY shard, pack"""
 
   def q57_stratified_sample(rates: Seq[(String, Double)],
                             defaultRate: Double): String = {
@@ -3161,6 +3228,8 @@ FROM events GROUP BY user_id, event_type"""
     "q127_pack_offset" -> q127_pack_offset(256L, 8),
     "q128_pack_greedy" -> q128_pack_greedy(256L, 8),
     "q129_index_drift" -> q129_index_drift(16, 1000000L),
+    "q130_ivfpq_residual" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
+    "q131_pack_stats" -> q131_pack_stats(256L, 8),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),

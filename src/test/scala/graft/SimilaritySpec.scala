@@ -245,6 +245,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nPlanesFor(Long.MaxValue, 1) == 62) // clamp: Long bitmask
   }
 
+  test("ivfPqResidual: exact semantics — candidate set, ranking frame, invariance") {
+    // queries outside both codebooks' source rows (raw book = ids 0..15,
+    // residual book = ids 16..31) so no form holds a query verbatim
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val k = 5
+    val base = Similarity.ivfPqResidual(q, "qid", "qv", e, "vec_id", "embedding",
+        16, 4, 8, 16, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(base.nonEmpty)
+    assert(base.forall(_._4 >= 0.0), "ADC distance is a sum of squares")
+    // same coarse quantizer → residual and raw rank over the SAME
+    // candidate pool (probed cells are encoding-independent); with k ≥
+    // pool they return identical id sets, so any recall difference is
+    // purely PQ ordering, never probing
+    val bigK = 500
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => (qq, rs.map(_.getLong(1)).toSet) }
+    val rawPool = ids(Similarity.ivfPq(q, "qid", "qv", e, "vec_id", "embedding",
+      16, 4, 8, 16, bigK))
+    val resPool = ids(Similarity.ivfPqResidual(q, "qid", "qv", e, "vec_id", "embedding",
+      16, 4, 8, 16, bigK))
+    assert(rawPool == resPool, "the candidate pool must be encoding-independent")
+    // the result depends only on values, never on row placement
+    val rep = Similarity.ivfPqResidual(q, "qid", "qv", e.repartition(13),
+        "vec_id", "embedding", 16, 4, 8, 16, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(rep == base)
+  }
+
   test("probesFor: half the planes, clamp-compatible, monotone") {
     import Similarity.probesFor
     assert(probesFor(0) == 0)   // small corpus: 0 planes, nothing to probe
