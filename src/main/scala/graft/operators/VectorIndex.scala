@@ -148,7 +148,12 @@ object VectorIndex {
     * [[compact]] later folds the tombstones into the cell files. This is
     * the standard serving-index delete split (the removal-request path at
     * 100 TB: the request must take effect now; the rewrite can wait for
-    * the maintenance window). */
+    * the maintenance window).
+    *
+    * A tombstoned id stays hidden until a [[compact]] clears the
+    * tombstone set — re-[[append]]ing the same id before compaction
+    * keeps it suppressed (ids are permanent identities here; re-ingest
+    * under a deleted id is a pipeline error this masks conservatively). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String): Unit =
     ids.select(col(idCol).cast("long").as("id")).distinct()
