@@ -105,6 +105,33 @@ object DedupIndex {
       .saveAsTable(s"${table}_bands")
   }
 
+  /** Re-apply the hub-bucket guard after appends WITHOUT touching text:
+    * the banded keys are a pure function of the persisted signatures, so
+    * the bands table rebuilds from `<table>_sigs` alone — no tokenize,
+    * no shingle, no re-sign of the corpus. [[appendBatch]] deliberately
+    * skips the cap (a bucket that becomes a hub only through appends
+    * isn't visible batch-locally); this is the maintenance step that
+    * restores it, at the cost of one sigs-table pass + the bucketed
+    * write — the signatures (numHashes longs/doc) are a small fraction
+    * of corpus text bytes. Same-session result equals a fresh
+    * [[writeMinhash]] of the accumulated corpus (spec-pinned). */
+  def recap(spark: SparkSession, table: String, idCol: String,
+            numHashes: Int = 16, bands: Int = 4,
+            maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+            numBuckets: Int = 32): Unit = {
+    val sigs = spark.table(s"${table}_sigs")
+      .select(col(idCol), col("sig").as("__sig"))
+      // the sigs read must materialize BEFORE the bands overwrite below
+      // (same-catalog write) — and the banded/capped stream references
+      // it three times (cap agg + key join sides)
+      .localCheckpoint(true)
+    prepareManagedTable(spark, s"${table}_bands")
+    Dedup.capBuckets(banded(sigs, idCol, numHashes, bands), maxBucketSize)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(s"${table}_bands")
+  }
+
   /** Clear a rebuild target: drop the catalog entry AND any orphaned
     * warehouse directory. An in-memory catalog forgets tables between
     * sessions while their directories persist — a fresh session's

@@ -210,6 +210,45 @@ object StreamingOps {
         max(col("__nw")).as("max_words"))
   }
 
+  /** Continuous sequence packing — [[graft.operators.Sampling
+    * .packGreedyFirstFit]]'s recurrence over an ingest stream. Per-shard
+    * state is exactly (current pack id, used tokens): TWO longs per
+    * shard regardless of stream volume — the smallest state in this
+    * module, and it never expires because it IS the recurrence, not a
+    * cache of it. Documents pack in ARRIVAL order (micro-batch rows
+    * order by id for determinism), so when the stream delivers ids in
+    * order the streamed assignment equals the batch operator on the
+    * same rows — spec-pinned across a micro-batch split the batch form
+    * never sees. Output (idCol, shard, pack, n_tokens) appends as each
+    * batch packs; downstream training-shard writers consume it
+    * incrementally instead of waiting for a corpus-wide batch pack. */
+  def packStream(stream: DataFrame, idCol: String, tokCol: String,
+                 budget: Long, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(idCol).cast("long"),
+        pmod(col(idCol), lit(nShards)).cast("long"),
+        col(tokCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[(Long, Long)]) =>
+          var (pack, used) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toArray.sortBy(_._1).map { case (id, _, tok) =>
+            if (used > 0 && used + tok > budget) { pack += 1; used = 0L }
+            used += tok
+            (id, shard, pack, tok)
+          }
+          state.update((pack, used))
+          out.iterator
+      }
+      .toDF(idCol, "shard", "pack", "n_tokens")
+  }
+
   /** Continuous ANN-index maintenance: each micro-batch of (id, vector)
     * rows encodes with the persisted index's SAVED quantizers and
     * appends into its cell partitions ([[graft.operators.VectorIndex

@@ -44,6 +44,35 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("recap: sign-free bands rebuild == fresh writeMinhash of the grown corpus") {
+    // grow by append (which skips the hub cap), then recap from sigs
+    DedupIndex.writeMinhash(corpus.filter(col("doc_id") < 250),
+      "doc_id", "text", table = "graft_didx_r", maxBucketSize = 3)
+    DedupIndex.appendBatch(spark, corpus.filter(col("doc_id") >= 250),
+      "doc_id", "text", table = "graft_didx_r")
+    DedupIndex.recap(spark, "graft_didx_r", "doc_id", maxBucketSize = 3)
+    // reference: a fresh build (text re-signed) with the same cap
+    DedupIndex.writeMinhash(corpus, "doc_id", "text",
+      table = "graft_didx_rf", maxBucketSize = 3)
+    def bands(t: String) = spark.table(s"${t}_bands")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("band"), r.getAs[Long]("key"))).toSet
+    assert(bands("graft_didx_r") == bands("graft_didx_rf"))
+    assert(bands("graft_didx_r").nonEmpty)
+    // the cap actually binds: at maxBucketSize=3 some keys must be gone
+    // vs an uncapped rebuild
+    DedupIndex.recap(spark, "graft_didx_r", "doc_id", maxBucketSize = Int.MaxValue)
+    assert(bands("graft_didx_r").size > bands("graft_didx_rf").size,
+      "cap=3 must have dropped hub-bucket keys")
+    // the rebuilt table keeps its bucketed layout (no exchange on self-join)
+    val t = spark.table("graft_didx_r_bands")
+    val l = t.select(col("doc_id").as("id_a"), col("band"), col("key"))
+    val r2 = t.select(col("doc_id").as("id_b"), col("band"), col("key"))
+    val plan = l.hint("merge").join(r2.hint("merge"), Seq("band", "key"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"recapped table must stay bucketed:\n$plan")
+  }
+
   test("estimator column: overlap fraction of positionally-matched components") {
     import spark.implicits._
     val df = Seq(

@@ -349,6 +349,34 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(indexed == Set(1L, 2L, 11L, 13L, 21L))
   }
 
+  test("packStream: micro-batch splits == batch greedy packing on in-order ids") {
+    val docsDf = graft.operators.TextAnalysis
+      .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens"))
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // split at an arbitrary boundary: the recurrence must carry the
+    // (pack, used) state across the batch seam
+    val (b1, b2) = rows.partition(_._1 < 180)
+    val ms = MemoryStream[(Long, Long)]
+    val out = StreamingOps.packStream(
+      ms.toDF().toDF("doc_id", "ws_tokens"), "doc_id", "ws_tokens",
+      budget = 256L, nShards = 8)
+    val q = out.writeStream.format("memory").queryName("graft_pack")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("graft_pack").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.Sampling
+        .packGreedyFirstFit(docsDf, "doc_id", "ws_tokens", 256L, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
