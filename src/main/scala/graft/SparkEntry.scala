@@ -316,6 +316,26 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // the backfill-plus-daily fold: a second index built with the FIRST
+    // index's saved quantizers merges in file-level (zero data pass) —
+    // the merged search must hash-match the full-build oracle exactly
+    "q132_ivfpq_merged" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val pA = java.nio.file.Files.createTempDirectory("graft_q132_a").toString
+      val pB = java.nio.file.Files.createTempDirectory("graft_q132_b").toString
+      VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = pA)
+      val (cents, books) = VectorIndex.loadQuantizers(s, pA)
+      VectorIndex.writeWith(e.filter(col("vec_id") >= 250), "vec_id", "embedding",
+        cents, books, pB)
+      VectorIndex.merge(s, pB, pA)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", pA, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // the delete→compact lifecycle: logical tombstones take effect at
     // the next search (anti-joined out BEFORE ranking, so top-k
     // backfills), then compaction rewrites ONLY the affected cells and

@@ -380,6 +380,57 @@ object VectorIndex {
         .write.mode(mode).partitionBy("cell").parquet(s"$path/vecs")
   }
 
+  /** Merge `srcPath`'s rows INTO `dstPath` — the backfill-plus-daily
+    * shape: one big index built once, small per-period indexes built
+    * from each ingest, folded in on a maintenance cadence. Both indexes
+    * must carry bit-identical quantizers (validated against the
+    * sidecars; encoding under different quantizers is a different code
+    * space and a silent-corruption hazard this refuses loudly). The
+    * merge itself is METADATA-ONLY: each source cell file renames into
+    * the destination's cell directory (parquet part names carry a job
+    * UUID, so names never collide), tombstones union the same way —
+    * zero data pass, zero decode, O(files) namenode ops. The source
+    * index directory is consumed (its files move). */
+  def merge(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    val (cs, bs) = loadQuantizers(spark, srcPath)
+    val (cd, bd) = loadQuantizers(spark, dstPath)
+    require(cs.length == cd.length &&
+      cs.zip(cd).forall { case ((ca, va), (cb, vb)) => ca == cb && va.sameElements(vb) },
+      "merge requires bit-identical coarse centroids (different quantizers = different code space)")
+    require(bs.length == bd.length &&
+      bs.zip(bd).forall { case (ba, bb) =>
+        ba.length == bb.length && ba.zip(bb).forall { case (x, y) => x.sameElements(y) } },
+      "merge requires bit-identical PQ codebooks")
+    val fs = new org.apache.hadoop.fs.Path(dstPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcVecs = fs.exists(new org.apache.hadoop.fs.Path(s"$srcPath/vecs"))
+    val dstVecs = fs.exists(new org.apache.hadoop.fs.Path(s"$dstPath/vecs"))
+    require(srcVecs == dstVecs,
+      "merge requires matching storeVectors layouts (one side would lose rescoring)")
+    def moveTable(sub: String): Unit = {
+      val srcDir = new org.apache.hadoop.fs.Path(s"$srcPath/$sub")
+      if (!fs.exists(srcDir)) return
+      val dstDir = new org.apache.hadoop.fs.Path(s"$dstPath/$sub")
+      if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+      fs.listStatus(srcDir).foreach { entry =>
+        val name = entry.getPath.getName
+        if (entry.isDirectory && name.startsWith("cell=")) {
+          val dstCell = new org.apache.hadoop.fs.Path(dstDir, name)
+          if (!fs.exists(dstCell)) fs.mkdirs(dstCell)
+          fs.listStatus(entry.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach(f => fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dstCell, f.getPath.getName)))
+        } else if (!entry.isDirectory && name.endsWith(".parquet") && sub == "tombstones") {
+          fs.rename(entry.getPath, new org.apache.hadoop.fs.Path(dstDir, name))
+        }
+      }
+    }
+    moveTable("codes")
+    if (srcVecs) moveTable("vecs")
+    moveTable("tombstones")
+  }
+
   /** Index health reading: one row of layout statistics — cell count and
     * occupancy spread (the skew that decides whether nCells still fits
     * the corpus: a hot cell degrades every probe that hits it), row

@@ -243,6 +243,35 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "mergeAll leaves one file per cell")
   }
 
+  test("merge: same-quantizer indexes fold file-level, tombstones survive, mismatch refuses") {
+    val pA = tmp("graft_merge_a")
+    val pB = tmp("graft_merge_b")
+    val pFull = tmp("graft_merge_f")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, pA)
+    // the daily index: built over the rest with A's SAVED quantizers
+    val (cents, books) = VectorIndex.loadQuantizers(spark, pA)
+    VectorIndex.writeWith(e.filter(col("vec_id") >= 250), "vec_id", "embedding",
+      cents, books, pB)
+    import spark.implicits._
+    VectorIndex.delete(spark, pB, Seq(300L).toDF("vec_id"), "vec_id")
+    VectorIndex.merge(spark, pB, pA)
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pFull)
+    VectorIndex.delete(spark, pFull, Seq(300L).toDF("vec_id"), "vec_id")
+    val merged = asSet(VectorIndex.search(spark, q, "qid", "qv", pA, 16, 5))
+    val full = asSet(VectorIndex.search(spark, q, "qid", "qv", pFull, 16, 5))
+    assert(merged == full)
+    assert(merged.nonEmpty)
+    assert(VectorIndex.stats(spark, pA).collect()(0).getAs[Long]("n_rows") == 500L,
+      "merge must fold every source row in")
+    // different quantizers = different code space: refuse loudly
+    val pC = tmp("graft_merge_c")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 8, 8, 16, pC)
+    intercept[IllegalArgumentException] {
+      VectorIndex.merge(spark, pC, pA)
+    }
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
