@@ -316,6 +316,23 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // predicated serving search: the allow-set (every third id — in
+    // production a filtered dimension table) semi-joins the candidate
+    // stream BEFORE ranking, so top-k backfills with permitted rows
+    "q133_ivfpq_filtered" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q133_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.searchFiltered(s, q, "qid", "qv", VectorIndex.load(s, path),
+          nProbe = 4, k = 5,
+          allowed = e.filter(col("vec_id") % 3 === 0), allowedIdCol = "vec_id")
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // the backfill-plus-daily fold: a second index built with the FIRST
     // index's saved quantizers merges in file-level (zero data pass) —
     // the merged search must hash-match the full-build oracle exactly

@@ -280,6 +280,22 @@ object VectorIndex {
                    nProbe: Int, k: Int): DataFrame =
     adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k)._2
 
+  /** Predicated ANN search: [[searchLoaded]] restricted to an allow-set
+    * of ids — the serving-side metadata filter (language, license,
+    * collection membership) every retrieval stack needs. The allow set
+    * is usually a filtered dimension table; ONLY its id column is read,
+    * and the semi join applies to the probed-cells candidate stream
+    * BEFORE ranking, so the top-k backfills with permitted rows exactly
+    * as if the index contained only them (spec-pinned against a rebuild
+    * on the allowed corpus with the same quantizers). Composes with
+    * tombstones (both prune pre-ranking). */
+  def searchFiltered(spark: SparkSession, queries: DataFrame,
+                     qIdCol: String, qVecCol: String, idx: Loaded,
+                     nProbe: Int, k: Int,
+                     allowed: DataFrame, allowedIdCol: String): DataFrame =
+    adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k,
+      restrict = Some(allowed.select(col(allowedIdCol).cast("long").as("id"))))._2
+
   /** [[searchLoaded]] + exact re-ranking: ADC over codes picks
     * `k × overfetch` candidates per query, then ONLY those candidates'
     * raw vectors are fetched (from the cell-partitioned `vecs` table,
@@ -313,7 +329,8 @@ object VectorIndex {
 
   private def adcSearch(spark: SparkSession, queries: DataFrame,
                         qIdCol: String, qVecCol: String, idx: Loaded,
-                        nProbe: Int, k: Int): (Array[Long], DataFrame) = {
+                        nProbe: Int, k: Int,
+                        restrict: Option[DataFrame] = None): (Array[Long], DataFrame) = {
     val bank = graft.functions.CentroidBank.of(spark, idx.cents)
     val bookBank = graft.functions.CodebookBank.of(spark, idx.books)
 
@@ -336,8 +353,11 @@ object VectorIndex {
     // top-k backfills exactly as a physical delete would; the anti-join
     // runs over the probed-cells subset only, and AQE broadcasts the
     // (compaction-bounded) tombstone side when it is small
-    val codes = idx.tombs.fold(survivors)(t =>
+    val afterTombs = idx.tombs.fold(survivors)(t =>
       survivors.join(t.select(col("id")), Seq("id"), "left_anti"))
+    // allow-set semi join: also pre-ranking, also probed-subset-sized
+    val codes = restrict.fold(afterTombs)(a =>
+      afterTombs.join(a, Seq("id"), "left_semi"))
 
     val dist = Similarity.adcDistCol(bookBank, col(qVecCol), col("codes"))
     val ranked = codes.join(broadcast(probes), Seq("cell"))

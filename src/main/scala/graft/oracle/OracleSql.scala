@@ -3231,6 +3231,8 @@ FROM events GROUP BY user_id, event_type"""
     "q130_ivfpq_residual" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
     "q131_pack_stats" -> q131_pack_stats(256L, 8),
     "q132_ivfpq_merged" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q133_ivfpq_filtered" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5,
+      candFilter = "WHERE a.vec_id % 3 = 0"),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),

@@ -272,6 +272,23 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("searchFiltered: allow-set search == rebuild on the allowed corpus") {
+    val pFull = tmp("graft_filt_full")
+    val pOnly = tmp("graft_filt_only")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pFull)
+    // same quantizers, corpus restricted to the allow set: the filtered
+    // search over the FULL index must equal this index's plain search
+    val (cents, books) = VectorIndex.loadQuantizers(spark, pFull)
+    val allowed = e.filter(col("vec_id") % 3 === 0)
+    VectorIndex.writeWith(allowed, "vec_id", "embedding", cents, books, pOnly)
+    val filtered = asSet(VectorIndex.searchFiltered(spark, q, "qid", "qv",
+      VectorIndex.load(spark, pFull), 4, 5, allowed, "vec_id"))
+    val rebuilt = asSet(VectorIndex.search(spark, q, "qid", "qv", pOnly, 4, 5))
+    assert(filtered == rebuilt)
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._2 % 3 == 0))
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)

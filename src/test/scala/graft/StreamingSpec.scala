@@ -377,6 +377,41 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("packStream: per-shard state survives a checkpointed restart") {
+    val docsDf = graft.operators.TextAnalysis
+      .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens"))
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (b1, b2) = rows.partition(_._1 < 180)
+    val ms = MemoryStream[(Long, Long)]
+    val out = StreamingOps.packStream(
+      ms.toDF().toDF("doc_id", "ws_tokens"), "doc_id", "ws_tokens",
+      budget = 256L, nShards = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def start() = out.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized {
+          buf ++= b.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { ms.addData(b1.toSeq); q1.processAllAvailable() } finally q1.stop()
+    // a NEW query from the same checkpoint: the (pack, used) state must
+    // recover from the state store, not restart at (0, 0)
+    val q2 = start()
+    try { ms.addData(b2.toSeq); q2.processAllAvailable() } finally q2.stop()
+    val batch = graft.operators.Sampling
+      .packGreedyFirstFit(docsDf, "doc_id", "ws_tokens", 256L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(buf.toSet == batch,
+      "restarted stream must continue the recurrence where batch 1 left it")
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
