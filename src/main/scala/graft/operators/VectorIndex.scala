@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   *     happens (the spec asserts `PartitionFilters` in the scan). At 16
   *     probes of 65k cells that is ~0.02% of the file listing, where
   *     [[Similarity.ivfPq]]'s in-plan form still scans every row.
+  *     Serving variants: [[searchRescored]] (exact-L2 re-rank of ADC
+  *     candidates) and [[searchFiltered]] (allow-set predicate), both
+  *     pre-ranking so top-k backfills correctly.
+  *   - '''maintain''': O(batch) tombstone [[delete]]s with immediate
+  *     effect, affected-cells-only [[compact]]ion (+ mergeAll
+  *     small-file fold), metadata-only [[merge]] of a same-quantizer
+  *     index, [[driftScore]] deciding WHEN to retrain, and [[stats]]
+  *     for occupancy/file health — each leg measured at 1×/10×/100×
+  *     (SCALING.md).
   *
   * Results are bit-identical to [[Similarity.ivfPq]] built from the same
   * quantizers (same NearestCell assignment, same subspace-ordered ADC
@@ -308,11 +317,16 @@ object VectorIndex {
     * Output (qIdCol, id, rank, dist) with exact squared-L2 dist. */
   def searchRescored(spark: SparkSession, queries: DataFrame,
                      qIdCol: String, qVecCol: String, idx: Loaded,
-                     nProbe: Int, k: Int, overfetch: Int = 4): DataFrame = {
+                     nProbe: Int, k: Int, overfetch: Int = 4,
+                     allowed: Option[DataFrame] = None,
+                     allowedIdCol: String = "id"): DataFrame = {
     val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
       "searchRescored needs an index built with storeVectors = true (no vecs/ table)"))
+    // the allow-set (when given) prunes the ADC candidate stage, so the
+    // exact-rerank fetch only ever touches permitted rows
     val (probedCells, adc) =
-      adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k * overfetch)
+      adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k * overfetch,
+        restrict = allowed.map(_.select(col(allowedIdCol).cast("long").as("id"))))
     val cands = adc.select(col(qIdCol), col("id"))
     val pruned = vecsDf
       .filter(col("cell").isin(probedCells: _*))

@@ -281,12 +281,41 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val (cents, books) = VectorIndex.loadQuantizers(spark, pFull)
     val allowed = e.filter(col("vec_id") % 3 === 0)
     VectorIndex.writeWith(allowed, "vec_id", "embedding", cents, books, pOnly)
-    val filtered = asSet(VectorIndex.searchFiltered(spark, q, "qid", "qv",
-      VectorIndex.load(spark, pFull), 4, 5, allowed, "vec_id"))
+    val fdf = VectorIndex.searchFiltered(spark, q, "qid", "qv",
+      VectorIndex.load(spark, pFull), 4, 5, allowed, "vec_id")
+    // the semi join must not break directory pruning at the codes scan
+    assert(fdf.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "filtered search must keep the probed-cells partition filter")
+    val filtered = asSet(fdf)
     val rebuilt = asSet(VectorIndex.search(spark, q, "qid", "qv", pOnly, 4, 5))
     assert(filtered == rebuilt)
     assert(filtered.nonEmpty)
     assert(filtered.forall(_._2 % 3 == 0))
+  }
+
+  test("searchRescored composes with an allow-set: only permitted rows surface") {
+    val path = tmp("graft_filt_resc")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path,
+      storeVectors = true)
+    val idx = VectorIndex.load(spark, path)
+    val allowed = e.filter(col("vec_id") % 3 === 0)
+    val res = VectorIndex.searchRescored(spark, q, "qid", "qv", idx,
+        nProbe = 16, k = 5, overfetch = 200,
+        allowed = Some(allowed), allowedIdCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res.nonEmpty)
+    assert(res.forall(_._2 % 3 == 0))
+    // full probe + wide overfetch: the filtered rescored result IS brute
+    // L2 top-k over the allowed corpus
+    val brute = allowed.crossJoin(broadcast(q))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        (-Similarity.l2sq(col("embedding"), col("qv"))).cast("double"),
+        col("vec_id").cast("long"), 5).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), col("__t.id"), (col("__r") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res == brute)
   }
 
   test("loadQuantizers round-trips centroids and books exactly") {
