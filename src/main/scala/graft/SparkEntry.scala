@@ -333,6 +333,33 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // the serving capstone: every lifecycle piece composed in one gate —
+    // two same-quantizer builds MERGED, a removal batch tombstoned then
+    // COMPACTED away, and the query path running FILTERED (allow-set)
+    // RESCORED search — hash-matched against the candidate-constrained
+    // rescored oracle
+    "q134_serving_capstone" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val pA = java.nio.file.Files.createTempDirectory("graft_q134_a").toString
+      val pB = java.nio.file.Files.createTempDirectory("graft_q134_b").toString
+      VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = pA, storeVectors = true)
+      val (cents, books) = VectorIndex.loadQuantizers(s, pA)
+      VectorIndex.writeWith(e.filter(col("vec_id") >= 250), "vec_id", "embedding",
+        cents, books, pB, storeVectors = true)
+      VectorIndex.merge(s, pB, pA)
+      VectorIndex.delete(s, pA,
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+      VectorIndex.compact(s, pA)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.searchRescored(s, q, "qid", "qv", VectorIndex.load(s, pA),
+          nProbe = 4, k = 5, overfetch = 4,
+          allowed = Some(e.filter(col("vec_id") % 3 === 0)), allowedIdCol = "vec_id")
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // the backfill-plus-daily fold: a second index built with the FIRST
     // index's saved quantizers merges in file-level (zero data pass) —
     // the merged search must hash-match the full-build oracle exactly

@@ -471,7 +471,8 @@ object VectorIndex {
     * total, pending tombstones, and files-per-cell (append growth; fold
     * with [[compact]](mergeAll) when it creeps). One narrow pass over
     * the codes table's (cell) column + a cells-bounded agg; the file
-    * listing reuses the FileIndex the read already built. */
+    * count is a driver-side directory listing — O(nCells) metadata ops,
+    * bounded by the layout, never by data. */
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val codes = spark.read.parquet(s"$path/codes")

@@ -1040,8 +1040,11 @@ SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   /** q125: q49b's IVF-PQ candidates widened to k×overfetch, then exact-L2
     * re-ranked — the rescored serving search (candidate-sized vector
     * fetch buys back the PQ ordering loss). */
+  /** `candFilter` as in [[q49b_ivf_pq]] — q134 composes the delete and
+    * allow-set predicates at the candidate stage. */
   def q125_ivfpq_rescored(dim: Int, nCells: Int, nProbe: Int, m: Int,
-                          nCentsPq: Int, k: Int, overfetch: Int): String = {
+                          nCentsPq: Int, k: Int, overfetch: Int,
+                          candFilter: String = ""): String = {
     val sub = dim / m
     def subL2(a: String, b: String, j: String): String =
       s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
@@ -1062,7 +1065,7 @@ qprobe AS (SELECT qid, qv, cell FROM (
   SELECT q.qid, q.qv, c.cell,
     row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
   FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
-cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell $candFilter),
 qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
   FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
 adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
@@ -3233,6 +3236,8 @@ FROM events GROUP BY user_id, event_type"""
     "q132_ivfpq_merged" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q133_ivfpq_filtered" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5,
       candFilter = "WHERE a.vec_id % 3 = 0"),
+    "q134_serving_capstone" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4,
+      candFilter = "WHERE a.vec_id % 7 != 0 AND a.vec_id % 3 = 0"),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
