@@ -228,7 +228,11 @@ case class ResidualVec(left: Expression, right: Expression, bank: CentroidBank)
     val i = java.util.Arrays.binarySearch(bank.cells, cell)
     require(i >= 0, s"cell $cell not in the centroid bank")
     val cent = bank.vecs(i)
-    val n = math.min(v.numElements(), cent.length)
+    val n = v.numElements()
+    // fail loudly on a dimension mismatch (wrong column, corrupt row):
+    // a silently truncated residual yields plausible-but-wrong distances
+    require(n == cent.length,
+      s"ResidualVec dimension mismatch: vector has $n elements, centroid ${cent.length}")
     val out = new Array[Double](n)
     var d = 0
     while (d < n) {

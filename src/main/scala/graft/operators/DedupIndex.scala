@@ -66,8 +66,24 @@ object DedupIndex {
   def nearDupsAgainst(spark: SparkSession, newBatch: DataFrame,
                       idCol: String, textCol: String, table: String,
                       threshold: Double, n: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4): DataFrame = {
-    val bSigs = signed(newBatch, idCol, textCol, n, numHashes)
+                      bands: Int = 4): DataFrame =
+    nearDupsAgainstSigned(spark, sign(newBatch, idCol, textCol, n, numHashes),
+      idCol, table, threshold, numHashes, bands)
+
+  /** Sign once, reuse: the public (id, sig) form of the internal
+    * signature pass — ingest paths that near-dup-check AND append the
+    * same batch sign it once and feed both calls. */
+  def sign(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+           numHashes: Int = 16): DataFrame =
+    signed(df, idCol, textCol, n, numHashes)
+      .select(col(idCol), col("__sig").as("sig"))
+
+  /** [[nearDupsAgainst]] over a pre-signed batch ((idCol, sig) rows, as
+    * produced by [[sign]]). */
+  def nearDupsAgainstSigned(spark: SparkSession, sigs: DataFrame,
+                            idCol: String, table: String, threshold: Double,
+                            numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bSigs = sigs.select(col(idCol), col("sig").as("__sig"))
     val bBands = banded(bSigs, idCol, numHashes, bands)
       .select(col(idCol).as("__bid"), col("band"), col("key"))
     val cBands = spark.table(s"${table}_bands")
@@ -92,14 +108,20 @@ object DedupIndex {
   def appendBatch(spark: SparkSession, batch: DataFrame,
                   idCol: String, textCol: String, table: String,
                   n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                  numBuckets: Int = 32): Unit = {
-    val sigs = signed(batch, idCol, textCol, n, numHashes)
-    sigs.select(col(idCol), col("__sig").as("sig"))
+                  numBuckets: Int = 32): Unit =
+    appendSigned(spark, sign(batch, idCol, textCol, n, numHashes),
+      idCol, table, numHashes, bands, numBuckets)
+
+  /** [[appendBatch]] over a pre-signed batch (see [[sign]]). */
+  def appendSigned(spark: SparkSession, sigs: DataFrame, idCol: String,
+                   table: String, numHashes: Int = 16, bands: Int = 4,
+                   numBuckets: Int = 32): Unit = {
+    sigs.select(col(idCol), col("sig"))
       .write.mode("append").format("parquet").saveAsTable(s"${table}_sigs")
     // appended files must declare the table's bucketing (numBuckets must
     // match the build) — each append adds per-bucket files, it never
     // rewrites existing ones
-    banded(sigs, idCol, numHashes, bands)
+    banded(sigs.select(col(idCol), col("sig").as("__sig")), idCol, numHashes, bands)
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
       .saveAsTable(s"${table}_bands")

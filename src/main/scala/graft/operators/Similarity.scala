@@ -431,14 +431,18 @@ object Similarity {
       .select(col(cIdCol), col("__cell"),
         pqCodesCol(books, residual(col(cVecCol), col("__cell"))).as("codes"))
 
+    // the query residual depends only on (query, probed cell), so it is
+    // computed HERE — |Q|×nProbe rows, before the broadcast — never per
+    // candidate inside the hot ADC scan (which would re-run the lookup
+    // and the O(dim) allocation for every probed-cell member)
     val probes = queries.withColumn("__cell",
         explode(bridge.column(graft.functions.ProbeCells(
           bridge.expression(col(qVecCol)), bank, nProbe))))
-      .select(col(qIdCol), col(qVecCol), col("__cell"))
+      .select(col(qIdCol), col("__cell"),
+        residual(col(qVecCol), col("__cell")).as("__qres"))
 
     // ADC in the probed cell's residual frame
-    val dist = adcDistCol(books,
-      residual(col(qVecCol), col("__cell")), col("codes"))
+    val dist = adcDistCol(books, col("__qres"), col("codes"))
 
     indexed.join(broadcast(probes), Seq("__cell"))
       .withColumn("__negd", -dist)

@@ -80,7 +80,8 @@ object VectorIndex {
 
   /** Persist explicit quantizers + the encoded corpus. Layout:
     * `path/centroids` (cell, vec), `path/books` (j, code, vec),
-    * `path/meta` (dim, m, n_cells, k_pq), `path/codes` partitioned by
+    * `path/meta` (dim, m, n_cells, k_pq, mean_cell_dist — the
+    * [[driftScore]] baseline), `path/codes` partitioned by
     * `cell` with columns (id, codes), and — when `storeVectors` — a
     * `path/vecs` table (id, vec) partitioned by cell for
     * [[searchRescored]]. Sidecars are driver-small (k×dim); codes is

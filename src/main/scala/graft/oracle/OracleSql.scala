@@ -1362,8 +1362,8 @@ g AS (
   SELECT doc_id, shard, rn, tok, 0::BIGINT AS pack, tok AS used FROM t WHERE rn = 1
   UNION ALL
   SELECT t.doc_id, t.shard, t.rn, t.tok,
-    CASE WHEN g.used + t.tok > $budget THEN g.pack + 1 ELSE g.pack END AS pack,
-    CASE WHEN g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
+    CASE WHEN g.used > 0 AND g.used + t.tok > $budget THEN g.pack + 1 ELSE g.pack END AS pack,
+    CASE WHEN g.used > 0 AND g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
   FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
 SELECT doc_id, shard::BIGINT AS shard, pack, tok AS n_tokens FROM g"""
 
@@ -1379,8 +1379,8 @@ g AS (
   SELECT doc_id, shard, rn, tok, 0::BIGINT AS pack, tok AS used FROM t WHERE rn = 1
   UNION ALL
   SELECT t.doc_id, t.shard, t.rn, t.tok,
-    CASE WHEN g.used + t.tok > $budget THEN g.pack + 1 ELSE g.pack END AS pack,
-    CASE WHEN g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
+    CASE WHEN g.used > 0 AND g.used + t.tok > $budget THEN g.pack + 1 ELSE g.pack END AS pack,
+    CASE WHEN g.used > 0 AND g.used + t.tok > $budget THEN t.tok ELSE g.used + t.tok END AS used
   FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
 SELECT shard::BIGINT AS shard, pack, count(*)::BIGINT AS n_docs,
   sum(tok)::BIGINT AS pack_tokens,

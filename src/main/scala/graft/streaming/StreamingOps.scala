@@ -263,9 +263,46 @@ object StreamingOps {
   def ivfPqAppendSink(stream: DataFrame, idCol: String, vecCol: String,
                       indexPath: String): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) VectorIndex.append(batch.toDF(), idCol, vecCol, indexPath)
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          idempotentAppend(batch.toDF(), idCol, vecCol, indexPath, batchId)
     }
+
+  /** The replay-safe per-batch body of [[ivfPqAppendSink]]. foreachBatch
+    * is at-least-once: a batch whose append COMMITTED but whose
+    * checkpoint offset didn't is redelivered on restart, and a naive
+    * re-append would put every row in the index twice (two of k top-k
+    * slots per duplicate). The started/done marker protocol makes the
+    * replay effectively exactly-once:
+    *
+    *  - `done-<batchId>` exists → this batch fully landed: skip.
+    *  - `started-<batchId>` without done → a previous attempt crashed
+    *    mid-append: tombstone THIS batch's ids and compact (physically
+    *    removing whatever partial copy landed — ingest ids are new by
+    *    contract, so the cleanup cannot touch other rows), then append
+    *    fresh.
+    *  - neither → first attempt: mark started, append, mark done.
+    *
+    * The markers live inside the index layout (`ingest_log/`), so they
+    * travel with it. */
+  def idempotentAppend(batch: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val log = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(log, s"done-$batchId")
+    if (fs.exists(done)) return
+    val started = new org.apache.hadoop.fs.Path(log, s"started-$batchId")
+    if (fs.exists(started)) {
+      VectorIndex.delete(spark, indexPath,
+        batch.select(org.apache.spark.sql.functions.col(idCol)), idCol)
+      VectorIndex.compact(spark, indexPath)
+    }
+    fs.mkdirs(log)
+    fs.create(started, true).close()
+    VectorIndex.append(batch, idCol, vecCol, indexPath)
+    fs.create(done, true).close()
+  }
 
   /** Streaming ingest dedup against the persisted MinHash index
     * ([[graft.operators.DedupIndex]]): per micro-batch —
@@ -289,31 +326,49 @@ object StreamingOps {
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       numBuckets: Int = 32): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (rows: Dataset[Row], _: Long) =>
+      (rows: Dataset[Row], batchId: Long) =>
         val batch = rows.toDF()
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val inBatch = Dedup.minhashNearDups(batch, idCol, textCol,
-              threshold, n, numHashes, bands)
-            .select(col("id_a"), col("id_b"), col("jaccard"))
-            .localCheckpoint(false)
-          val localClean = batch.join(
-            inBatch.select(col("id_b").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-          val corpusPairs = DedupIndex.nearDupsAgainst(spark, localClean,
-              idCol, textCol, table, threshold, n, numHashes, bands)
-            .localCheckpoint(false)
-          inBatch
-            .select(col("id_b").as(idCol), col("id_a").as("dup_of"),
-              col("jaccard").as("similarity"), lit("batch").as("scope"))
-            .unionByName(corpusPairs
-              .select(col(idCol), col("corpus_id").as("dup_of"),
-                col("est_jaccard").as("similarity"), lit("corpus").as("scope")))
-            .write.mode("append").parquet(dupsPath)
-          val clean = localClean.join(
-            corpusPairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-          DedupIndex.appendBatch(spark, clean, idCol, textCol, table,
-            n, numHashes, bands, numBuckets)
+          // replay guard (foreachBatch is at-least-once): a COMPLETED
+          // batch redelivered after a restart is a no-op. The remaining
+          // window — a crash between the index append and the marker —
+          // can double ONE batch's signature/audit rows; the duplicates
+          // are value-identical pairs, and the next writeMinhash rebuild
+          // clears them (recap alone keeps sigs-table dups).
+          val log = new org.apache.hadoop.fs.Path(s"${dupsPath}_ingest_log")
+          val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val done = new org.apache.hadoop.fs.Path(log, s"done-$batchId")
+          if (!fs.exists(done)) {
+            // the in-batch pass signs internally (its exact-Jaccard
+            // verify needs the shingles anyway); the index-side check
+            // and the append share ONE further signing pass
+            val inBatch = Dedup.minhashNearDups(batch, idCol, textCol,
+                threshold, n, numHashes, bands)
+              .select(col("id_a"), col("id_b"), col("jaccard"))
+              .localCheckpoint(false)
+            val bSigs = DedupIndex.sign(batch, idCol, textCol, n, numHashes)
+              .localCheckpoint(false)
+            val localCleanSigs = bSigs.join(
+              inBatch.select(col("id_b").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            val corpusPairs = DedupIndex.nearDupsAgainstSigned(spark,
+                localCleanSigs, idCol, table, threshold, numHashes, bands)
+              .localCheckpoint(false)
+            inBatch
+              .select(col("id_b").as(idCol), col("id_a").as("dup_of"),
+                col("jaccard").as("similarity"), lit("batch").as("scope"))
+              .unionByName(corpusPairs
+                .select(col(idCol), col("corpus_id").as("dup_of"),
+                  col("est_jaccard").as("similarity"), lit("corpus").as("scope")))
+              .write.mode("append").parquet(dupsPath)
+            val cleanSigs = localCleanSigs.join(
+              corpusPairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+            DedupIndex.appendSigned(spark, cleanSigs, idCol, table,
+              numHashes, bands, numBuckets)
+            fs.mkdirs(log)
+            fs.create(done, true).close()
+          }
         }
     }
 }

@@ -233,6 +233,19 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rep.toSet == got.toSet)
   }
 
+  test("packGreedyFirstFit: zero-token head + over-budget doc stay in pack 0") {
+    // the used>0 rollover guard: an empty doc leaves used==0, so the
+    // following over-budget doc must NOT open a new pack (it lands in
+    // the still-empty pack 0) — the oracle's recursive CASE carries the
+    // same guard, or the q128/q131 gates would diverge on any corpus
+    // with a whitespace-only doc at a shard head
+    import spark.implicits._
+    val df = Seq((0L, 0L), (8L, 999L), (16L, 5L)).toDF("doc_id", "t")
+    val got = Sampling.packGreedyFirstFit(df, "doc_id", "t", budget = 256L, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(0L -> 0L, 8L -> 0L, 16L -> 1L))
+  }
+
   test("packByOffset: pack = first-token window of the per-shard concat stream") {
     val docsDf = graft.operators.TextAnalysis
       .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),

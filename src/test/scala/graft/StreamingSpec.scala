@@ -311,6 +311,36 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.nonEmpty)
   }
 
+  test("idempotentAppend: completed replays no-op; crashed attempts clean up first") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    graft.operators.VectorIndex.writeIvfPq(e.filter($"vec_id" < 400),
+      "vec_id", "embedding", 16, 8, 16, path)
+    def codes = spark.read.parquet(s"$path/codes")
+    val b7 = e.filter($"vec_id" >= 400)
+    StreamingOps.idempotentAppend(b7, "vec_id", "embedding", path, 7L)
+    assert(codes.count() == 500)
+    // a COMPLETED batch redelivered after restart: must be a no-op
+    StreamingOps.idempotentAppend(b7, "vec_id", "embedding", path, 7L)
+    assert(codes.count() == 500)
+    // a CRASHED attempt: half of batch 8 landed, started marker written,
+    // done marker never reached — the retry must remove the partial copy
+    // before re-appending, leaving every id exactly once
+    val b8 = e.filter($"vec_id" >= 400)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    graft.operators.VectorIndex.append(
+      b8.filter($"vec_id" < 1450), "vec_id", "embedding", path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/ingest_log"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/ingest_log/started-8"), true).close()
+    StreamingOps.idempotentAppend(b8, "vec_id", "embedding", path, 8L)
+    assert(codes.count() == 600)
+    assert(codes.groupBy($"id").count().agg(max($"count")).head().getLong(0) == 1L,
+      "no id may appear twice after a crash-replay")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/ingest_log/done-8")))
+  }
+
   test("dedupIngestSink: batch + corpus dups audited, clean rows self-accumulate") {
     val table = "graft_stream_dedup"
     val dups = java.nio.file.Files.createTempDirectory("graft_sink_dups").toString + "/pairs"
