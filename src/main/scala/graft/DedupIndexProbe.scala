@@ -68,8 +68,17 @@ object DedupIndexProbe {
         "graft_didx_probe", threshold = 0.35))
     }
 
+    // each rep appends a DISTINCT id range (same text, offset ids): the
+    // same ids re-appended would duplicate rows and change what reps 2+
+    // measure
+    var appendRep = 0
+    val step = d.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) + 1L
     timed("append_batch") {
-      DedupIndex.appendBatch(spark, batch, "doc_id", "text", "graft_didx_probe")
+      val r = appendRep; appendRep += 1
+      DedupIndex.appendBatch(spark,
+        batch.select((col("doc_id") + lit(r * step)).as("doc_id"), col("text")),
+        "doc_id", "text", "graft_didx_probe")
     }
 
     spark.stop()

@@ -107,10 +107,15 @@ object DriftProbe {
 
     // headline = per-query BEST pass (the steady-state-closest sample,
     // the 100×-cohort convention); the raw per-pass samples ride along
-    // so median or spread can be recomputed from the artifact
+    // so median or spread can be recomputed from the artifact.
+    // A query that failed under EITHER profile leaves BOTH totals
+    // (the A/B delta is only meaningful over the intersection of
+    // succeeded queries — summing different query sets would shift the
+    // delta by the full cost of the asymmetric query).
+    val failedAnywhere = failed.map(_._2).toSet
     val lines = profiles.map { case (profile, confs) =>
       val results = suite.map { case (name, _) =>
-        val ok = !failed.contains((profile, name))
+        val ok = !failedAnywhere.contains(name)
         val samples = times.getOrElse((profile, name),
           scala.collection.mutable.ArrayBuffer.empty[Double]).toSeq
         val sec = if (samples.isEmpty) 0.0 else samples.min

@@ -249,11 +249,18 @@ object IndexProbe {
     }
 
     // ---- incremental append: ~1% new rows, saved quantizers ----
-    val newRows = vecs.filter(col("vec_id") % 100 === 0)
-      .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
+    // each rep appends a DISTINCT id range: re-appending the same ids
+    // would duplicate rows and make reps 2+ measure a different (grown,
+    // duplicate-laden) layout than rep 1
+    var appendRep = 0
     timed("append_1pct") {
+      val r = appendRep; appendRep += 1
+      val newRows = vecs.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + lit((10L + r) * n)).as("vec_id"), col("embedding"))
       VectorIndex.append(newRows, "vec_id", "embedding", path)
     }
+    val newRows = vecs.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
 
     def timedOnce(label: String, extra: String = "")(body: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -30,7 +30,10 @@ object RecallProbe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println("usage: RecallProbe <sfDir> [k=4] [planted]"); sys.exit(1) }
     val sfDir = args(0)
-    val k = if (args.length > 1) args(1).toInt else 4
+    // `planted` may appear in place of the optional k (the usage string
+    // allows `RecallProbe <sfDir> planted`) — parse only numeric args as k
+    val k = args.drop(1).flatMap(a => scala.util.Try(a.toInt).toOption)
+      .headOption.getOrElse(4)
     val plantedOnly = args.contains("planted")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Graft.tunedBuilder(sfDir, cpus).getOrCreate()

@@ -69,7 +69,6 @@ object StreamProbe {
     val runsSel = sys.env.get("SPARK_GRAFT_RUNS").map(_.split(",").toSet)
     val stageDir = s"/tmp/graft_streamprobe/${new java.io.File(sfDir).getName}-x$stageFactor"
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
-    val docStep = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     // SPARK_GRAFT_REUSE_STAGE=1 skips re-staging when the staged dir is
     // already complete — the memory-crossover runs deliberately shrink
     // the heap below what the ×N staging write itself needs, so the
@@ -78,6 +77,10 @@ object StreamProbe {
     val reuse = sys.env.get("SPARK_GRAFT_REUSE_STAGE").contains("1") &&
       new java.io.File(stageDir, "_SUCCESS").exists()
     if (!reuse) {
+      // replica id offset — only needed (and only computed) when staging
+      // actually replicates; a reused or ×1 stage must not pay a corpus
+      // scan for an unused aggregate
+      lazy val docStep = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val src = (0 until stageFactor).map { i =>
           val d = if (i == 0) base
             else base.select((col("doc_id") + lit(i * docStep)).as("doc_id"),

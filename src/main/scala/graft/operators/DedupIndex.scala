@@ -47,17 +47,53 @@ object DedupIndex {
                    bands: Int = 4,
                    maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
                    numBuckets: Int = 32): Unit = {
-    prepareManagedTable(corpus.sparkSession, s"${table}_sigs")
-    prepareManagedTable(corpus.sparkSession, s"${table}_bands")
-    val sigs = signed(corpus, idCol, textCol, n, numHashes)
-    sigs.select(col(idCol), col("__sig").as("sig"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    prepareManagedTable(spark, s"${table}_sigs")
+    prepareManagedTable(spark, s"${table}_bands")
+    prepareManagedTable(spark, s"${table}_meta")
+    // ONE corpus signing pass: the bands table derives from the just-
+    // written sigs table (signatures are the small per-doc residue; the
+    // expensive tokenize+shingle+MinHash pass must not run twice over a
+    // 100 TB corpus — exactly the recap trick, applied at build)
+    signed(corpus, idCol, textCol, n, numHashes)
+      .select(col(idCol), col("__sig").as("sig"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_sigs")
+    val sigs = spark.table(s"${table}_sigs")
+      .select(col(idCol), col("sig").as("__sig"))
     Dedup.capBuckets(banded(sigs, idCol, numHashes, bands), maxBucketSize)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
       .saveAsTable(s"${table}_bands")
+    // construction parameters persist with the index: a query or append
+    // under different n/numHashes/bands would silently match nothing
+    // (different hash ranges), so mismatches must refuse loudly
+    Seq((n, numHashes, bands, numBuckets)).toDF("n", "num_hashes", "bands", "num_buckets")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+    // the bands derivation above READ the sigs table, leaving a cached
+    // file-listing snapshot in THIS session's relation cache; appends
+    // that run in a cloned session (foreachBatch) refresh only their
+    // own cache, so drop the snapshot now or later same-session reads
+    // would miss every streamed append
+    spark.catalog.refreshTable(s"${table}_sigs")
   }
+
+  /** Validate call-site parameters against the index's persisted meta
+    * (no-op for pre-meta indexes). */
+  private def requireParams(spark: SparkSession, table: String,
+                            numHashes: Int, bands: Int,
+                            n: Option[Int] = None): Unit =
+    if (spark.catalog.tableExists(s"${table}_meta")) {
+      val m = spark.table(s"${table}_meta").collect()(0)
+      require(m.getAs[Int]("num_hashes") == numHashes && m.getAs[Int]("bands") == bands &&
+        n.forall(_ == m.getAs[Int]("n")),
+        s"index $table was built with (n=${m.getAs[Int]("n")}, numHashes=${m.getAs[Int]("num_hashes")}, " +
+          s"bands=${m.getAs[Int]("bands")}); called with " +
+          s"(${n.map(v => s"n=$v, ").getOrElse("")}numHashes=$numHashes, bands=$bands) — " +
+          "mismatched parameters hash into different band key spaces and silently match nothing")
+    }
 
   /** Near-dup pairs between a NEW batch and the indexed corpus:
     * (idCol = batch id, corpus_id, est_jaccard) where the
@@ -66,9 +102,11 @@ object DedupIndex {
   def nearDupsAgainst(spark: SparkSession, newBatch: DataFrame,
                       idCol: String, textCol: String, table: String,
                       threshold: Double, n: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4): DataFrame =
+                      bands: Int = 4): DataFrame = {
+    requireParams(spark, table, numHashes, bands, Some(n))
     nearDupsAgainstSigned(spark, sign(newBatch, idCol, textCol, n, numHashes),
       idCol, table, threshold, numHashes, bands)
+  }
 
   /** Sign once, reuse: the public (id, sig) form of the internal
     * signature pass — ingest paths that near-dup-check AND append the
@@ -83,6 +121,7 @@ object DedupIndex {
   def nearDupsAgainstSigned(spark: SparkSession, sigs: DataFrame,
                             idCol: String, table: String, threshold: Double,
                             numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    requireParams(spark, table, numHashes, bands)
     val bSigs = sigs.select(col(idCol), col("sig").as("__sig"))
     val bBands = banded(bSigs, idCol, numHashes, bands)
       .select(col(idCol).as("__bid"), col("band"), col("key"))
@@ -108,14 +147,17 @@ object DedupIndex {
   def appendBatch(spark: SparkSession, batch: DataFrame,
                   idCol: String, textCol: String, table: String,
                   n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                  numBuckets: Int = 32): Unit =
+                  numBuckets: Int = 32): Unit = {
+    requireParams(spark, table, numHashes, bands, Some(n))
     appendSigned(spark, sign(batch, idCol, textCol, n, numHashes),
       idCol, table, numHashes, bands, numBuckets)
+  }
 
   /** [[appendBatch]] over a pre-signed batch (see [[sign]]). */
   def appendSigned(spark: SparkSession, sigs: DataFrame, idCol: String,
                    table: String, numHashes: Int = 16, bands: Int = 4,
                    numBuckets: Int = 32): Unit = {
+    requireParams(spark, table, numHashes, bands)
     sigs.select(col(idCol), col("sig"))
       .write.mode("append").format("parquet").saveAsTable(s"${table}_sigs")
     // appended files must declare the table's bucketing (numBuckets must
@@ -141,6 +183,7 @@ object DedupIndex {
             numHashes: Int = 16, bands: Int = 4,
             maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
             numBuckets: Int = 32): Unit = {
+    requireParams(spark, table, numHashes, bands)
     val sigs = spark.table(s"${table}_sigs")
       .select(col(idCol), col("sig").as("__sig"))
       // the sigs read must materialize BEFORE the bands overwrite below
@@ -152,6 +195,9 @@ object DedupIndex {
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
       .saveAsTable(s"${table}_bands")
+    // same relation-cache hygiene as writeMinhash: this read of the sigs
+    // table must not leave a stale snapshot for later appends to miss
+    spark.catalog.refreshTable(s"${table}_sigs")
   }
 
   /** Clear a rebuild target: drop the catalog entry AND any orphaned

@@ -408,11 +408,19 @@ object VectorIndex {
       // the one-shot form at 100×, and a 26 s build); one narrow-payload
       // shuffle at build time compacts each cell to one file per append
       .repartition(col("cell"))
-    assigned.select(col("id"), col("cell"), col("codes"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
-    if (storeVectors)
-      assigned.select(col("id"), col("cell"), col("vec"))
-        .write.mode(mode).partitionBy("cell").parquet(s"$path/vecs")
+    // two tables means two actions: without a persist the second write
+    // would re-read the corpus, re-run NearestCell+PQ per row, and
+    // re-shuffle — "one corpus pass" must hold for the storeVectors
+    // build too (spill-to-disk beats a second full encode at any scale)
+    if (storeVectors) assigned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.select(col("id"), col("cell"), col("codes"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
+      if (storeVectors)
+        assigned.select(col("id"), col("cell"), col("vec"))
+          .write.mode(mode).partitionBy("cell").parquet(s"$path/vecs")
+    } finally if (storeVectors) assigned.unpersist(false)
   }
 
   /** Merge `srcPath`'s rows INTO `dstPath` — the backfill-plus-daily

@@ -73,6 +73,22 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("Exchange"), s"recapped table must stay bucketed:\n$plan")
   }
 
+  test("parameter mismatch against the persisted meta refuses loudly") {
+    DedupIndex.writeMinhash(corpus, "doc_id", "text", table = "graft_didx_m")
+    // different numHashes/bands hash into different band key spaces:
+    // a silent empty join would read as "no near-dups found"
+    intercept[IllegalArgumentException] {
+      DedupIndex.nearDupsAgainst(spark, batch, "doc_id", "text", "graft_didx_m",
+        threshold = 0.3, numHashes = 32, bands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendBatch(spark, batch, "doc_id", "text", "graft_didx_m", n = 5)
+    }
+    // matching parameters pass
+    assert(DedupIndex.nearDupsAgainst(spark, batch, "doc_id", "text",
+      "graft_didx_m", threshold = 0.3).count() >= 0)
+  }
+
   test("estimator column: overlap fraction of positionally-matched components") {
     import spark.implicits._
     val df = Seq(
