@@ -259,8 +259,14 @@ object IndexProbe {
         .select((col("vec_id") + lit((10L + r) * n)).as("vec_id"), col("embedding"))
       VectorIndex.append(newRows, "vec_id", "embedding", path)
     }
-    val newRows = vecs.filter(col("vec_id") % 100 === 0)
-      .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
+    // EVERY appended range (one per rep actually run) must leave before
+    // the lifecycle measurements below — deleting only rep 0's range
+    // would leave reps 2+'s rows in the index and skew compact/drift
+    // with exactly the duplicate-laden layout the rep offsets avoid
+    val newRows = (0 until appendRep).map { r =>
+      vecs.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + lit((10L + r) * n)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
 
     def timedOnce(label: String, extra: String = "")(body: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -169,6 +169,33 @@ object DedupIndex {
       .saveAsTable(s"${table}_bands")
   }
 
+  /** Remove a set of ids from BOTH index tables — the crash-recovery
+    * primitive for at-least-once ingest ([[graft.streaming.StreamingOps
+    * .dedupIngestSink]]): a batch whose append may have PARTIALLY landed
+    * (sigs written, bands not — appendSigned is two writes) is scrubbed
+    * by id before the replay re-runs it. Rewrites both tables minus the
+    * ids via anti-join (the existing bands rows are filtered directly,
+    * preserving whatever hub-cap decisions shaped them — no re-banding).
+    * O(index) I/O, but signatures are numHashes longs/doc — a small
+    * fraction of corpus text bytes — and this runs only on the rare
+    * crash-replay path, never per batch. */
+  def removeIds(spark: SparkSession, table: String, ids: DataFrame,
+                idCol: String, numBuckets: Int = 32): Unit = {
+    val drop = ids.select(col(idCol)).distinct()
+    // localCheckpoint: both reads must materialize BEFORE their table is
+    // overwritten (recap's same-catalog-write discipline)
+    val keptSigs = spark.table(s"${table}_sigs")
+      .join(drop, Seq(idCol), "left_anti").localCheckpoint(true)
+    val keptBands = spark.table(s"${table}_bands")
+      .join(drop, Seq(idCol), "left_anti").localCheckpoint(true)
+    prepareManagedTable(spark, s"${table}_sigs")
+    keptSigs.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_sigs")
+    prepareManagedTable(spark, s"${table}_bands")
+    keptBands.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(s"${table}_bands")
+  }
+
   /** Re-apply the hub-bucket guard after appends WITHOUT touching text:
     * the banded keys are a pure function of the persisted signatures, so
     * the bands table rebuilds from `<table>_sigs` alone — no tokenize,

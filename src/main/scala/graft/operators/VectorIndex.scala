@@ -98,8 +98,16 @@ object VectorIndex {
     // drift baseline: one extra column-pruned pass over the corpus (the
     // vec column only) — paid once at build so every later driftScore
     // reads only its batch
-    val baseline = meanCellDist(corpus.select(col(cVecCol)), cVecCol, cents)
-      .collect()(0).getDouble(1)
+    val baseRow = meanCellDist(corpus.select(col(cVecCol)), cVecCol, cents)
+      .collect()(0)
+    require(baseRow.getLong(0) > 0L,
+      s"writeIvfPq($path): corpus is empty — an index needs at least one row " +
+        "(and a non-null drift baseline)")
+    val baseline = baseRow.getDouble(1)
+    require(baseline > 0.0,
+      s"writeIvfPq($path): drift baseline is 0 (every corpus vector coincides " +
+        "with a centroid — a degenerate corpus/quantizer pairing); driftScore " +
+        "would divide by zero")
     Seq((dim, books.length, cents.length, books.head.length, baseline))
       .toDF("dim", "m", "n_cells", "k_pq", "mean_cell_dist")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
@@ -184,6 +192,12 @@ object VectorIndex {
     val hconf = spark.sparkContext.hadoopConfiguration
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tombDir.getFileSystem(hconf)
+    // reconcile BEFORE the early return: a compact that crashed mid-swap
+    // may have left cells parked aside with its tombstones already
+    // cleared (mergeAll runs), and the next call must restore them even
+    // when it has no work of its own
+    reconcile(fs, s"$path/codes")
+    reconcile(fs, s"$path/vecs")
     val hasTombs = fs.exists(tombDir)
     if (!hasTombs && !mergeAll) return
     import spark.implicits._
@@ -208,10 +222,23 @@ object VectorIndex {
     * ids: stage into `<table>_compact`, then swap directories (write
     * fully materializes before any source dir is touched — Spark cannot
     * overwrite a path it is reading). A cell whose rows are all deleted
-    * simply loses its directory. */
+    * simply loses its directory.
+    *
+    * The swap is CRASH-RECOVERABLE: each live cell dir is renamed ASIDE
+    * (into `<table>_old/cell=N` — outside the table dir, so a concurrent
+    * read never sees a malformed partition value) before the staged
+    * replacement renames in, and the parked copies are deleted only
+    * after EVERY cell has swapped. A crash at any point leaves either
+    * the old or the new copy of each cell on disk; [[reconcile]] (run at
+    * the top of [[compact]] and [[load]]) restores any cell whose swap
+    * didn't complete and clears the leftover staging/parking dirs —
+    * tombstones are cleared LAST in [[compact]], so a recovered run
+    * simply redoes the rewrite. A delete-then-rename swap would instead
+    * lose the cell outright if the process died between the two. */
   private def rewriteCells(spark: SparkSession, tablePath: String,
                            cells: Array[Long], tombs: DataFrame): Unit = {
     val tmpPath = s"${tablePath}_compact"
+    val oldPath = s"${tablePath}_old"
     spark.read.parquet(tablePath)
       .filter(col("cell").isin(cells: _*))
       .join(tombs, Seq("id"), "left_anti")
@@ -220,13 +247,38 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmpPath)
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(oldPath))
     cells.foreach { c =>
       val dst = new org.apache.hadoop.fs.Path(s"$tablePath/cell=$c")
       val src = new org.apache.hadoop.fs.Path(s"$tmpPath/cell=$c")
-      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(dst))
+        fs.rename(dst, new org.apache.hadoop.fs.Path(s"$oldPath/cell=$c"))
       if (fs.exists(src)) fs.rename(src, dst)
     }
+    // all cells swapped — only now is it safe to drop the parked copies
+    fs.delete(new org.apache.hadoop.fs.Path(oldPath), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
+  }
+
+  /** Crash recovery for [[rewriteCells]]' swap: any parked cell whose
+    * live dir is MISSING crashed between rename-aside and rename-in —
+    * restore it (its tombstones were never cleared, so the interrupted
+    * compaction simply reruns); a parked cell whose live dir exists
+    * completed its swap — drop the stale copy. Leftover staging dirs are
+    * garbage either way once the parked cells are resolved. O(1) exists
+    * checks when there is nothing to do. */
+  private def reconcile(fs: org.apache.hadoop.fs.FileSystem,
+                        tablePath: String): Unit = {
+    val oldDir = new org.apache.hadoop.fs.Path(s"${tablePath}_old")
+    if (fs.exists(oldDir)) {
+      fs.listStatus(oldDir).foreach { parked =>
+        val live = new org.apache.hadoop.fs.Path(tablePath, parked.getPath.getName)
+        if (!fs.exists(live)) fs.rename(parked.getPath, live)
+      }
+      fs.delete(oldDir, true)
+    }
+    val tmpDir = new org.apache.hadoop.fs.Path(s"${tablePath}_compact")
+    if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
   }
 
   /** Incremental maintenance: encode `newRows` with the index's SAVED
@@ -264,6 +316,10 @@ object VectorIndex {
     val (cents, books) = loadQuantizers(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // startup recovery: a compact that died mid-swap parks cells aside;
+    // serve the restored layout, never a partially-swapped one
+    reconcile(fs, s"$path/codes")
+    reconcile(fs, s"$path/vecs")
     def opt(sub: String): Option[DataFrame] =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub")))
         Some(spark.read.parquet(s"$path/$sub"))

@@ -328,47 +328,73 @@ object StreamingOps {
     stream.writeStream.outputMode("append").foreachBatch {
       (rows: Dataset[Row], batchId: Long) =>
         val batch = rows.toDF()
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // replay guard (foreachBatch is at-least-once): a COMPLETED
-          // batch redelivered after a restart is a no-op. The remaining
-          // window — a crash between the index append and the marker —
-          // can double ONE batch's signature/audit rows; the duplicates
-          // are value-identical pairs, and the next writeMinhash rebuild
-          // clears them (recap alone keeps sigs-table dups).
-          val log = new org.apache.hadoop.fs.Path(s"${dupsPath}_ingest_log")
-          val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val done = new org.apache.hadoop.fs.Path(log, s"done-$batchId")
-          if (!fs.exists(done)) {
-            // the in-batch pass signs internally (its exact-Jaccard
-            // verify needs the shingles anyway); the index-side check
-            // and the append share ONE further signing pass
-            val inBatch = Dedup.minhashNearDups(batch, idCol, textCol,
-                threshold, n, numHashes, bands)
-              .select(col("id_a"), col("id_b"), col("jaccard"))
-              .localCheckpoint(false)
-            val bSigs = DedupIndex.sign(batch, idCol, textCol, n, numHashes)
-              .localCheckpoint(false)
-            val localCleanSigs = bSigs.join(
-              inBatch.select(col("id_b").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-            val corpusPairs = DedupIndex.nearDupsAgainstSigned(spark,
-                localCleanSigs, idCol, table, threshold, numHashes, bands)
-              .localCheckpoint(false)
-            inBatch
-              .select(col("id_b").as(idCol), col("id_a").as("dup_of"),
-                col("jaccard").as("similarity"), lit("batch").as("scope"))
-              .unionByName(corpusPairs
-                .select(col(idCol), col("corpus_id").as("dup_of"),
-                  col("est_jaccard").as("similarity"), lit("corpus").as("scope")))
-              .write.mode("append").parquet(dupsPath)
-            val cleanSigs = localCleanSigs.join(
-              corpusPairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-            DedupIndex.appendSigned(spark, cleanSigs, idCol, table,
-              numHashes, bands, numBuckets)
-            fs.mkdirs(log)
-            fs.create(done, true).close()
-          }
-        }
+        if (!batch.isEmpty)
+          dedupIngestBatch(batch, batchId, idCol, textCol, table, threshold,
+            dupsPath, n, numHashes, bands, numBuckets)
     }
+
+  /** The replay-safe per-batch body of [[dedupIngestSink]] — the
+    * started/done discipline [[idempotentAppend]] uses (foreachBatch is
+    * at-least-once):
+    *
+    *  - `done-<batchId>` exists → the batch fully landed: skip.
+    *  - `started-` without done → a previous attempt crashed somewhere
+    *    between the first index write and the marker: scrub THIS batch's
+    *    ids from the index ([[DedupIndex.removeIds]] — ingest ids are
+    *    new by contract, so the scrub cannot touch other rows), then
+    *    re-run fresh. Without the scrub every already-appended doc would
+    *    match its own corpus signature (est_jaccard = 1.0) and the whole
+    *    batch would be re-audited as corpus duplicates of themselves —
+    *    audit consumers filtering "clean" docs would wrongly drop it all.
+    *  - neither → first attempt: mark started, run, mark done.
+    *
+    * Audit rows in dupsPath can still double on replay (parquet append
+    * is not transactional with the marker) — those are value-identical
+    * pairs; the index itself never doubles. */
+  def dedupIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       textCol: String, table: String, threshold: Double,
+                       dupsPath: String, n: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4, numBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val log = new org.apache.hadoop.fs.Path(s"${dupsPath}_ingest_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(log, s"done-$batchId")
+    if (fs.exists(done)) return
+    val started = new org.apache.hadoop.fs.Path(log, s"started-$batchId")
+    if (fs.exists(started))
+      DedupIndex.removeIds(spark, table, batch.select(col(idCol)),
+        idCol, numBuckets)
+    fs.mkdirs(log)
+    fs.create(started, true).close()
+    // the in-batch pass signs internally (its exact-Jaccard verify needs
+    // the shingles anyway); the index-side check and the append share
+    // ONE further signing pass
+    val inBatch = Dedup.minhashNearDups(batch, idCol, textCol,
+        threshold, n, numHashes, bands)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(false)
+    val bSigs = DedupIndex.sign(batch, idCol, textCol, n, numHashes)
+      .localCheckpoint(false)
+    val localCleanSigs = bSigs.join(
+      inBatch.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    // self-pair guard (defense in depth behind the scrub): a doc must
+    // never count as a corpus duplicate of itself
+    val corpusPairs = DedupIndex.nearDupsAgainstSigned(spark,
+        localCleanSigs, idCol, table, threshold, numHashes, bands)
+      .filter(col(idCol) =!= col("corpus_id"))
+      .localCheckpoint(false)
+    inBatch
+      .select(col("id_b").as(idCol), col("id_a").as("dup_of"),
+        col("jaccard").as("similarity"), lit("batch").as("scope"))
+      .unionByName(corpusPairs
+        .select(col(idCol), col("corpus_id").as("dup_of"),
+          col("est_jaccard").as("similarity"), lit("corpus").as("scope")))
+      .write.mode("append").parquet(dupsPath)
+    val cleanSigs = localCleanSigs.join(
+      corpusPairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    DedupIndex.appendSigned(spark, cleanSigs, idCol, table,
+      numHashes, bands, numBuckets)
+    fs.create(done, true).close()
+  }
 }

@@ -89,6 +89,27 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "graft_didx_m", threshold = 0.3).count() >= 0)
   }
 
+  test("removeIds scrubs a batch from both tables; the index equals its pre-append state") {
+    DedupIndex.writeMinhash(corpus, "doc_id", "text", table = "graft_didx_rm")
+    val before = asSet(DedupIndex.nearDupsAgainst(spark, batch,
+      "doc_id", "text", "graft_didx_rm", threshold = 0.3))
+    val beforeIds = spark.table("graft_didx_rm_sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // append a (disjoint-id) batch, then scrub it back out
+    val extra = batch.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    DedupIndex.appendBatch(spark, extra, "doc_id", "text", "graft_didx_rm")
+    DedupIndex.removeIds(spark, "graft_didx_rm",
+      extra.select(col("doc_id")), "doc_id")
+    assert(spark.table("graft_didx_rm_sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == beforeIds)
+    assert(spark.table("graft_didx_rm_bands")
+      .filter(col("doc_id") >= 100000L).count() == 0L)
+    val after = asSet(DedupIndex.nearDupsAgainst(spark, batch,
+      "doc_id", "text", "graft_didx_rm", threshold = 0.3))
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
   test("estimator column: overlap fraction of positionally-matched components") {
     import spark.implicits._
     val df = Seq(

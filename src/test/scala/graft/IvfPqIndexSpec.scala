@@ -318,6 +318,60 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(res == brute)
   }
 
+  test("compact swap is crash-recoverable: parked cells restore, stale dirs clear") {
+    val path = tmp("graft_ivfpq_crash")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    val baseline = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath).sortBy(_.getName)
+    assert(cellDirs.length >= 2)
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+    fs.mkdirs(oldDir)
+    // crash state A: cell parked aside, replacement never renamed in —
+    // the live table is MISSING this cell until reconcile restores it
+    fs.rename(cellDirs(0), new org.apache.hadoop.fs.Path(oldDir, cellDirs(0).getName))
+    // crash state B: swap completed but the parked stale copy survived
+    org.apache.hadoop.fs.FileUtil.copy(fs, cellDirs(1), fs,
+      new org.apache.hadoop.fs.Path(oldDir, cellDirs(1).getName), false,
+      spark.sparkContext.hadoopConfiguration)
+    // crash state C: a staging dir from the dead compaction
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/codes_compact")
+    fs.mkdirs(tmpDir)
+    // load() reconciles on startup: the restored index must serve the
+    // exact pre-crash results, and every recovery dir must be gone
+    val recovered = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    assert(recovered == baseline)
+    assert(!fs.exists(oldDir), "parked cells must clear after reconcile")
+    assert(!fs.exists(tmpDir), "stale staging must clear after reconcile")
+    // and a compact() on the recovered index still works end-to-end
+    VectorIndex.delete(spark, path,
+      e.filter(col("vec_id") % 9 === 0).select(col("vec_id")), "vec_id")
+    VectorIndex.compact(spark, path)
+    val afterCompact = VectorIndex.search(spark, q, "qid", "qv", path, 4, 5)
+    assert(afterCompact.filter(col("id") % 9 === 0).count() == 0L)
+  }
+
+  test("writeWith refuses an empty corpus and a zero drift baseline loudly") {
+    val pSrc = tmp("graft_ivfpq_guard_src")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pSrc)
+    val (cents, books) = VectorIndex.loadQuantizers(spark, pSrc)
+    val emptyEx = intercept[IllegalArgumentException] {
+      VectorIndex.writeWith(e.filter(col("vec_id") < 0), "vec_id", "embedding",
+        cents, books, tmp("graft_ivfpq_guard_e"))
+    }
+    assert(emptyEx.getMessage.contains("empty"))
+    // corpus == the centroid rows exactly → every distance 0 → a baseline
+    // that would make driftScore divide by zero
+    val zeroEx = intercept[IllegalArgumentException] {
+      VectorIndex.writeWith(e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        cents, books, tmp("graft_ivfpq_guard_z"))
+    }
+    assert(zeroEx.getMessage.contains("baseline"))
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)

@@ -379,6 +379,48 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(indexed == Set(1L, 2L, 11L, 13L, 21L))
   }
 
+  test("dedupIngestBatch replay after a crash mid-batch: no self-pairs, index lands once") {
+    val table = "graft_stream_dedup_replay"
+    val dups = java.nio.file.Files.createTempDirectory("graft_replay_dups").toString + "/pairs"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    graft.operators.DedupIndex.writeMinhash(corpus, "doc_id", "text",
+      table = table, numBuckets = 4)
+    val batch = Seq(
+      (10L, "red orange yellow green blue purple"),
+      (11L, "cat dog bird fish mouse horse")).toDF("doc_id", "text")
+    // simulate a first attempt that crashed AFTER appending the batch to
+    // the index but BEFORE the done marker: the index holds the batch,
+    // only `started-0` exists
+    graft.operators.DedupIndex.appendBatch(spark, batch, "doc_id", "text",
+      table, numBuckets = 4)
+    val log = new org.apache.hadoop.fs.Path(s"${dups}_ingest_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(log)
+    fs.create(new org.apache.hadoop.fs.Path(log, "started-0"), true).close()
+    // the redelivered batch must scrub its own half-landed copy first —
+    // a naive re-run would match every doc against its own corpus
+    // signature (est_jaccard = 1.0) and audit the whole batch as
+    // corpus duplicates of themselves
+    StreamingOps.dedupIngestBatch(batch, 0L, "doc_id", "text", table,
+      threshold = 0.5, dupsPath = dups, numBuckets = 4)
+    val audited = spark.read.parquet(dups)
+      .select($"doc_id", $"dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(audited.isEmpty, s"genuinely-new docs must audit clean: ${audited.toSeq}")
+    val indexed = spark.table(s"${table}_sigs")
+      .filter($"doc_id" >= 10L).groupBy($"doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(indexed == Map(10L -> 1L, 11L -> 1L),
+      s"each batch doc must land in the index exactly once: $indexed")
+    // a replay AFTER completion (done marker present) is a pure no-op
+    StreamingOps.dedupIngestBatch(batch, 0L, "doc_id", "text", table,
+      threshold = 0.5, dupsPath = dups, numBuckets = 4)
+    assert(spark.read.parquet(dups).count() == 0L)
+    assert(spark.table(s"${table}_sigs").filter($"doc_id" >= 10L).count() == 2L)
+  }
+
   test("packStream: micro-batch splits == batch greedy packing on in-order ids") {
     val docsDf = graft.operators.TextAnalysis
       .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
