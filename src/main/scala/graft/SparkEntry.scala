@@ -56,6 +56,42 @@ object SparkEntry {
        |"image_mean": [0.48145466, 0.4578275, 0.40821073],
        |"image_std": [0.26862954, 0.26130258, 0.27577711]}""".stripMargin)
 
+  /** The q135 harness: build the dedup index on the `%4==0` slice, then
+    * drive the REAL streaming sink ([[graft.streaming.StreamingOps
+    * .dedupIngestSink]]) with the other three slices as ordered
+    * micro-batches. Returns (audit table, final corpus ids) — each gate
+    * reads one. The batch rows pass through the driver only because
+    * MemoryStream is driver-fed by construction (the gate harness, not
+    * the operator: the sink itself is distributed per batch). */
+  private def streamDedupIngest(s: SparkSession, dir: String,
+                                table: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = docs(s, dir)
+    DedupIndex.writeMinhash(d.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", table = table)
+    val dups = java.nio.file.Files
+      .createTempDirectory(s"${table}_dups").toString + "/pairs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"${table}_ckpt").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.dedupIngestSink(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
+        threshold = 0.35, dupsPath = dups)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      (1 to 3).foreach { k =>
+        ms.addData(d.filter(col("doc_id") % 4 === k)
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (s.read.parquet(dups)
+       .select(col("doc_id"), col("dup_of"), col("similarity"), col("scope")),
+     s.table(s"${table}_sigs").select(col("doc_id")))
+  }
+
   /** Dense pipeline → exploded (doc_id, dim, val). */
   private def denseExploded(s: SparkSession, dir: String, pooling: Pooling): DataFrame =
     TextEmbedder(dim = K.Dim, pooling = pooling)
@@ -151,6 +187,19 @@ object SparkEntry {
       DedupIndex.nearDupsAgainst(s, d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", table = "graft_q124_idx", threshold = 0.35)
     }),
+
+    // the streamed form of the q124 lifecycle, DRIVEN END-TO-END: the
+    // %4==0 slice is indexed up front, the other three slices arrive as
+    // ordered micro-batches through dedupIngestSink (in-batch exact-
+    // Jaccard pass, corpus estimator check, clean rows self-accumulate
+    // into the index for the NEXT batch). q135 gates the full audit
+    // table the sink wrote; q135b gates the final accumulated corpus —
+    // the one surface class (streaming sinks) the batch gates never saw
+    "q135_stream_dedup_audit" -> ((s, dir) =>
+      streamDedupIngest(s, dir, "graft_q135_idx")._1),
+
+    "q135b_stream_dedup_corpus" -> ((s, dir) =>
+      streamDedupIngest(s, dir, "graft_q135b_idx")._2),
 
     // legacy 32-bit form (explicit bits: the operator default is now the
     // scale-safe 60-bit signature, exercised by q15b via the defaults)
@@ -420,6 +469,40 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       VectorIndex.meanCellDist(e,
         "embedding", Similarity.firstKCentroids(e, "vec_id", "embedding", 16))
+    }),
+
+    // the composed RESPONSE to drift — the monthly maintenance path q134
+    // left out: an index built on yesterday's distribution receives a
+    // genuinely shifted batch (x·2+1 in exact doubles, disjoint ids);
+    // driftScore fires the retrain trigger, the grown corpus RETRAINS
+    // (Lloyd coarse cells + per-subspace PQ books), re-encodes, and the
+    // serving search swaps to the new index — hash-matched against the
+    // fresh trained-rebuild oracle WITH the drift reading pinned as a
+    // column (a trigger that failed to fire aborts the query, a stale
+    // un-swapped index mismatches the retrained oracle)
+    "q136_drift_retrain" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val p0 = java.nio.file.Files.createTempDirectory("graft_q136_old").toString
+      val p1 = java.nio.file.Files.createTempDirectory("graft_q136_new").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = p0)
+      val old = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val incoming = e.select((col("vec_id") + lit(10000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(2.0) + lit(1.0)).as("embedding"))
+      val score = VectorIndex.driftScore(s, incoming, "embedding", p0)
+      require(score > 1.5,
+        f"drift score $score%.4f did not cross the retrain trigger — the shifted batch must read as drifted")
+      VectorIndex.writeIvfPqTrained(old.unionByName(incoming), "vec_id",
+        "embedding", dim = K.Dim, nCells = 8, m = 8, nCentsPq = 8,
+        iterations = 1, path = p1)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", p1, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+        .withColumn("drift", lit(score))
     }),
 
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over

@@ -442,6 +442,96 @@ FROM cand JOIN sig a ON a.doc_id = cand.doc_id JOIN sig b ON b.doc_id = cand.cor
 WHERE ($matchSum)::DOUBLE / $numHashes.0 >= $threshold"""
   }
 
+  /** q135: the streamed dedup-ingest lifecycle ([[graft.streaming
+    * .StreamingOps.dedupIngestSink]]) replayed relationally — corpus =
+    * doc_id % (nBatches+1) == 0 indexed up front, then batches k =
+    * 1..nBatches arrive IN ORDER. Per batch, mirroring the sink:
+    *
+    *  1. in-batch near-dups: q13's banded-candidates + EXACT-Jaccard
+    *     verify, restricted to the batch (its own hub cap); the later id
+    *     (id_b) of each pair drops;
+    *  2. survivors near-dup-check against the ACCUMULATED corpus (build
+    *     corpus hub-capped at build time, appended batches uncapped —
+    *     exactly the index's append contract) via the q124 signature-
+    *     overlap estimator;
+    *  3. both kinds of hits become audit rows (doc_id, dup_of,
+    *     similarity, scope);
+    *  4. only clean docs join the corpus for batch k+1 — the
+    *     self-accumulation that makes cross-batch duplicates visible.
+    *
+    * Returns the WITH-chain; [[q135_stream_dedup_audit]] /
+    * [[q135b_stream_dedup_corpus]] pick the final projection. */
+  private def q135Ctes(threshold: Double, numHashes: Int, bands: Int,
+                       nBatches: Int, maxBucketSize: Int): String = {
+    val rpb = numHashes / bands
+    val mod = nBatches + 1
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rpb)} AS key FROM sig")
+      .mkString(" UNION ALL ")
+    val matchSum = (0 until numHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val shared = shingleCtes(3) + s""",
+sig AS (SELECT doc_id, ${minhashCols(numHashes)} FROM sh GROUP BY doc_id),
+band0 AS ($bandSelects),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cb0 AS (SELECT * FROM band0 WHERE doc_id % $mod = 0),
+cbok AS (SELECT band, key FROM cb0 GROUP BY band, key HAVING count(*) <= $maxBucketSize),
+corpusband AS (SELECT cb0.* FROM cb0 JOIN cbok USING (band, key))"""
+    val perBatch = (1 to nBatches).map { k =>
+      val accSides = Seq(s"SELECT band, key, doc_id FROM corpusband") ++
+        (1 until k).map(j =>
+          s"SELECT b.band, b.key, b.doc_id FROM band0 b JOIN clean$j cj ON b.doc_id = cj.doc_id")
+      s""",
+bb$k AS (SELECT * FROM band0 WHERE doc_id % $mod = $k),
+bok$k AS (SELECT band, key FROM bb$k GROUP BY band, key HAVING count(*) <= $maxBucketSize),
+bcap$k AS (SELECT bb$k.* FROM bb$k JOIN bok$k USING (band, key)),
+bcand$k AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bcap$k a JOIN bcap$k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+binter$k AS (SELECT c.id_a, c.id_b, count(*) AS i FROM bcand$k c
+  JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b),
+bpair$k AS (SELECT bi.id_a, bi.id_b, bi.i::DOUBLE / (sa.sz + sb.sz - bi.i)::DOUBLE AS jaccard
+  FROM binter$k bi JOIN sz sa ON sa.doc_id = bi.id_a JOIN sz sb ON sb.doc_id = bi.id_b
+  WHERE bi.i::DOUBLE / (sa.sz + sb.sz - bi.i)::DOUBLE >= $threshold),
+lc$k AS (SELECT doc_id FROM sig WHERE doc_id % $mod = $k
+  AND doc_id NOT IN (SELECT id_b FROM bpair$k)),
+acc$k AS (${accSides.mkString(" UNION ALL ")}),
+ccand$k AS (SELECT DISTINCT t.doc_id, a.doc_id AS corpus_id
+  FROM band0 t JOIN lc$k l ON t.doc_id = l.doc_id
+  JOIN acc$k a ON t.band = a.band AND t.key = a.key),
+cpair$k AS (SELECT c.doc_id, c.corpus_id, ($matchSum)::DOUBLE / $numHashes.0 AS est_jaccard
+  FROM ccand$k c JOIN sig a ON a.doc_id = c.doc_id JOIN sig b ON b.doc_id = c.corpus_id
+  WHERE ($matchSum)::DOUBLE / $numHashes.0 >= $threshold AND c.doc_id != c.corpus_id),
+clean$k AS (SELECT doc_id FROM lc$k WHERE doc_id NOT IN (SELECT doc_id FROM cpair$k))"""
+    }.mkString
+    shared + perBatch
+  }
+
+  /** q135: the streamed sink's full audit table. */
+  def q135_stream_dedup_audit(threshold: Double, numHashes: Int, bands: Int,
+                              nBatches: Int = 3,
+                              maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String = {
+    val arms = (1 to nBatches).flatMap { k =>
+      Seq(
+        s"SELECT id_b AS doc_id, id_a AS dup_of, jaccard AS similarity, 'batch' AS scope FROM bpair$k",
+        s"SELECT doc_id, corpus_id AS dup_of, est_jaccard AS similarity, 'corpus' AS scope FROM cpair$k")
+    }
+    q135Ctes(threshold, numHashes, bands, nBatches, maxBucketSize) +
+      "\n" + arms.mkString(" UNION ALL ")
+  }
+
+  /** q135b: the final accumulated corpus — the build docs plus every
+    * batch's admitted (clean) docs. */
+  def q135b_stream_dedup_corpus(threshold: Double, numHashes: Int, bands: Int,
+                                nBatches: Int = 3,
+                                maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String = {
+    val mod = nBatches + 1
+    val arms = s"SELECT doc_id FROM sig WHERE doc_id % $mod = 0" +:
+      (1 to nBatches).map(k => s"SELECT doc_id FROM clean$k")
+    q135Ctes(threshold, numHashes, bands, nBatches, maxBucketSize) +
+      "\n" + arms.mkString(" UNION ALL ")
+  }
+
   /** Deduplicated corpus: drop id_b of every near-dup pair. */
   def q34_dedup_corpus(threshold: Double, numHashes: Int, bands: Int): String =
     s"""SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN
@@ -875,15 +965,16 @@ SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
     * [[graft.operators.Similarity.trainKmeans]] round for round. */
   private def kmeansCteParts(k: Int, iterations: Int, s9: Long,
                              vecExpr: String = "e.embedding",
-                             p: String = ""): Seq[String] = {
+                             p: String = "",
+                             table: String = "embeddings"): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer(
-      s"${p}cv0 AS (SELECT vec_id AS cell, list_transform($vecExpr, x -> x::DOUBLE) AS cvec FROM embeddings e WHERE vec_id < $k)")
+      s"${p}cv0 AS (SELECT vec_id AS cell, list_transform($vecExpr, x -> x::DOUBLE) AS cvec FROM $table e WHERE vec_id < $k)")
     for (i <- 1 to iterations) {
       val prev = s"${p}cv${i - 1}"
       parts += s"""${p}a$i AS (SELECT vec_id, vec, cell FROM (
   SELECT e.vec_id, $vecExpr AS vec, c.cell,
     row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql(s"($vecExpr)", "c.cvec")}, c.cell) AS rn
-  FROM embeddings e CROSS JOIN $prev c) t WHERE rn = 1)"""
+  FROM $table e CROSS JOIN $prev c) t WHERE rn = 1)"""
       parts += s"""${p}s$i AS (SELECT cell, d, sum(q)::BIGINT AS s, count(*)::BIGINT AS n FROM (
   SELECT cell, CAST(generate_subscripts(vec, 1) - 1 AS BIGINT) AS d,
     CAST(floor(unnest(vec)::DOUBLE * $s9 + 0.5) AS BIGINT) AS q FROM ${p}a$i) t GROUP BY cell, d)"""
@@ -1091,6 +1182,83 @@ d AS (SELECT e.vec_id, min(${l2sqSql("e.embedding", "c.cvec")}) AS dmin
 SELECT count(*)::BIGINT AS n_rows,
   sum(CAST(floor(dmin * $scale + 0.5) AS BIGINT))::DOUBLE / (count(*) * $scale)::DOUBLE AS mean_dist
 FROM d"""
+
+  /** q136: the composed drift → retrain → re-encode → swap response
+    * (the monthly maintenance path [[graft.operators.VectorIndex
+    * .driftScore]] exists to trigger). The corpus is the original
+    * embeddings plus a genuinely SHIFTED ingest batch
+    * (x·mul + add in exact double arithmetic, ids offset):
+    *
+    *  - the drift reading = batch mean nearest-cell distance over the
+    *    OLD index's build baseline (both via q129's fixed-point mean,
+    *    cells = the old index's first-`oldCells` quantizer);
+    *  - the response: retrain on the GROWN corpus — Lloyd coarse cells
+    *    (q50's integer-quantized chain) + per-subspace trained PQ books
+    *    (q51's chains), both over the union table;
+    *  - the swap: search runs against the RETRAINED index — q49b's
+    *    assign/probe/ADC machinery with every quantizer replaced by the
+    *    trained one.
+    *
+    * Output (qid, vec_id, rnk, dist, drift) — drift constant across
+    * rows, so the gate hash-pins the trigger reading AND the retrained
+    * search together. */
+  def q136_drift_retrain(dim: Int, oldCells: Int, nCells: Int, m: Int,
+                         nCentsPq: Int, iterations: Int, nProbe: Int,
+                         topK: Int, idOffset: Long = 10000L,
+                         mul: String = "2.0", add: String = "1.0",
+                         scale: Long = 1000000L,
+                         s9: Long = 1000000L): String = {
+    val sub = dim / m
+    val corpusCte =
+      s"""corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + $idOffset, list_transform(embedding, x -> x::DOUBLE * $mul + $add) FROM embeddings)"""
+    def meanCte(name: String, vecExpr: String): String =
+      s"""$name AS (SELECT sum(CAST(floor(dmin * $scale + 0.5) AS BIGINT))::DOUBLE / (count(*) * $scale)::DOUBLE AS mean
+  FROM (SELECT e.vec_id, min(${l2sqSql(s"($vecExpr)", "c.cvec")}) AS dmin
+    FROM embeddings e CROSS JOIN dcents c GROUP BY e.vec_id))"""
+    val driftCtes = Seq(
+      s"dcents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $oldCells)",
+      meanCte("dbase", "e.embedding"),
+      meanCte("dbatch", s"list_transform(e.embedding, x -> x::DOUBLE * $mul + $add)"),
+      "drift AS (SELECT dbatch.mean / dbase.mean AS score FROM dbatch, dbase)")
+    val coarse = kmeansCteParts(nCells, iterations, s9, p = "g", table = "corpus")
+    val perSub = (0 until m).flatMap { j =>
+      kmeansCteParts(nCentsPq, iterations, s9,
+        s"list_slice(e.embedding, ${j * sub + 1}, ${(j + 1) * sub})", s"j${j}_",
+        table = "corpus")
+    }
+    val bookUnion = (0 until m)
+      .map(j => s"SELECT $j AS j, cell, cvec FROM j${j}_cv$iterations")
+      .mkString(" UNION ALL ")
+    def subDist(vecExpr: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($vecExpr[b.j*$sub + i]::DOUBLE - b.cvec[i]::DOUBLE) * ($vecExpr[b.j*$sub + i]::DOUBLE - b.cvec[i]::DOUBLE)), (x,y) -> x+y)"
+    (Seq(corpusCte) ++ driftCtes ++ coarse ++ perSub :+ s"books AS ($bookUnion)")
+      .mkString("WITH ", ",\n", "") + s""",
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM corpus e CROSS JOIN gcv$iterations c) t WHERE rn = 1),
+enc AS (SELECT vec_id, j, cell AS code FROM (
+  SELECT e.vec_id, b.j, b.cell,
+    row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY ${subDist("e.embedding")}, b.cell) AS rn
+  FROM corpus e CROSS JOIN books b) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q CROSS JOIN gcv$iterations c) t WHERE rn <= $nProbe),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+qd AS (SELECT ca.qid, ca.vec_id, b.j, ${subDist("ca.qv")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN books b ON b.j = en.j AND b.cell = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
+SELECT qid, vec_id, rnk, dist, (SELECT score FROM drift) AS drift
+FROM rk WHERE rnk <= $topK"""
+  }
 
   /** Embedding-cosine near-dups: same-bucket self-join + cosine gate,
     * hub buckets above the cap skipped (mirrors the operator's guard). */
@@ -3211,6 +3379,8 @@ FROM events GROUP BY user_id, event_type"""
     "q12b_minhash_sigs_narrow" -> q12_minhash_sigs(16),
     "q13_minhash_neardups" -> q13_minhash_neardups(0.35, 16, 4),
     "q124_dedup_incremental" -> q124_dedup_incremental(0.35, 16, 4),
+    "q135_stream_dedup_audit" -> q135_stream_dedup_audit(0.35, 16, 4),
+    "q135b_stream_dedup_corpus" -> q135b_stream_dedup_corpus(0.35, 16, 4),
     "q14_simhash" -> q14_simhash(32),
     "q15_simhash_neardups" -> q15_simhash_neardups(32, 3),
     "q15b_simhash60" -> q15_simhash_neardups(60, 3),
@@ -3231,6 +3401,7 @@ FROM events GROUP BY user_id, event_type"""
     "q127_pack_offset" -> q127_pack_offset(256L, 8),
     "q128_pack_greedy" -> q128_pack_greedy(256L, 8),
     "q129_index_drift" -> q129_index_drift(16, 1000000L),
+    "q136_drift_retrain" -> q136_drift_retrain(Dim, 16, 8, 8, 8, 1, 4, 5),
     "q130_ivfpq_residual" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
     "q131_pack_stats" -> q131_pack_stats(256L, 8),
     "q132_ivfpq_merged" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
