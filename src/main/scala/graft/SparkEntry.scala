@@ -92,6 +92,41 @@ object SparkEntry {
      s.table(s"${table}_sigs").select(col("doc_id")))
   }
 
+  /** The q139 harness: index the `vec_id < 250` slice (vectors stored),
+    * then drive [[graft.streaming.StreamingOps.semanticIngestSink]] with
+    * the remainder as three ordered micro-batches keyed `vec_id % 3`.
+    * Returns (audit table, final index ids). */
+  private def streamSemanticIngest(s: SparkSession, dir: String,
+                                   tag: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = tbl(s, dir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_idx").toString
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      nCells = 16, m = 8, nCentsPq = 16, path = path, storeVectors = true)
+    val dups = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_dups").toString + "/pairs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_ckpt").toString
+    val rest = e.filter(col("vec_id") >= 250)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingOps.semanticIngestSink(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path,
+        dim = K.Dim, threshold = 0.2, dupsPath = dups)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    (s.read.parquet(dups)
+       .select(col("vec_id"), col("dup_of"), col("similarity"), col("scope")),
+     s.read.parquet(s"$path/codes").select(col("id").as("vec_id")))
+  }
+
   /** Dense pipeline → exploded (doc_id, dim, val). */
   private def denseExploded(s: SparkSession, dir: String, pooling: Pooling): DataFrame =
     TextEmbedder(dim = K.Dim, pooling = pooling)
@@ -347,6 +382,39 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // q123b's append path driven through the REAL streaming sink: the
+    // remainder arrives as three ordered micro-batches via
+    // ivfPqAppendSink (replay-safe idempotentAppend per batch, saved
+    // quantizers, cell-partition appends) and the final search must
+    // still hash-match the full-build oracle — the streamed maintenance
+    // path under the same DuckDB gate as the batch one
+    "q137_stream_index_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q137_idx").toString
+      VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = path)
+      val rest = e.filter(col("vec_id") >= 250)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q137_ckpt").toString
+      val sq = graft.streaming.StreamingOps.ivfPqAppendSink(
+          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+          ms.addData(b.toSeq); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // the serving-quality form: ADC candidates (k×4 overfetch) from the
     // persisted index re-ranked by EXACT L2 fetched from the
     // cell-partitioned vecs table — candidate-sized I/O buys back the PQ
@@ -364,6 +432,31 @@ object SparkEntry {
         .select(col("qid"), col("id").as("vec_id"),
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
+
+    // SemDeDup's serving form: "is this new row semantically equal to
+    // something ALREADY INDEXED" answered batch-sized from the persisted
+    // index — ADC top-k proposes corpus neighbors, exact cosine (on the
+    // |batch|·k fetched vectors only) renders the verdict
+    "q138_semantic_ingest_dups" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q138_idx").toString
+      VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = path, storeVectors = true)
+      VectorIndex.semanticDups(s, e.filter(col("vec_id") >= 250),
+          "vec_id", "embedding", VectorIndex.load(s, path),
+          nProbe = 4, k = 5, threshold = 0.2)
+        .select(col("vec_id"), col("corpus_id"), col("cosine"))
+    }),
+
+    // the streamed semantic-ingest lifecycle: three ordered micro-batches
+    // through semanticIngestSink (within-batch LSH+cosine drops, ADC+
+    // cosine verdict against the ACCUMULATED index, clean rows appended
+    // with vectors) — q139 gates the audit, q139b the final index
+    "q139_stream_semantic_ingest" -> ((s, dir) =>
+      streamSemanticIngest(s, dir, "q139")._1),
+
+    "q139b_stream_semantic_corpus" -> ((s, dir) =>
+      streamSemanticIngest(s, dir, "q139b")._2),
 
     // predicated serving search: the allow-set (every third id — in
     // production a filtered dimension table) semi-joins the candidate

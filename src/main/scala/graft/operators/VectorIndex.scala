@@ -398,6 +398,36 @@ object VectorIndex {
         (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
   }
 
+  /** Embedding near-dup pairs for an ingest batch against the persisted
+    * index — SemDeDup's SERVING form. [[Dedup.semDedupPairs]] re-clusters
+    * the corpus per call; at 100 TB the daily question is "is this new
+    * document semantically equal to something ALREADY INDEXED", and the
+    * index already holds everything needed to answer it batch-sized:
+    * ADC search proposes each batch row's top-`k` corpus neighbors
+    * (probed-cells candidates only), then ONLY those |batch|·k pairs
+    * fetch raw vectors (cell-pruned from the `vecs` table) for the exact
+    * cosine ≥ `threshold` verdict. Per-batch cost is O(batch·probed
+    * cells + batch·k), never a corpus pass or re-cluster. Requires an
+    * index built with `storeVectors = true`. Output
+    * (idCol, corpus_id, cosine) — self-pairs excluded (ingest ids are
+    * new by contract; the guard keeps replay states conservative). */
+  def semanticDups(spark: SparkSession, batch: DataFrame, idCol: String,
+                   vecCol: String, idx: Loaded, nProbe: Int, k: Int,
+                   threshold: Double): DataFrame = {
+    val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
+      "semanticDups needs an index built with storeVectors = true (no vecs/ table)"))
+    val (probedCells, cands) =
+      adcSearch(spark, batch, idCol, vecCol, idx, nProbe, k)
+    val pruned = vecsDf
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id"), col("vec"))
+    pruned.join(broadcast(cands.select(col(idCol), col("id"))), Seq("id"))
+      .join(broadcast(batch.select(col(idCol), col(vecCol))), Seq(idCol))
+      .withColumn("cosine", graft.functions.Kernel.cosine(col("vec"), col(vecCol)))
+      .filter(col("cosine") >= threshold && col(idCol) =!= col("id"))
+      .select(col(idCol), col("id").as("corpus_id"), col("cosine"))
+  }
+
   private def adcSearch(spark: SparkSession, queries: DataFrame,
                         qIdCol: String, qVecCol: String, idx: Loaded,
                         nProbe: Int, k: Int,

@@ -1260,6 +1260,144 @@ SELECT qid, vec_id, rnk, dist, (SELECT score FROM drift) AS drift
 FROM rk WHERE rnk <= $topK"""
   }
 
+  /** q138: SemDeDup's serving form ([[graft.operators.VectorIndex
+    * .semanticDups]]) — the index holds rows < `split`; each batch row
+    * (≥ split) proposes its ADC top-`k` corpus neighbors (q49b's
+    * machinery with the corpus restricted to the indexed slice), and
+    * ONLY those pairs take the exact-cosine ≥ threshold verdict.
+    * Output (vec_id, corpus_id, cosine). */
+  def q138_semantic_ingest_dups(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                                nCentsPq: Int, k: Int, split: Long,
+                                threshold: Double): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
+    val cos = cosineSql("ce.embedding", "be.embedding")
+    s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
+cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $split),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM corpus e CROSS JOIN cents c) t WHERE rn = 1),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
+  FROM corpus e CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= $split),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk AS (SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
+SELECT r.qid AS vec_id, r.vec_id AS corpus_id, $cos AS cosine
+FROM rk r JOIN embeddings be ON be.vec_id = r.qid JOIN embeddings ce ON ce.vec_id = r.vec_id
+WHERE r.rnk <= $k AND $cos >= $threshold AND r.qid != r.vec_id"""
+  }
+
+  /** q139: the streamed semantic-ingest lifecycle ([[graft.streaming
+    * .StreamingOps.semanticIngestSink]]) replayed relationally — rows
+    * < `split` indexed up front, the rest arriving as `nBatches` ordered
+    * micro-batches keyed `vec_id % nBatches`. Per batch, mirroring the
+    * sink: within-batch sign-LSH + exact-cosine drops (q33's machinery,
+    * batch-local buckets and cap), survivors take the q138 ADC-top-k +
+    * exact-cosine verdict against the ACCUMULATED admitted corpus, and
+    * clean rows join the corpus for the next batch. Encoding is
+    * admission-independent (saved quantizers), so assign/enc compute
+    * once over all rows; only the candidate set accumulates. */
+  private def q139Ctes(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                       nCentsPq: Int, k: Int, split: Long, threshold: Double,
+                       nBatches: Int, nPlanes: Int,
+                       maxBucketSize: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
+    val shared = s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
+cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+buck AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket
+  FROM embeddings WHERE vec_id >= $split)"""
+    val perBatch = (0 until nBatches).map { kk =>
+      val accSides = Seq(s"SELECT vec_id FROM embeddings WHERE vec_id < $split") ++
+        (0 until kk).map(j => s"SELECT vec_id FROM clean$j")
+      val bcos = cosineSql("a.embedding", "b.embedding")
+      val ccos = cosineSql("ce.embedding", "be.embedding")
+      s""",
+bb$kk AS (SELECT * FROM buck WHERE vec_id % $nBatches = $kk),
+bok$kk AS (SELECT bucket FROM bb$kk GROUP BY bucket HAVING count(*) <= $maxBucketSize),
+bcap$kk AS (SELECT bb$kk.* FROM bb$kk JOIN bok$kk USING (bucket)),
+bpair$kk AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $bcos AS cosine
+  FROM bcap$kk a JOIN bcap$kk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE $bcos >= $threshold),
+lc$kk AS (SELECT vec_id FROM embeddings WHERE vec_id >= $split AND vec_id % $nBatches = $kk
+  AND vec_id NOT IN (SELECT id_b FROM bpair$kk)),
+acc$kk AS (${accSides.mkString(" UNION ALL ")}),
+q$kk AS (SELECT e.vec_id AS qid, e.embedding AS qv FROM embeddings e JOIN lc$kk l ON e.vec_id = l.vec_id),
+qprobe$kk AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q$kk q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+cand$kk AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a
+  JOIN acc$kk ac ON ac.vec_id = a.vec_id
+  JOIN qprobe$kk qp ON a.cell = qp.cell),
+qd$kk AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
+  FROM cand$kk ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist$kk AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd$kk GROUP BY qid, vec_id),
+rk$kk AS (SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist$kk),
+cpair$kk AS (SELECT r.qid, r.vec_id AS corpus_id, $ccos AS cosine
+  FROM rk$kk r JOIN embeddings be ON be.vec_id = r.qid JOIN embeddings ce ON ce.vec_id = r.vec_id
+  WHERE r.rnk <= $k AND $ccos >= $threshold AND r.qid != r.vec_id),
+clean$kk AS (SELECT vec_id FROM lc$kk WHERE vec_id NOT IN (SELECT qid FROM cpair$kk))"""
+    }.mkString
+    shared + perBatch
+  }
+
+  /** q139: the streamed semantic sink's full audit table. */
+  def q139_stream_semantic_ingest(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                                  nCentsPq: Int, k: Int, split: Long,
+                                  threshold: Double, nBatches: Int = 3,
+                                  nPlanes: Int = 16,
+                                  maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String = {
+    val arms = (0 until nBatches).flatMap { kk =>
+      Seq(
+        s"SELECT id_b AS vec_id, id_a AS dup_of, cosine AS similarity, 'batch' AS scope FROM bpair$kk",
+        s"SELECT qid AS vec_id, corpus_id AS dup_of, cosine AS similarity, 'corpus' AS scope FROM cpair$kk")
+    }
+    q139Ctes(dim, nCells, nProbe, m, nCentsPq, k, split, threshold,
+      nBatches, nPlanes, maxBucketSize) + "\n" + arms.mkString(" UNION ALL ")
+  }
+
+  /** q139b: the final accumulated index contents. */
+  def q139b_stream_semantic_corpus(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                                   nCentsPq: Int, k: Int, split: Long,
+                                   threshold: Double, nBatches: Int = 3,
+                                   nPlanes: Int = 16,
+                                   maxBucketSize: Int = Dedup.DefaultMaxBucketSize): String = {
+    val arms = s"SELECT vec_id FROM embeddings WHERE vec_id < $split" +:
+      (0 until nBatches).map(kk => s"SELECT vec_id FROM clean$kk")
+    q139Ctes(dim, nCells, nProbe, m, nCentsPq, k, split, threshold,
+      nBatches, nPlanes, maxBucketSize) + "\n" + arms.mkString(" UNION ALL ")
+  }
+
   /** Embedding-cosine near-dups: same-bucket self-join + cosine gate,
     * hub buckets above the cap skipped (mirrors the operator's guard). */
   def q33_embedding_neardups(dim: Int, nPlanes: Int, threshold: Double,
@@ -3396,6 +3534,10 @@ FROM events GROUP BY user_id, event_type"""
     // same oracle, independently hash-gated
     "q123_ivfpq_indexed" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q123b_ivfpq_append" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q137_stream_index_ingest" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q138_semantic_ingest_dups" -> q138_semantic_ingest_dups(Dim, 16, 4, 8, 16, 5, 250L, 0.2),
+    "q139_stream_semantic_ingest" -> q139_stream_semantic_ingest(Dim, 16, 4, 8, 16, 5, 250L, 0.2),
+    "q139b_stream_semantic_corpus" -> q139b_stream_semantic_corpus(Dim, 16, 4, 8, 16, 5, 250L, 0.2),
     "q126_ivfpq_deleted" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5,
       candFilter = "WHERE a.vec_id % 7 != 0"),
     "q127_pack_offset" -> q127_pack_offset(256L, 8),

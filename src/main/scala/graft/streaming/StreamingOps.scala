@@ -333,6 +333,80 @@ object StreamingOps {
             dupsPath, n, numHashes, bands, numBuckets)
     }
 
+  /** Streaming SEMANTIC ingest dedup against the persisted IVF-PQ index
+    * — [[dedupIngestSink]]'s embedding-space twin. Per micro-batch:
+    *
+    *  1. within-batch near-dups via [[graft.operators.Dedup
+    *     .embeddingNearDups]] (sign-LSH candidates + exact cosine —
+    *     batch-local, hub-capped); the LATER id of each pair drops,
+    *  2. survivors checked against the indexed corpus with
+    *     [[graft.operators.VectorIndex.semanticDups]] (ADC top-k
+    *     candidates from the probed cells, exact-cosine verdict on the
+    *     |batch|·k fetched vectors — never a corpus pass),
+    *  3. both kinds of hits appended to `dupsPath` as
+    *     (idCol, dup_of, similarity, scope∈{batch,corpus}),
+    *  4. only CLEAN rows appended to the index (vectors stored, so they
+    *     are corpus for batch N+1 — the same self-accumulation contract).
+    *
+    * Requires an index built with `storeVectors = true`. */
+  def semanticIngestSink(stream: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String, dim: Int, threshold: Double,
+                         dupsPath: String, nPlanes: Int = 16,
+                         nProbe: Int = 4, k: Int = 5): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (rows: Dataset[Row], batchId: Long) =>
+        val batch = rows.toDF()
+        if (!batch.isEmpty)
+          semanticIngestBatch(batch, batchId, idCol, vecCol, indexPath, dim,
+            threshold, dupsPath, nPlanes, nProbe, k)
+    }
+
+  /** The replay-safe per-batch body of [[semanticIngestSink]] — the same
+    * started/done discipline as [[dedupIngestBatch]]; the crash-recovery
+    * scrub here is the index's own tombstone path (delete the batch's
+    * ids, compact the affected cells) before re-running. */
+  def semanticIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                          vecCol: String, indexPath: String, dim: Int,
+                          threshold: Double, dupsPath: String,
+                          nPlanes: Int = 16, nProbe: Int = 4,
+                          k: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    val log = new org.apache.hadoop.fs.Path(s"${dupsPath}_ingest_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(log, s"done-$batchId")
+    if (fs.exists(done)) return
+    val started = new org.apache.hadoop.fs.Path(log, s"started-$batchId")
+    if (fs.exists(started)) {
+      VectorIndex.delete(spark, indexPath, batch.select(col(idCol)), idCol)
+      VectorIndex.compact(spark, indexPath)
+    }
+    fs.mkdirs(log)
+    fs.create(started, true).close()
+    val inBatch = Dedup.embeddingNearDups(batch, idCol, vecCol, dim,
+        nPlanes, threshold)
+      .localCheckpoint(false)
+    val localClean = batch.join(
+      inBatch.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    // fresh load per batch: rows admitted at batch N-1 must be corpus
+    // for batch N (the sidecars are k-sized; the listing covers only the
+    // probed cells)
+    val idx = VectorIndex.load(spark, indexPath)
+    val corpusPairs = VectorIndex.semanticDups(spark, localClean, idCol,
+        vecCol, idx, nProbe, k, threshold)
+      .localCheckpoint(false)
+    inBatch
+      .select(col("id_b").as(idCol), col("id_a").as("dup_of"),
+        col("cosine").as("similarity"), lit("batch").as("scope"))
+      .unionByName(corpusPairs
+        .select(col(idCol), col("corpus_id").as("dup_of"),
+          col("cosine").as("similarity"), lit("corpus").as("scope")))
+      .write.mode("append").parquet(dupsPath)
+    val clean = localClean.join(
+      corpusPairs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    VectorIndex.append(clean, idCol, vecCol, indexPath)
+    fs.create(done, true).close()
+  }
+
   /** The replay-safe per-batch body of [[dedupIngestSink]] — the
     * started/done discipline [[idempotentAppend]] uses (foreachBatch is
     * at-least-once):

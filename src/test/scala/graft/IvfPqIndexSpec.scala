@@ -372,6 +372,30 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(zeroEx.getMessage.contains("baseline"))
   }
 
+  test("semanticDups: planted near-copy flagged against the index, orthogonal rows clean") {
+    val path = tmp("graft_ivfpq_sem")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, path, storeVectors = true)
+    val idx = VectorIndex.load(spark, path)
+    // a batch row that IS corpus row 42 under a new id must surface as
+    // its semantic duplicate at cosine ≈ 1
+    val planted = e.filter(col("vec_id") === 42)
+      .select(lit(9001L).as("vec_id"), col("embedding"))
+    val hits = VectorIndex.semanticDups(spark, planted, "vec_id", "embedding",
+        idx, nProbe = 4, k = 5, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (b, c, cos) => b == 9001L && c == 42L && cos > 0.999 },
+      s"planted copy of row 42 must be flagged: ${hits.toSeq}")
+    // refuses without the vecs table (no exact-verify source)
+    val pNoVecs = tmp("graft_ivfpq_sem_nv")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, pNoVecs)
+    intercept[IllegalArgumentException] {
+      VectorIndex.semanticDups(spark, planted, "vec_id", "embedding",
+        VectorIndex.load(spark, pNoVecs), 4, 5, 0.95)
+    }
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)

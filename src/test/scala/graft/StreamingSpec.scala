@@ -421,6 +421,92 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.table(s"${table}_sigs").filter($"doc_id" >= 10L).count() == 2L)
   }
 
+  test("semanticIngestSink: batch + corpus semantic dups audited, clean rows self-accumulate") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString
+    val dups = java.nio.file.Files.createTempDirectory("graft_sem_dups").toString + "/pairs"
+    // rows 2/3 sit off the centroids (a coinciding corpus would be the
+    // zero-drift-baseline degenerate case writeWith refuses) and below
+    // the 0.95 cosine bar against every batch row
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (3L, Seq(0.6f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    graft.operators.VectorIndex.writeIvfPq(corpus, "vec_id", "embedding",
+      nCells = 2, m = 2, nCentsPq = 2, path = path, storeVectors = true)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sem_ckpt").toString
+    // nPlanes = 0 → the in-batch leg compares all pairs (deterministic
+    // for handcrafted vectors); nProbe = 2 probes every cell; k = 8 ≥
+    // corpus size, so the EXACT cosine decides every verdict (handmade
+    // 4-dim vectors give the tiny PQ books no ordering to speak of)
+    val q = StreamingOps.semanticIngestSink(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path,
+        dim = 4, threshold = 0.95, dupsPath = dups, nPlanes = 0,
+        nProbe = 2, k = 8)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(
+        (10L, Seq(1f, 0.01f, 0f, 0f)),  // near-copy of corpus 0
+        (11L, Seq(0f, 0f, 1f, 0f)),     // new direction → admitted
+        (12L, Seq(0f, 0.01f, 1f, 0f)))  // in-batch near-copy of 11
+      q.processAllAvailable()
+      // self-accumulation: 11 was admitted last batch, so its near-copy
+      // is a CORPUS dup now even though the base index never saw it
+      ms.addData(
+        (20L, Seq(0f, 0.02f, 1f, 0f)),
+        (21L, Seq(0f, 0f, 0f, 1f)))     // new direction → admitted
+      q.processAllAvailable()
+    } finally q.stop()
+    val audited = spark.read.parquet(dups)
+      .select($"vec_id", $"dup_of", $"scope")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(audited == Set(
+      (10L, 0L, "corpus"), (12L, 11L, "batch"), (20L, 11L, "corpus")))
+    val indexed = spark.read.parquet(s"$path/codes")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 1L, 2L, 3L, 11L, 21L))
+  }
+
+  test("semanticIngestBatch replay after a crash mid-batch: no self-pairs, index lands once") {
+    val path = java.nio.file.Files.createTempDirectory("graft_semr_idx").toString
+    val dups = java.nio.file.Files.createTempDirectory("graft_semr_dups").toString + "/pairs"
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (3L, Seq(0.6f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    graft.operators.VectorIndex.writeIvfPq(corpus, "vec_id", "embedding",
+      nCells = 2, m = 2, nCentsPq = 2, path = path, storeVectors = true)
+    val batch = Seq(
+      (30L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (31L, Seq(0f, 0f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    // simulate a first attempt that crashed AFTER the index append but
+    // BEFORE the done marker
+    graft.operators.VectorIndex.append(batch, "vec_id", "embedding", path)
+    val log = new org.apache.hadoop.fs.Path(s"${dups}_ingest_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(log)
+    fs.create(new org.apache.hadoop.fs.Path(log, "started-0"), true).close()
+    // the replay must tombstone+compact its half-landed copy first — a
+    // naive re-run would flag every doc at cosine 1.0 against itself
+    StreamingOps.semanticIngestBatch(batch, 0L, "vec_id", "embedding", path,
+      dim = 4, threshold = 0.95, dupsPath = dups, nPlanes = 0,
+      nProbe = 2, k = 8)
+    assert(spark.read.parquet(dups).count() == 0L,
+      "genuinely-new rows must audit clean on replay")
+    val counts = spark.read.parquet(s"$path/codes")
+      .filter($"id" >= 30L).groupBy($"id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(30L -> 1L, 31L -> 1L),
+      s"each batch row must land exactly once: $counts")
+    // completed replay (done marker present) is a pure no-op
+    StreamingOps.semanticIngestBatch(batch, 0L, "vec_id", "embedding", path,
+      dim = 4, threshold = 0.95, dupsPath = dups, nPlanes = 0,
+      nProbe = 2, k = 8)
+    assert(spark.read.parquet(s"$path/codes").filter($"id" >= 30L).count() == 2L)
+  }
+
   test("packStream: micro-batch splits == batch greedy packing on in-order ids") {
     val docsDf = graft.operators.TextAnalysis
       .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
