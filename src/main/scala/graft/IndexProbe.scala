@@ -232,6 +232,17 @@ object IndexProbe {
         idxT, nProbe, k))
     }
 
+    // semantic-dedup-at-ingest per batch (ADC candidates + exact-cosine
+    // verdict on |batch|·k fetched vectors): the claim is per-batch cost
+    // FLAT in corpus size — a fixed 500-row ingest batch against the
+    // growing index
+    val semBatch = vecs.filter(col("vec_id") < 500)
+      .select((col("vec_id") + lit(30L * n)).as("vec_id"), col("embedding"))
+    timed("semantic_dups_per_batch") {
+      drain(VectorIndex.semanticDups(spark, semBatch, "vec_id", "embedding",
+        idxT, nProbe, k, threshold = 0.2))
+    }
+
     // overfetch sweep: how wide must the ADC candidate window be for
     // exact re-ranking to recover the truth (candidate fetch stays
     // |Q|·k·overfetch — driver-irrelevant at any corpus size)

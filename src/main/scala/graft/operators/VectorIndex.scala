@@ -130,16 +130,30 @@ object VectorIndex {
     * column-pruned pass; output one row (n_rows, mean_dist). */
   def meanCellDist(df: DataFrame, vecCol: String,
                    cents: Array[(Long, Array[Double])],
-                   scale: Long = 1000000L): DataFrame = {
-    val bank = graft.functions.CentroidBank.of(df.sparkSession, cents)
-    val d = bridge.column(graft.functions.NearestCellDist(
-      bridge.expression(col(vecCol)), bank))
-    df.select(floor(d * lit(scale.toDouble) + lit(0.5)).cast("long").as("__q"))
+                   scale: Long = 1000000L): DataFrame =
+    df.select(cellDistQuantized(df.sparkSession, col(vecCol), cents, scale).as("__q"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__q")).as("__s"))
       .select(col("n_rows"),
         (col("__s").cast("double") /
           (col("n_rows") * lit(scale)).cast("double")).as("mean_dist"))
+
+  /** The per-row quantized nearest-cell distance the drift readings sum:
+    * min squared-L2 to the bank (order-free double), `floor(d·S + 0.5)`
+    * to a long so any later sum is commutative-exact. Shared by the
+    * batch [[meanCellDist]] and the windowed [[graft.streaming
+    * .StreamingOps.driftScoreStream]]. */
+  def cellDistQuantized(spark: SparkSession, vec: Column,
+                        cents: Array[(Long, Array[Double])],
+                        scale: Long = 1000000L): Column = {
+    val bank = graft.functions.CentroidBank.of(spark, cents)
+    val d = bridge.column(graft.functions.NearestCellDist(
+      bridge.expression(vec), bank))
+    floor(d * lit(scale.toDouble) + lit(0.5)).cast("long")
   }
+
+  /** The drift denominator persisted at build time (`meta.mean_cell_dist`). */
+  def loadBaseline(spark: SparkSession, path: String): Double =
+    spark.read.parquet(s"$path/meta").collect()(0).getAs[Double]("mean_cell_dist")
 
   /** Quantization-drift score for an ingest batch: the batch's mean
     * nearest-cell distance over the index's build-time baseline (stored
@@ -153,10 +167,8 @@ object VectorIndex {
   def driftScore(spark: SparkSession, batch: DataFrame, vecCol: String,
                  path: String): Double = {
     val (cents, _) = loadQuantizers(spark, path)
-    val baseline = spark.read.parquet(s"$path/meta")
-      .collect()(0).getAs[Double]("mean_cell_dist")
     val b = meanCellDist(batch, vecCol, cents).collect()(0).getDouble(1)
-    b / baseline
+    b / loadBaseline(spark, path)
   }
 
   /** Logical delete: record `ids` as tombstones. O(batch) — no corpus

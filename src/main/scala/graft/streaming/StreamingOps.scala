@@ -249,6 +249,39 @@ object StreamingOps {
       .toDF(idCol, "shard", "pack", "n_tokens")
   }
 
+  /** Continuous drift MONITORING over an embedding stream — the third
+    * leg of the drift story: [[graft.operators.VectorIndex.driftScore]]
+    * reads one batch on demand (q129), q136 gates the composed retrain
+    * RESPONSE, and this keeps the reading flowing per tumbling window so
+    * the trigger fires on a cadence instead of ad hoc. Each window
+    * aggregates the same fixed-point quantized nearest-cell distance as
+    * the batch form (sum of longs — commutative, so the window total is
+    * exact regardless of row order or micro-batch seams) over the
+    * index's SAVED coarse quantizer, divided by the build-time baseline.
+    * State per window is (count, sum): two longs regardless of stream
+    * volume; the centroid bank broadcasts once per executor. Windows
+    * whose drift sustains above the retrain threshold feed
+    * [[graft.operators.VectorIndex.writeIvfPqTrained]] — q136's path.
+    * Output (window, n_rows, drift). */
+  def driftScoreStream(stream: DataFrame, vecCol: String,
+                       eventTimeCol: String, watermark: String,
+                       windowLen: String, indexPath: String,
+                       scale: Long = 1000000L): DataFrame = {
+    val spark = stream.sparkSession
+    val (cents, _) = VectorIndex.loadQuantizers(spark, indexPath)
+    val baseline = VectorIndex.loadBaseline(spark, indexPath)
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        VectorIndex.cellDistQuantized(spark, col(vecCol), cents, scale).as("__q"))
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__q")).as("__s"))
+      .select(col("window"), col("n_rows"),
+        ((col("__s").cast("double") /
+          (col("n_rows") * lit(scale)).cast("double")) / lit(baseline))
+          .as("drift"))
+  }
+
   /** Continuous ANN-index maintenance: each micro-batch of (id, vector)
     * rows encodes with the persisted index's SAVED quantizers and
     * appends into its cell partitions ([[graft.operators.VectorIndex

@@ -570,6 +570,43 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "restarted stream must continue the recurrence where batch 1 left it")
   }
 
+  test("driftScoreStream: per-window drift == batch driftScore on the same rows") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_driftstream").toString
+    graft.operators.VectorIndex.writeIvfPq(e, "vec_id", "embedding",
+      nCells = 16, m = 8, nCentsPq = 16, path = path)
+    // window A: the build distribution (drift must read exactly 1.0);
+    // window B: the same rows shifted x·2+1 — both materialized ONCE so
+    // the streamed and batch sides see bit-identical vectors
+    val base = e.collect().map(_.getSeq[Float](1).map(_.toDouble))
+    val shifted = base.map(_.map(x => x * 2.0 + 1.0))
+    val tA = Timestamp.valueOf("2026-01-01 10:00:30")
+    val tB = Timestamp.valueOf("2026-01-01 10:01:30")
+    val ms = MemoryStream[(Timestamp, Seq[Double])]
+    val out = StreamingOps.driftScoreStream(
+      ms.toDF().toDF("ts", "embedding"), "embedding", "ts",
+      watermark = "10 seconds", windowLen = "1 minute", indexPath = path)
+    val q = out.writeStream.format("memory").queryName("graft_drift_win")
+      .outputMode("complete").start()
+    try {
+      ms.addData(base.map(v => (tA, v.toSeq)).toSeq)
+      q.processAllAvailable()
+      ms.addData(shifted.map(v => (tB, v.toSeq)).toSeq)
+      q.processAllAvailable()
+      val byStart = spark.table("graft_drift_win")
+        .select($"window.start", $"drift")
+        .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+      val batchA = graft.operators.VectorIndex.driftScore(spark,
+        base.map(v => Tuple1(v.toSeq)).toSeq.toDF("embedding"), "embedding", path)
+      val batchB = graft.operators.VectorIndex.driftScore(spark,
+        shifted.map(v => Tuple1(v.toSeq)).toSeq.toDF("embedding"), "embedding", path)
+      assert(byStart(Timestamp.valueOf("2026-01-01 10:00:00")) == batchA)
+      assert(byStart(Timestamp.valueOf("2026-01-01 10:01:00")) == batchB)
+      assert(batchA == 1.0, s"build distribution must read exactly 1.0, got $batchA")
+      assert(batchB > 1.5, s"the shifted window must read as drifted, got $batchB")
+    } finally q.stop()
+  }
+
   test("qualityStatsStream windows finalize with correct aggregates") {
     val ms = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingOps.qualityStatsStream(
