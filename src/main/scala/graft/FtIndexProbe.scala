@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{FullText, FullTextIndex}
+
+/** Scale harness for the persisted BM25 index (SCALING.md): what
+  * [[graft.operators.FullTextIndex]] exists to buy at 100 TB is
+  * per-query-batch cost decoupled from corpus size —
+  *
+  *   - `oneshot`  — [[FullText.bm25Search]]: re-tokenizes and
+  *     re-weights EVERY corpus row per query batch; O(N) by
+  *     construction.
+  *   - `indexed`  — [[FullTextIndex.searchTopK]]: reads only the query
+  *     terms' postings (pushed-down IN over the sorted token column) +
+  *     a vocab-sized df sum; cost tracks matched postings, not N.
+  *   - `append_1pct` — the daily-ingest leg: tokenize just the batch,
+  *     stack partial stats.
+  *
+  * Usage: runMain graft.FtIndexProbe <sfDir> [reps=2]
+  */
+object FtIndexProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: FtIndexProbe <sfDir> [reps=2]"); sys.exit(1) }
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = d.count()
+    // search-shaped queries: a handful of terms each (a 60-char prefix),
+    // NOT whole documents — the cost law under measure is "matched
+    // postings, not corpus", and a full-document query matches nearly
+    // every row group by construction
+    val queries = d.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), substring(col("text"), 1, 60).as("qtext"))
+
+    def timed(label: String)(body: => Unit): Unit = {
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.gc(); Thread.sleep(1000)
+        sec
+      }
+      println(f"""{"probe":"ftindex_$label","sf":"$sfDir","n":$n,"sec":${secs.min}%.3f,"passes":[${secs.map(s => f"$s%.3f").mkString(",")}]}""")
+    }
+    def drain(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    timed("build") {
+      FullTextIndex.write(d, "doc_id", "text", table = "graft_ftprobe")
+    }
+    timed("oneshot_per_batch") {
+      drain(FullText.bm25Search(queries, "qid", "qtext", d, "doc_id", "text", 5))
+    }
+    timed("indexed_per_batch") {
+      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
+        "graft_ftprobe", 5))
+    }
+    var rep = 0
+    timed("append_1pct") {
+      val r = rep; rep += 1
+      FullTextIndex.appendBatch(spark,
+        d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit((10L + r) * n)).as("doc_id"), col("text")),
+        "doc_id", "text", table = "graft_ftprobe")
+    }
+    // post-append queries still pay only the term-pruned scan
+    timed("indexed_after_appends_per_batch") {
+      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
+        "graft_ftprobe", 5))
+    }
+    spark.stop()
+  }
+}

@@ -598,6 +598,43 @@ object SparkEntry {
         .withColumn("drift", lit(score))
     }),
 
+    // the windowed-agg streaming class under the DuckDB gate: rows carry
+    // deterministic event times (vec_id % 4 minutes past a fixed epoch),
+    // arrive in two micro-batches split vec_id % 2 — so every window
+    // SPANS the batch seam and the gate pins the cross-seam exactness of
+    // the commutative fixed-point sum — and each tumbling window's drift
+    // reading must hash-match the relational fixed-point mean ÷ baseline
+    "q140_stream_drift_windows" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q140_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      val epoch = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      val rows = e.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (new java.sql.Timestamp(epoch + (r.getLong(0) % 4) * 60000L),
+          r.getSeq[Float](1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Seq[Float])]
+      val out = graft.streaming.StreamingOps.driftScoreStream(
+        ms.toDF().toDF("ts", "embedding"), "embedding", "ts",
+        watermark = "10 seconds", windowLen = "1 minute", indexPath = path)
+      val qn = "graft_q140_windows"
+      s.sql(s"DROP VIEW IF EXISTS $qn") // re-runs in one session (bench passes)
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try {
+        val (b1, b2) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+        ms.addData(b1.map(_._1).toSeq); sq.processAllAvailable()
+        ms.addData(b2.map(_._1).toSeq); sq.processAllAvailable()
+      } finally sq.stop()
+      s.table(qn).select(
+        ((unix_timestamp(col("window.start")) - lit(epoch / 1000L)) / 60L)
+          .cast("long").as("win"),
+        col("n_rows"), col("drift"))
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {
@@ -672,6 +709,38 @@ object SparkEntry {
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       FullText.bm25Search(q, "qid", "qtext", d, "doc_id", "text", 5)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    // the persisted incremental BM25 index: postings are stats-free
+    // (token, doc, tf, dl), df/avgdl partials sum at query time — so an
+    // append can never stale the index. Build on evens, APPEND odds,
+    // search with CURRENT stats ≡ the fresh whole-corpus q55b oracle
+    "q141_bm25_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      FullTextIndex.write(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", table = "graft_q141_idx")
+      FullTextIndex.appendBatch(s, d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", table = "graft_q141_idx")
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", "graft_q141_idx", k = 5)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
+    // BM25-index removal: postings rewrite out, statistics leave as
+    // NEGATIVE partial rows — df/avgdl re-derive over the survivors
+    // immediately (a masked-but-counted doc would keep skewing every
+    // score), so the search equals a fresh build on the kept corpus
+    "q141b_bm25_deleted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      FullTextIndex.write(d, "doc_id", "text", table = "graft_q141b_idx")
+      FullTextIndex.removeDocs(s,
+        d.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id", table = "graft_q141b_idx")
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", "graft_q141b_idx", k = 5)
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 

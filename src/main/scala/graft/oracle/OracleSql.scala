@@ -1260,6 +1260,21 @@ SELECT qid, vec_id, rnk, dist, (SELECT score FROM drift) AS drift
 FROM rk WHERE rnk <= $topK"""
   }
 
+  /** q140: windowed drift readings ([[graft.streaming.StreamingOps
+    * .driftScoreStream]]) — window k holds the rows with
+    * `vec_id % nWins = k`; per window, q129's fixed-point mean
+    * nearest-cell distance ÷ the whole-corpus build baseline. */
+  def q140_stream_drift_windows(nCells: Int, nWins: Int,
+                                scale: Long = 1000000L): String =
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+d AS (SELECT e.vec_id, min(${l2sqSql("e.embedding", "c.cvec")}) AS dmin
+  FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id),
+q AS (SELECT vec_id % $nWins AS win, CAST(floor(dmin * $scale + 0.5) AS BIGINT) AS qd FROM d),
+base AS (SELECT sum(qd)::DOUBLE / (count(*) * $scale)::DOUBLE AS mean FROM q)
+SELECT win::BIGINT AS win, count(*)::BIGINT AS n_rows,
+  (sum(qd)::DOUBLE / (count(*) * $scale)::DOUBLE) / (SELECT mean FROM base) AS drift
+FROM q GROUP BY win"""
+
   /** q138: SemDeDup's serving form ([[graft.operators.VectorIndex
     * .semanticDups]]) — the index holds rows < `split`; each batch row
     * (≥ split) proposes its ADC top-`k` corpus neighbors (q49b's
@@ -1547,15 +1562,21 @@ SELECT qid, vec_id, rnk, score FROM sc WHERE rnk <= $k"""
     * one transcendental (ln) snapped to the 2^-24 grid on both engines.
     * All doubles interpolate from the SAME Scala values the operator
     * uses (Double.toString round-trips). */
-  private def bm25Ctes(k1: Double, b: Double): String = {
+  /** `corpusWhere` (e.g. `"WHERE doc_id % 7 != 0"`) restricts the CORPUS
+    * side only — `btok` stays whole so the query CTEs (`bq`) still read
+    * every doc's text, mirroring a post-build [[graft.operators
+    * .FullTextIndex.removeDocs]] where removal re-derives the statistics
+    * over the surviving corpus (q141b). */
+  private def bm25Ctes(k1: Double, b: Double, corpusWhere: String = ""): String = {
     val s = graft.operators.FullText.IdfScale
     val k1p1 = k1 + 1.0
     val oneMb = 1.0 - b
     s"""btok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
-be AS (SELECT doc_id, len(tids)::BIGINT AS dl, unnest(tids) AS token_id FROM btok),
+btokc AS (SELECT * FROM btok $corpusWhere),
+be AS (SELECT doc_id, len(tids)::BIGINT AS dl, unnest(tids) AS token_id FROM btokc),
 btf AS (SELECT doc_id, token_id, count(*)::BIGINT AS tf, max(dl) AS dl FROM be GROUP BY doc_id, token_id),
 bst AS (SELECT token_id, count(*)::BIGINT AS df FROM btf GROUP BY token_id),
-bnd AS (SELECT count(*)::BIGINT AS n_docs, sum(len(tids))::BIGINT AS total_len FROM btok),
+bnd AS (SELECT count(*)::BIGINT AS n_docs, sum(len(tids))::BIGINT AS total_len FROM btokc),
 bw AS (SELECT btf.doc_id, btf.token_id, btf.tf, bst.df,
   (floor(ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) * $s + 0.5) / $s)
   * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1 * ($oneMb + $b * (dl::DOUBLE / (total_len::DOUBLE / n_docs::DOUBLE)))) AS weight
@@ -1581,8 +1602,9 @@ br AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY s
     s"""WITH ${bm25Ctes(k1, b)}
 SELECT doc_id, token_id, tf, df, weight FROM bw"""
 
-  def q55b_bm25_topk(k1: Double, b: Double, k: Int): String =
-    s"""WITH ${bm25Ctes(k1, b)},
+  def q55b_bm25_topk(k1: Double, b: Double, k: Int,
+                     corpusWhere: String = ""): String =
+    s"""WITH ${bm25Ctes(k1, b, corpusWhere)},
 ${bm25SearchCtes(4)}
 SELECT qid, doc_id, rnk, score FROM br WHERE rnk <= $k"""
 
@@ -3544,6 +3566,7 @@ FROM events GROUP BY user_id, event_type"""
     "q128_pack_greedy" -> q128_pack_greedy(256L, 8),
     "q129_index_drift" -> q129_index_drift(16, 1000000L),
     "q136_drift_retrain" -> q136_drift_retrain(Dim, 16, 8, 8, 8, 1, 4, 5),
+    "q140_stream_drift_windows" -> q140_stream_drift_windows(16, 4),
     "q130_ivfpq_residual" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
     "q131_pack_stats" -> q131_pack_stats(256L, 8),
     "q132_ivfpq_merged" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
@@ -3563,6 +3586,14 @@ FROM events GROUP BY user_id, event_type"""
     "q54c_binary_rescored" -> q54c_binary_rescored(Dim, 32, 5),
     "q55_bm25_weights" -> q55_bm25_weights(graft.operators.FullText.K1, graft.operators.FullText.B),
     "q55b_bm25_topk" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
+    // the persisted-index form derives weights from CURRENT summed stats,
+    // so build+append ≡ the fresh whole-corpus search — same oracle,
+    // independently hash-gated (the q123b pattern, lexical twin)
+    "q141_bm25_indexed" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
+    // removal re-derives df/n_docs/avgdl over the SURVIVING corpus (not
+    // a mask), so the oracle is the fresh search over the kept docs
+    "q141b_bm25_deleted" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5,
+      corpusWhere = "WHERE doc_id % 7 != 0"),
     "q56_hybrid_rrf" -> q56_hybrid_rrf(Dim, graft.operators.FullText.K1, graft.operators.FullText.B, 20, graft.operators.FullText.RrfK, 10),
     "q57_stratified_sample" -> q57_stratified_sample(Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q57b_cap_per_source" -> q57b_cap_per_source(10),
