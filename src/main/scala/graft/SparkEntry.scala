@@ -744,6 +744,31 @@ object SparkEntry {
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // the hybrid SERVING capstone: both retrieval legs run ENTIRELY from
+    // persisted indexes — IVF-PQ ADC top-20 (directory-pruned cells) and
+    // current-stats BM25 top-20 (term-pruned postings) — fused by
+    // reciprocal rank exactly as the one-shot q56; a production stack
+    // answers every query this way without touching raw corpus bytes
+    "q142_hybrid_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = tbl(s, dir, "embeddings")
+      val vPath = java.nio.file.Files.createTempDirectory("graft_q142_vidx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = vPath)
+      val vq = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dense = VectorIndex.search(s, vq, "qid", "qv", vPath, nProbe = 4, k = 20)
+        .select(col("qid"), col("id").as("doc_id"), col("rank"))
+      FullTextIndex.write(d, "doc_id", "text", table = "graft_q142_idx")
+      val tq = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val lexical = FullTextIndex.searchTopK(s, tq, "qid", "qtext",
+          "graft_q142_idx", k = 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      FullText.rrfFuse(dense, lexical, "qid", "doc_id", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // hybrid retrieval: dense cosine top-20 + BM25 top-20 fused by
     // reciprocal-rank (k=60) into a top-10 — the production hybrid shape
     "q56_hybrid_rrf" -> ((s, dir) => {

@@ -1050,11 +1050,19 @@ SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $topK"""
     * corpus, mirroring a post-build [[graft.operators.VectorIndex
     * .delete]] where deletion never retrains (q126). */
   def q49b_ivf_pq(dim: Int, nCells: Int, nProbe: Int, m: Int,
-                  nCentsPq: Int, k: Int, candFilter: String = ""): String = {
+                  nCentsPq: Int, k: Int, candFilter: String = ""): String =
+    s"WITH ${ivfPqCtes(dim, nCells, nProbe, m, nCentsPq, candFilter)}\n" +
+      s"SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"
+
+  /** The q49b CTE chain (ends at `rk(qid, vec_id, dist, rnk)`) — shared
+    * with the q142 hybrid-indexed composition. */
+  private def ivfPqCtes(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                        nCentsPq: Int, candFilter: String = "",
+                        maxQid: Int = 8): String = {
     val sub = dim / m
     def subL2(a: String, b: String, j: String): String =
       s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
-    s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
+    s"""cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
 cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
 assign AS (SELECT vec_id, cell FROM (
   SELECT e.vec_id, c.cell,
@@ -1066,7 +1074,7 @@ dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
 enc AS (SELECT vec_id, j, c AS code FROM (
   SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
   WHERE rn = 1),
-q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $maxQid),
 qprobe AS (SELECT qid, qv, cell FROM (
   SELECT q.qid, q.qv, c.cell,
     row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
@@ -1077,8 +1085,28 @@ qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
 adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
   FROM qd GROUP BY qid, vec_id),
 rk AS (SELECT qid, vec_id, dist,
-  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)
-SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM adist)"""
+  }
+
+  /** q142: hybrid retrieval ENTIRELY from persisted indexes — the
+    * IVF-PQ ADC leg (q49b's chain against the vector index) and the
+    * BM25 leg (q55b's chain with the index's current-stats weights),
+    * each top-`legK`, fused by reciprocal rank exactly as q56
+    * (1/(kRrf+rank) summed dense-leg-first, ties → lower doc id). */
+  def q142_hybrid_indexed(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                          nCentsPq: Int, k1: Double, b: Double,
+                          legK: Int, kRrf: Int, k: Int): String = {
+    val kr = kRrf.toDouble
+    s"""WITH ${ivfPqCtes(dim, nCells, nProbe, m, nCentsPq, maxQid = 4)},
+${bm25Ctes(k1, b)},
+${bm25SearchCtes(4)},
+drk AS (SELECT qid, vec_id AS doc_id, rnk FROM rk WHERE rnk <= $legK),
+brk AS (SELECT qid, doc_id, rnk FROM br WHERE rnk <= $legK),
+sf AS (SELECT coalesce(d.qid, s.qid) AS qid, coalesce(d.doc_id, s.doc_id) AS doc_id,
+  coalesce(1.0 / ($kr + d.rnk::DOUBLE), 0.0) + coalesce(1.0 / ($kr + s.rnk::DOUBLE), 0.0) AS score
+  FROM drk d FULL JOIN brk s ON s.qid = d.qid AND s.doc_id = d.doc_id),
+fr AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk FROM sf)
+SELECT qid, doc_id, rnk, score FROM fr WHERE rnk <= $k"""
   }
 
   /** q130: RESIDUAL-encoded IVF-PQ ([[graft.operators.Similarity
@@ -3594,6 +3622,9 @@ FROM events GROUP BY user_id, event_type"""
     // a mask), so the oracle is the fresh search over the kept docs
     "q141b_bm25_deleted" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5,
       corpusWhere = "WHERE doc_id % 7 != 0"),
+    "q142_hybrid_indexed" -> q142_hybrid_indexed(Dim, 16, 4, 8, 16,
+      graft.operators.FullText.K1, graft.operators.FullText.B,
+      20, graft.operators.FullText.RrfK, 10),
     "q56_hybrid_rrf" -> q56_hybrid_rrf(Dim, graft.operators.FullText.K1, graft.operators.FullText.B, 20, graft.operators.FullText.RrfK, 10),
     "q57_stratified_sample" -> q57_stratified_sample(Seq("en" -> 0.5, "zh" -> 0.1), 0.25),
     "q57b_cap_per_source" -> q57b_cap_per_source(10),
