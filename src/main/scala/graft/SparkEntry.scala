@@ -728,6 +728,37 @@ object SparkEntry {
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
+    // the BM25 index's streamed maintenance path: odds arrive as three
+    // ordered micro-batches through the replay-safe bm25IngestSink; the
+    // post-stream search with CURRENT stats must still hash-match the
+    // fresh whole-corpus oracle — the q137 pattern, lexical twin
+    "q143_stream_bm25_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+      FullTextIndex.write(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", table = "graft_q143_idx")
+      val rest = d.filter(col("doc_id") % 2 === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val log = java.nio.file.Files.createTempDirectory("graft_q143_log").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q143_ckpt").toString
+      val sq = graft.streaming.StreamingOps.bm25IngestSink(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          "graft_q143_idx", logPath = log)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+          ms.addData(b.toSeq); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", "graft_q143_idx", k = 5)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // BM25-index removal: postings rewrite out, statistics leave as
     // NEGATIVE partial rows — df/avgdl re-derive over the survivors
     // immediately (a masked-but-counted doc would keep skewing every

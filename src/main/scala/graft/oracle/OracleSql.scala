@@ -3622,6 +3622,7 @@ FROM events GROUP BY user_id, event_type"""
     // a mask), so the oracle is the fresh search over the kept docs
     "q141b_bm25_deleted" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5,
       corpusWhere = "WHERE doc_id % 7 != 0"),
+    "q143_stream_bm25_ingest" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
     "q142_hybrid_indexed" -> q142_hybrid_indexed(Dim, 16, 4, 8, 16,
       graft.operators.FullText.K1, graft.operators.FullText.B,
       20, graft.operators.FullText.RrfK, 10),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.functions.Kernel
-import graft.operators.{Dedup, DedupIndex, TextEmbedder, VectorIndex}
+import graft.operators.{Dedup, DedupIndex, FullTextIndex, TextEmbedder, VectorIndex}
 
 /** Structured Streaming surface — beyond parity (the reference is
   * strictly batch, SURVEY.md §2.7), but a training-data pipeline ingests
@@ -334,6 +334,42 @@ object StreamingOps {
     fs.mkdirs(log)
     fs.create(started, true).close()
     VectorIndex.append(batch, idCol, vecCol, indexPath)
+    fs.create(done, true).close()
+  }
+
+  /** Continuous lexical-index maintenance: each micro-batch of
+    * (id, text) rows tokenizes once and appends into the persisted BM25
+    * index ([[graft.operators.FullTextIndex.appendBatch]] — postings +
+    * partial-stat rows; searches pick the new statistics up
+    * immediately). Per-batch cost is O(batch), never O(corpus). */
+  def bm25IngestSink(stream: DataFrame, idCol: String, textCol: String,
+                     table: String, logPath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (rows: Dataset[Row], batchId: Long) =>
+        val batch = rows.toDF()
+        if (!batch.isEmpty)
+          bm25IngestBatch(batch, batchId, idCol, textCol, table, logPath)
+    }
+
+  /** The replay-safe per-batch body of [[bm25IngestSink]] — the
+    * started/done discipline; the crash-recovery scrub is
+    * [[graft.operators.FullTextIndex.removeDocs]] (postings rewrite +
+    * negative stat deltas), so a half-landed batch can never double its
+    * term frequencies OR its df/avgdl contributions. */
+  def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                      textCol: String, table: String,
+                      logPath: String): Unit = {
+    val spark = batch.sparkSession
+    val log = new org.apache.hadoop.fs.Path(logPath)
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(log, s"done-$batchId")
+    if (fs.exists(done)) return
+    val started = new org.apache.hadoop.fs.Path(log, s"started-$batchId")
+    if (fs.exists(started))
+      FullTextIndex.removeDocs(spark, batch.select(col(idCol)), idCol, table)
+    fs.mkdirs(log)
+    fs.create(started, true).close()
+    FullTextIndex.appendBatch(spark, batch, idCol, textCol, table)
     fs.create(done, true).close()
   }
 
