@@ -51,15 +51,15 @@ object FtIndexProbe {
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    val path = java.nio.file.Files.createTempDirectory("graft_ftprobe").toString
     timed("build") {
-      FullTextIndex.write(d, "doc_id", "text", table = "graft_ftprobe")
+      FullTextIndex.write(d, "doc_id", "text", path)
     }
     timed("oneshot_per_batch") {
       drain(FullText.bm25Search(queries, "qid", "qtext", d, "doc_id", "text", 5))
     }
     timed("indexed_per_batch") {
-      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-        "graft_ftprobe", 5))
+      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5))
     }
     var rep = 0
     timed("append_1pct") {
@@ -67,12 +67,11 @@ object FtIndexProbe {
       FullTextIndex.appendBatch(spark,
         d.filter(col("doc_id") % 100 === 0)
           .select((col("doc_id") + lit((10L + r) * n)).as("doc_id"), col("text")),
-        "doc_id", "text", table = "graft_ftprobe")
+        "doc_id", "text", path)
     }
     // post-append queries still pay only the term-pruned scan
     timed("indexed_after_appends_per_batch") {
-      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-        "graft_ftprobe", 5))
+      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5))
     }
     spark.stop()
   }

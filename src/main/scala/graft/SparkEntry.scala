@@ -718,13 +718,14 @@ object SparkEntry {
     // search with CURRENT stats ≡ the fresh whole-corpus q55b oracle
     "q141_bm25_indexed" -> ((s, dir) => {
       val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q141_idx").toString
       FullTextIndex.write(d.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", table = "graft_q141_idx")
+        "doc_id", "text", path)
       FullTextIndex.appendBatch(s, d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", table = "graft_q141_idx")
+        "doc_id", "text", path)
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      FullTextIndex.searchTopK(s, q, "qid", "qtext", "graft_q141_idx", k = 5)
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
@@ -736,8 +737,9 @@ object SparkEntry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q143_idx").toString
       FullTextIndex.write(d.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", table = "graft_q143_idx")
+        "doc_id", "text", path)
       val rest = d.filter(col("doc_id") % 2 === 1)
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val ms = org.apache.spark.sql.execution.streaming.runtime
@@ -746,7 +748,7 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q143_ckpt").toString
       val sq = graft.streaming.StreamingOps.bm25IngestSink(
           ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          "graft_q143_idx", logPath = log)
+          path, logPath = log)
         .option("checkpointLocation", ckpt).start()
       try {
         rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
@@ -755,7 +757,7 @@ object SparkEntry {
       } finally sq.stop()
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      FullTextIndex.searchTopK(s, q, "qid", "qtext", "graft_q143_idx", k = 5)
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
@@ -765,13 +767,14 @@ object SparkEntry {
     // score), so the search equals a fresh build on the kept corpus
     "q141b_bm25_deleted" -> ((s, dir) => {
       val d = docs(s, dir)
-      FullTextIndex.write(d, "doc_id", "text", table = "graft_q141b_idx")
+      val path = java.nio.file.Files.createTempDirectory("graft_q141b_idx").toString
+      FullTextIndex.write(d, "doc_id", "text", path)
       FullTextIndex.removeDocs(s,
         d.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
-        "doc_id", table = "graft_q141b_idx")
+        "doc_id", path)
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      FullTextIndex.searchTopK(s, q, "qid", "qtext", "graft_q141b_idx", k = 5)
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
@@ -790,11 +793,12 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val dense = VectorIndex.search(s, vq, "qid", "qv", vPath, nProbe = 4, k = 20)
         .select(col("qid"), col("id").as("doc_id"), col("rank"))
-      FullTextIndex.write(d, "doc_id", "text", table = "graft_q142_idx")
+      val tPath = java.nio.file.Files.createTempDirectory("graft_q142_tidx").toString
+      FullTextIndex.write(d, "doc_id", "text", tPath)
       val tq = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       val lexical = FullTextIndex.searchTopK(s, tq, "qid", "qtext",
-          "graft_q142_idx", k = 20)
+          tPath, k = 20)
         .select(col("qid"), col("doc_id"), col("rank"))
       FullText.rrfFuse(dense, lexical, "qid", "doc_id", k = 10)
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 import graft.functions.{K, Kernel}
 
 /** Persisted incremental BM25 index — the lexical twin of
@@ -13,29 +14,41 @@ import graft.functions.{K, Kernel}
   * subtlety a persisted form must solve: document-side BM25 weights
   * depend on GLOBAL statistics (df, n_docs, avgdl) that change with
   * every ingest — persisting weights would leave the whole index stale
-  * after one append. So this index persists what appends CANNOT stale:
+  * after one append. So this index persists what appends CANNOT stale,
+  * as one self-contained directory (copyable like [[VectorIndex]]'s):
   *
-  *   - `<table>_postings` — (token_id, doc_id, tf, dl): the inverted
-  *     file, bucketed AND sorted on token_id, append-only. tf and dl are
-  *     per-document facts; no global statistic touches them.
-  *   - `<table>_df` — (token_id, df) PARTIAL rows: each build/append
+  *   - `<path>/postings` — (token_id, doc_id, tf, dl): the inverted
+  *     file, clustered AND sorted on token_id (row-group stats →
+  *     predicate skipping), append-only. tf and dl are per-document
+  *     facts; no global statistic touches them.
+  *   - `<path>/df` — (token_id, df) PARTIAL rows: each build/append
   *     adds its batch's per-token document counts; the true df is the
   *     sum — a vocab-sized (never corpus-sized) aggregation.
-  *   - `<table>_meta` — (n_docs, total_len) partial rows, same contract.
-  *   - `<table>_conf` — (num_buckets, max_length): construction params;
-  *     mismatched appends/queries refuse loudly (DedupIndex's rule).
+  *   - `<path>/meta` — (n_docs, total_len) partial rows, same contract.
+  *   - `<path>/conf` — (max_length): construction params.
   *
   * [[searchTopK]] derives weights ON THE FLY from the CURRENT summed
   * statistics, so results are always exactly what a fresh
   * [[FullText.bm25Search]] over the accumulated corpus would return
-  * (q141 hash-gates that equivalence through a build + append). Query
-  * cost: the postings scan is pruned to the query terms — the term set
-  * is batch-bounded (≤ maxLength distinct tokens per query), so small
-  * batches push an `IN` predicate into the parquet scan (row-group
-  * skipping on the sorted token_id column); larger batches fall back to
-  * a broadcast semi join. df/meta sums are vocab-sized and one-row-sized
-  * respectively; [[recapStats]] folds accumulated partials back to one
-  * row per token on the maintenance cadence. */
+  * (q141/q143 hash-gate that equivalence through batch and streamed
+  * appends). Query cost: the postings scan is pruned to the query
+  * terms — batch-bounded (≤ maxLength distinct tokens per query), so
+  * small batches push an `IN` predicate into the parquet scan; larger
+  * batches fall back to a broadcast semi join.
+  *
+  * '''Removal is crash-safe by staging + rename''' ([[removeDocs]]):
+  * stat deltas would be unrecoverable if computed after a partial
+  * failure (scrubbed postings can no longer say what left), and
+  * re-computing them on a retry double-subtracts. So a removal first
+  * STAGES everything it will do — the id set and the negative stat
+  * deltas derived from the live postings — under `<path>/_removal`
+  * with a READY marker written last, and then applies by (1) an
+  * idempotent postings rewrite behind a parked-directory swap and
+  * (2) MOVING the staged delta files into the stat directories.
+  * Renames are physically exactly-once: a replay moves only what is
+  * still in staging, so no delta can apply twice, and [[reconcile]]
+  * (run at every entry point) rolls an interrupted removal forward —
+  * or discards staging that never reached READY. */
 object FullTextIndex {
 
   /** Above this many distinct query terms the pushed-down IN predicate
@@ -46,32 +59,28 @@ object FullTextIndex {
   /** Build the index over a corpus: one tokenize pass feeds postings,
     * df partials, and the meta partial. */
   def write(corpus: DataFrame, idCol: String, textCol: String,
-            table: String, numBuckets: Int = 32,
-            maxLength: Int = K.MaxLength): Unit = {
+            path: String, maxLength: Int = K.MaxLength): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    DedupIndex.prepareManagedTable(spark, s"${table}_postings")
-    DedupIndex.prepareManagedTable(spark, s"${table}_df")
-    DedupIndex.prepareManagedTable(spark, s"${table}_meta")
-    DedupIndex.prepareManagedTable(spark, s"${table}_conf")
-    Seq((numBuckets, maxLength)).toDF("num_buckets", "max_length")
-      .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_conf")
-    appendInto(spark, corpus, idCol, textCol, table, numBuckets, maxLength)
+    val fs = hfs(spark, path)
+    fs.delete(new Path(path), true)
+    Seq(Tuple1(maxLength)).toDF("max_length")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
+    appendInto(spark, corpus, idCol, textCol, path, maxLength)
   }
 
   /** Grow the index with an ingest batch (new ids by contract): one
-    * tokenize pass over JUST the batch — postings rows append into the
-    * bucketed table, df/meta partials stack for the query-time sum. */
+    * tokenize pass over JUST the batch — postings rows append as new
+    * files, df/meta partials stack for the query-time sum. */
   def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
-                  textCol: String, table: String): Unit = {
-    val (numBuckets, maxLength) = conf(spark, table)
-    appendInto(spark, batch, idCol, textCol, table, numBuckets, maxLength)
+                  textCol: String, path: String): Unit = {
+    reconcile(spark, path)
+    appendInto(spark, batch, idCol, textCol, path, conf(spark, path))
   }
 
   private def appendInto(spark: SparkSession, batch: DataFrame,
-                         idCol: String, textCol: String, table: String,
-                         numBuckets: Int, maxLength: Int): Unit = {
+                         idCol: String, textCol: String, path: String,
+                         maxLength: Int): Unit = {
     // the exact tf/dl/stats derivation of FullText.bm25DocWeightsTokens
     // — one tokenize pass shared by all three tables via the lazy
     // lineage cut; n_docs/total_len count EVERY doc (a zero-token doc
@@ -87,18 +96,17 @@ object FullTextIndex {
       .groupBy(col("doc_id"), col("token_id"))
       .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
       .localCheckpoint(false)
+    // cluster + sort by token so parquet row-group stats carry the
+    // pushed-down IN (the same discipline as VectorIndex's cell files)
     tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
-      .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "token_id").sortBy("token_id")
-      .saveAsTable(s"${table}_postings")
+      .repartition(col("token_id")).sortWithinPartitions("token_id")
+      .write.mode("append").parquet(s"$path/postings")
     tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
-      .write.mode("append").format("parquet")
-      .saveAsTable(s"${table}_df")
+      .write.mode("append").parquet(s"$path/df")
     toks
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tids")).cast("long")).as("total_len"))
-      .coalesce(1).write.mode("append").format("parquet")
-      .saveAsTable(s"${table}_meta")
+      .coalesce(1).write.mode("append").parquet(s"$path/meta")
   }
 
   /** BM25 top-k over the index with CURRENT statistics — bit-identical
@@ -106,9 +114,10 @@ object FullTextIndex {
     * grid, same weight tree, same fixed-point score fold, same top-k tie
     * rule). Output (qIdCol, doc_id, rank, score). */
   def searchTopK(spark: SparkSession, queries: DataFrame, qIdCol: String,
-                 qTextCol: String, table: String, k: Int,
+                 qTextCol: String, path: String, k: Int,
                  k1: Double = FullText.K1, b: Double = FullText.B): DataFrame = {
-    val (_, maxLength) = conf(spark, table)
+    val maxLength = conf(spark, path)
+    reconcile(spark, path)
     val qTerms = queries.select(col(qIdCol),
         explode(array_distinct(Kernel.tokenIds(col(qTextCol), maxLength)))
           .as("token_id"))
@@ -121,10 +130,10 @@ object FullTextIndex {
     def prune(t: DataFrame): DataFrame =
       if (ids.length <= PushdownTermLimit) t.filter(col("token_id").isin(ids: _*))
       else t.join(broadcast(termIds), Seq("token_id"), "left_semi")
-    val post = prune(spark.table(s"${table}_postings"))
-    val dfNow = prune(spark.table(s"${table}_df"))
+    val post = prune(spark.read.parquet(s"$path/postings"))
+    val dfNow = prune(spark.read.parquet(s"$path/df"))
       .groupBy(col("token_id")).agg(sum(col("df")).as("df"))
-    val nd = spark.table(s"${table}_meta")
+    val nd = spark.read.parquet(s"$path/meta")
       .agg(sum(col("n_docs")).as("__n_docs"), sum(col("total_len")).as("__total_len"))
     val weights = post
       .join(broadcast(dfNow), "token_id")
@@ -150,62 +159,133 @@ object FullTextIndex {
 
   /** Removal requests (the lexical twin of [[VectorIndex.delete]], but
     * with IMMEDIATE statistics effect — BM25 weights depend on df/avgdl,
-    * so a masked-but-counted doc would keep skewing every score): the
-    * removed docs' postings rewrite out of the inverted file, and their
-    * statistics leave as NEGATIVE partial rows (df per token, n_docs /
-    * total_len) that the query-time sums absorb — [[recapStats]] folds
-    * them away on the maintenance cadence. Contract: every id was
-    * ingested exactly once (ids are permanent identities; the n_docs
-    * delta is the id count because a zero-token doc leaves no posting to
-    * discover it by). Cost: one postings rewrite (inverted-file-sized,
-    * the unavoidable part) + batch-sized delta rows. */
+    * so a masked-but-counted doc would keep skewing every score).
+    * Crash-safe by the stage-then-rename protocol described in the
+    * module doc: any interruption either rolls forward deterministically
+    * from the staged snapshot at the next entry point, or (before READY)
+    * discards cleanly. Contract: every id was ingested exactly once (ids
+    * are permanent identities; a zero-token doc leaves no posting, so
+    * its n_docs contribution is not discoverable — staged n_docs counts
+    * the removed docs FOUND in the postings). Cost: one postings rewrite
+    * (inverted-file-sized, the unavoidable part) + batch-sized staging. */
   def removeDocs(spark: SparkSession, ids: DataFrame, idCol: String,
-                 table: String): Unit = {
-    val (numBuckets, _) = conf(spark, table)
+                 path: String): Unit = {
+    reconcile(spark, path)
+    val fs = hfs(spark, path)
+    val rm = new Path(s"$path/_removal")
+    fs.delete(rm, true)
     val drop = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val post = spark.table(s"${table}_postings")
-    val removed = post.join(drop, Seq("doc_id"), "left_semi").localCheckpoint(true)
-    val kept = post.join(drop, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    DedupIndex.prepareManagedTable(spark, s"${table}_postings")
-    kept.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, "token_id").sortBy("token_id")
-      .saveAsTable(s"${table}_postings")
-    removed.groupBy(col("token_id"))
-      .agg((-count(lit(1))).as("df"))
-      .write.mode("append").format("parquet").saveAsTable(s"${table}_df")
-    val nDel = drop.count()
-    val lenRow = removed.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(sum(col("dl")).as("s")).collect()(0)
-    val totLen = if (lenRow.isNullAt(0)) 0L else lenRow.getLong(0)
-    import spark.implicits._
-    Seq((-nDel, -totLen)).toDF("n_docs", "total_len")
-      .coalesce(1).write.mode("append").format("parquet")
-      .saveAsTable(s"${table}_meta")
+    val removed = spark.read.parquet(s"$path/postings")
+      .join(drop, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    // stage EVERYTHING the apply step will do, deltas included, BEFORE
+    // touching any live table — after READY the removal is decided and
+    // every later step is replay-idempotent
+    drop.coalesce(1).write.parquet(s"$path/_removal/ids")
+    removed.groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
+      .coalesce(1).write.parquet(s"$path/_removal/df")
+    removed.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("total_len"))
+      .coalesce(1).write.parquet(s"$path/_removal/meta")
+    fs.create(new Path(rm, "READY"), true).close()
+    applyRemoval(spark, path)
+  }
+
+  /** Roll a READY removal forward. Idempotent end to end: the postings
+    * rewrite re-derives the same surviving set, the swap is parked, and
+    * the staged delta FILES move by rename — a file already applied is
+    * gone from staging, so it can never apply twice. */
+  private def applyRemoval(spark: SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    val drop = spark.read.parquet(s"$path/_removal/ids")
+    val stagedNew = new Path(s"$path/_postings_new")
+    fs.delete(stagedNew, true)
+    spark.read.parquet(s"$path/postings")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .repartition(col("token_id")).sortWithinPartitions("token_id")
+      .write.parquet(stagedNew.toString)
+    swapDir(fs, s"$path/postings", stagedNew.toString)
+    moveFiles(fs, s"$path/_removal/df", s"$path/df")
+    moveFiles(fs, s"$path/_removal/meta", s"$path/meta")
+    fs.delete(new Path(s"$path/_removal"), true)
   }
 
   /** Maintenance: fold the accumulated df/meta partial rows back to one
     * row per token / one row total. Results are unchanged (the query
     * path sums partials anyway); this bounds the partial-table growth at
-    * one row-set per append. Vocab-sized I/O, never corpus-sized. */
-  def recapStats(spark: SparkSession, table: String): Unit = {
-    val df = spark.table(s"${table}_df")
-      .groupBy(col("token_id")).agg(sum(col("df")).as("df"))
-      .localCheckpoint(true)
-    DedupIndex.prepareManagedTable(spark, s"${table}_df")
-    df.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_df")
-    val meta = spark.table(s"${table}_meta")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
-      .localCheckpoint(true)
-    DedupIndex.prepareManagedTable(spark, s"${table}_meta")
-    meta.coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_meta")
+    * one row-set per append. Vocab-sized I/O, never corpus-sized; the
+    * rewrites swap behind parked directories like every rewrite here. */
+  def recapStats(spark: SparkSession, path: String): Unit = {
+    reconcile(spark, path)
+    val fs = hfs(spark, path)
+    def fold(sub: String, agg: DataFrame => DataFrame): Unit = {
+      val staged = new Path(s"$path/_${sub}_new")
+      fs.delete(staged, true)
+      agg(spark.read.parquet(s"$path/$sub"))
+        .coalesce(1).write.parquet(staged.toString)
+      swapDir(fs, s"$path/$sub", staged.toString)
+    }
+    fold("df", _.groupBy(col("token_id")).agg(sum(col("df")).as("df")))
+    fold("meta", _.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("total_len")).as("total_len")))
   }
 
-  private def conf(spark: SparkSession, table: String): (Int, Int) = {
-    require(spark.catalog.tableExists(s"${table}_conf"),
-      s"FullTextIndex $table has no _conf table — not a written index")
-    val r = spark.table(s"${table}_conf").collect()(0)
-    (r.getAs[Int]("num_buckets"), r.getAs[Int]("max_length"))
+  /** Crash recovery, run at every entry point (O(1) exists checks when
+    * idle): finish any interrupted parked-directory swap, then either
+    * roll a READY removal forward or discard a staging that never
+    * committed. */
+  def reconcile(spark: SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    Seq("postings", "df", "meta").foreach { sub =>
+      val old = new Path(s"$path/${sub}_old")
+      if (fs.exists(old)) {
+        val live = new Path(s"$path/$sub")
+        // live missing → crashed between park and rename-in: restore
+        if (!fs.exists(live)) fs.rename(old, live)
+        else fs.delete(old, true)
+      }
+      // a staged rewrite that never swapped is garbage — the op reruns
+      val staged = new Path(s"$path/_${sub}_new")
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
+    val rm = new Path(s"$path/_removal")
+    if (fs.exists(rm)) {
+      if (fs.exists(new Path(rm, "READY"))) applyRemoval(spark, path)
+      else fs.delete(rm, true) // never committed
+    }
   }
+
+  /** Park-and-swap a live dir with its staged replacement: live →
+    * live_old, staged → live, drop the parked copy only after the swap
+    * lands. [[reconcile]] resolves every interruption point. */
+  private def swapDir(fs: FileSystem, live: String, staged: String): Unit = {
+    val livePath = new Path(live)
+    val old = new Path(s"${live}_old")
+    fs.delete(old, true)
+    if (fs.exists(livePath)) fs.rename(livePath, old)
+    fs.rename(new Path(staged), livePath)
+    fs.delete(old, true)
+  }
+
+  /** Move every parquet part of `src` into `dst` — rename-based, so a
+    * replay moves only what is still left (exactly-once application). */
+  private def moveFiles(fs: FileSystem, src: String, dst: String): Unit = {
+    val srcPath = new Path(src)
+    if (!fs.exists(srcPath)) return
+    fs.mkdirs(new Path(dst))
+    fs.listStatus(srcPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+  }
+
+  private def conf(spark: SparkSession, path: String): Int = {
+    val fs = hfs(spark, path)
+    require(fs.exists(new Path(s"$path/conf")),
+      s"FullTextIndex $path has no conf table — not a written index")
+    spark.read.parquet(s"$path/conf").collect()(0).getAs[Int]("max_length")
+  }
+
+  private def hfs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

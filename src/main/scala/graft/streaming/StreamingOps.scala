@@ -343,12 +343,12 @@ object StreamingOps {
     * partial-stat rows; searches pick the new statistics up
     * immediately). Per-batch cost is O(batch), never O(corpus). */
   def bm25IngestSink(stream: DataFrame, idCol: String, textCol: String,
-                     table: String, logPath: String): DataStreamWriter[Row] =
+                     indexPath: String, logPath: String): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (rows: Dataset[Row], batchId: Long) =>
         val batch = rows.toDF()
         if (!batch.isEmpty)
-          bm25IngestBatch(batch, batchId, idCol, textCol, table, logPath)
+          bm25IngestBatch(batch, batchId, idCol, textCol, indexPath, logPath)
     }
 
   /** The replay-safe per-batch body of [[bm25IngestSink]] — the
@@ -357,7 +357,7 @@ object StreamingOps {
     * negative stat deltas), so a half-landed batch can never double its
     * term frequencies OR its df/avgdl contributions. */
   def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
-                      textCol: String, table: String,
+                      textCol: String, indexPath: String,
                       logPath: String): Unit = {
     val spark = batch.sparkSession
     val log = new org.apache.hadoop.fs.Path(logPath)
@@ -366,10 +366,10 @@ object StreamingOps {
     if (fs.exists(done)) return
     val started = new org.apache.hadoop.fs.Path(log, s"started-$batchId")
     if (fs.exists(started))
-      FullTextIndex.removeDocs(spark, batch.select(col(idCol)), idCol, table)
+      FullTextIndex.removeDocs(spark, batch.select(col(idCol)), idCol, indexPath)
     fs.mkdirs(log)
     fs.create(started, true).close()
-    FullTextIndex.appendBatch(spark, batch, idCol, textCol, table)
+    FullTextIndex.appendBatch(spark, batch, idCol, textCol, indexPath)
     fs.create(done, true).close()
   }
 

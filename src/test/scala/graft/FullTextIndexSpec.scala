@@ -6,9 +6,10 @@ import graft.operators.{FullText, FullTextIndex}
 
 /** Persisted incremental BM25 index: append/remove must equal a fresh
   * whole-corpus (resp. survivors-only) search with CURRENT statistics,
-  * the query-term predicate must reach the postings scan, and stats
-  * compaction must be invisible. Absolute correctness is the q141/q141b
-  * DuckDB gates; these pin the lifecycle and the plan shape. */
+  * the query-term predicate must reach the postings scan, stats
+  * compaction must be invisible, and every removal crash state must
+  * reconcile. Absolute correctness is the q141/q141b/q143 DuckDB gates;
+  * these pin the lifecycle and the plan shape. */
 class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private lazy val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -16,17 +17,20 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def queries = d.filter(col("doc_id") < 4)
     .select(col("doc_id").as("qid"), col("text").as("qtext"))
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   private def asSet(df: org.apache.spark.sql.DataFrame) = df
     .select(col("qid"), col("doc_id"), col("rank"), col("score"))
     .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
 
   test("build + append == batch bm25Search over the grown corpus, bit-for-bit") {
-    FullTextIndex.write(d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      table = "graft_ftidx_a")
+    val path = tmp("graft_ftidx_a")
+    FullTextIndex.write(d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
     FullTextIndex.appendBatch(spark, d.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", table = "graft_ftidx_a")
+      "doc_id", "text", path)
     val indexed = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-      "graft_ftidx_a", k = 5))
+      path, k = 5))
     val batch = asSet(FullText.bm25Search(queries, "qid", "qtext",
       d, "doc_id", "text", 5))
     assert(indexed == batch)
@@ -34,53 +38,98 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("recapStats folds df/meta partials without changing any result") {
-    FullTextIndex.write(d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      table = "graft_ftidx_r")
+    val path = tmp("graft_ftidx_r")
+    FullTextIndex.write(d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
     FullTextIndex.appendBatch(spark, d.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", table = "graft_ftidx_r")
+      "doc_id", "text", path)
     val before = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-      "graft_ftidx_r", k = 5))
-    val partialRows = spark.table("graft_ftidx_r_df").count()
-    FullTextIndex.recapStats(spark, "graft_ftidx_r")
-    assert(spark.table("graft_ftidx_r_df").count() < partialRows,
+      path, k = 5))
+    val partialRows = spark.read.parquet(s"$path/df").count()
+    FullTextIndex.recapStats(spark, path)
+    assert(spark.read.parquet(s"$path/df").count() < partialRows,
       "two appends must have stacked duplicate per-token partials")
-    assert(spark.table("graft_ftidx_r_meta").count() == 1L)
+    assert(spark.read.parquet(s"$path/meta").count() == 1L)
     assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-      "graft_ftidx_r", k = 5)) == before)
+      path, k = 5)) == before)
   }
 
   test("removeDocs: statistics re-derive over survivors == fresh build on them") {
-    FullTextIndex.write(d, "doc_id", "text", table = "graft_ftidx_d")
+    val pA = tmp("graft_ftidx_d")
+    val pB = tmp("graft_ftidx_d2")
+    FullTextIndex.write(d, "doc_id", "text", pA)
     FullTextIndex.removeDocs(spark,
-      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
-      "doc_id", table = "graft_ftidx_d")
-    FullTextIndex.write(d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
-      table = "graft_ftidx_d2")
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", pA)
+    FullTextIndex.write(d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", pB)
     val removed = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-      "graft_ftidx_d", k = 5))
+      pA, k = 5))
     val fresh = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-      "graft_ftidx_d2", k = 5))
+      pB, k = 5))
     assert(removed == fresh)
     assert(removed.nonEmpty)
     assert(removed.forall(_._2 % 7 != 0), "removed docs must never rank")
   }
 
+  test("removal crash states reconcile: READY rolls forward, pre-READY discards") {
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // state A: crash right after READY — nothing applied yet. The next
+    // entry point must roll the staged removal forward deterministically.
+    val pA = tmp("graft_ftidx_crashA")
+    FullTextIndex.write(d, "doc_id", "text", pA)
+    FullTextIndex.removeDocs(spark,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", pA)
+    val want = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pA, 5))
+    val pB = tmp("graft_ftidx_crashB")
+    FullTextIndex.write(d, "doc_id", "text", pB)
+    // stage manually (the exact writes removeDocs performs), then "crash"
+    val drop = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val removedPosts = spark.read.parquet(s"$pB/postings")
+      .join(drop, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    drop.coalesce(1).write.parquet(s"$pB/_removal/ids")
+    removedPosts.groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
+      .coalesce(1).write.parquet(s"$pB/_removal/df")
+    removedPosts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("total_len"))
+      .coalesce(1).write.parquet(s"$pB/_removal/meta")
+    fs.create(new org.apache.hadoop.fs.Path(s"$pB/_removal/READY"), true).close()
+    // searchTopK reconciles on entry: results equal the completed removal
+    val rolled = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pB, 5))
+    assert(rolled == want, "a READY removal must roll forward at the next entry")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pB/_removal")))
+    // state B: crash BEFORE READY (partial staging) — must discard, the
+    // index serves as if the removal never started
+    val pC = tmp("graft_ftidx_crashC")
+    FullTextIndex.write(d, "doc_id", "text", pC)
+    val whole = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5))
+    drop.coalesce(1).write.parquet(s"$pC/_removal/ids") // no READY
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5)) == whole)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pC/_removal")))
+    // state C: crash mid-swap — postings parked aside, replacement never
+    // renamed in; reconcile restores the parked copy
+    val parked = new org.apache.hadoop.fs.Path(s"$pC/postings_old")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$pC/postings"), parked)
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5)) == whole)
+    assert(!fs.exists(parked))
+  }
+
   test("query-term IN predicate reaches the postings parquet scan") {
-    FullTextIndex.write(d, "doc_id", "text", table = "graft_ftidx_p")
-    val res = FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-      "graft_ftidx_p", k = 5)
+    val path = tmp("graft_ftidx_p")
+    FullTextIndex.write(d, "doc_id", "text", path)
+    val res = FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5)
     val plan = res.queryExecution.executedPlan.toString
     val scanLine = plan.linesIterator
-      .find(l => l.contains("graft_ftidx_p_postings") && l.contains("PushedFilters"))
+      .find(l => l.contains("postings") && l.contains("PushedFilters"))
     assert(scanLine.isDefined, s"expected a postings scan with PushedFilters:\n$plan")
     assert(scanLine.get.contains("In(token_id"),
       s"the term set must push down as In(token_id, ...): ${scanLine.get}")
   }
 
-  test("searching a never-written table refuses loudly") {
+  test("searching a never-written index refuses loudly") {
     intercept[IllegalArgumentException] {
       FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
-        "graft_ftidx_missing", k = 5)
+        tmp("graft_ftidx_missing"), k = 5)
     }
   }
 }

@@ -508,34 +508,34 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("bm25IngestBatch replay after a crash mid-batch: postings and stats land once") {
-    val table = "graft_stream_bm25_replay"
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_replay").toString
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six")).toDF("doc_id", "text")
-    graft.operators.FullTextIndex.write(corpus, "doc_id", "text",
-      table = table, numBuckets = 4)
+    graft.operators.FullTextIndex.write(corpus, "doc_id", "text", path)
     val batch = Seq(
       (10L, "red orange yellow green blue purple"),
       (11L, "cat dog bird fish mouse horse")).toDF("doc_id", "text")
     // crash simulation: the batch's append landed, the done marker didn't
-    graft.operators.FullTextIndex.appendBatch(spark, batch, "doc_id", "text", table)
+    graft.operators.FullTextIndex.appendBatch(spark, batch, "doc_id", "text", path)
     val logPath = java.nio.file.Files.createTempDirectory("graft_bm25_log").toString
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(logPath, "started-0"), true).close()
     // the replay must scrub first: a naive re-append would double tf AND
     // the df/n_docs/avgdl partials, silently skewing every later score
-    StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", table, logPath)
-    val postCounts = spark.table(s"${table}_postings")
+    StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", path, logPath)
+    val postCounts = spark.read.parquet(s"$path/postings")
       .filter($"doc_id" >= 10L).groupBy($"doc_id", $"token_id").count()
       .filter($"count" > 1L).count()
     assert(postCounts == 0L, "no (doc, token) posting may land twice")
-    val meta = spark.table(s"${table}_meta")
+    val meta = spark.read.parquet(s"$path/meta")
       .agg(sum($"n_docs")).collect()(0).getLong(0)
     assert(meta == 4L, s"n_docs must read 4 (2 corpus + 2 batch), got $meta")
     // completed replay (done marker) is a pure no-op
-    StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", table, logPath)
-    assert(spark.table(s"${table}_meta").agg(sum($"n_docs")).collect()(0).getLong(0) == 4L)
+    StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", path, logPath)
+    assert(spark.read.parquet(s"$path/meta")
+      .agg(sum($"n_docs")).collect()(0).getLong(0) == 4L)
   }
 
   test("packStream: micro-batch splits == batch greedy packing on in-order ids") {
