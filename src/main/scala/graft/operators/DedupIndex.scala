@@ -49,6 +49,12 @@ object DedupIndex {
                    numBuckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild supersedes any in-flight swap: clear the marker FIRST
+    // (a READY marker left behind would later promote stale staged rows
+    // over this fresh build), then the stage + live tables
+    warehouseFs(spark).delete(swapMarker(spark, table), false)
+    prepareManagedTable(spark, s"${table}_sigs_stage")
+    prepareManagedTable(spark, s"${table}_bands_stage")
     prepareManagedTable(spark, s"${table}_sigs")
     prepareManagedTable(spark, s"${table}_bands")
     prepareManagedTable(spark, s"${table}_meta")
@@ -122,6 +128,7 @@ object DedupIndex {
                             idCol: String, table: String, threshold: Double,
                             numHashes: Int = 16, bands: Int = 4): DataFrame = {
     requireParams(spark, table, numHashes, bands)
+    reconcile(spark, table)
     val bSigs = sigs.select(col(idCol), col("sig").as("__sig"))
     val bBands = banded(bSigs, idCol, numHashes, bands)
       .select(col(idCol).as("__bid"), col("band"), col("key"))
@@ -158,6 +165,7 @@ object DedupIndex {
                    table: String, numHashes: Int = 16, bands: Int = 4,
                    numBuckets: Int = 32): Unit = {
     requireParams(spark, table, numHashes, bands)
+    reconcile(spark, table)
     sigs.select(col(idCol), col("sig"))
       .write.mode("append").format("parquet").saveAsTable(s"${table}_sigs")
     // appended files must declare the table's bucketing (numBuckets must
@@ -178,23 +186,68 @@ object DedupIndex {
     * preserving whatever hub-cap decisions shaped them — no re-banding).
     * O(index) I/O, but signatures are numHashes longs/doc — a small
     * fraction of corpus text bytes — and this runs only on the rare
-    * crash-replay path, never per batch. */
+    * crash-replay path, never per batch.
+    *
+    * Crash-safe by stage-then-swap (this op IS the recovery path, so it
+    * must survive a second crash): the kept rows land fully in sibling
+    * `_stage` tables while the live tables stay untouched, a READY
+    * marker commits the swap, and only then does each live table drop
+    * and its stage rename in. At every instant a complete copy of the
+    * kept rows exists ON DISK in some table — never only in a
+    * localCheckpoint, which would not survive driver death mid-rewrite.
+    * [[reconcile]] (run at every entry point) rolls a READY swap
+    * forward or discards staging that never committed. */
   def removeIds(spark: SparkSession, table: String, ids: DataFrame,
                 idCol: String, numBuckets: Int = 32): Unit = {
+    reconcile(spark, table)
     val drop = ids.select(col(idCol)).distinct()
-    // localCheckpoint: both reads must materialize BEFORE their table is
-    // overwritten (recap's same-catalog-write discipline)
-    val keptSigs = spark.table(s"${table}_sigs")
-      .join(drop, Seq(idCol), "left_anti").localCheckpoint(true)
-    val keptBands = spark.table(s"${table}_bands")
-      .join(drop, Seq(idCol), "left_anti").localCheckpoint(true)
-    prepareManagedTable(spark, s"${table}_sigs")
-    keptSigs.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_sigs")
-    prepareManagedTable(spark, s"${table}_bands")
-    keptBands.write.mode("overwrite").format("parquet")
+    prepareManagedTable(spark, s"${table}_sigs_stage")
+    spark.table(s"${table}_sigs").join(drop, Seq(idCol), "left_anti")
+      .write.format("parquet").saveAsTable(s"${table}_sigs_stage")
+    prepareManagedTable(spark, s"${table}_bands_stage")
+    spark.table(s"${table}_bands").join(drop, Seq(idCol), "left_anti")
+      .write.format("parquet")
       .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
-      .saveAsTable(s"${table}_bands")
+      .saveAsTable(s"${table}_bands_stage")
+    val fs = warehouseFs(spark)
+    fs.create(swapMarker(spark, table), true).close()
+    promoteStages(spark, table)
   }
+
+  /** Swap every complete `_stage` table in: drop the live table, rename
+    * the stage to its name (a catalog rename moves the managed
+    * directory). Idempotent — a stage already promoted is gone, so a
+    * replay promotes only what is left; the marker drops last. */
+  private def promoteStages(spark: SparkSession, table: String): Unit = {
+    Seq(s"${table}_sigs", s"${table}_bands").foreach { live =>
+      if (spark.catalog.tableExists(s"${live}_stage")) {
+        prepareManagedTable(spark, live)
+        spark.sql(s"ALTER TABLE `${live}_stage` RENAME TO `$live`")
+      }
+    }
+    warehouseFs(spark).delete(swapMarker(spark, table), false)
+  }
+
+  /** Crash recovery, run at every entry point (O(1) existence checks
+    * when idle): a READY swap rolls forward deterministically; staging
+    * that never reached READY is discarded (the interrupted op reruns
+    * against the intact live tables). */
+  def reconcile(spark: SparkSession, table: String): Unit = {
+    val fs = warehouseFs(spark)
+    if (fs.exists(swapMarker(spark, table))) promoteStages(spark, table)
+    else Seq(s"${table}_sigs_stage", s"${table}_bands_stage").foreach { st =>
+      if (spark.catalog.tableExists(st)) prepareManagedTable(spark, st)
+    }
+  }
+
+  private def swapMarker(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase}__swap_ready")
+
+  private def warehouseFs(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Re-apply the hub-bucket guard after appends WITHOUT touching text:
     * the banded keys are a pure function of the persisted signatures, so
@@ -211,17 +264,23 @@ object DedupIndex {
             maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
             numBuckets: Int = 32): Unit = {
     requireParams(spark, table, numHashes, bands)
+    reconcile(spark, table)
     val sigs = spark.table(s"${table}_sigs")
       .select(col(idCol), col("sig").as("__sig"))
-      // the sigs read must materialize BEFORE the bands overwrite below
-      // (same-catalog write) — and the banded/capped stream references
-      // it three times (cap agg + key join sides)
+      // eager materialization: the banded/capped stream references the
+      // sigs read three times (cap agg + key join sides)
       .localCheckpoint(true)
-    prepareManagedTable(spark, s"${table}_bands")
+    // same stage-then-swap as removeIds: the live bands table stays
+    // intact until the replacement is fully on disk, so a crash mid-
+    // recap never leaves the index without its bands
+    prepareManagedTable(spark, s"${table}_bands_stage")
     Dedup.capBuckets(banded(sigs, idCol, numHashes, bands), maxBucketSize)
-      .write.mode("overwrite").format("parquet")
+      .write.format("parquet")
       .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
-      .saveAsTable(s"${table}_bands")
+      .saveAsTable(s"${table}_bands_stage")
+    val fs = warehouseFs(spark)
+    fs.create(swapMarker(spark, table), true).close()
+    promoteStages(spark, table)
     // same relation-cache hygiene as writeMinhash: this read of the sigs
     // table must not leave a stale snapshot for later appends to miss
     spark.catalog.refreshTable(s"${table}_sigs")

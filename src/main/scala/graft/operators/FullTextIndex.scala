@@ -36,6 +36,16 @@ import graft.functions.{K, Kernel}
   * small batches push an `IN` predicate into the parquet scan; larger
   * batches fall back to a broadcast semi join.
   *
+  * '''Appends are atomic''' ([[appendInto]]): the batch's postings, df
+  * and meta parts stage under `<path>/_append`, a READY marker commits,
+  * and part files MOVE into the live tables by rename — so the three
+  * non-transactional writes land together or not at all, and the
+  * replay scrub (which derives negative deltas from live postings) can
+  * never subtract statistics a crashed attempt only partially added.
+  * The conf table is the build's commit marker (written last; every
+  * read path requires it), so a half-built index refuses rather than
+  * serves.
+  *
   * '''Removal is crash-safe by staging + rename''' ([[removeDocs]]):
   * stat deltas would be unrecoverable if computed after a partial
   * failure (scrubbed postings can no longer say what left), and
@@ -57,16 +67,19 @@ object FullTextIndex {
   val PushdownTermLimit: Int = 4096
 
   /** Build the index over a corpus: one tokenize pass feeds postings,
-    * df partials, and the meta partial. */
+    * df partials, and the meta partial. The conf table is written LAST —
+    * it is the commit marker every read path requires, so a build that
+    * crashes mid-way leaves a directory [[searchTopK]] REFUSES (no
+    * conf) rather than a valid-looking index with partial postings. */
   def write(corpus: DataFrame, idCol: String, textCol: String,
             path: String, maxLength: Int = K.MaxLength): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val fs = hfs(spark, path)
     fs.delete(new Path(path), true)
+    appendInto(spark, corpus, idCol, textCol, path, maxLength)
     Seq(Tuple1(maxLength)).toDF("max_length")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
-    appendInto(spark, corpus, idCol, textCol, path, maxLength)
   }
 
   /** Grow the index with an ingest batch (new ids by contract): one
@@ -78,9 +91,25 @@ object FullTextIndex {
     appendInto(spark, batch, idCol, textCol, path, conf(spark, path))
   }
 
+  /** One atomic append: postings + df + meta land together or not at
+    * all. The three live tables cannot be written transactionally, so
+    * the batch's rows are STAGED under `<path>/_append` first, a READY
+    * marker commits the append, and the staged part files MOVE into the
+    * live directories by rename (physically exactly-once — a replayed
+    * move finds nothing left to move). Any interruption resolves at the
+    * next entry point: [[reconcile]] rolls a READY append forward or
+    * discards staging that never committed. Without this, a crash
+    * between the postings write and the df/meta writes would leave a
+    * state no scrub can heal — [[removeDocs]] derives its negative
+    * stat deltas from the live postings, so it would subtract df/meta
+    * contributions the crashed attempt never added, and the re-append
+    * would leave the batch's statistics permanently under-counted. */
   private def appendInto(spark: SparkSession, batch: DataFrame,
                          idCol: String, textCol: String, path: String,
                          maxLength: Int): Unit = {
+    val fs = hfs(spark, path)
+    val ap = new Path(s"$path/_append")
+    fs.delete(ap, true)
     // the exact tf/dl/stats derivation of FullText.bm25DocWeightsTokens
     // — one tokenize pass shared by all three tables via the lazy
     // lineage cut; n_docs/total_len count EVERY doc (a zero-token doc
@@ -100,13 +129,26 @@ object FullTextIndex {
     // pushed-down IN (the same discipline as VectorIndex's cell files)
     tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
       .repartition(col("token_id")).sortWithinPartitions("token_id")
-      .write.mode("append").parquet(s"$path/postings")
+      .write.parquet(s"$path/_append/postings")
     tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(s"$path/df")
+      .write.parquet(s"$path/_append/df")
     toks
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tids")).cast("long")).as("total_len"))
-      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+      .coalesce(1).write.parquet(s"$path/_append/meta")
+    fs.create(new Path(ap, "READY"), true).close()
+    applyAppend(spark, path)
+  }
+
+  /** Roll a READY append forward: move each staged table's part files
+    * into its live directory. Rename-based, so a replay moves only what
+    * is still staged — no file can land twice. */
+  private def applyAppend(spark: SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    moveFiles(fs, s"$path/_append/postings", s"$path/postings")
+    moveFiles(fs, s"$path/_append/df", s"$path/df")
+    moveFiles(fs, s"$path/_append/meta", s"$path/meta")
+    fs.delete(new Path(s"$path/_append"), true)
   }
 
   /** BM25 top-k over the index with CURRENT statistics — bit-identical
@@ -248,6 +290,14 @@ object FullTextIndex {
       // a staged rewrite that never swapped is garbage — the op reruns
       val staged = new Path(s"$path/_${sub}_new")
       if (fs.exists(staged)) fs.delete(staged, true)
+    }
+    // an interrupted append resolves BEFORE any removal: a READY append
+    // is committed (roll it in so a staged removal's postings rewrite
+    // sees it); staging without READY never happened
+    val ap = new Path(s"$path/_append")
+    if (fs.exists(ap)) {
+      if (fs.exists(new Path(ap, "READY"))) applyAppend(spark, path)
+      else fs.delete(ap, true)
     }
     val rm = new Path(s"$path/_removal")
     if (fs.exists(rm)) {

@@ -355,7 +355,13 @@ object StreamingOps {
     * started/done discipline; the crash-recovery scrub is
     * [[graft.operators.FullTextIndex.removeDocs]] (postings rewrite +
     * negative stat deltas), so a half-landed batch can never double its
-    * term frequencies OR its df/avgdl contributions. */
+    * term frequencies OR its df/avgdl contributions. The scrub is sound
+    * because index appends are ATOMIC (staged + READY + rename inside
+    * `FullTextIndex.appendInto`, rolled forward or discarded by the
+    * `reconcile` removeDocs runs first): after reconcile the crashed
+    * attempt either fully landed or never happened, so the deltas the
+    * scrub derives from live postings subtract exactly what was added —
+    * never stats from a partial append. */
   def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
                       textCol: String, indexPath: String,
                       logPath: String): Unit = {

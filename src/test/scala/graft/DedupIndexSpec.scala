@@ -110,6 +110,69 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after.nonEmpty)
   }
 
+  test("removeIds crash states: READY swap rolls forward, pre-READY staging discards") {
+    DedupIndex.writeMinhash(corpus, "doc_id", "text", table = "graft_didx_cr")
+    val before = asSet(DedupIndex.nearDupsAgainst(spark, batch,
+      "doc_id", "text", "graft_didx_cr", threshold = 0.3))
+    val beforeIds = spark.table("graft_didx_cr_sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val extra = batch.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    DedupIndex.appendBatch(spark, extra, "doc_id", "text", "graft_didx_cr")
+    val grownIds = beforeIds ++ extra.select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    // stage manually (the exact writes removeIds performs)
+    val drop = extra.select(col("doc_id")).distinct().localCheckpoint(true)
+    def stage(): Unit = {
+      spark.table("graft_didx_cr_sigs").join(drop, Seq("doc_id"), "left_anti")
+        .write.format("parquet").saveAsTable("graft_didx_cr_sigs_stage")
+      spark.table("graft_didx_cr_bands").join(drop, Seq("doc_id"), "left_anti")
+        .write.format("parquet")
+        .bucketBy(32, "band", "key").sortBy("band", "key")
+        .saveAsTable("graft_didx_cr_bands_stage")
+    }
+    // state A: crash BEFORE READY — staging discards at the next entry
+    // point, the live tables serve as if the removal never started
+    stage()
+    DedupIndex.reconcile(spark, "graft_didx_cr")
+    assert(!spark.catalog.tableExists("graft_didx_cr_sigs_stage"))
+    assert(!spark.catalog.tableExists("graft_didx_cr_bands_stage"))
+    assert(spark.table("graft_didx_cr_sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == grownIds,
+      "pre-READY staging must leave the live tables untouched")
+    // state B: crash mid-promote — READY written, sigs already swapped
+    // in, bands stage still pending; a second crash here must lose
+    // NOTHING (this is the exact drop-then-rewrite hazard: the kept
+    // rows live on disk in the stage table, not in a checkpoint)
+    stage()
+    val fs = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_didx_cr__swap_ready")
+    fs.create(marker, true).close()
+    spark.sql("DROP TABLE `graft_didx_cr_sigs`")
+    spark.sql("ALTER TABLE `graft_didx_cr_sigs_stage` RENAME TO `graft_didx_cr_sigs`")
+    // any entry point reconciles: bands promote, marker drops
+    val after = asSet(DedupIndex.nearDupsAgainst(spark, batch,
+      "doc_id", "text", "graft_didx_cr", threshold = 0.3))
+    assert(!fs.exists(marker))
+    assert(!spark.catalog.tableExists("graft_didx_cr_bands_stage"))
+    assert(spark.table("graft_didx_cr_sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == beforeIds)
+    assert(spark.table("graft_didx_cr_bands")
+      .filter(col("doc_id") >= 100000L).count() == 0L)
+    assert(after == before)
+    assert(after.nonEmpty)
+    // the promoted bands table keeps its bucketed layout through the
+    // catalog rename (no exchange on a merge self-join)
+    val t = spark.table("graft_didx_cr_bands")
+    val l = t.select(col("doc_id").as("id_a"), col("band"), col("key"))
+    val r = t.select(col("doc_id").as("id_b"), col("band"), col("key"))
+    val plan = l.hint("merge").join(r.hint("merge"), Seq("band", "key"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"promoted table must stay bucketed:\n$plan")
+  }
+
   test("estimator column: overlap fraction of positionally-matched components") {
     import spark.implicits._
     val df = Seq(

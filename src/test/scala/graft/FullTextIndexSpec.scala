@@ -114,6 +114,82 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!fs.exists(parked))
   }
 
+  test("append crash states: READY rolls forward (even half-applied), pre-READY discards") {
+    import graft.functions.{K, Kernel}
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val half = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    // the fully-appended reference state
+    val pA = tmp("graft_ftidx_apA")
+    FullTextIndex.write(half, "doc_id", "text", pA)
+    FullTextIndex.appendBatch(spark, batch, "doc_id", "text", pA)
+    val want = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pA, 5))
+    // state A: crash AFTER READY, mid-apply — postings moved in, df/meta
+    // still staged. THE state the scrub could never heal when appends
+    // were three live writes: served postings with missing statistics.
+    val pB = tmp("graft_ftidx_apB")
+    FullTextIndex.write(half, "doc_id", "text", pB)
+    val preAppend = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pB, 5))
+    // stage manually (the exact writes appendInto performs)
+    val toks = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
+      .localCheckpoint(true)
+    val tf = toks
+      .select(col("doc_id"), size(col("__tids")).cast("long").as("__dl"),
+        explode(col("__tids")).as("token_id"))
+      .groupBy(col("doc_id"), col("token_id"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+      .localCheckpoint(true)
+    def stage(p: String): Unit = {
+      tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
+        .repartition(col("token_id")).sortWithinPartitions("token_id")
+        .write.parquet(s"$p/_append/postings")
+      tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
+        .write.parquet(s"$p/_append/df")
+      toks.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("__tids")).cast("long")).as("total_len"))
+        .coalesce(1).write.parquet(s"$p/_append/meta")
+    }
+    stage(pB)
+    fs.create(new org.apache.hadoop.fs.Path(s"$pB/_append/READY"), true).close()
+    // "crash" half-way through the apply: only the postings files moved
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$pB/_append/postings"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(s"$pB/postings", f.getPath.getName)))
+    // the next entry point must finish the append — stats included
+    val rolled = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pB, 5))
+    assert(rolled == want, "a READY append must roll fully forward, stats included")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pB/_append")))
+    // state B: crash BEFORE READY — staging discards, the append never
+    // happened, and re-running it lands exactly once
+    val pC = tmp("graft_ftidx_apC")
+    FullTextIndex.write(half, "doc_id", "text", pC)
+    stage(pC) // no READY
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5))
+      == preAppend, "staging without READY must be invisible")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pC/_append")))
+    FullTextIndex.appendBatch(spark, batch, "doc_id", "text", pC)
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5)) == want)
+  }
+
+  test("a half-built index (no conf — build crashed) refuses rather than serves") {
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = tmp("graft_ftidx_halfbuilt")
+    FullTextIndex.write(d, "doc_id", "text", p)
+    // conf is written LAST — deleting it reproduces every mid-build crash
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/conf"), true)
+    intercept[IllegalArgumentException] {
+      FullTextIndex.searchTopK(spark, queries, "qid", "qtext", p, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      FullTextIndex.appendBatch(spark, d.limit(1), "doc_id", "text", p)
+    }
+  }
+
   test("query-term IN predicate reaches the postings parquet scan") {
     val path = tmp("graft_ftidx_p")
     FullTextIndex.write(d, "doc_id", "text", path)

@@ -538,6 +538,71 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .agg(sum($"n_docs")).collect()(0).getLong(0) == 4L)
   }
 
+  test("bm25IngestBatch replay after a crash mid-APPEND: partial attempt cannot skew stats") {
+    // the state that corrupted statistics when appends were three live
+    // writes: the crashed attempt landed postings but not df/meta, and
+    // the replay scrub subtracted deltas that were never added. With
+    // atomic appends the attempt stages under _append + READY and the
+    // scrub's reconcile resolves it first — stats stay exact.
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_replay2").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    graft.operators.FullTextIndex.write(corpus, "doc_id", "text", path)
+    val batch = Seq(
+      (10L, "red orange yellow green blue purple"),
+      (11L, "cat dog bird fish mouse horse")).toDF("doc_id", "text")
+    // crash simulation: append staged + READY, but only the postings
+    // files moved into the live table before the driver died
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.functions.{K, Kernel}
+    val toks = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
+      .localCheckpoint(true)
+    val tf = toks
+      .select(col("doc_id"), size(col("__tids")).cast("long").as("__dl"),
+        explode(col("__tids")).as("token_id"))
+      .groupBy(col("doc_id"), col("token_id"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+      .localCheckpoint(true)
+    tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(col("token_id")).sortWithinPartitions("token_id")
+      .write.parquet(s"$path/_append/postings")
+    tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
+      .write.parquet(s"$path/_append/df")
+    toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__tids")).cast("long")).as("total_len"))
+      .coalesce(1).write.parquet(s"$path/_append/meta")
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_append/READY"), true).close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_append/postings"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(s"$path/postings", f.getPath.getName)))
+    val logPath = java.nio.file.Files.createTempDirectory("graft_bm25_log2").toString
+    val logFs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logFs.create(new org.apache.hadoop.fs.Path(logPath, "started-0"), true).close()
+    StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", path, logPath)
+    val postCounts = spark.read.parquet(s"$path/postings")
+      .filter($"doc_id" >= 10L).groupBy($"doc_id", $"token_id").count()
+      .filter($"count" > 1L).count()
+    assert(postCounts == 0L, "no (doc, token) posting may land twice")
+    assert(spark.read.parquet(s"$path/meta")
+      .agg(sum($"n_docs")).collect()(0).getLong(0) == 4L,
+      "df/n_docs must count the replayed batch exactly once")
+    // the advised corruption mode: served postings whose token df was
+    // never added (or was scrub-subtracted below its true count)
+    val underCounted = spark.read.parquet(s"$path/postings")
+      .select($"token_id").distinct()
+      .join(spark.read.parquet(s"$path/df")
+        .groupBy($"token_id").agg(sum($"df").as("df")).filter($"df" > 0L),
+        Seq("token_id"), "left_anti").count()
+    assert(underCounted == 0L,
+      "every served posting's token must carry a positive summed df")
+  }
+
   test("packStream: micro-batch splits == batch greedy packing on in-order ids") {
     val docsDf = graft.operators.TextAnalysis
       .tokenCounts(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
