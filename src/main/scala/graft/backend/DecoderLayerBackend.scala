@@ -47,6 +47,8 @@ final case class DecoderLayerBackend(
     // out-of-table ids fall back to the hash stream. None → hash.
     embTable: Option[IndexedSeq[Long]] = None,
     vocabSize: Int = EmbTableBank.VocabSize) extends EmbeddingBackend {
+  // pooledHidden pads the whole micro-batch to its longest sequence
+  override def padsBatchLongest: Boolean = true
   import K.{M3, A3, B3, C3}
   import DecoderLayerBackend.{QS, QSd, RmsEps}
   import AttnBank.{Hidden => H, NHeads, HeadDim => D, QOut, KvOut}

@@ -21,6 +21,16 @@ trait EmbeddingBackend extends Serializable {
   /** Embed one micro-batch. Must not retain state across calls that
     * affects results. */
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]]
+  /** True when [[embedBatch]] pads the whole micro-batch to its longest
+    * sequence (one shared tensor width, the reference's
+    * `PaddingDirection::Left` encode_batch): forward cost per doc then
+    * scales with the BATCH max length, so a length-skewed batch wastes
+    * compute on pad positions. [[BackendEmbedder.embed]] pre-sorts rows
+    * by length within each partition for such backends — near-uniform
+    * batches, results unchanged (batch-size invariance is the trait
+    * contract). Per-sequence backends leave this false and skip the
+    * sort. */
+  def padsBatchLongest: Boolean = false
 }
 
 /** The default deterministic backend: the same feature-hashing projector
@@ -126,13 +136,65 @@ object BackendEmbedder {
       .filter((r: (Long, Array[Long])) => r._2 != null && r._2.length >= minTokens)
       .mapPartitions { it =>
         val be = BackendRegistry.getOrCreate(bKey, () => backend)
-        it.grouped(batchSize).flatMap { group =>
+        // padded-tensor backends get length-CLASSED micro-batches: rows
+        // stream into per-length-class buffers and a batch flushes when
+        // its class fills, so every tensor the backend pads is near-
+        // uniform in length. O(1) per row and bounded memory (a few
+        // batchSize buffers) — measured cheaper than sortWithinPartitions
+        // bucketing, whose full-partition materialization cost MORE task
+        // time than the padding it saved (sf1 A/B on q95/q98). Results
+        // are batch-composition-invariant by the trait contract.
+        val groups =
+          if (backend.padsBatchLongest) lengthClassed(it, batchSize)
+          else it.grouped(batchSize)
+        groups.flatMap { group =>
           val embs = be.embedBatch(group.map(_._2))
           group.map(_._1).zip(embs)
         }
       }
       .toDF(idCol, "embedding")
   }
+
+  /** Group a partition's rows into micro-batches of near-uniform token
+    * length WITHOUT sorting: each row lands in its length class
+    * (width-8 buckets — at most 7 pad positions per row from class
+    * spread), a class flushes as a batch when it reaches `batchSize`,
+    * and leftovers flush at the end. Deterministic for a deterministic
+    * input iterator; memory is bounded by (#distinct classes ≤
+    * maxLen/8) × batchSize rows. */
+  private[graft] def lengthClassed(
+      it: Iterator[(Long, Array[Long])], batchSize: Int)
+      : Iterator[Seq[(Long, Array[Long])]] =
+    new scala.collection.AbstractIterator[Seq[(Long, Array[Long])]] {
+      private val classes = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]]
+      private var staged: Seq[(Long, Array[Long])] = null
+
+      private def advance(): Unit = {
+        while (staged == null && it.hasNext) {
+          val row = it.next()
+          val cls = row._2.length >> 3
+          val buf = classes.getOrElseUpdate(cls,
+            new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](batchSize))
+          buf += row
+          if (buf.length >= batchSize) {
+            classes.remove(cls)
+            staged = buf.toSeq
+          }
+        }
+        if (staged == null && classes.nonEmpty) {
+          val (cls, buf) = classes.head
+          classes.remove(cls)
+          staged = buf.toSeq
+        }
+      }
+
+      def hasNext: Boolean = { if (staged == null) advance(); staged != null }
+      def next(): Seq[(Long, Array[Long])] = {
+        if (!hasNext) throw new NoSuchElementException
+        val out = staged; staged = null; out
+      }
+    }
 
   /** Per-token learned-ColBERT outputs over the full learned stack:
     * one forward per doc serves all its token rows
@@ -198,7 +260,11 @@ object BackendEmbedder {
     * near-uniform in length — batch-longest padding waste collapses.
     * A narrow, shuffle-free transformation; results are identical for
     * any contract-abiding backend (batch-size invariance, spec-checked
-    * here via the hashing backend). */
+    * here via the hashing backend). The explicit form: [[embed]] now
+    * applies the same sort automatically whenever
+    * `backend.padsBatchLongest`, so call this only to force bucketing
+    * for a per-sequence backend (e.g. to co-batch by length for cache
+    * locality). */
   def embedLengthBucketed(df: DataFrame, idCol: String, tidsCol: String,
                           backend: EmbeddingBackend, batchSize: Int = 256): DataFrame =
     embed(

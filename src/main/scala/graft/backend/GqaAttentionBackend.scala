@@ -49,6 +49,8 @@ final case class GqaAttentionBackend(
     // o_proj adds its bias (scaled to the z fixed-point) before the
     // output division. None → linear_no_bias.
     biases: Option[IndexedSeq[Long]] = None) extends EmbeddingBackend {
+  // embedBatch pads the whole micro-batch to its longest sequence
+  override def padsBatchLongest: Boolean = true
   require(nHeads % nKvHeads == 0, s"nHeads $nHeads not a multiple of nKvHeads $nKvHeads")
   val qOut: Int = nHeads * headDim
   val kvOut: Int = nKvHeads * headDim

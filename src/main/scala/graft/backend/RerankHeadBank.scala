@@ -59,6 +59,9 @@ final case class RerankHeadBackend(
 
   def dim: Int = 1
 
+  // delegates to the model's batch-longest-padded pooledHidden
+  override def padsBatchLongest: Boolean = model.padsBatchLongest
+
   def embedBatch(batch: Seq[Array[Long]]): Seq[Array[Double]] =
     model.pooledHidden(batch).map { h =>
       var s = 0.0

@@ -59,6 +59,8 @@ final case class TransformerBackend(
     // hash stream. None → hash embeddings throughout.
     embTable: Option[IndexedSeq[Long]] = None,
     vocabSize: Int = 64) extends EmbeddingBackend {
+  // embedBatch pads the whole micro-batch to its longest sequence
+  override def padsBatchLongest: Boolean = true
   require(dim % 2 == 0, s"dim must be even for pairwise rotation, got $dim")
   embTable.foreach(t => require(t.length == vocabSize * dim,
     s"embedding table of ${t.length} != $vocabSize x $dim"))

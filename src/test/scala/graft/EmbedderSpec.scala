@@ -186,6 +186,51 @@ class EmbedderSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plain == bucketed)
   }
 
+  test("padsBatchLongest backends auto-bucket in embed(): same results, plan unchanged") {
+    val model = graft.backend.DecoderLayerBackend.fromBank()
+    assert(model.padsBatchLongest)
+    // a delegate with the flag OFF isolates the bucketing as the only change
+    val plainBe = new graft.backend.EmbeddingBackend {
+      def dim: Int = model.dim
+      def embedBatch(b: Seq[Array[Long]]): Seq[Array[Double]] = model.embedBatch(b)
+      override def toString = "unbucketedDelegate"
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tids", Kernel.tokenIds(col("text"), 32))
+      .select(col("doc_id"), col("tids"))
+    val auto = embAsMap(BackendEmbedder.embed(real, "doc_id", "tids", model, minTokens = 1)
+      .select(col("doc_id"), col("embedding")))
+    val plain = embAsMap(BackendEmbedder.embed(real, "doc_id", "tids", plainBe, minTokens = 1)
+      .select(col("doc_id"), col("embedding")))
+    assert(auto == plain)
+    assert(auto.nonEmpty)
+    // the bucketing lives INSIDE mapPartitions: no Sort, no Exchange,
+    // and the tokenizer chain still evaluates exactly once
+    val planned = BackendEmbedder.embed(real, "doc_id", "tids", model, minTokens = 1)
+    val phys = planned.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"length bucketing must not shuffle:\n$phys")
+    assert(!phys.contains("Sort"), s"length bucketing must not sort the partition:\n$phys")
+    val occurrences = "tokenids".r
+      .findAllIn(planned.queryExecution.optimizedPlan.toString.toLowerCase).size
+    assert(occurrences <= 1, s"tokenizer chain must evaluate once, saw $occurrences")
+  }
+
+  test("lengthClassed batcher: exact row preservation, class-uniform bounded batches") {
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, Array.fill[Long]((i * 37) % 64 + 1)(i.toLong))
+    }
+    val batches = graft.backend.BackendEmbedder
+      .lengthClassed(rows.iterator, batchSize = 64).toVector
+    // every row exactly once
+    assert(batches.flatten.map(_._1).sorted == rows.map(_._1))
+    // bounded batches, each of a single width-8 length class
+    assert(batches.forall(_.size <= 64))
+    assert(batches.forall(b => b.map(_._2.length >> 3).distinct.size == 1))
+    // near-uniform: max pad spread within a batch < 8 positions
+    assert(batches.forall(b =>
+      b.map(_._2.length).max - b.map(_._2.length).min < 8))
+  }
+
   test("backend batch-size invariance (Q6)") {
     val withTids = docs.withColumn("tids", Kernel.tokenIds(col("text")))
       .select(col("doc_id"), col("tids"))
