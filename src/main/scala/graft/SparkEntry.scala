@@ -635,6 +635,99 @@ object SparkEntry {
         col("n_rows"), col("drift"))
     }),
 
+    // streamed Count-Min under the DuckDB gate: docs carry deterministic
+    // event times (doc_id % 2 minutes past a fixed epoch → two tumbling
+    // windows), arrive in THREE micro-batches keyed doc_id % 3 — every
+    // window spans both batch seams — and the finalized window grids
+    // fold via cmsMerge into estimates that must hash-match q113's
+    // whole-corpus sketch-in-SQL oracle (merge(w0, w1) == sketch(corpus)
+    // exactly, because cell counts are linear)
+    "q144_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+      val epoch = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      val rows = d.collect().map(r => (r.getLong(0),
+        new java.sql.Timestamp(epoch + (r.getLong(0) % 2) * 60000L),
+        r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val out = graft.streaming.StreamingOps.cmsSketchStream(
+        ms.toDF().toDF("ts", "text"), "text", "ts",
+        watermark = "10 seconds", windowLen = "1 minute",
+        depth = 3, width = 16)
+      val qn = "graft_q144_windows"
+      s.sql(s"DROP VIEW IF EXISTS $qn") // re-runs in one session (bench passes)
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try {
+        (0 until 3).foreach { k =>
+          ms.addData(rows.collect { case (id, ts, tx) if id % 3 == k => (ts, tx) }.toSeq: _*)
+          sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val w = s.table(qn).select(
+        ((unix_timestamp(col("window.start")) - lit(epoch / 1000L)) / 60L)
+          .cast("long").as("win"),
+        col("row"), col("bucket"), col("cnt"))
+        .localCheckpoint(false) // window-grid-sized; feeds both filters
+      val sk = Sketch.cmsMerge(
+        w.filter(col("win") === 0L).drop("win"),
+        w.filter(col("win") === 1L).drop("win"))
+      val cand = d.select(
+        explode(Kernel.tokenIds(col("text"), K.MaxLength)).as("token_id"))
+        .distinct()
+      Sketch.cmsEstimatesFrom(sk, cand, depth = 3, width = 16)
+        .withColumn("heavy", col("est") >= 900L)
+    }),
+
+    // streamed HLL under the same harness: per-(window, source, bucket)
+    // max-rho tables fold via hllMerge (per-bucket max — idempotent), so
+    // the merged estimate must equal q114's whole-corpus sketch exactly;
+    // the exact leg is the same batch countDistinct the q114 oracle pins
+    "q145_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val t = tbl(s, dir, "documents")
+      val epoch = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      val rows = t.select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getLong(0),
+          new java.sql.Timestamp(epoch + (r.getLong(0) % 2) * 60000L),
+          r.getString(1), r.getString(2)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, String)]
+      val out = graft.streaming.StreamingOps.hllSketchStream(
+        ms.toDF().toDF("ts", "source", "text"), "source", "text", "ts",
+        watermark = "10 seconds", windowLen = "1 minute", n = 3, p = 6)
+      val qn = "graft_q145_windows"
+      s.sql(s"DROP VIEW IF EXISTS $qn")
+      val sq = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try {
+        (0 until 3).foreach { k =>
+          ms.addData(rows.collect {
+            case (id, ts, so, tx) if id % 3 == k => (ts, so, tx) }.toSeq: _*)
+          sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val w = s.table(qn).select(
+        ((unix_timestamp(col("window.start")) - lit(epoch / 1000L)) / 60L)
+          .cast("long").as("win"),
+        col("source"), col("bucket"), col("maxrho"))
+        .localCheckpoint(false)
+      val merged = Sketch.hllMerge("source",
+        w.filter(col("win") === 0L).drop("win"),
+        w.filter(col("win") === 1L).drop("win"))
+      val est = Sketch.hllEstimateFrom(merged, "source", 6)
+      val sh = t.select(col("source"),
+        Kernel.tokenIds(col("text"), K.MaxLength).as("__tids"))
+        .filter(size(col("__tids")) >= 3)
+        .select(col("source"),
+          explode(Dedup.shingles(col("__tids"), 3)).as("shingle"))
+      sh.groupBy(col("source"))
+        .agg(countDistinct(col("shingle")).as("exact")).join(est, "source")
+    }),
+
     // IVF×PQ composed: 16 coarse cells, 4 probed, 8-subspace ADC over
     // codes within the probed cells only
     "q49b_ivf_pq" -> ((s, dir) => {
@@ -1046,6 +1139,28 @@ object SparkEntry {
     // vocabulary/IDF-table statistics: per-token tf + df
     "q37_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(docs(s, dir), "doc_id", "text")),
+
+    // BPE tokenizer TRAINING, leg 1: the distributed pair-count round
+    // (adjacent-character pairs weighted by the word-count table — the
+    // one corpus-sized shuffle in the whole trainer)
+    "q146_bpe_pair_counts" -> ((s, dir) =>
+      TokenizerTrain.bpePairCounts(docs(s, dir), "text")),
+
+    // leg 2: the learned merge list itself — 8 rounds of (pair-count →
+    // deterministic argmax → greedy-left re-segmentation) over the word
+    // table; the oracle unrolls the same rounds as chained CTEs with a
+    // boundary-preserving replace (OracleSql.bpeMergeCtes)
+    "q147_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      TokenizerTrain.trainBpeMerges(
+        TokenizerTrain.wordCounts(docs(s, dir), "text").localCheckpoint(false),
+        nMerges = 8).toDF("rnk", "l", "r", "cnt")
+    }),
+
+    // leg 3: train + segment + count composed — corpus token counts
+    // under the learned 8-merge vocabulary
+    "q148_bpe_tokenize" -> ((s, dir) =>
+      TokenizerTrain.bpeTokenCounts(docs(s, dir), "text", nMerges = 8)),
 
     // duplicate clusters over the minhash near-dup graph
     "q38_dup_clusters" -> ((s, dir) =>

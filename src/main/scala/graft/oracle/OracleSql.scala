@@ -1861,6 +1861,53 @@ c0 AS (SELECT qid, cid, rel FROM jj WHERE rn <= $legK),
 c AS (SELECT c0.qid, c0.cid, c0.rel, e.emb AS vec FROM c0 JOIN cp e ON e.cid = c0.cid),
 ${ragTail(k, lambda, pack)}"""
 
+  /** BPE-training CTE chain: `w0` (word counts), `s0..sN` (boundary-
+    * encoded segmentations), `m0..m{k}` (per-round argmax merges) —
+    * [[graft.operators.TokenizerTrain.trainBpeMerges]] unrolled. Words
+    * encode as '//'-joined symbol strings ('//a//b//'), and a round
+    * applies its merge as a single non-overlapping left-to-right
+    * replace of '/l//r/' with '/lr/': the pattern takes the INNER slash
+    * of each symbol boundary and the replacement restores it, so
+    * back-to-back occurrences still merge ("aaaa" → (aa)(aa) — the
+    * trailing boundary a naive single-space encoding would consume
+    * stays available), while the outer slash keeps `l`/`r` from
+    * matching the suffix/prefix of a longer symbol. Left-to-right
+    * non-overlapping replace ≡ the engine's greedy-left fold. */
+  def bpeMergeCtes(n: Int): String = {
+    val rounds = (0 until n).map { k =>
+      s"""y$k AS (SELECT cnt, list_filter(string_split(seq,'/'), x -> x != '') AS syms FROM s$k),
+p$k AS (SELECT struct_extract(z,1) AS l, struct_extract(z,2) AS r, sum(cnt)::BIGINT AS cnt FROM (
+  SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z FROM y$k WHERE len(syms) >= 2) GROUP BY 1, 2),
+m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s${k + 1} AS (SELECT word, s.cnt, replace(seq, '/' || m.l || '//' || m.r || '/', '/' || m.l || m.r || '/') AS seq FROM s$k s CROSS JOIN m$k m),"""
+    }.mkString("\n")
+    s"""w0 AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(${toks("text")}) AS word FROM documents) GROUP BY word),
+s0 AS (SELECT word, cnt, '//' || array_to_string(string_split(word,''),'//') || '//' AS seq FROM w0),
+$rounds"""
+  }
+
+  /** q146: round-0 adjacent-character pair counts weighted by word
+    * count — the distributed leg of BPE training on its own. */
+  def q146_bpe_pair_counts: String =
+    s"""WITH w0 AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(${toks("text")}) AS word FROM documents) GROUP BY word),
+y0 AS (SELECT cnt, string_split(word,'') AS syms FROM w0),
+p0 AS (SELECT struct_extract(z,1) AS l, struct_extract(z,2) AS r, sum(cnt)::BIGINT AS cnt FROM (
+  SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z FROM y0 WHERE len(syms) >= 2) GROUP BY 1, 2)
+SELECT l, r, cnt FROM p0"""
+
+  /** q147: the learned merge list itself, n rounds unrolled. */
+  def q147_bpe_merges(n: Int): String =
+    s"""WITH ${bpeMergeCtes(n)}
+mm AS (${(0 until n).map(k => s"SELECT $k::BIGINT AS rnk, l, r, cnt FROM m$k").mkString(" UNION ALL ")})
+SELECT * FROM mm"""
+
+  /** q148: corpus token counts under the learned vocabulary —
+    * train + segment + count, end to end. */
+  def q148_bpe_tokenize(n: Int): String =
+    s"""WITH ${bpeMergeCtes(n)}
+tk AS (SELECT cnt, unnest(list_filter(string_split(seq,'/'), x -> x != '')) AS token FROM s$n)
+SELECT token, sum(cnt)::BIGINT AS total FROM tk GROUP BY token"""
+
   /** q113: Count-Min token-frequency estimates. The minhashPerm hash
     * family is arithmetic in the row index i — a_i = ((2i+1)*B) mod P32,
     * b_i = (i*C) mod P32 ([[Dedup.minhashPerm]]) — so the whole
@@ -3664,6 +3711,15 @@ FROM events GROUP BY user_id, event_type"""
     "q113b_cms_merged" -> q113_cms_estimates(3, 16, 900L),
     "q114_hll_distinct" -> q114_hll_distinct(3, 6),
     "q114b_hll_merged" -> q114_hll_distinct(3, 6),
+    // streamed-window gates: finalized tumbling-window sketches folded
+    // via cmsMerge / hllMerge must answer exactly like the whole-corpus
+    // sketch (counts are linear; per-bucket max is idempotent), so the
+    // batch oracles gate the streaming surface end to end
+    "q144_stream_cms" -> q113_cms_estimates(3, 16, 900L),
+    "q145_stream_hll" -> q114_hll_distinct(3, 6),
+    "q146_bpe_pair_counts" -> q146_bpe_pair_counts,
+    "q147_bpe_merges" -> q147_bpe_merges(8),
+    "q148_bpe_tokenize" -> q148_bpe_tokenize(8),
     "q115_bloom_decontam" -> q115_bloom_decontam(3, 2, 1 << 14),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
