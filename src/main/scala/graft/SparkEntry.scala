@@ -1162,6 +1162,21 @@ object SparkEntry {
     "q148_bpe_tokenize" -> ((s, dir) =>
       TokenizerTrain.bpeTokenCounts(docs(s, dir), "text", nMerges = 8)),
 
+    // WordPiece-objective training: the argmax scores pairs by
+    // cnt·10^12 div (ucnt_l·ucnt_r) — fixed-point-exact likelihood
+    // gain — instead of raw count; oracle unrolls the same rounds with
+    // HUGEINT arithmetic (OracleSql.wpMergeCtes)
+    "q149_wordpiece_merges" -> ((s, dir) => {
+      import s.implicits._
+      TokenizerTrain.trainWordPieceMerges(
+        TokenizerTrain.wordCounts(docs(s, dir), "text").localCheckpoint(false),
+        nMerges = 8).toDF("rnk", "l", "r", "cnt", "score_q")
+    }),
+
+    // WordPiece train + segment + count composed
+    "q150_wordpiece_tokenize" -> ((s, dir) =>
+      TokenizerTrain.wordPieceTokenCounts(docs(s, dir), "text", nMerges = 8)),
+
     // duplicate clusters over the minhash near-dup graph
     "q38_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
@@ -2347,6 +2362,28 @@ object SparkEntry {
           posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("doc_id"), col("n_frames"), col("n_sampled"),
           col("dim").cast("long").as("dim"), col("val"))),
+
+    // the REAL container route under the same oracle: the raw frames
+    // wrapped into a RIFF/AVI container in-plan (fixture-generation
+    // map), then demuxed back by the chunk-walking demuxAvi — identical
+    // frames, identical math (q36b's pattern one modality over; closes
+    // the demuxer stub boundary splitFrames used to document)
+    "q48b_avi_embed" -> ((s, dir) => {
+      import s.implicits._
+      val avis = docs(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("b"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          (id, VideoPipeline.toAvi(VideoPipeline.splitFrames(b, 32), 8, 8,
+            compressed = false))
+        }
+        .toDF("doc_id", "avi")
+      VideoPipeline.embedVideosAvi(avis, "doc_id", "avi", stride = 2, dim = 16)
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          col("dim").cast("long").as("dim"), col("val"))
+    }),
 
     // ColBERT late interaction: doc 0's token vectors as the query,
     // MaxSim against every doc's multi-vector set (doc_id < 100) — the

@@ -107,6 +107,74 @@ object TokenizerTrain {
     out.toSeq
   }
 
+  /** Per-symbol unigram counts over a (word, cnt, syms) table:
+    * (s, ucnt) — symbol-vocabulary sized. */
+  private[graft] def symbolCountsOf(syms: DataFrame): DataFrame =
+    syms.select(col("cnt"), explode(col("syms")).as("s"))
+      .groupBy("s").agg(sum(col("cnt")).as("ucnt"))
+
+  /** Fixed-point quantization scale for the WordPiece score (shared
+    * verbatim with the oracle's HUGEINT arithmetic). */
+  val WpScale = 1000000000000L // 10^12
+
+  /** WordPiece-objective training: per round the merged pair maximizes
+    * `count(pair) / (count(left) · count(right))` — the likelihood-gain
+    * score of the WordPiece trainer — instead of the raw pair count BPE
+    * uses. Same machinery otherwise: pair-vocabulary-sized aggregation,
+    * 1-row TakeOrdered argmax, narrow greedy-left refold, lineage cut
+    * per round; the extra cost is one symbol-vocabulary-sized unigram
+    * count broadcast-joined onto the pair table (twice, once per side).
+    *
+    * The argmax is FIXED-POINT EXACT, the repo-wide determinism
+    * pattern: `score_q = trunc(cnt · 10^12 / (ucnt_l · ucnt_r))`
+    * computed with Decimal(38,0) integral division (`div`), which the
+    * oracle reproduces with HUGEINT `//` — exact for counts up to 1e12
+    * a side (10^12·10^12 = 10^24 ≪ 10^38), far past any corpus this
+    * trains on. Two pairs whose true scores differ by < 10^-12 relative
+    * quantize equal and fall to the (left, right) lexicographic
+    * tie-break — deterministic in both engines. The continuation-prefix
+    * (`##`) decoration of finished WordPiece vocabularies is a
+    * rendering concern downstream of merge learning; the learned merge
+    * list is the model artifact here, as in [[trainBpeMerges]].
+    * Returns (rank, left, right, cnt, score_q) in rank order. */
+  def trainWordPieceMerges(wc: DataFrame, nMerges: Int): Seq[(Long, String, String, Long, Long)] = {
+    var syms = withSyms(wc).localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val uc = symbolCountsOf(syms)
+      val best = pairCountsOf(syms)
+        .join(broadcast(uc.select(col("s").as("l"), col("ucnt").as("ul"))), "l")
+        .join(broadcast(uc.select(col("s").as("r"), col("ucnt").as("ur"))), "r")
+        .withColumn("score_q", expr(
+          s"CAST((CAST(cnt AS DECIMAL(38,0)) * $WpScale) DIV " +
+            "(CAST(ul AS DECIMAL(38,0)) * CAST(ur AS DECIMAL(38,0))) AS BIGINT)"))
+        .orderBy(col("score_q").desc, col("l").asc, col("r").asc)
+        .limit(1).select("l", "r", "cnt", "score_q").collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val b = best(0)
+        val (l, r, c, q) = (b.getString(0), b.getString(1), b.getLong(2), b.getLong(3))
+        out += ((k.toLong, l, r, c, q))
+        syms = syms.select(col("word"), col("cnt"),
+          applyMerge(col("syms"), l, r).as("syms")).localCheckpoint(false)
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** Corpus token counts under a WordPiece-learned vocabulary:
+    * train + segment + count composed ([[bpeTokenCounts]]'s twin). */
+  def wordPieceTokenCounts(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val wc = wordCounts(df, textCol).localCheckpoint(false)
+    val merges = trainWordPieceMerges(wc, nMerges)
+    segmentWords(wc, merges.map(m => (m._2, m._3)))
+      .select(explode(col("syms")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum(col("cnt")).as("total"))
+  }
+
   /** Segment a (word, cnt) table with an ordered merge list — narrow,
     * zero shuffle: the merges are plan literals (the trained artifact
     * is vocabulary-sized, it ships in the plan like a broadcast bank). */

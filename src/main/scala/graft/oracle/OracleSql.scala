@@ -1886,6 +1886,47 @@ s0 AS (SELECT word, cnt, '//' || array_to_string(string_split(word,''),'//') || 
 $rounds"""
   }
 
+  /** WordPiece-training CTE chain: [[bpeMergeCtes]]'s structure with the
+    * WordPiece argmax — each round scores a pair by
+    * `trunc(cnt·10^12 / (ucnt_l·ucnt_r))` in exact HUGEINT arithmetic
+    * (`//` truncates like Spark's Decimal `div`), so the quantized score
+    * and its (l, r) tie-break match
+    * [[graft.operators.TokenizerTrain.trainWordPieceMerges]] bit for
+    * bit. The greedy-left replace is identical. */
+  def wpMergeCtes(n: Int): String = {
+    // MATERIALIZED throughout: u$k is referenced twice per round (once
+    // per pair side) and every s$k twice, so plain CTEs would inline
+    // into an exponentially-replicated plan (~4^n scans of the parquet
+    // — observed as file-handle exhaustion at n=8)
+    val rounds = (0 until n).map { k =>
+      s"""y$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(seq,'/'), x -> x != '') AS syms FROM s$k),
+p$k AS MATERIALIZED (SELECT struct_extract(z,1) AS l, struct_extract(z,2) AS r, sum(cnt)::BIGINT AS cnt FROM (
+  SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z FROM y$k WHERE len(syms) >= 2) GROUP BY 1, 2),
+u$k AS MATERIALIZED (SELECT s, sum(cnt)::BIGINT AS ucnt FROM (SELECT cnt, unnest(syms) AS s FROM y$k) GROUP BY s),
+m$k AS MATERIALIZED (SELECT p.l, p.r, p.cnt,
+  ((p.cnt::HUGEINT * 1000000000000) // (ul.ucnt::HUGEINT * ur.ucnt::HUGEINT))::BIGINT AS score_q
+  FROM p$k p JOIN u$k ul ON ul.s = p.l JOIN u$k ur ON ur.s = p.r
+  ORDER BY score_q DESC, p.l ASC, p.r ASC LIMIT 1),
+s${k + 1} AS MATERIALIZED (SELECT word, s.cnt, replace(seq, '/' || m.l || '//' || m.r || '/', '/' || m.l || m.r || '/') AS seq FROM s$k s CROSS JOIN m$k m),"""
+    }.mkString("\n")
+    s"""w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(${toks("text")}) AS word FROM documents) GROUP BY word),
+s0 AS MATERIALIZED (SELECT word, cnt, '//' || array_to_string(string_split(word,''),'//') || '//' AS seq FROM w0),
+$rounds"""
+  }
+
+  /** q149: the WordPiece-learned merge list, n rounds unrolled. */
+  def q149_wordpiece_merges(n: Int): String =
+    s"""WITH ${wpMergeCtes(n)}
+mm AS (${(0 until n).map(k => s"SELECT $k::BIGINT AS rnk, l, r, cnt, score_q FROM m$k").mkString(" UNION ALL ")})
+SELECT * FROM mm"""
+
+  /** q150: corpus token counts under the WordPiece-learned vocabulary —
+    * train + segment + count, end to end. */
+  def q150_wordpiece_tokenize(n: Int): String =
+    s"""WITH ${wpMergeCtes(n)}
+tk AS (SELECT cnt, unnest(list_filter(string_split(seq,'/'), x -> x != '')) AS token FROM s$n)
+SELECT token, sum(cnt)::BIGINT AS total FROM tk GROUP BY token"""
+
   /** q146: round-0 adjacent-character pair counts weighted by word
     * count — the distributed leg of BPE training on its own. */
   def q146_bpe_pair_counts: String =
@@ -3720,6 +3761,8 @@ FROM events GROUP BY user_id, event_type"""
     "q146_bpe_pair_counts" -> q146_bpe_pair_counts,
     "q147_bpe_merges" -> q147_bpe_merges(8),
     "q148_bpe_tokenize" -> q148_bpe_tokenize(8),
+    "q149_wordpiece_merges" -> q149_wordpiece_merges(8),
+    "q150_wordpiece_tokenize" -> q150_wordpiece_tokenize(8),
     "q115_bloom_decontam" -> q115_bloom_decontam(3, 2, 1 << 14),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
@@ -3746,6 +3789,9 @@ FROM events GROUP BY user_id, event_type"""
     "q46_pii_redact" -> q46_pii_redact,
     "q47_pack_sequences" -> q47_pack_sequences(64, 8),
     "q48_video_embed" -> q48_video_embed(32, 2, 16),
+    // the AVI container round-trip is byte-lossless, so the demux route
+    // answers to the raw-frames oracle verbatim
+    "q48b_avi_embed" -> q48_video_embed(32, 2, 16),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,

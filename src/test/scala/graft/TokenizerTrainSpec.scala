@@ -57,6 +57,51 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(TokenizerTrain.trainBpeMerges(wc, nMerges = 3).isEmpty)
   }
 
+  test("trainWordPieceMerges: likelihood argmax differs from raw-count argmax") {
+    // ab x10 (frequent pair of FREQUENT symbols) vs xy x2 (rare pair of
+    // RARE symbols); standalone a/b x20 inflate the unigram counts.
+    //   ucnt(a)=ucnt(b)=30, ucnt(x)=ucnt(y)=2
+    //   score(a,b) = 10·10^12/900  = 11_111_111_111 (trunc)
+    //   score(x,y) =  2·10^12/4    = 500_000_000_000  → WordPiece picks (x,y)
+    // (BPE would pick (a,b) on raw count 10.) Round 1 then merges (a,b).
+    val texts = Seq.fill(10)("ab") ++ Seq.fill(2)("xy") ++
+      Seq.fill(20)("a") ++ Seq.fill(20)("b")
+    val wc = TokenizerTrain.wordCounts(corpus(texts.mkString(" ")), "text")
+    val wp = TokenizerTrain.trainWordPieceMerges(wc, nMerges = 2)
+    assert(wp == Seq(
+      (0L, "x", "y", 2L, 500000000000L),
+      (1L, "a", "b", 10L, 11111111111L)))
+    val bpe = TokenizerTrain.trainBpeMerges(wc, nMerges = 1)
+    assert(bpe.head._2 == "a" && bpe.head._3 == "b") // the objectives really diverge
+  }
+
+  test("WordPiece tie-break: equal quantized scores resolve (left, right) lexicographic") {
+    // xy and ab each once, all four symbols unigram-count 1 → identical
+    // scores 10^12 → lexicographic picks (a,b)
+    val wc = TokenizerTrain.wordCounts(corpus("xy ab"), "text")
+    val wp = TokenizerTrain.trainWordPieceMerges(wc, nMerges = 1)
+    assert(wp == Seq((0L, "a", "b", 1L, 1000000000000L)))
+  }
+
+  test("WordPiece partitioning invariance + exhaustion") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = TokenizerTrain.wordCounts(d, "text")
+    val a = TokenizerTrain.trainWordPieceMerges(wc, nMerges = 5)
+    val b = TokenizerTrain.trainWordPieceMerges(wc.repartition(7), nMerges = 5)
+    assert(a == b && a.size == 5)
+    val single = TokenizerTrain.wordCounts(corpus("a b c a"), "text")
+    assert(TokenizerTrain.trainWordPieceMerges(single, nMerges = 3).isEmpty)
+  }
+
+  test("wordPieceTokenCounts: totals conserve the corpus character mass") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chars = TokenizerTrain.wordCounts(d, "text")
+      .select(sum(length(col("word")) * col("cnt"))).collect()(0).getLong(0)
+    val toks = TokenizerTrain.wordPieceTokenCounts(d, "text", nMerges = 3)
+      .select(sum(length(col("token")) * col("total"))).collect()(0).getLong(0)
+    assert(toks == chars)
+  }
+
   test("bpeTokenCounts: totals conserve the corpus character mass") {
     // every round only coalesces symbols, so Σ total * len(token) over
     // the learned vocabulary equals the corpus character count
