@@ -542,6 +542,31 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // the document-UPDATE lifecycle leg (q123b inserts, q126 removes —
+    // real corpora also re-embed): build the index with STALE vectors
+    // for ids >= 100, % 5 == 0 (reversed arrays — quantizer rows
+    // vec_id < 16 stay untouched, so the saved quantizers equal a
+    // fresh build's), then upsert the true vectors for those ids
+    // (delete → compact affected cells → re-encode+append). The
+    // post-upsert search must hash-match the fresh-full-build oracle
+    // (q123's chain) bit for bit — stale codes really left, re-appended
+    // ids really serve (a live tombstone would suppress them)
+    "q151_ivfpq_upsert" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q151_idx").toString
+      val staleIds = col("vec_id") >= 100 && col("vec_id") % 5 === 0
+      val stale = e.withColumn("embedding",
+        when(staleIds, reverse(col("embedding"))).otherwise(col("embedding")))
+      VectorIndex.writeIvfPq(stale, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      VectorIndex.upsert(e.filter(staleIds), "vec_id", "embedding", path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
     // residual-encoded IVF-PQ: PQ codes quantize vec − centroid[cell]
     // and queries compare in the probed cell's residual frame — the
     // standard formulation; same m buys materially more ordering

@@ -293,6 +293,28 @@ object VectorIndex {
     if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
   }
 
+  /** Upsert: replace the indexed vectors for `batch`'s ids with the
+    * batch's vectors — the document-UPDATE path ([[append]] covers
+    * inserts, [[delete]] removals; real corpora also re-crawl and
+    * re-embed). Composes the existing legs in the only order the
+    * tombstone contract allows: [[delete]] the ids, [[compact]] the
+    * affected cells (clearing the tombstones — a re-append under a
+    * live tombstone would stay suppressed), then [[append]] the new
+    * encodings with the SAVED quantizers.
+    *
+    * Cost at 100 TB: O(batch) tombstone write + a rewrite of only the
+    * cells the stale rows live in + one narrow encode pass over the
+    * batch — never a corpus pass. Ids absent from the index upsert as
+    * plain inserts (their tombstones prune nothing and compaction of
+    * their cells is skipped). */
+  def upsert(batch: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = batch.sparkSession
+    delete(spark, path, batch.select(col(idCol)), idCol)
+    compact(spark, path)
+    append(batch, idCol, vecCol, path)
+  }
+
   /** Incremental maintenance: encode `newRows` with the index's SAVED
     * quantizers and append into the existing cell partitions. No
     * retraining, no touch of existing files — the 100 TB ingest path

@@ -3671,6 +3671,9 @@ FROM events GROUP BY user_id, event_type"""
     // q49b by construction (same quantizers, ADC order, tie-breaks) —
     // same oracle, independently hash-gated
     "q123_ivfpq_indexed" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    // upsert restores the true corpus under unchanged quantizers, so the
+    // post-upsert search answers to the fresh-full-build oracle
+    "q151_ivfpq_upsert" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q123b_ivfpq_append" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q137_stream_index_ingest" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q138_semantic_ingest_dups" -> q138_semantic_ingest_dups(Dim, 16, 4, 8, 16, 5, 250L, 0.2),

@@ -48,6 +48,36 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a.nonEmpty)
   }
 
+  test("upsert: stale vectors replaced == fresh rebuild; absent ids insert; repeats work") {
+    // build with reversed vectors for ids >= 100 divisible by 5 (the
+    // quantizer rows 0..15 stay true), upsert the true vectors back
+    val pStale = tmp("graft_ivfpq_upsert")
+    val pTrue = tmp("graft_ivfpq_upsert_ref")
+    val staleIds = col("vec_id") >= 100 && col("vec_id") % 5 === 0
+    val stale = e.withColumn("embedding",
+      when(staleIds, reverse(col("embedding"))).otherwise(col("embedding")))
+    VectorIndex.writeIvfPq(stale, "vec_id", "embedding", 16, 8, 16, pStale)
+    VectorIndex.upsert(e.filter(staleIds), "vec_id", "embedding", pStale)
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pTrue)
+    val up = asSet(VectorIndex.search(spark, q, "qid", "qv", pStale, 4, 5))
+    val ref = asSet(VectorIndex.search(spark, q, "qid", "qv", pTrue, 4, 5))
+    assert(up == ref)
+    assert(up.nonEmpty)
+    // upserting an id the index has never seen = plain insert; and a
+    // SECOND upsert of an already-upserted id must serve (tombstones
+    // from round 1 were compacted away, not left to suppress round 2)
+    val extraId = 100000L
+    val extra = e.filter(col("vec_id") === 3).select(
+      lit(extraId).as("vec_id"), col("embedding"))
+    VectorIndex.upsert(extra, "vec_id", "embedding", pStale)
+    VectorIndex.upsert(extra, "vec_id", "embedding", pStale)
+    val probe = e.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val hits = VectorIndex.search(spark, probe, "qid", "qv", pStale, 16, 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(3L, extraId)) // its own vector + the inserted twin
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val path = tmp("graft_ivfpq_prune")
     VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
