@@ -834,6 +834,27 @@ object SparkEntry {
     // (token, doc, tf, dl), df/avgdl partials sum at query time — so an
     // append can never stale the index. Build on evens, APPEND odds,
     // search with CURRENT stats ≡ the fresh whole-corpus q55b oracle
+    // the BM25 document-UPDATE leg (q151's lexical twin): build the
+    // index with STALE text for doc_id % 7 == 0 (a marker token splice
+    // that shifts df/avgdl and those docs' postings), then upsert the
+    // true text back — removeDocs' immediate stat effect + one
+    // batch-sized append must make searchTopK answer the fresh
+    // whole-corpus oracle bit for bit
+    "q152_bm25_upsert" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q152_idx").toString
+      val staleIds = col("doc_id") % 7 === 0
+      val stale = d.withColumn("text",
+        when(staleIds, concat_ws(" ", col("text"), lit("zzstalemarker zzstalemarker")))
+          .otherwise(col("text")))
+      FullTextIndex.write(stale, "doc_id", "text", path)
+      FullTextIndex.upsertBatch(s, d.filter(staleIds), "doc_id", "text", path)
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     "q141_bm25_indexed" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q141_idx").toString

@@ -91,6 +91,23 @@ object FullTextIndex {
     appendInto(spark, batch, idCol, textCol, path, conf(spark, path))
   }
 
+  /** Upsert: replace the indexed postings (and their df/avgdl
+    * contributions — BM25 statistics change IMMEDIATELY, unlike
+    * [[VectorIndex]]'s maskable tombstones) for `batch`'s ids with the
+    * batch's text — the document re-crawl path, [[VectorIndex.upsert]]'s
+    * lexical twin: [[removeDocs]] the ids, then [[appendBatch]] the new
+    * versions. Replay-idempotent end to end WITHOUT extra machinery: a
+    * crash between the legs leaves a consistent as-if-deleted index, and
+    * re-running the whole upsert re-removes whatever version is present
+    * (old, new, or none — removal derives its deltas from the live
+    * postings) before appending exactly once. Cost: one postings rewrite
+    * + one batch-sized tokenize/append — never a corpus re-tokenize. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                  textCol: String, path: String): Unit = {
+    removeDocs(spark, batch.select(col(idCol)), idCol, path)
+    appendBatch(spark, batch, idCol, textCol, path)
+  }
+
   /** One atomic append: postings + df + meta land together or not at
     * all. The three live tables cannot be written transactionally, so
     * the batch's rows are STAGED under `<path>/_append` first, a READY

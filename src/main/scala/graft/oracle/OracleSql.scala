@@ -3709,6 +3709,9 @@ FROM events GROUP BY user_id, event_type"""
     // so build+append ≡ the fresh whole-corpus search — same oracle,
     // independently hash-gated (the q123b pattern, lexical twin)
     "q141_bm25_indexed" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
+    // upsert restores the true corpus and BM25 stats follow immediately,
+    // so the post-upsert search answers the fresh whole-corpus oracle
+    "q152_bm25_upsert" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
     // removal re-derives df/n_docs/avgdl over the SURVIVING corpus (not
     // a mask), so the oracle is the fresh search over the kept docs
     "q141b_bm25_deleted" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5,

@@ -53,6 +53,36 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       path, k = 5)) == before)
   }
 
+  test("upsertBatch: re-crawled docs == fresh build on the updated corpus; interrupted upsert replays exact") {
+    val staleIds = col("doc_id") % 7 === 0
+    val stale = d.withColumn("text",
+      when(staleIds, concat_ws(" ", col("text"), lit("zzstalemarker")))
+        .otherwise(col("text")))
+    val path = tmp("graft_ftidx_u")
+    FullTextIndex.write(stale, "doc_id", "text", path)
+    FullTextIndex.upsertBatch(spark, d.filter(staleIds), "doc_id", "text", path)
+    val up = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5))
+    val fresh = asSet(FullText.bm25Search(queries, "qid", "qtext", d, "doc_id", "text", 5))
+    assert(up == fresh)
+    assert(up.nonEmpty)
+    // the stale marker must really be gone from the served statistics:
+    // a query for it ranks nothing
+    import spark.implicits._
+    val mq = Seq((0L, "zzstalemarker")).toDF("qid", "qtext")
+    assert(FullTextIndex.searchTopK(spark, mq, "qid", "qtext", path, k = 5).isEmpty)
+    // crash between the legs (removal applied, append never ran): the
+    // index serves as-if-deleted; replaying the WHOLE upsert lands the
+    // batch exactly once — removal re-derives deltas from live postings,
+    // so re-removing the now-absent docs subtracts nothing
+    val path2 = tmp("graft_ftidx_u2")
+    FullTextIndex.write(stale, "doc_id", "text", path2)
+    FullTextIndex.removeDocs(spark, d.filter(staleIds).select(col("doc_id")),
+      "doc_id", path2) // the interrupted first attempt
+    FullTextIndex.upsertBatch(spark, d.filter(staleIds), "doc_id", "text", path2)
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext",
+      path2, k = 5)) == fresh)
+  }
+
   test("removeDocs: statistics re-derive over survivors == fresh build on them") {
     val pA = tmp("graft_ftidx_d")
     val pB = tmp("graft_ftidx_d2")
