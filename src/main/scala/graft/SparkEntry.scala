@@ -1358,6 +1358,72 @@ object SparkEntry {
       Sketch.hllDistinctShingles(tbl(s, dir, "documents"), "source", "text",
         n = 3, p = 6)),
 
+    // the PERSISTED sketch lifecycle (SketchStore): build the CMS store
+    // on even docs, fold the odd docs in as an ingest batch, estimate
+    // over everything ingested — must answer q113's whole-corpus oracle
+    // (counts are linear, the read-side fold sums batch partials)
+    "q153_cms_store" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q153_cms").toString
+      SketchStore.writeCms(d.filter(col("doc_id") % 2 === 0), "text",
+        depth = 3, width = 16, path = path)
+      SketchStore.appendCms(d.filter(col("doc_id") % 2 === 1), "text", path)
+      val cand = d.select(explode(Kernel.tokenIds(col("text"), K.MaxLength))
+        .as("token_id")).distinct()
+      SketchStore.cmsEstimates(s, cand, path)
+        .withColumn("heavy", col("est") >= 900L)
+    }),
+
+    // same lifecycle for the HLL store: per-source distinct-shingle
+    // buckets built on half the corpus, the other half folded in; the
+    // read-side per-(group,bucket) max is idempotent, so overlapping
+    // ingests could not even inflate it — q114's oracle verbatim
+    "q154_hll_store" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_q154_hll").toString
+      val sh = SketchStore.shingleRows(d, "source", "text", n = 3)
+      SketchStore.writeHll(sh.filter(crc32(col("shingle").cast("string")) % 2 === 0),
+        "source", "shingle", p = 6, path = path)
+      SketchStore.appendHll(sh.filter(crc32(col("shingle").cast("string")) % 2 === 1),
+        "source", "shingle", path)
+      val exact = sh.groupBy(col("source"))
+        .agg(countDistinct(col("shingle")).as("exact"))
+      exact.join(
+        SketchStore.hllEstimates(s, path).withColumnRenamed("group", "source"),
+        "source")
+    }),
+
+    // the CMS store fed through the REAL streaming sink: the odd docs
+    // arrive as three ordered micro-batches via cmsIngestSink (each
+    // lands in its own batch partition — replay-by-overwrite), and the
+    // estimates must still answer the whole-corpus oracle
+    "q155_stream_cms_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q155_cms").toString
+      SketchStore.writeCms(d.filter(col("doc_id") % 2 === 0), "text",
+        depth = 3, width = 16, path = path)
+      val rest = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q155_ckpt").toString
+      val sq = graft.streaming.StreamingOps.cmsIngestSink(
+          ms.toDF().toDF("doc_id", "text"), "text", path)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+          ms.addData(b.toSeq); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val cand = d.select(explode(Kernel.tokenIds(col("text"), K.MaxLength))
+        .as("token_id")).distinct()
+      SketchStore.cmsEstimates(s, cand, path)
+        .withColumn("heavy", col("est") >= 900L)
+    }),
+
     // sketch MERGE is the 100 TB property: per-shard sketches union
     // without a rescan. Two disjoint half-corpus CMS grids, cell-wise
     // summed, must estimate exactly like the whole-corpus grid — the

@@ -3753,6 +3753,12 @@ FROM events GROUP BY user_id, event_type"""
     "q112_rag_pipeline" -> q112_rag_pipeline(16, 4, 16, 20, 5, 0.5),
     "q112b_rag_ivf" -> q112b_rag_ivf(16, 4, 16, 8, 2, 20, 5, 0.5),
     "q113_cms_estimates" -> q113_cms_estimates(3, 16, 900L),
+    // the persisted sketch store folds batch partials exactly like the
+    // in-plan merges, so build+ingest (batch or streamed) answers the
+    // whole-corpus sketch oracles verbatim
+    "q153_cms_store" -> q113_cms_estimates(3, 16, 900L),
+    "q155_stream_cms_ingest" -> q113_cms_estimates(3, 16, 900L),
+    "q154_hll_store" -> q114_hll_distinct(3, 6),
     // merged-halves gates: the merge property says the composed sketch
     // answers EXACTLY like the whole-corpus one, so the oracle is reused
     "q113b_cms_merged" -> q113_cms_estimates(3, 16, 900L),

@@ -337,6 +337,27 @@ object StreamingOps {
     fs.create(done, true).close()
   }
 
+  /** Continuous statistics maintenance: each micro-batch folds its own
+    * fixed-size CMS partial grid into a persisted
+    * [[graft.operators.SketchStore]] — the sketch-store twin of
+    * [[ivfPqAppendSink]]/[[bm25IngestSink]], but with NO marker
+    * protocol: the partial lands in the batch's OWN `batch=<id>`
+    * partition (delete-then-write), so an at-least-once redelivery
+    * overwrites its previous attempt instead of double-counting.
+    * Per-batch cost: one narrow tokenize over the batch + a
+    * depth×width-row write. Estimates read the store and answer over
+    * everything ingested so far. */
+  def cmsIngestSink(stream: DataFrame, textCol: String,
+                    storePath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          // +1: foreachBatch ids start at 0, which is the build's own
+          // partition — a colliding first batch would overwrite it
+          graft.operators.SketchStore.appendCmsBatch(
+            batch.toDF(), textCol, storePath, batchId + 1)
+    }
+
   /** Continuous lexical-index maintenance: each micro-batch of
     * (id, text) rows tokenizes once and appends into the persisted BM25
     * index ([[graft.operators.FullTextIndex.appendBatch]] — postings +
