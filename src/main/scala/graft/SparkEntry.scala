@@ -1140,6 +1140,14 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("tokens_clean")).as(Seq("pos", "token_id")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))),
 
+    // the canonical ExactSubstr cut (Lee et al. 2022): every duplicated
+    // 8-token window keeps its globally-first occurrence (min packed
+    // (doc,start) key) and loses the rest — incl. within-doc repeats
+    "q156_splice_keep_first" -> ((s, dir) =>
+      Dedup.spliceDupSpansKeepFirst(docs(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), posexplode(col("tokens_clean")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))),
+
     // SemDeDup: coarse-quantizer cells (first-16 centroids keep it
     // oracle-able; trainKmeans slots in unchanged) + within-cell exact
     // cosine — cluster-scoped semantic dedup pairs

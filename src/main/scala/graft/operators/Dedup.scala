@@ -568,6 +568,51 @@ object Dedup {
             bridge.expression(col("__starts")), n))).as("tokens_clean"))
   }
 
+  /** [[spliceRepeatedSpans]] with the canonical ExactSubstr semantics
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): of every duplicated length-`n` window, the
+    * GLOBALLY FIRST occurrence — min (doc, start) packed key — SURVIVES,
+    * so the corpus keeps exactly one copy of each duplicated span
+    * instead of losing all of them; and duplication counts OCCURRENCES
+    * (within-doc repetition cuts too), not distinct docs. The two
+    * variants bracket the design space: all-copies-cut (q67) for
+    * boilerplate scrubbing, keep-first (this, q156) for training-set
+    * dedup where the content itself must survive once.
+    *
+    * Same scale shape as [[spliceRepeatedSpans]]: one tokenize (lazy
+    * cut), one shingle-hash partial-agg shuffle, flagged starts gather
+    * per doc and rejoin small-side, the cut is the native two-pointer
+    * [[graft.functions.SpliceSpans]]. The packed key needs
+    * id·pack + pos injective: ids must stay below 2^63/pack (`pack`
+    * defaults to 2^20 ≫ maxLength, leaving ~2^43 ids). */
+  def spliceDupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 8, maxLength: Int = K.MaxLength,
+                              pack: Long = 1L << 20): DataFrame = {
+    require(maxLength <= pack, s"pack $pack must exceed maxLength $maxLength")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val toks = df.select(col(idCol), Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
+      .localCheckpoint(false)
+    val keyed = toks
+      .filter(size(col("__tids")) >= n)
+      .select(col(idCol), posexplode(shingles(col("__tids"), n)).as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("shingle"),
+        (col(idCol).cast("long") * pack + col("pos")).as("__k"))
+    val dup = keyed.groupBy(col("shingle"))
+      .agg(min(col("__k")).as("__keep"), count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+    val starts = keyed.join(dup, "shingle")
+      .filter(col("__k") =!= col("__keep"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("pos"))).as("__starts"))
+      .localCheckpoint(false)
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__starts").isNull, col("__tids")).otherwise(
+          bridge.column(graft.functions.SpliceSpans(
+            bridge.expression(col("__tids")),
+            bridge.expression(col("__starts")), n))).as("tokens_clean"))
+  }
+
   /** HOF formulation of the [[spliceRepeatedSpans]] cut step over
     * pre-joined (tids, sorted starts) columns — the interpreted
     * O(tokens × starts) form the SQL oracle mirrors; kept as the

@@ -2108,6 +2108,27 @@ cl AS (SELECT t.doc_id,
   FROM tok t LEFT JOIN sp USING (doc_id))
 SELECT doc_id, CAST(generate_subscripts(tids_clean, 1) - 1 AS BIGINT) AS pos, unnest(tids_clean) AS token_id FROM cl"""
 
+  /** q156: the keep-first ExactSubstr cut — q67's chain with the
+    * duplicate set keyed on occurrences (count ≥ 2, within-doc repeats
+    * included) and the min packed (doc,start) occurrence exempted. */
+  def q156_splice_keep_first(n: Int, pack: Long): String =
+    s"""WITH tok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+ps AS (SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos, unnest(sh) AS shingle FROM (
+  SELECT doc_id, ${shingleList("tids", n)} AS sh FROM tok WHERE len(tids) >= $n) t),
+k AS (SELECT doc_id, pos, shingle, doc_id * $pack + pos AS kk FROM ps),
+st AS (SELECT shingle, min(kk) AS keep FROM k GROUP BY shingle HAVING count(*) >= 2),
+fl AS (SELECT DISTINCT k.doc_id, k.pos FROM k JOIN st USING (shingle) WHERE k.kk != st.keep),
+sp AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM fl GROUP BY doc_id),
+cl AS (SELECT t.doc_id,
+  CASE WHEN sp.starts IS NULL THEN t.tids ELSE
+    list_transform(
+      list_filter(
+        list_transform(range(0, len(t.tids)), i -> {'t': t.tids[CAST(i AS INT) + 1], 'i': i}),
+        s -> len(list_filter(sp.starts, s2 -> s2 <= s.i AND s.i < s2 + $n)) = 0),
+      s -> s.t) END AS tids_clean
+  FROM tok t LEFT JOIN sp USING (doc_id))
+SELECT doc_id, CAST(generate_subscripts(tids_clean, 1) - 1 AS BIGINT) AS pos, unnest(tids_clean) AS token_id FROM cl"""
+
   def q62_source_keywords(k: Int): String =
     s"""WITH tok AS (SELECT source, doc_id, ${tids("text")} AS tids FROM documents),
 e AS (SELECT source, doc_id, unnest(tids) AS token_id FROM tok),
@@ -3778,6 +3799,7 @@ FROM events GROUP BY user_id, event_type"""
     "q115_bloom_decontam" -> q115_bloom_decontam(3, 2, 1 << 14),
     "q62_source_keywords" -> q62_source_keywords(5),
     "q67_splice_spans" -> q67_splice_spans(8),
+    "q156_splice_keep_first" -> q156_splice_keep_first(8, 1L << 20),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
     "q64_bigram_lm" -> q64_bigram_lm(),
     "q65_hard_negatives" -> q65_hard_negatives(4, 20, 0.95),

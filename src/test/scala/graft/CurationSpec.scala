@@ -118,6 +118,39 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out(3L) == tids(3L))
   }
 
+  test("spliceDupSpansKeepFirst: first occurrence survives, later copies cut, within-doc repeats too") {
+    import spark.implicits._
+    val span = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$span uniqueone uniquetwo"),  // FIRST occurrence (min doc id) — survives
+      (2L, span),                          // later cross-doc copy — cut entirely
+      (3L, s"$span $span"),                // within-doc repeat of an already-seen span
+      (4L, "hello world"))                 // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.spliceDupSpansKeepFirst(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val tids = docs.select(col("doc_id"), graft.functions.Kernel.tokenIds(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out(1L) == tids(1L)) // keep-first: doc 1 is UNTOUCHED (q67 would cut it)
+    assert(out(2L).isEmpty)
+    assert(out(4L) == tids(4L))
+    // doc 3: every window covering a duplicated span beyond the first
+    // occurrence is cut; the straddling windows are duplicated NOWHERE
+    // (they include the seam), so only the aligned copies' positions go —
+    // both aligned copies are non-first (doc 1 holds the first), so the
+    // whole doc is covered
+    assert(out(3L).isEmpty)
+    // and a within-doc-ONLY repeat keeps its first copy
+    val solo = Seq((7L, s"$span $span")).toDF("doc_id", "text")
+    val out2 = Dedup.spliceDupSpansKeepFirst(solo, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val tids2 = solo.select(col("doc_id"), graft.functions.Kernel.tokenIds(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // positions 0..7 survive (first occurrence); 8..15 cut; the seam
+    // windows (starts 1..7) occur once each and cut nothing
+    assert(out2(7L) == tids2(7L).take(8))
+  }
+
   test("mixtureWeights: sqrt-damped fixture") {
     import spark.implicits._
     val df = (Seq.fill(4)("a") ++ Seq.fill(1)("b")).zipWithIndex
