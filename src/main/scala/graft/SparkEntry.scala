@@ -567,6 +567,73 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // q151's update path driven through the REAL streaming sink: the
+    // stale ids' true vectors arrive as three ordered micro-batches via
+    // ivfPqUpsertSink (replay-idempotent by upsert's own delete-first
+    // construction — no marker protocol), and the post-stream search
+    // must still hash-match the fresh-full-build oracle
+    "q157_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q157_idx").toString
+      val staleIds = col("vec_id") >= 100 && col("vec_id") % 5 === 0
+      val stale = e.withColumn("embedding",
+        when(staleIds, reverse(col("embedding"))).otherwise(col("embedding")))
+      VectorIndex.writeIvfPq(stale, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      val updates = e.filter(staleIds)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q157_ckpt").toString
+      val sq = graft.streaming.StreamingOps.ivfPqUpsertSink(
+          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        updates.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+          ms.addData(b.toSeq); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // the lexical twin: q152's re-crawl through bm25UpsertSink
+    "q158_stream_bm25_upsert" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q158_idx").toString
+      val staleIds = col("doc_id") % 7 === 0
+      val stale = d.withColumn("text",
+        when(staleIds, concat_ws(" ", col("text"), lit("zzstalemarker zzstalemarker")))
+          .otherwise(col("text")))
+      FullTextIndex.write(stale, "doc_id", "text", path)
+      val updates = d.filter(staleIds)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q158_ckpt").toString
+      val sq = graft.streaming.StreamingOps.bm25UpsertSink(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text", path)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        updates.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+          ms.addData(b.toSeq); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      val q = d.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
+        .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
+    }),
+
     // residual-encoded IVF-PQ: PQ codes quantize vec − centroid[cell]
     // and queries compare in the probed cell's residual frame — the
     // standard formulation; same m buys materially more ordering

@@ -3695,6 +3695,7 @@ FROM events GROUP BY user_id, event_type"""
     // upsert restores the true corpus under unchanged quantizers, so the
     // post-upsert search answers to the fresh-full-build oracle
     "q151_ivfpq_upsert" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
+    "q157_stream_upsert" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q123b_ivfpq_append" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q137_stream_index_ingest" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q138_semantic_ingest_dups" -> q138_semantic_ingest_dups(Dim, 16, 4, 8, 16, 5, 250L, 0.2),
@@ -3733,6 +3734,7 @@ FROM events GROUP BY user_id, event_type"""
     // upsert restores the true corpus and BM25 stats follow immediately,
     // so the post-upsert search answers the fresh whole-corpus oracle
     "q152_bm25_upsert" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
+    "q158_stream_bm25_upsert" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5),
     // removal re-derives df/n_docs/avgdl over the SURVIVING corpus (not
     // a mask), so the oracle is the fresh search over the kept docs
     "q141b_bm25_deleted" -> q55b_bm25_topk(graft.operators.FullText.K1, graft.operators.FullText.B, 5,

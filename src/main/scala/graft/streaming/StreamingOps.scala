@@ -337,6 +337,39 @@ object StreamingOps {
     fs.create(done, true).close()
   }
 
+  /** Continuous re-embed maintenance: each micro-batch of (id, NEW
+    * vector) rows replaces those ids' entries in a persisted IVF-PQ
+    * index via [[graft.operators.VectorIndex.upsert]] — the streaming
+    * form of the document-update path (q151). NO marker protocol:
+    * upsert is replay-idempotent by construction, because its own first
+    * step deletes the batch's ids — whatever a crashed attempt landed
+    * (nothing, tombstones, a partial or full append) is swept by the
+    * redelivered batch's delete+compact before the single live append.
+    * Per-batch cost: O(batch) tombstones + affected-cell rewrites +
+    * one narrow encode pass. */
+  def ivfPqUpsertSink(stream: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.VectorIndex.upsert(batch.toDF(), idCol, vecCol, indexPath)
+    }
+
+  /** The lexical twin: micro-batches of re-crawled (id, text) docs
+    * replace their versions in a persisted BM25 index via
+    * [[graft.operators.FullTextIndex.upsertBatch]] — replay-idempotent
+    * for the same reason (removal re-derives its stat deltas from the
+    * LIVE postings, so a redelivery removes whatever version is present
+    * before appending exactly once). */
+  def bm25UpsertSink(stream: DataFrame, idCol: String, textCol: String,
+                     indexPath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.FullTextIndex.upsertBatch(
+            batch.sparkSession, batch.toDF(), idCol, textCol, indexPath)
+    }
+
   /** Continuous statistics maintenance: each micro-batch folds its own
     * fixed-size CMS partial grid into a persisted
     * [[graft.operators.SketchStore]] — the sketch-store twin of

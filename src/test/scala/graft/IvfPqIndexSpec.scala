@@ -78,6 +78,31 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits == Set(3L, extraId)) // its own vector + the inserted twin
   }
 
+  test("upsert redelivery (the streaming-sink replay cases) lands exactly once") {
+    val staleIds = col("vec_id") >= 100 && col("vec_id") % 5 === 0
+    val stale = e.withColumn("embedding",
+      when(staleIds, reverse(col("embedding"))).otherwise(col("embedding")))
+    val pRef = tmp("graft_upsert_ref")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pRef)
+    val ref = asSet(VectorIndex.search(spark, q, "qid", "qv", pRef, 4, 5))
+    val batch = e.filter(staleIds)
+    // case 1: previous attempt FULLY landed, checkpoint didn't — the
+    // redelivered upsert's own delete-first sweep must not double
+    val p1 = tmp("graft_upsert_replay1")
+    VectorIndex.writeIvfPq(stale, "vec_id", "embedding", 16, 8, 16, p1)
+    VectorIndex.upsert(batch, "vec_id", "embedding", p1)
+    VectorIndex.upsert(batch, "vec_id", "embedding", p1) // redelivery
+    assert(asSet(VectorIndex.search(spark, q, "qid", "qv", p1, 4, 5)) == ref)
+    // case 2: previous attempt crashed after delete+compact, before the
+    // append — redelivery completes it
+    val p2 = tmp("graft_upsert_replay2")
+    VectorIndex.writeIvfPq(stale, "vec_id", "embedding", 16, 8, 16, p2)
+    VectorIndex.delete(spark, p2, batch.select(col("vec_id")), "vec_id")
+    VectorIndex.compact(spark, p2) // the interrupted first attempt
+    VectorIndex.upsert(batch, "vec_id", "embedding", p2)
+    assert(asSet(VectorIndex.search(spark, q, "qid", "qv", p2, 4, 5)) == ref)
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val path = tmp("graft_ivfpq_prune")
     VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
