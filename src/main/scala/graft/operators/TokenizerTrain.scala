@@ -183,6 +183,47 @@ object TokenizerTrain {
       d.select(col("word"), col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
     }
 
+  /** The word table's distinct single characters — the base alphabet a
+    * trained tokenizer's vocab starts from. Bounded by the normalizer's
+    * charset ([a-z0-9] → ≤ 36 rows), so the collect is constant-size. */
+  def alphabetOf(wc: DataFrame): Seq[String] =
+    wc.select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Serialize a learned merge list as an HF-format `tokenizer.json`
+    * (model.type=BPE) — the artifact the reference CONSUMES
+    * (/root/reference/src/common.rs:57-157 hands tokenizer.json to the
+    * tokenizers runtime), closing the loop: train here, load with
+    * [[graft.model.Bpe.fromTokenizerJson]] (or the reference itself).
+    * Vocab ids are deterministic — alphabet symbols sorted ascending,
+    * then merge products in rank order, the HF convention.
+    *
+    * The exported list encodes IDENTICALLY under rank-priority
+    * `merge_all` (what [[graft.model.BpeModel.tokenizeWord]] and the
+    * tokenizers crate run) and under this trainer's sequential
+    * greedy-left rounds: a TRAINED list's ranks respect symbol-creation
+    * order, so applying rank k can never surface a not-yet-applied
+    * lower-rank pair — the spec pins the round trip. WordPiece-trained
+    * merge lists export through the same function (the merge list IS
+    * the artifact; only the training-time argmax differed). */
+  def exportTokenizerJson(alphabet: Seq[String],
+                          merges: Seq[(String, String)]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val pieces = alphabet ++ merges.map { case (l, r) => l + r }
+    val vocab = pieces.zipWithIndex
+      .map { case (p, i) => s""""${esc(p)}": $i""" }.mkString(", ")
+    val mergeLines = merges
+      .map { case (l, r) => s""""${esc(l)} ${esc(r)}"""" }.mkString(", ")
+    s"""{"model": {"type": "BPE", "vocab": {$vocab}, "merges": [$mergeLines]}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Corpus-level token counts under the learned vocabulary:
     * (token, total). Train + apply composed: the end-to-end check that
     * the learned merges actually tokenize. */

@@ -102,6 +102,37 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(toks == chars)
   }
 
+  test("exportTokenizerJson: trained merges round-trip through the real BPE loader") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = TokenizerTrain.wordCounts(d, "text").localCheckpoint(false)
+    val learned = TokenizerTrain.trainBpeMerges(wc, nMerges = 8)
+    val merges = learned.map(m => (m._2, m._3))
+    val bytes = TokenizerTrain.exportTokenizerJson(TokenizerTrain.alphabetOf(wc), merges)
+    val model = graft.model.Bpe.fromTokenizerJson(bytes)
+    val idToSym = model.vocab.map(_.swap).toMap
+    // every corpus word must encode (via the loader's rank-priority
+    // merge_all) to EXACTLY the trainer's own greedy-left segmentation
+    val seg = TokenizerTrain.segmentWords(wc, merges)
+      .select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList)
+    assert(seg.nonEmpty)
+    seg.foreach { case (word, syms) =>
+      assert(model.tokenizeWord(word).map(idToSym).toList == syms,
+        s"word '$word' diverged")
+    }
+    // the WordPiece-trained list exports through the same artifact shape
+    val wpMerges = TokenizerTrain.trainWordPieceMerges(wc, 4).map(m => (m._2, m._3))
+    val wpModel = graft.model.Bpe.fromTokenizerJson(
+      TokenizerTrain.exportTokenizerJson(TokenizerTrain.alphabetOf(wc), wpMerges))
+    val wpIdToSym = wpModel.vocab.map(_.swap).toMap
+    TokenizerTrain.segmentWords(wc, wpMerges)
+      .select(col("word"), col("syms")).collect().take(200)
+      .foreach { r =>
+        assert(wpModel.tokenizeWord(r.getString(0)).map(wpIdToSym).toList ==
+          r.getSeq[String](1).toList)
+      }
+  }
+
   test("bpeTokenCounts: totals conserve the corpus character mass") {
     // every round only coalesces symbols, so Σ total * len(token) over
     // the learned vocabulary equals the corpus character count
