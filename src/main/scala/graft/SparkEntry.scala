@@ -2572,6 +2572,37 @@ object SparkEntry {
           col("dim").cast("long").as("dim"), col("val"))
     }),
 
+    // the FILE route (q23c's moving-picture twin): AVI fixtures written
+    // to disk, ingested back through binaryFile (readVideos, pushed
+    // path-glob), demuxed and embedded — same oracle, doc_id < 64
+    "q48c_video_files" -> ((s, dir) => {
+      import s.implicits._
+      val fixDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_avi_fixtures_" + math.abs(dir.hashCode).toString)
+      fixDir.mkdirs()
+      Option(fixDir.listFiles()).foreach(_.foreach(f =>
+        if (f.getName.endsWith(".avi")) f.delete()))
+      docs(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
+        .collect()
+        .foreach { r =>
+          val avi = VideoPipeline.toAvi(
+            VideoPipeline.splitFrames(r.getAs[Array[Byte]](1), 32), 8, 8,
+            compressed = false)
+          java.nio.file.Files.write(
+            new java.io.File(fixDir, f"vid_${r.getLong(0)}%05d.avi").toPath, avi)
+        }
+      val files = VideoPipeline.readVideos(s, fixDir.getAbsolutePath)
+        .select(regexp_extract(col("path"), "vid_(\\d+)\\.avi$", 1)
+          .cast("long").as("doc_id"), col("content"))
+      VideoPipeline.embedVideosAvi(files, "doc_id", "content", stride = 2, dim = 16)
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // ColBERT late interaction: doc 0's token vectors as the query,
     // MaxSim against every doc's multi-vector set (doc_id < 100) — the
     // multi-vector retrieval scorer over the q06/q29 vectors

@@ -197,6 +197,17 @@ object VideoPipeline {
       .toDF(idCol, "n_frames", "n_sampled", "embedding")
   }
 
+  /** Video-file ingest ([[ImagePipeline.readImages]]' moving-picture
+    * twin): directory of container files → (path, bytes) via Spark's
+    * binaryFile source, pushed path-glob/size filters pruning before
+    * bytes are read. Feed the result to [[embedVideosAvi]]. */
+  def readVideos(spark: org.apache.spark.sql.SparkSession, path: String,
+                 glob: String = "*.avi"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("content"))
+
   /** Embed an AVI binary column: [[demuxAvi]] → stride sampling →
     * per-frame decode (`00db` raw tiles via [[ImagePipeline.decodeRaw]],
     * `00dc` compressed images via [[ImagePipeline.decodeImage]]) → the

@@ -241,10 +241,11 @@ SELECT doc_id, n_frames, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim,
     * q23, then a frame-order mean over the sampled unit vectors and a
     * final renormalize. Mirrors [[graft.operators.VideoPipeline]]
     * term for term (sum folds ride `list(v ORDER BY f)`). */
-  def q48_video_embed(frameBytes: Int, stride: Int, dim: Int): String = {
+  def q48_video_embed(frameBytes: Int, stride: Int, dim: Int,
+                      where: String = ""): String = {
     val px = frameBytes * 6 // tiled into 8×8×3 = 192 pixels
     s"""WITH cst AS (SELECT [0.48145466, 0.4578275, 0.40821073] AS mn, [0.26862954, 0.26130258, 0.27577711] AS sd),
-b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents),
+b AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS bs FROM documents$where),
 meta AS (SELECT doc_id, bs, (len(bs) // $frameBytes)::BIGINT AS nf FROM b),
 m2 AS (SELECT * FROM meta WHERE nf > 0),
 fr AS (SELECT doc_id, bs, nf, unnest(list_filter(range(0, nf), f -> f % $stride = 0)) AS f FROM m2),
@@ -3828,6 +3829,7 @@ FROM events GROUP BY user_id, event_type"""
     // the AVI container round-trip is byte-lossless, so the demux route
     // answers to the raw-frames oracle verbatim
     "q48b_avi_embed" -> q48_video_embed(32, 2, 16),
+    "q48c_video_files" -> q48_video_embed(32, 2, 16, " WHERE doc_id < 64"),
     "q18_lang_id" -> q18_lang_id,
     "q19_quality" -> q19_quality,
     "q20_token_count" -> q20_token_count,
