@@ -1298,6 +1298,19 @@ object SparkEntry {
     "q150_wordpiece_tokenize" -> ((s, dir) =>
       TokenizerTrain.wordPieceTokenCounts(docs(s, dir), "text", nMerges = 8)),
 
+    // distilled quality regressor: exact normal-equation OLS of the
+    // corpus-trained lm signal onto two cheap surface counts — the
+    // moments are Decimal(38,0)-exact partial aggs, the 3×3 solve is
+    // in-plan Cramer with a fixed double operation order (oracle =
+    // HUGEINT sums + the same arithmetic, term for term)
+    "q159_quality_ols" -> ((s, dir) =>
+      TextAnalysis.qualityOlsFit(docs(s, dir), "doc_id", "text")),
+
+    // the regressor applied: top-20 docs where the expensive signal
+    // most disagrees with the cheap proxy (|residual| TakeOrdered)
+    "q159b_ols_outliers" -> ((s, dir) =>
+      TextAnalysis.qualityOlsOutliers(docs(s, dir), "doc_id", "text", k = 20)),
+
     // duplicate clusters over the minhash near-dup graph
     "q38_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(

@@ -353,6 +353,104 @@ object TextAnalysis {
           (col("n_bigrams") * lit(quantScale)).cast("double")).as("lm_score"))
   }
 
+  /** Distilled quality regressor — the fastText-quality-filter pattern
+    * with exact distributed training: fit ŷ = β₀ + β₁·n_words + β₂·stops
+    * by ordinary least squares against the (expensive) corpus-trained
+    * [[lmScore]] signal, so the resulting 3-number model scores new
+    * docs from two cheap one-pass surface counts. The normal-equation
+    * sums are the ONLY corpus pass (partial-aggregated, map-side): all
+    * nine moments accumulate as exact Decimal(38,0) integers (label
+    * quantized `floor(lm_score·yScale + 0.5)`; products fit int64 per
+    * row, the sums get 38 digits — room for ~1e11 docs before the
+    * envelope needs widening), and the 3×3 solve is Cramer's rule in
+    * doubles with a FIXED operation order, mirrored term-for-term by
+    * the oracle's HUGEINT sums. One row out: (n, b0, b1, b2).
+    *
+    * 100 TB shape: two tokenize passes (features + the lmScore legs),
+    * one id equi-join, one 9-cell partial agg — no collect, the solve
+    * is in-plan over the 1-row aggregate. */
+  def qualityOlsFit(df: DataFrame, idCol: String, textCol: String,
+                    maxLength: Int = K.MaxLength,
+                    yScale: Long = 1000000L): DataFrame =
+    olsSolve(olsSums(olsRows(df, idCol, textCol, maxLength, yScale)))
+
+  /** The regressor applied as an outlier detector: docs whose lmScore
+    * diverges most from the surface-feature prediction (|residual|
+    * top-`k` — the "expensive signal disagrees with the cheap proxy"
+    * review queue). Partial top-k via TakeOrdered; ties break on id. */
+  def qualityOlsOutliers(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, maxLength: Int = K.MaxLength,
+                         yScale: Long = 1000000L): DataFrame = {
+    val rows = olsRows(df, idCol, textCol, maxLength, yScale)
+      .localCheckpoint(false) // one corpus pass feeds both the fit and the scan
+    val beta = olsSolve(olsSums(rows))
+    rows.crossJoin(broadcast(beta.select(col("b0"), col("b1"), col("b2"))))
+      .withColumn("pred", col("b0") +
+        col("b1") * col("__w").cast("double") +
+        col("b2") * col("__s").cast("double"))
+      .withColumn("residual", col("__y").cast("double") - col("pred"))
+      .select(col(idCol), col("__w").as("n_words"), col("__s").as("stops"),
+        col("__y").as("y_q"), col("pred"), col("residual"))
+      .orderBy(abs(col("residual")).desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** (id, n_words, stops, quantized lm label) — the training rows. */
+  private def olsRows(df: DataFrame, idCol: String, textCol: String,
+                      maxLength: Int, yScale: Long): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val feats = df
+      .withColumn("__tn",
+        bridge.column(graft.functions.TextNorm(bridge.expression(col(textCol)), stopwords)))
+      .filter(col("__tn.n_words") > 0)
+      .select(col(idCol), col("__tn.n_words").as("__w"), col("__tn.stops").as("__s"))
+    val label = lmScore(df, idCol, textCol, maxLength)
+      .select(col(idCol),
+        floor(col("lm_score") * lit(yScale.toDouble) + lit(0.5)).cast("long").as("__y"))
+    feats.join(label, idCol)
+  }
+
+  /** The nine exact normal-equation moments, one partial-agg pass. */
+  private def olsSums(rows: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    rows.agg(
+      count(lit(1)).as("n"),
+      sum(d(col("__w"))).as("sw"), sum(d(col("__s"))).as("ss"),
+      sum(d(col("__w") * col("__w"))).as("sww"),
+      sum(d(col("__w") * col("__s"))).as("sws"),
+      sum(d(col("__s") * col("__s"))).as("sss"),
+      sum(d(col("__y"))).as("sy"),
+      sum(d(col("__w") * col("__y"))).as("swy"),
+      sum(d(col("__s") * col("__y"))).as("ssy"))
+  }
+
+  /** Cramer's rule over the 1-row moment aggregate — in-plan, fixed
+    * operation order (shared verbatim with the oracle SQL). */
+  private def olsSolve(sums: DataFrame): DataFrame = {
+    def det3(a: (Column, Column, Column), b: (Column, Column, Column),
+             c: (Column, Column, Column)): Column =
+      a._1 * (b._2 * c._3 - b._3 * c._2) -
+        b._1 * (a._2 * c._3 - a._3 * c._2) +
+        c._1 * (a._2 * b._3 - a._3 * b._2)
+    val dd = sums.select(
+      col("n"),
+      col("n").cast("double").as("a1"), col("sw").cast("double").as("a2"),
+      col("ss").cast("double").as("a3"),
+      col("sww").cast("double").as("b2"), col("sws").cast("double").as("b3"),
+      col("sss").cast("double").as("c3"),
+      col("sy").cast("double").as("y1"), col("swy").cast("double").as("y2"),
+      col("ssy").cast("double").as("y3"))
+    // A's columns (symmetric): c1=(a1,a2,a3), c2=(a2,b2,b3), c3=(a3,b3,c3)
+    val c1 = (col("a1"), col("a2"), col("a3"))
+    val c2 = (col("a2"), col("b2"), col("b3"))
+    val c3 = (col("a3"), col("b3"), col("c3"))
+    val bv = (col("y1"), col("y2"), col("y3"))
+    dd.select(col("n"),
+      (det3(bv, c2, c3) / det3(c1, c2, c3)).as("b0"),
+      (det3(c1, bv, c3) / det3(c1, c2, c3)).as("b1"),
+      (det3(c1, c2, bv) / det3(c1, c2, c3)).as("b2"))
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4): DataFrame = {
     val tids = Kernel.tokenIds(col(textCol))

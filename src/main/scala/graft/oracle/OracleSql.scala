@@ -1486,6 +1486,57 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
   sum(qv)::DOUBLE / (count(*)::BIGINT * $s9)::DOUBLE AS lm_score
 FROM qq GROUP BY doc_id"""
 
+  /** Shared CTE chain for the OLS quality regressor (q159/q159b):
+    * TextNorm-equivalent features, q64's quantized lm label, exact
+    * HUGEINT normal-equation moments, Cramer's rule in doubles with
+    * the operation order of [[graft.operators.TextAnalysis.olsSolve]]
+    * term for term. */
+  private def olsCtes(yScale: Long, s9: Long = 1000000000L): String = {
+    val stop = inList(graft.operators.TextAnalysis.stopwords)
+    s"""tok0 AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+feat AS (SELECT doc_id, len(tk)::BIGINT AS w, len(list_filter(tk, t -> t IN $stop))::BIGINT AS s FROM tok0 WHERE len(tk) > 0),
+ltok AS (SELECT doc_id, ${tids("text")} AS tids FROM documents),
+lbase AS (SELECT doc_id, tids FROM ltok WHERE len(tids) >= 2),
+lsh AS (SELECT doc_id, ${shingleList("tids", 2)} AS sgl, tids FROM lbase),
+lpos AS (SELECT doc_id, CAST(generate_subscripts(sgl, 1) - 1 AS BIGINT) AS p, unnest(sgl) AS s2, tids FROM lsh),
+lpos2 AS (SELECT doc_id, p, s2, tids[CAST(p AS INT) + 1] % $M AS s1 FROM lpos),
+lc2 AS (SELECT s2, count(*)::BIGINT AS n2 FROM lpos2 GROUP BY s2),
+lc1 AS (SELECT s1, count(*)::BIGINT AS n1 FROM lpos2 GROUP BY s1),
+lqq AS (SELECT lpos2.doc_id, CAST(floor(lc2.n2::DOUBLE / lc1.n1::DOUBLE * $s9 + 0.5) AS BIGINT) AS qv
+  FROM lpos2 JOIN lc2 ON lc2.s2 = lpos2.s2 JOIN lc1 ON lc1.s1 = lpos2.s1),
+lbl AS (SELECT doc_id, CAST(floor((sum(qv)::DOUBLE / (count(*)::BIGINT * $s9)::DOUBLE) * $yScale + 0.5) AS BIGINT) AS y FROM lqq GROUP BY doc_id),
+rows0 AS (SELECT f.doc_id, f.w, f.s, l.y FROM feat f JOIN lbl l USING (doc_id)),
+mom AS (SELECT count(*)::BIGINT AS n,
+  sum(w::HUGEINT) AS swm, sum(s::HUGEINT) AS ssm,
+  sum((w*w)::HUGEINT) AS swwm, sum((w*s)::HUGEINT) AS swsm, sum((s*s)::HUGEINT) AS sssm,
+  sum(y::HUGEINT) AS sym, sum((w*y)::HUGEINT) AS swym, sum((s*y)::HUGEINT) AS ssym FROM rows0),
+sol AS (SELECT n, n::DOUBLE AS a1, swm::DOUBLE AS a2, ssm::DOUBLE AS a3,
+  swwm::DOUBLE AS m22, swsm::DOUBLE AS m23, sssm::DOUBLE AS m33,
+  sym::DOUBLE AS y1, swym::DOUBLE AS y2, ssym::DOUBLE AS y3 FROM mom),
+beta AS (SELECT n,
+  (y1*(m22*m33 - m23*m23) - a2*(y2*m33 - y3*m23) + a3*(y2*m23 - y3*m22)) /
+  (a1*(m22*m33 - m23*m23) - a2*(a2*m33 - a3*m23) + a3*(a2*m23 - a3*m22)) AS b0,
+  (a1*(y2*m33 - y3*m23) - y1*(a2*m33 - a3*m23) + a3*(a2*y3 - a3*y2)) /
+  (a1*(m22*m33 - m23*m23) - a2*(a2*m33 - a3*m23) + a3*(a2*m23 - a3*m22)) AS b1,
+  (a1*(m22*y3 - m23*y2) - a2*(a2*y3 - a3*y2) + y1*(a2*m23 - a3*m22)) /
+  (a1*(m22*m33 - m23*m23) - a2*(a2*m33 - a3*m23) + a3*(a2*m23 - a3*m22)) AS b2
+  FROM sol)"""
+  }
+
+  /** q159: the fitted coefficients, one row. */
+  def q159_quality_ols(yScale: Long): String =
+    s"""WITH ${olsCtes(yScale)}
+SELECT n, b0, b1, b2 FROM beta"""
+
+  /** q159b: top-k |residual| outliers under the fitted regressor. */
+  def q159b_ols_outliers(yScale: Long, k: Int): String =
+    s"""WITH ${olsCtes(yScale)}
+SELECT r.doc_id, r.w AS n_words, r.s AS stops, r.y AS y_q,
+  b.b0 + b.b1*r.w::DOUBLE + b.b2*r.s::DOUBLE AS pred,
+  r.y::DOUBLE - (b.b0 + b.b1*r.w::DOUBLE + b.b2*r.s::DOUBLE) AS residual
+FROM rows0 r CROSS JOIN beta b
+ORDER BY abs(r.y::DOUBLE - (b.b0 + b.b1*r.w::DOUBLE + b.b2*r.s::DOUBLE)) DESC, r.doc_id ASC LIMIT $k"""
+
   /** Hard negatives: q08's ranked kNN, rank window [lo, hi] below the
     * margin of each query's rank-1 score. */
   def q65_hard_negatives(lo: Int, hi: Int, margin: Double): String =
@@ -3805,6 +3856,8 @@ FROM events GROUP BY user_id, event_type"""
     "q156_splice_keep_first" -> q156_splice_keep_first(8, 1L << 20),
     "q63_semdedup" -> q63_semdedup(16, 0.4),
     "q64_bigram_lm" -> q64_bigram_lm(),
+    "q159_quality_ols" -> q159_quality_ols(1000000L),
+    "q159b_ols_outliers" -> q159b_ols_outliers(1000000L, 20),
     "q65_hard_negatives" -> q65_hard_negatives(4, 20, 0.95),
     "q66_mixture_weights" -> q66_mixture_weights,
     "q33_embedding_neardups" -> q33_embedding_neardups(Dim, 16, 0.2),

@@ -151,6 +151,26 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out2(7L) == tids2(7L).take(8))
   }
 
+  test("qualityOlsFit: partitioning-invariant coefficients; outliers rank by |residual|") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.operators.TextAnalysis.qualityOlsFit(d, "doc_id", "text").collect()(0)
+    val b = graft.operators.TextAnalysis.qualityOlsFit(d.repartition(7), "doc_id", "text")
+      .collect()(0)
+    // exact-integer moments → bit-identical doubles under any partitioning
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(0) > 0)
+    (1 to 3).foreach(i => assert(a.getDouble(i) == b.getDouble(i)))
+    val out = graft.operators.TextAnalysis.qualityOlsOutliers(d, "doc_id", "text", k = 10)
+      .collect()
+    assert(out.length == 10)
+    val res = out.map(r => math.abs(r.getDouble(5)))
+    assert(res.zip(res.tail).forall { case (x, y) => x >= y }) // ranked desc
+    // residual really is y - (b0 + b1 w + b2 s) under the fitted betas
+    out.foreach { r =>
+      val pred = a.getDouble(1) + a.getDouble(2) * r.getLong(1) + a.getDouble(3) * r.getLong(2)
+      assert(math.abs(r.getDouble(4) - pred) < 1e-9)
+    }
+  }
+
   test("mixtureWeights: sqrt-damped fixture") {
     import spark.implicits._
     val df = (Seq.fill(4)("a") ++ Seq.fill(1)("b")).zipWithIndex
