@@ -1283,6 +1283,28 @@ object SparkEntry {
     "q148_bpe_tokenize" -> ((s, dir) =>
       TokenizerTrain.bpeTokenCounts(docs(s, dir), "text", nMerges = 8)),
 
+    // the FULL training loop under the hard gate: train on the corpus,
+    // EXPORT as tokenizer.json, load through the production BPE loader,
+    // tokenize the corpus with the native BpeIds expression (q97's
+    // path), and the corpus token counts must hash-match the trainer's
+    // own segmentation oracle — rank-priority merge_all ≡ the trainer's
+    // greedy-left rounds, proven by the gate itself
+    "q160_selftrained_bpe" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      import s.implicits._
+      val d = docs(s, dir)
+      val wc = TokenizerTrain.wordCounts(d, "text").localCheckpoint(false)
+      val merges = TokenizerTrain.trainBpeMerges(wc, nMerges = 8).map(m => (m._2, m._3))
+      val model = graft.model.Bpe.fromTokenizerJson(
+        TokenizerTrain.exportTokenizerJson(TokenizerTrain.alphabetOf(wc), merges))
+      val pieces = model.vocab.map { case (p, id) => (id, p) }
+      d.select(bridge.column(graft.functions.BpeIds(
+          bridge.expression(col("text")), model)).as("__ids"))
+        .select(explode(col("__ids")).as("tid"))
+        .join(broadcast(pieces.toDF("tid", "token")), "tid")
+        .groupBy(col("token")).agg(count(lit(1)).as("total"))
+    }),
+
     // WordPiece-objective training: the argmax scores pairs by
     // cnt·10^12 div (ucnt_l·ucnt_r) — fixed-point-exact likelihood
     // gain — instead of raw count; oracle unrolls the same rounds with

@@ -3848,6 +3848,9 @@ FROM events GROUP BY user_id, event_type"""
     "q146_bpe_pair_counts" -> q146_bpe_pair_counts,
     "q147_bpe_merges" -> q147_bpe_merges(8),
     "q148_bpe_tokenize" -> q148_bpe_tokenize(8),
+    // train → export → load → native BpeIds: the exported artifact's
+    // rank-priority encoding answers the trainer's own segmentation SQL
+    "q160_selftrained_bpe" -> q148_bpe_tokenize(8),
     "q149_wordpiece_merges" -> q149_wordpiece_merges(8),
     "q150_wordpiece_tokenize" -> q150_wordpiece_tokenize(8),
     "q115_bloom_decontam" -> q115_bloom_decontam(3, 2, 1 << 14),
