@@ -1521,7 +1521,7 @@ object SparkEntry {
         .MemoryStream[(Long, String)]
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q155_ckpt").toString
       val sq = graft.streaming.StreamingOps.cmsIngestSink(
-          ms.toDF().toDF("doc_id", "text"), "text", path)
+          ms.toDF().toDF("doc_id", "text"), "text", path, streamId = "q155")
         .option("checkpointLocation", ckpt).start()
       try {
         rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>

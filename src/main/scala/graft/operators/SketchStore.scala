@@ -42,20 +42,41 @@ object SketchStore {
     require(hfs(spark, path).exists(new Path(s"$path/conf")),
       s"SketchStore $path has no conf table — not a written store")
 
-  /** Next batch index for the driver-side batch API (streaming sinks
-    * pass their own foreachBatch id instead). */
+  /** Next batch index for the driver-side batch API. Streaming sinks
+    * live in their own `batch=s_<streamId>_<n>` namespace (see
+    * [[graft.streaming.StreamingOps.cmsIngestSink]]), so only plain
+    * numeric labels participate in the driver-side counter — a store can
+    * take driver appends and streamed ingest concurrently without either
+    * writer overwriting the other's partitions. */
   private def nextBatch(spark: SparkSession, path: String): Long = {
     val cells = new Path(s"$path/cells")
     val fs = hfs(spark, path)
     if (!fs.exists(cells)) 0L
     else fs.listStatus(cells).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
+      .map(_.stripPrefix("batch="))
+      .filter(_.forall(_.isDigit))
+      .map(_.toLong)
       .foldLeft(-1L)(math.max) + 1L
   }
 
-  private def writePartition(part: DataFrame, path: String, batchId: Long): Unit = {
-    val dir = s"$path/cells/batch=$batchId"
+  /** Partition label for a streaming sink's micro-batch: namespaced by
+    * the caller's stream id so (a) it can never collide with the
+    * driver-side numeric counter and (b) two streams targeting the same
+    * store — or one stream restarted with a FRESH checkpoint under a new
+    * id — never overwrite each other's landed partials. Callers must
+    * keep `streamId` stable across restarts of the SAME checkpoint
+    * (that is what makes replay-by-overwrite target the same logical
+    * batch) and unique per checkpoint otherwise. */
+  def streamLabel(streamId: String, batchId: Long): String = {
+    require(streamId.nonEmpty && streamId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"streamId must be a nonempty [A-Za-z0-9_-] token, got '$streamId'")
+    s"s_${streamId}_$batchId"
+  }
+
+  private def writePartition(part: DataFrame, path: String, label: String): Unit = {
+    val dir = s"$path/cells/batch=$label"
     // delete-then-write = replay-by-overwrite (see module doc)
     hfs(part.sparkSession, path).delete(new Path(dir), true)
     part.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
@@ -74,7 +95,7 @@ object SketchStore {
     hfs(spark, path).delete(new Path(s"$path/conf"), true)
     hfs(spark, path).delete(new Path(s"$path/cells"), true)
     writePartition(Sketch.cmsSketch(df, textCol, depth, width, maxLength),
-      path, 0L)
+      path, "0")
     Seq((depth, width, maxLength)).toDF("depth", "width", "max_length")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/conf")
   }
@@ -84,18 +105,20 @@ object SketchStore {
     * sketch-sized write, never a history rescan. */
   def appendCms(batch: DataFrame, textCol: String, path: String): Unit = {
     val spark = batch.sparkSession
-    appendCmsBatch(batch, textCol, path, nextBatch(spark, path))
+    appendCmsBatch(batch, textCol, path, nextBatch(spark, path).toString)
   }
 
   /** Replay-safe body for a streaming sink: the partial grid goes to
-    * `batch=<batchId>`, overwriting any crashed previous attempt. */
+    * `batch=<label>`, overwriting any crashed previous attempt. Sinks
+    * pass [[streamLabel]] so their partitions live in a per-stream
+    * namespace; the driver-side [[appendCms]] passes its counter. */
   def appendCmsBatch(batch: DataFrame, textCol: String, path: String,
-                     batchId: Long): Unit = {
+                     batchLabel: String): Unit = {
     val spark = batch.sparkSession
     requireConf(spark, path)
     val c = cmsConf(spark, path)
     writePartition(
-      Sketch.cmsSketch(batch, textCol, c._1, c._2, c._3), path, batchId)
+      Sketch.cmsSketch(batch, textCol, c._1, c._2, c._3), path, batchLabel)
   }
 
   private def cmsConf(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -131,7 +154,7 @@ object SketchStore {
     hfs(spark, path).delete(new Path(s"$path/cells"), true)
     writePartition(
       Sketch.hllSketchTable(df, groupCol, valueCol, p)
-        .withColumnRenamed(groupCol, "group"), path, 0L)
+        .withColumnRenamed(groupCol, "group"), path, "0")
     Seq(Tuple2(p, groupCol)).toDF("p", "group_col")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/conf")
   }
@@ -141,17 +164,17 @@ object SketchStore {
   def appendHll(batch: DataFrame, groupCol: String, valueCol: String,
                 path: String): Unit =
     appendHllBatch(batch, groupCol, valueCol, path,
-      nextBatch(batch.sparkSession, path))
+      nextBatch(batch.sparkSession, path).toString)
 
   /** Replay-safe body for a streaming sink. */
   def appendHllBatch(batch: DataFrame, groupCol: String, valueCol: String,
-                     path: String, batchId: Long): Unit = {
+                     path: String, batchLabel: String): Unit = {
     val spark = batch.sparkSession
     requireConf(spark, path)
     val p = hllConf(spark, path)
     writePartition(
       Sketch.hllSketchTable(batch, groupCol, valueCol, p)
-        .withColumnRenamed(groupCol, "group"), path, batchId)
+        .withColumnRenamed(groupCol, "group"), path, batchLabel)
   }
 
   private def hllConf(spark: SparkSession, path: String): Int =

@@ -41,9 +41,15 @@ object TokenizerTrain {
     df.select(explode(Kernel.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** Initial segmentation: each word split to single-character symbols. */
+  /** Initial segmentation: each word split to single-character symbols.
+    * The empty-string filter makes the no-boundary-symbol invariant
+    * explicit (Spark ≥3.4's `split(word, "")` emits no trailing "" after
+    * SPARK-40194, but Java's raw `split` does — a silent regression here
+    * would count bogus (lastChar, "") pairs and diverge the trained
+    * merges from the oracle), consistent with [[alphabetOf]]'s filter. */
   private def withSyms(wc: DataFrame): DataFrame =
-    wc.select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+    wc.select(col("word"), col("cnt"),
+      array_remove(split(col("word"), ""), "").as("syms"))
 
   /** Adjacent-symbol pair counts weighted by word count over a
     * (word, cnt, syms) table. The transform lambda touches only the

@@ -143,7 +143,11 @@ object VideoPipeline {
         pos = end + (size & 1)
       }
     }
-    walk(12, math.min(8 + buf.getInt(4), bytes.length), inMovi = false)
+    // Long-form bound: the RIFF size field is u32 (legal up to 4 GB), so
+    // `8 + getInt` overflows Int for declared sizes ≥ 2^31−8 and would
+    // silently drop the whole file — read unsigned, clamp to the bytes
+    walk(12, math.min(8L + (buf.getInt(4) & 0xffffffffL), bytes.length.toLong).toInt,
+      inMovi = false)
     Some((width, height, frames.toArray))
   }
 

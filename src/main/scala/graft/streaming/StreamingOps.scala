@@ -374,21 +374,29 @@ object StreamingOps {
     * fixed-size CMS partial grid into a persisted
     * [[graft.operators.SketchStore]] — the sketch-store twin of
     * [[ivfPqAppendSink]]/[[bm25IngestSink]], but with NO marker
-    * protocol: the partial lands in the batch's OWN `batch=<id>`
-    * partition (delete-then-write), so an at-least-once redelivery
-    * overwrites its previous attempt instead of double-counting.
-    * Per-batch cost: one narrow tokenize over the batch + a
+    * protocol: the partial lands in the batch's OWN
+    * `batch=s_<streamId>_<batchId>` partition (delete-then-write), so an
+    * at-least-once redelivery overwrites its previous attempt instead of
+    * double-counting. The per-stream namespace keeps the sink's
+    * partitions disjoint from the driver-side [[graft.operators
+    * .SketchStore.appendCms]] counter AND from any other stream
+    * targeting the same store — without it, a second stream (or a
+    * restart under a fresh checkpoint) would silently overwrite
+    * previously-landed partials and permanently undercount. Contract:
+    * `streamId` must stay stable across restarts of the SAME checkpoint
+    * (replay-by-overwrite then targets the same logical batch) and be
+    * unique per checkpoint otherwise — tie it to the checkpoint
+    * location. Per-batch cost: one narrow tokenize over the batch + a
     * depth×width-row write. Estimates read the store and answer over
     * everything ingested so far. */
-  def cmsIngestSink(stream: DataFrame, textCol: String,
-                    storePath: String): DataStreamWriter[Row] =
+  def cmsIngestSink(stream: DataFrame, textCol: String, storePath: String,
+                    streamId: String): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty)
-          // +1: foreachBatch ids start at 0, which is the build's own
-          // partition — a colliding first batch would overwrite it
           graft.operators.SketchStore.appendCmsBatch(
-            batch.toDF(), textCol, storePath, batchId + 1)
+            batch.toDF(), textCol, storePath,
+            graft.operators.SketchStore.streamLabel(streamId, batchId))
     }
 
   /** Continuous lexical-index maintenance: each micro-batch of

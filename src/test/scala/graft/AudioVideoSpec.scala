@@ -96,6 +96,13 @@ class AudioVideoSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(16, 0xFFFFFFF8) // hdrl LIST size field
     VideoPipeline.demuxAvi(evil) // must terminate
+    // adversarial RIFF size near u32 max: `8 + size` overflows Int — the
+    // walk bound must clamp to the real byte length, not drop the file
+    val big = VideoPipeline.toAvi(frames, 8, 8, compressed = false)
+    java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 0xFFFFFFF0) // declared RIFF size ≈ 4 GB
+    val Some((bw, bh, bgot)) = VideoPipeline.demuxAvi(big)
+    assert(bw == 8 && bh == 8 && bgot.length == 5)
   }
 
   test("AVI demux recurses into rec interleave groups") {

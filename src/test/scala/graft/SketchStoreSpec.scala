@@ -37,8 +37,9 @@ class SketchStoreSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val path = tmp("graft_cms_replay")
     SketchStore.writeCms(d.filter(col("doc_id") % 2 === 0), "text", 3, 16, path)
     val batch = d.filter(col("doc_id") % 2 === 1)
-    SketchStore.appendCmsBatch(batch, "text", path, 7L)
-    SketchStore.appendCmsBatch(batch, "text", path, 7L) // at-least-once redelivery
+    val lbl = SketchStore.streamLabel("specstream", 7L)
+    SketchStore.appendCmsBatch(batch, "text", path, lbl)
+    SketchStore.appendCmsBatch(batch, "text", path, lbl) // at-least-once redelivery
     val cand = d.select(explode(graft.functions.Kernel.tokenIds(col("text")))
       .as("token_id")).distinct()
     assert(cmsMap(SketchStore.cmsEstimates(spark, cand, path)) ==
@@ -78,5 +79,24 @@ class SketchStoreSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // max is idempotent, the estimates cannot move
     SketchStore.appendHll(h2, "source", "shingle", path)
     assert(ests == once)
+  }
+
+  test("CMS store: stream namespace never collides with driver counter or another stream") {
+    val path = tmp("graft_cms_ns")
+    val thirds = (0 to 2).map(i => d.filter(col("doc_id") % 3 === i))
+    SketchStore.writeCms(thirds(0), "text", 3, 16, path)       // batch=0
+    // a streaming sink's FIRST micro-batch (foreachBatch id 0) and a
+    // second stream's — neither may touch batch=0 or each other
+    SketchStore.appendCmsBatch(thirds(1), "text", path, SketchStore.streamLabel("a", 0L))
+    SketchStore.appendCmsBatch(thirds(2), "text", path, SketchStore.streamLabel("b", 0L))
+    // driver-side counter skips the stream namespace: lands at batch=1
+    // (if it parsed stream labels or reused 0, a partial would vanish)
+    val cand = d.select(explode(graft.functions.Kernel.tokenIds(col("text")))
+      .as("token_id")).distinct()
+    assert(cmsMap(SketchStore.cmsEstimates(spark, cand, path)) ==
+      cmsMap(Sketch.cmsEstimates(d, "text", 3, 16)))
+    intercept[IllegalArgumentException] {
+      SketchStore.streamLabel("bad/stream", 0L)
+    }
   }
 }
