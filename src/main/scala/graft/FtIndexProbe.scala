@@ -73,6 +73,35 @@ object FtIndexProbe {
     timed("indexed_after_appends_per_batch") {
       drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5))
     }
+    // the update legs the tombstone design exists for: removal stages
+    // O(batch) deltas + tombstones (doc-pruned forward scan, NO
+    // inverted-file pass), upsert = removal + batch append — both must
+    // stay flat as the corpus grows
+    var rrep = 0
+    timed("remove_1pct") {
+      val r = rrep; rrep += 1
+      FullTextIndex.removeDocs(spark,
+        d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit((10L + r) * n)).as("doc_id")),
+        "doc_id", path)
+    }
+    var urep = 0
+    timed("upsert_1pct") {
+      val r = urep; urep += 1
+      FullTextIndex.upsertBatch(spark,
+        d.filter(col("doc_id") % 100 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+    }
+    // queries after removals pay the same pruned scan + one broadcast
+    // tombstone anti-join
+    timed("indexed_after_updates_per_batch") {
+      drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5))
+    }
+    // the deferred physical leg: ONE inverted-file rewrite amortizing
+    // every removal above (the cost removal no longer pays per batch)
+    timed("compact") {
+      FullTextIndex.compactPostings(spark, path)
+    }
     spark.stop()
   }
 }

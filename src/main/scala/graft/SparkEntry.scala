@@ -967,10 +967,12 @@ object SparkEntry {
         .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rnk"), col("score"))
     }),
 
-    // BM25-index removal: postings rewrite out, statistics leave as
-    // NEGATIVE partial rows — df/avgdl re-derive over the survivors
-    // immediately (a masked-but-counted doc would keep skewing every
-    // score), so the search equals a fresh build on the kept corpus
+    // BM25-index removal: O(batch) — tombstones mask the dead postings
+    // at query time while statistics leave IMMEDIATELY as NEGATIVE
+    // partial rows (df/avgdl re-derive over the survivors; a
+    // masked-but-counted doc would keep skewing every score), so the
+    // search equals a fresh build on the kept corpus; compactPostings
+    // then drops the masked rows physically without changing anything
     "q141b_bm25_deleted" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q141b_idx").toString
@@ -978,6 +980,7 @@ object SparkEntry {
       FullTextIndex.removeDocs(s,
         d.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
         "doc_id", path)
+      FullTextIndex.compactPostings(s, path)
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)

@@ -17,60 +17,76 @@ import graft.functions.{K, Kernel}
   * after one append. So this index persists what appends CANNOT stale,
   * as one self-contained directory (copyable like [[VectorIndex]]'s):
   *
-  *   - `<path>/postings` — (token_id, doc_id, tf, dl): the inverted
-  *     file, clustered AND sorted on token_id (row-group stats →
-  *     predicate skipping), append-only. tf and dl are per-document
-  *     facts; no global statistic touches them.
+  *   - `<path>/postings` — (token_id, doc_id, tf, dl, gen): the
+  *     inverted file, clustered AND sorted on token_id (row-group
+  *     stats → predicate skipping), append-only. tf and dl are
+  *     per-document facts; no global statistic touches them. `gen` is
+  *     the append's generation — how a later re-add of a removed id
+  *     outlives the id's tombstone.
+  *   - `<path>/docs` — (doc_id, dl, tids, gen): the FORWARD index,
+  *     clustered+sorted on doc_id — every ingested doc (zero-token
+  *     docs included, with empty `tids`), so a removal can derive its
+  *     df/meta deltas from a doc-id-pruned scan of THIS table instead
+  *     of a full pass over the inverted file. This is what makes
+  *     [[removeDocs]] O(batch): doc-side facts are reachable by doc id.
   *   - `<path>/df` — (token_id, df) PARTIAL rows: each build/append
-  *     adds its batch's per-token document counts; the true df is the
-  *     sum — a vocab-sized (never corpus-sized) aggregation.
-  *   - `<path>/meta` — (n_docs, total_len) partial rows, same contract.
+  *     adds its batch's per-token document counts, each removal its
+  *     negative deltas; the true df is the sum — a vocab-sized (never
+  *     corpus-sized) aggregation.
+  *   - `<path>/meta` — (n_docs, total_len, gen) partial rows, same
+  *     contract; max(gen) over meta is the generation counter.
+  *   - `<path>/tombstones` — (doc_id, gen) rows: a posting/doc row is
+  *     DEAD iff some tombstone has the same doc_id and gen ≥ the row's.
+  *     Masked at query time by a broadcast anti-join (the table is
+  *     O(removals since the last [[compactPostings]]), never
+  *     corpus-sized); physically dropped only by deferred compaction.
   *   - `<path>/conf` — (max_length): construction params.
   *
   * [[searchTopK]] derives weights ON THE FLY from the CURRENT summed
   * statistics, so results are always exactly what a fresh
-  * [[FullText.bm25Search]] over the accumulated corpus would return
-  * (q141/q143 hash-gate that equivalence through batch and streamed
-  * appends). Query cost: the postings scan is pruned to the query
-  * terms — batch-bounded (≤ maxLength distinct tokens per query), so
-  * small batches push an `IN` predicate into the parquet scan; larger
-  * batches fall back to a broadcast semi join.
+  * [[FullText.bm25Search]] over the accumulated live corpus would
+  * return (q141/q141b/q143 hash-gate that equivalence through batch
+  * and streamed appends, removals, and upserts). Query cost: the
+  * postings scan is pruned to the query terms — batch-bounded
+  * (≤ maxLength distinct tokens per query), so small batches push an
+  * `IN` predicate into the parquet scan; larger batches fall back to a
+  * broadcast semi join — plus one broadcast tombstone anti-join.
   *
-  * '''Appends are atomic''' ([[appendInto]]): the batch's postings, df
-  * and meta parts stage under `<path>/_append`, a READY marker commits,
-  * and part files MOVE into the live tables by rename — so the three
-  * non-transactional writes land together or not at all, and the
-  * replay scrub (which derives negative deltas from live postings) can
-  * never subtract statistics a crashed attempt only partially added.
+  * '''Appends are atomic''' ([[appendInto]]): the batch's postings,
+  * docs, df and meta parts stage under `<path>/_append`, a READY
+  * marker commits, and part files MOVE into the live tables by rename
+  * — so the four non-transactional writes land together or not at all.
   * The conf table is the build's commit marker (written last; every
   * read path requires it), so a half-built index refuses rather than
   * serves.
   *
-  * '''Removal is crash-safe by staging + rename''' ([[removeDocs]]):
-  * stat deltas would be unrecoverable if computed after a partial
-  * failure (scrubbed postings can no longer say what left), and
-  * re-computing them on a retry double-subtracts. So a removal first
-  * STAGES everything it will do — the id set and the negative stat
-  * deltas derived from the live postings — under `<path>/_removal`
-  * with a READY marker written last, and then applies by (1) an
-  * idempotent postings rewrite behind a parked-directory swap and
-  * (2) MOVING the staged delta files into the stat directories.
-  * Renames are physically exactly-once: a replay moves only what is
-  * still in staging, so no delta can apply twice, and [[reconcile]]
-  * (run at every entry point) rolls an interrupted removal forward —
-  * or discards staging that never reached READY. */
+  * '''Removal is O(batch)''' ([[removeDocs]]): the doc-pruned forward
+  * rows give the negative df/meta deltas and the tombstone rows; all
+  * three STAGE under `<path>/_removal` with a READY marker written
+  * last, then apply purely by file MOVES into the live stat/tombstone
+  * tables. Statistics change IMMEDIATELY (BM25 weights depend on
+  * df/avgdl, so a masked-but-counted doc would skew every score);
+  * the inverted file is NOT touched — removed postings stay on disk,
+  * masked by the tombstone anti-join, until [[compactPostings]]
+  * rewrites them away in a deferred maintenance pass (exactly
+  * [[VectorIndex.delete]]/[[VectorIndex.compact]]'s split). Renames
+  * are physically exactly-once: a replay moves only what is still in
+  * staging, so no delta can apply twice, and [[reconcile]] (run at
+  * every entry point) rolls an interrupted removal forward — or
+  * discards staging that never reached READY. */
 object FullTextIndex {
 
-  /** Above this many distinct query terms the pushed-down IN predicate
-    * stops paying (plan size) and the scan filters via broadcast semi
-    * join instead. */
+  /** Above this many distinct query terms (or removal ids) the
+    * pushed-down IN predicate stops paying (plan size) and the scan
+    * filters via broadcast semi join instead. */
   val PushdownTermLimit: Int = 4096
 
   /** Build the index over a corpus: one tokenize pass feeds postings,
-    * df partials, and the meta partial. The conf table is written LAST —
-    * it is the commit marker every read path requires, so a build that
-    * crashes mid-way leaves a directory [[searchTopK]] REFUSES (no
-    * conf) rather than a valid-looking index with partial postings. */
+    * the forward docs table, df partials, and the meta partial. The
+    * conf table is written LAST — it is the commit marker every read
+    * path requires, so a build that crashes mid-way leaves a directory
+    * [[searchTopK]] REFUSES (no conf) rather than a valid-looking
+    * index with partial postings. */
   def write(corpus: DataFrame, idCol: String, textCol: String,
             path: String, maxLength: Int = K.MaxLength): Unit = {
     val spark = corpus.sparkSession
@@ -83,8 +99,8 @@ object FullTextIndex {
   }
 
   /** Grow the index with an ingest batch (new ids by contract): one
-    * tokenize pass over JUST the batch — postings rows append as new
-    * files, df/meta partials stack for the query-time sum. */
+    * tokenize pass over JUST the batch — postings/docs rows append as
+    * new files, df/meta partials stack for the query-time sum. */
   def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                   textCol: String, path: String): Unit = {
     reconcile(spark, path)
@@ -92,46 +108,52 @@ object FullTextIndex {
   }
 
   /** Upsert: replace the indexed postings (and their df/avgdl
-    * contributions — BM25 statistics change IMMEDIATELY, unlike
-    * [[VectorIndex]]'s maskable tombstones) for `batch`'s ids with the
-    * batch's text — the document re-crawl path, [[VectorIndex.upsert]]'s
-    * lexical twin: [[removeDocs]] the ids, then [[appendBatch]] the new
-    * versions. Replay-idempotent end to end WITHOUT extra machinery: a
-    * crash between the legs leaves a consistent as-if-deleted index, and
-    * re-running the whole upsert re-removes whatever version is present
-    * (old, new, or none — removal derives its deltas from the live
-    * postings) before appending exactly once. Cost: one postings rewrite
-    * + one batch-sized tokenize/append — never a corpus re-tokenize. */
+    * contributions — BM25 statistics change IMMEDIATELY) for `batch`'s
+    * ids with the batch's text — the document re-crawl path,
+    * [[VectorIndex.upsert]]'s lexical twin: [[removeDocs]] the ids,
+    * then [[appendBatch]] the new versions. The append's generation is
+    * strictly above the removal's tombstones, so the new rows serve
+    * while the old ones stay masked until compaction. Replay-idempotent
+    * end to end WITHOUT extra machinery: a crash between the legs
+    * leaves a consistent as-if-deleted index, and re-running the whole
+    * upsert re-removes whatever LIVE version is present (old, new, or
+    * none — removal derives its deltas from the unmasked forward rows)
+    * before appending exactly once. Cost: O(batch) staging + one
+    * batch-sized tokenize/append — never an inverted-file rewrite. */
   def upsertBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                   textCol: String, path: String): Unit = {
     removeDocs(spark, batch.select(col(idCol)), idCol, path)
     appendBatch(spark, batch, idCol, textCol, path)
   }
 
-  /** One atomic append: postings + df + meta land together or not at
-    * all. The three live tables cannot be written transactionally, so
-    * the batch's rows are STAGED under `<path>/_append` first, a READY
-    * marker commits the append, and the staged part files MOVE into the
-    * live directories by rename (physically exactly-once — a replayed
-    * move finds nothing left to move). Any interruption resolves at the
-    * next entry point: [[reconcile]] rolls a READY append forward or
-    * discards staging that never committed. Without this, a crash
-    * between the postings write and the df/meta writes would leave a
-    * state no scrub can heal — [[removeDocs]] derives its negative
-    * stat deltas from the live postings, so it would subtract df/meta
-    * contributions the crashed attempt never added, and the re-append
-    * would leave the batch's statistics permanently under-counted. */
+  /** One atomic append: postings + docs + df + meta land together or
+    * not at all. The four live tables cannot be written
+    * transactionally, so the batch's rows are STAGED under
+    * `<path>/_append` first, a READY marker commits the append, and the
+    * staged part files MOVE into the live directories by rename
+    * (physically exactly-once — a replayed move finds nothing left to
+    * move). Any interruption resolves at the next entry point:
+    * [[reconcile]] rolls a READY append forward or discards staging
+    * that never committed. Without this, a crash between the postings
+    * write and the df/meta writes would leave a state no scrub can
+    * heal — [[removeDocs]] derives its negative stat deltas from the
+    * forward rows, so it would subtract df/meta contributions the
+    * crashed attempt never added, and the re-append would leave the
+    * batch's statistics permanently under-counted. */
   private def appendInto(spark: SparkSession, batch: DataFrame,
                          idCol: String, textCol: String, path: String,
                          maxLength: Int): Unit = {
     val fs = hfs(spark, path)
     val ap = new Path(s"$path/_append")
     fs.delete(ap, true)
+    val gen = maxGen(spark, path) + 1L
     // the exact tf/dl/stats derivation of FullText.bm25DocWeightsTokens
-    // — one tokenize pass shared by all three tables via the lazy
+    // — one tokenize pass shared by all four tables via the lazy
     // lineage cut; n_docs/total_len count EVERY doc (a zero-token doc
     // contributes no posting but still lowers avgdl — the batch operator
-    // counts it, so the index must too or the weights diverge)
+    // counts it, so the index must too or the weights diverge), and the
+    // forward docs table records every doc for the same reason: removal
+    // must be able to subtract a zero-token doc's n_docs contribution
     val toks = batch
       .select(col(idCol).cast("long").as("doc_id"),
         Kernel.tokenIds(col(textCol), maxLength).as("__tids"))
@@ -144,14 +166,22 @@ object FullTextIndex {
       .localCheckpoint(false)
     // cluster + sort by token so parquet row-group stats carry the
     // pushed-down IN (the same discipline as VectorIndex's cell files)
-    tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
+    tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"),
+        lit(gen).as("gen"))
       .repartition(col("token_id")).sortWithinPartitions("token_id")
       .write.parquet(s"$path/_append/postings")
+    // the forward index clusters + sorts on doc_id for the same
+    // reason: a removal batch's id set pushes down as In(doc_id, ...)
+    toks.select(col("doc_id"), size(col("__tids")).cast("long").as("dl"),
+        array_distinct(col("__tids")).as("tids"), lit(gen).as("gen"))
+      .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.parquet(s"$path/_append/docs")
     tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
       .write.parquet(s"$path/_append/df")
     toks
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tids")).cast("long")).as("total_len"))
+      .select(col("n_docs"), col("total_len"), lit(gen).as("gen"))
       .coalesce(1).write.parquet(s"$path/_append/meta")
     fs.create(new Path(ap, "READY"), true).close()
     applyAppend(spark, path)
@@ -163,15 +193,18 @@ object FullTextIndex {
   private def applyAppend(spark: SparkSession, path: String): Unit = {
     val fs = hfs(spark, path)
     moveFiles(fs, s"$path/_append/postings", s"$path/postings")
+    moveFiles(fs, s"$path/_append/docs", s"$path/docs")
     moveFiles(fs, s"$path/_append/df", s"$path/df")
     moveFiles(fs, s"$path/_append/meta", s"$path/meta")
     fs.delete(new Path(s"$path/_append"), true)
   }
 
   /** BM25 top-k over the index with CURRENT statistics — bit-identical
-    * to [[FullText.bm25Search]] over the accumulated corpus (same idf
-    * grid, same weight tree, same fixed-point score fold, same top-k tie
-    * rule). Output (qIdCol, doc_id, rank, score). */
+    * to [[FullText.bm25Search]] over the accumulated live corpus (same
+    * idf grid, same weight tree, same fixed-point score fold, same
+    * top-k tie rule). Tombstoned postings are masked by a broadcast
+    * anti-join; everything else reads only the term-pruned scan.
+    * Output (qIdCol, doc_id, rank, score). */
   def searchTopK(spark: SparkSession, queries: DataFrame, qIdCol: String,
                  qTextCol: String, path: String, k: Int,
                  k1: Double = FullText.K1, b: Double = FullText.B): DataFrame = {
@@ -189,7 +222,7 @@ object FullTextIndex {
     def prune(t: DataFrame): DataFrame =
       if (ids.length <= PushdownTermLimit) t.filter(col("token_id").isin(ids: _*))
       else t.join(broadcast(termIds), Seq("token_id"), "left_semi")
-    val post = prune(spark.read.parquet(s"$path/postings"))
+    val post = liveRows(spark, path, prune(spark.read.parquet(s"$path/postings")))
     val dfNow = prune(spark.read.parquet(s"$path/df"))
       .groupBy(col("token_id")).agg(sum(col("df")).as("df"))
     val nd = spark.read.parquet(s"$path/meta")
@@ -216,58 +249,111 @@ object FullTextIndex {
         (col("__r") + 1).as("rank"), col("__t.score").as("score"))
   }
 
-  /** Removal requests (the lexical twin of [[VectorIndex.delete]], but
-    * with IMMEDIATE statistics effect — BM25 weights depend on df/avgdl,
-    * so a masked-but-counted doc would keep skewing every score).
+  /** Removal requests — O(batch), never an inverted-file pass. The
+    * doc-id-pruned forward rows (minus already-tombstoned versions)
+    * yield everything the removal needs: negative df deltas (−1 per
+    * distinct token of each live victim), the negative n_docs/total_len
+    * delta (zero-token docs included — the forward table records them,
+    * so their avgdl contribution leaves correctly), and the tombstone
+    * rows (victim id, current generation) that mask the dead postings
+    * at query time until [[compactPostings]] drops them physically.
+    * Statistics change IMMEDIATELY — BM25 weights depend on df/avgdl,
+    * so a masked-but-counted doc would keep skewing every score.
+    *
     * Crash-safe by the stage-then-rename protocol described in the
-    * module doc: any interruption either rolls forward deterministically
-    * from the staged snapshot at the next entry point, or (before READY)
-    * discards cleanly. Contract: every id was ingested exactly once (ids
-    * are permanent identities; a zero-token doc leaves no posting, so
-    * its n_docs contribution is not discoverable — staged n_docs counts
-    * the removed docs FOUND in the postings). Cost: one postings rewrite
-    * (inverted-file-sized, the unavoidable part) + batch-sized staging. */
+    * module doc: everything the apply step will do is STAGED under
+    * `<path>/_removal` with READY written last; apply is pure file
+    * moves, so any interruption either rolls forward deterministically
+    * at the next entry point or (before READY) discards cleanly.
+    * Idempotent against redelivery with no extra machinery: a replayed
+    * removal finds its victims already masked, so it stages empty
+    * deltas and subtracts nothing. Contract: every id was ingested at
+    * most once per generation (ids are permanent identities). */
   def removeDocs(spark: SparkSession, ids: DataFrame, idCol: String,
                  path: String): Unit = {
     reconcile(spark, path)
     val fs = hfs(spark, path)
     val rm = new Path(s"$path/_removal")
     fs.delete(rm, true)
+    val gen = maxGen(spark, path)
     val drop = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val removed = spark.read.parquet(s"$path/postings")
-      .join(drop, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    // batch-bounded id set → In(doc_id, ...) reaches the forward scan
+    // (row-group skipping on the sorted doc column); wide batches fall
+    // back to the broadcast semi join
+    val idArr = drop.collect().map(_.getLong(0)).sorted
+    def pruneDocs(t: DataFrame): DataFrame =
+      if (idArr.length <= PushdownTermLimit) t.filter(col("doc_id").isin(idArr: _*))
+      else t.join(broadcast(drop), Seq("doc_id"), "left_semi")
+    val victims = liveRows(spark, path,
+        pruneDocs(spark.read.parquet(s"$path/docs")))
+      .localCheckpoint(true)
     // stage EVERYTHING the apply step will do, deltas included, BEFORE
     // touching any live table — after READY the removal is decided and
-    // every later step is replay-idempotent
-    drop.coalesce(1).write.parquet(s"$path/_removal/ids")
-    removed.groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
+    // every later step is a rename
+    victims.select(explode(col("tids")).as("token_id"))
+      .groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
       .coalesce(1).write.parquet(s"$path/_removal/df")
-    removed.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    victims
       .agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).as("total_len"))
+      .select(col("n_docs"), col("total_len"), lit(0L).as("gen"))
       .coalesce(1).write.parquet(s"$path/_removal/meta")
+    victims.select(col("doc_id"), lit(gen).as("gen"))
+      .coalesce(1).write.parquet(s"$path/_removal/tombstones")
     fs.create(new Path(rm, "READY"), true).close()
     applyRemoval(spark, path)
   }
 
-  /** Roll a READY removal forward. Idempotent end to end: the postings
-    * rewrite re-derives the same surviving set, the swap is parked, and
-    * the staged delta FILES move by rename — a file already applied is
-    * gone from staging, so it can never apply twice. */
+  /** Roll a READY removal forward: move the staged delta and tombstone
+    * FILES into the live tables. Pure renames — a file already applied
+    * is gone from staging, so it can never apply twice, and no
+    * corpus-sized table is read or written. */
   private def applyRemoval(spark: SparkSession, path: String): Unit = {
     val fs = hfs(spark, path)
-    val drop = spark.read.parquet(s"$path/_removal/ids")
-    val stagedNew = new Path(s"$path/_postings_new")
-    fs.delete(stagedNew, true)
-    spark.read.parquet(s"$path/postings")
-      .join(drop, Seq("doc_id"), "left_anti")
-      .repartition(col("token_id")).sortWithinPartitions("token_id")
-      .write.parquet(stagedNew.toString)
-    swapDir(fs, s"$path/postings", stagedNew.toString)
     moveFiles(fs, s"$path/_removal/df", s"$path/df")
     moveFiles(fs, s"$path/_removal/meta", s"$path/meta")
+    moveFiles(fs, s"$path/_removal/tombstones", s"$path/tombstones")
     fs.delete(new Path(s"$path/_removal"), true)
+  }
+
+  /** Deferred maintenance — the physical leg removal deliberately does
+    * NOT pay per batch (exactly [[VectorIndex.compact]]'s role): drop
+    * every tombstone-masked postings/docs row, then clear the
+    * tombstones the rewrite covered. Cost is one inverted-file rewrite
+    * amortized over ALL removals since the last compaction, instead of
+    * per removal batch. Safe to interrupt anywhere: each rewrite swaps
+    * behind a parked directory ([[reconcile]] restores or finishes),
+    * and tombstones clear LAST — a crash leaves them masking rows that
+    * are already gone, which the anti-join resolves to a no-op. Clears
+    * only the snapshot it compacted against, so a single-writer
+    * sequence resumed after a crash never resurrects a doc. Serving
+    * results are unchanged (q141b/q152/q158 semantics); the wins are
+    * scan size and a smaller tombstone broadcast. */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    reconcile(spark, path)
+    val fs = hfs(spark, path)
+    if (!fs.exists(new Path(s"$path/tombstones"))) return
+    val snap = tombstoneMax(spark, path).localCheckpoint(true)
+    if (snap.isEmpty) return
+    def rewrite(sub: String, sortCol: String): Unit = {
+      val staged = new Path(s"$path/_${sub}_new")
+      fs.delete(staged, true)
+      maskBy(spark.read.parquet(s"$path/$sub"), snap)
+        .repartition(col(sortCol)).sortWithinPartitions(sortCol)
+        .write.parquet(staged.toString)
+      swapDir(fs, s"$path/$sub", staged.toString)
+    }
+    rewrite("postings", "token_id")
+    rewrite("docs", "doc_id")
+    // last: clear exactly the tombstones the rewrites covered — any
+    // landed later (single-writer, so only via a crash-resumed caller)
+    // stay and keep masking
+    val staged = new Path(s"$path/_tombstones_new")
+    fs.delete(staged, true)
+    maskBy(spark.read.parquet(s"$path/tombstones"), snap)
+      .coalesce(1).write.parquet(staged.toString)
+    swapDir(fs, s"$path/tombstones", staged.toString)
   }
 
   /** Maintenance: fold the accumulated df/meta partial rows back to one
@@ -286,17 +372,20 @@ object FullTextIndex {
       swapDir(fs, s"$path/$sub", staged.toString)
     }
     fold("df", _.groupBy(col("token_id")).agg(sum(col("df")).as("df")))
+    // max(gen) survives the fold — it is the generation counter
     fold("meta", _.agg(sum(col("n_docs")).as("n_docs"),
-      sum(col("total_len")).as("total_len")))
+      sum(col("total_len")).as("total_len"), max(col("gen")).as("gen")))
   }
 
   /** Crash recovery, run at every entry point (O(1) exists checks when
     * idle): finish any interrupted parked-directory swap, then either
-    * roll a READY removal forward or discard a staging that never
-    * committed. */
+    * roll a READY append/removal forward or discard a staging that
+    * never committed. An interrupted [[compactPostings]] needs no
+    * rolling at all — its staged rewrites discard here and the
+    * tombstones it never cleared still mask correctly. */
   def reconcile(spark: SparkSession, path: String): Unit = {
     val fs = hfs(spark, path)
-    Seq("postings", "df", "meta").foreach { sub =>
+    Seq("postings", "docs", "df", "meta", "tombstones").foreach { sub =>
       val old = new Path(s"$path/${sub}_old")
       if (fs.exists(old)) {
         val live = new Path(s"$path/$sub")
@@ -309,8 +398,8 @@ object FullTextIndex {
       if (fs.exists(staged)) fs.delete(staged, true)
     }
     // an interrupted append resolves BEFORE any removal: a READY append
-    // is committed (roll it in so a staged removal's postings rewrite
-    // sees it); staging without READY never happened
+    // is committed (roll it in so a staged removal's tombstones mask
+    // against the full state); staging without READY never happened
     val ap = new Path(s"$path/_append")
     if (fs.exists(ap)) {
       if (fs.exists(new Path(ap, "READY"))) applyAppend(spark, path)
@@ -321,6 +410,44 @@ object FullTextIndex {
       if (fs.exists(new Path(rm, "READY"))) applyRemoval(spark, path)
       else fs.delete(rm, true) // never committed
     }
+  }
+
+  /** The current generation counter: max over the (tiny) meta partials;
+    * 0 for an empty index. Appends write gen = this + 1; removals
+    * tombstone at gen = this, so re-added versions (strictly higher
+    * gen) outlive the mask. */
+  private def maxGen(spark: SparkSession, path: String): Long = {
+    val fs = hfs(spark, path)
+    if (!fs.exists(new Path(s"$path/meta"))) 0L
+    else spark.read.parquet(s"$path/meta")
+      .agg(coalesce(max(col("gen")), lit(0L)).as("g"))
+      .collect()(0).getLong(0)
+  }
+
+  /** The folded tombstone set: one (doc_id, gen=max) row per removed
+    * doc — O(removals since compaction), broadcast at the join sites. */
+  private def tombstoneMax(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tombstones")
+      .groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
+
+  /** Mask `rows` (any table with doc_id + gen columns) against the
+    * index's tombstones: a row is dead iff a tombstone with its doc_id
+    * has gen ≥ the row's. No tombstone table → nothing ever removed →
+    * pass-through. */
+  private def liveRows(spark: SparkSession, path: String,
+                       rows: DataFrame): DataFrame = {
+    val fs = hfs(spark, path)
+    if (!fs.exists(new Path(s"$path/tombstones"))) rows
+    else maskBy(rows, tombstoneMax(spark, path))
+  }
+
+  /** The broadcast anti-join masking dead rows: drop every row whose
+    * (doc_id, gen) is covered by a tombstone (same doc, gen ≤ mask). */
+  private def maskBy(rows: DataFrame, tomb: DataFrame): DataFrame = {
+    val t = tomb.select(col("doc_id").as("__tdoc"), col("gen").as("__tgen"))
+    rows.join(broadcast(t),
+      col("doc_id") === col("__tdoc") && col("gen") <= col("__tgen"),
+      "left_anti")
   }
 
   /** Park-and-swap a live dir with its staged replacement: live →

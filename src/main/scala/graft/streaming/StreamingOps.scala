@@ -359,8 +359,11 @@ object StreamingOps {
     * replace their versions in a persisted BM25 index via
     * [[graft.operators.FullTextIndex.upsertBatch]] — replay-idempotent
     * for the same reason (removal re-derives its stat deltas from the
-    * LIVE postings, so a redelivery removes whatever version is present
-    * before appending exactly once). */
+    * LIVE forward rows, so a redelivery removes whatever version is
+    * present before appending exactly once). Per-batch cost is
+    * O(batch) — tombstones + a batch tokenize, never an inverted-file
+    * rewrite; run [[graft.operators.FullTextIndex.compactPostings]]
+    * periodically to drop the masked rows physically. */
   def bm25UpsertSink(stream: DataFrame, idCol: String, textCol: String,
                      indexPath: String): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
@@ -415,15 +418,15 @@ object StreamingOps {
 
   /** The replay-safe per-batch body of [[bm25IngestSink]] — the
     * started/done discipline; the crash-recovery scrub is
-    * [[graft.operators.FullTextIndex.removeDocs]] (postings rewrite +
-    * negative stat deltas), so a half-landed batch can never double its
-    * term frequencies OR its df/avgdl contributions. The scrub is sound
-    * because index appends are ATOMIC (staged + READY + rename inside
-    * `FullTextIndex.appendInto`, rolled forward or discarded by the
-    * `reconcile` removeDocs runs first): after reconcile the crashed
-    * attempt either fully landed or never happened, so the deltas the
-    * scrub derives from live postings subtract exactly what was added —
-    * never stats from a partial append. */
+    * [[graft.operators.FullTextIndex.removeDocs]] (O(batch) tombstones
+    * + negative stat deltas), so a half-landed batch can never double
+    * its term frequencies OR its df/avgdl contributions. The scrub is
+    * sound because index appends are ATOMIC (staged + READY + rename
+    * inside `FullTextIndex.appendInto`, rolled forward or discarded by
+    * the `reconcile` removeDocs runs first): after reconcile the
+    * crashed attempt either fully landed or never happened, so the
+    * deltas the scrub derives from the live forward rows subtract
+    * exactly what was added — never stats from a partial append. */
   def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
                       textCol: String, indexPath: String,
                       logPath: String): Unit = {

@@ -114,15 +114,17 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // stage manually (the exact writes removeDocs performs), then "crash"
     val drop = d.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id").cast("long").as("doc_id")).distinct()
-    val removedPosts = spark.read.parquet(s"$pB/postings")
+    val victims = spark.read.parquet(s"$pB/docs")
       .join(drop, Seq("doc_id"), "left_semi").localCheckpoint(true)
-    drop.coalesce(1).write.parquet(s"$pB/_removal/ids")
-    removedPosts.groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
+    victims.select(explode(col("tids")).as("token_id"))
+      .groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
       .coalesce(1).write.parquet(s"$pB/_removal/df")
-    removedPosts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg((-count(lit(1))).as("n_docs"),
+    victims.agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).as("total_len"))
+      .select(col("n_docs"), col("total_len"), lit(0L).as("gen"))
       .coalesce(1).write.parquet(s"$pB/_removal/meta")
+    victims.select(col("doc_id"), lit(1L).as("gen"))
+      .coalesce(1).write.parquet(s"$pB/_removal/tombstones")
     fs.create(new org.apache.hadoop.fs.Path(s"$pB/_removal/READY"), true).close()
     // searchTopK reconciles on entry: results equal the completed removal
     val rolled = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pB, 5))
@@ -133,7 +135,8 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val pC = tmp("graft_ftidx_crashC")
     FullTextIndex.write(d, "doc_id", "text", pC)
     val whole = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5))
-    drop.coalesce(1).write.parquet(s"$pC/_removal/ids") // no READY
+    victims.select(col("doc_id"), lit(1L).as("gen"))
+      .coalesce(1).write.parquet(s"$pC/_removal/tombstones") // no READY
     assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5)) == whole)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pC/_removal")))
     // state C: crash mid-swap — postings parked aside, replacement never
@@ -173,13 +176,19 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
       .localCheckpoint(true)
     def stage(p: String): Unit = {
-      tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
+      tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"),
+          lit(2L).as("gen"))
         .repartition(col("token_id")).sortWithinPartitions("token_id")
         .write.parquet(s"$p/_append/postings")
+      toks.select(col("doc_id"), size(col("__tids")).cast("long").as("dl"),
+          array_distinct(col("__tids")).as("tids"), lit(2L).as("gen"))
+        .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+        .write.parquet(s"$p/_append/docs")
       tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
         .write.parquet(s"$p/_append/df")
       toks.agg(count(lit(1)).as("n_docs"),
           sum(size(col("__tids")).cast("long")).as("total_len"))
+        .select(col("n_docs"), col("total_len"), lit(2L).as("gen"))
         .coalesce(1).write.parquet(s"$p/_append/meta")
     }
     stage(pB)
@@ -203,6 +212,57 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pC/_append")))
     FullTextIndex.appendBatch(spark, batch, "doc_id", "text", pC)
     assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pC, 5)) == want)
+  }
+
+  test("compactPostings drops masked rows physically; results unchanged; re-adds outlive tombstones") {
+    val path = tmp("graft_ftidx_cp")
+    FullTextIndex.write(d, "doc_id", "text", path)
+    val victims = d.filter(col("doc_id") % 7 === 0)
+    FullTextIndex.removeDocs(spark, victims.select(col("doc_id")), "doc_id", path)
+    val masked = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5))
+    // the O(batch) claim: removal left the dead postings ON DISK
+    val before = spark.read.parquet(s"$path/postings").count()
+    FullTextIndex.compactPostings(spark, path)
+    val after = spark.read.parquet(s"$path/postings").count()
+    assert(after < before, "compaction must drop the masked postings")
+    assert(spark.read.parquet(s"$path/tombstones").count() == 0L,
+      "covered tombstones clear after compaction")
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5)) == masked)
+    // re-add the removed ids: the new generation outlives the tombstone
+    val path2 = tmp("graft_ftidx_cp2")
+    FullTextIndex.write(d, "doc_id", "text", path2)
+    FullTextIndex.removeDocs(spark, victims.select(col("doc_id")), "doc_id", path2)
+    FullTextIndex.appendBatch(spark, victims, "doc_id", "text", path2)
+    val fresh = asSet(FullText.bm25Search(queries, "qid", "qtext", d, "doc_id", "text", 5))
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path2, 5)) == fresh)
+    // remove AGAIN after the re-add: only the live version subtracts
+    FullTextIndex.removeDocs(spark, victims.select(col("doc_id")), "doc_id", path2)
+    val path3 = tmp("graft_ftidx_cp3")
+    FullTextIndex.write(d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", path3)
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path2, 5)) ==
+      asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path3, 5)))
+    // compaction with the stale-generation tombstone present must keep
+    // the re-removed doc dead and the rest alive
+    FullTextIndex.compactPostings(spark, path2)
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path2, 5)) ==
+      asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path3, 5)))
+  }
+
+  test("removeDocs replays idempotently and discovers zero-token docs") {
+    import spark.implicits._
+    // zero-token docs leave no posting, but they lower avgdl — the
+    // forward table records them, so removal must restore the exact
+    // statistics of an index that never saw them
+    val path = tmp("graft_ftidx_zt")
+    val extras = Seq((900001L, ""), (900002L, " \t ")).toDF("doc_id", "text")
+    FullTextIndex.write(d.unionByName(extras), "doc_id", "text", path)
+    val rmIds = Seq(900001L, 900002L).toDF("doc_id")
+    FullTextIndex.removeDocs(spark, rmIds, "doc_id", path)
+    FullTextIndex.removeDocs(spark, rmIds, "doc_id", path) // redelivery
+    val pB = tmp("graft_ftidx_zt2")
+    FullTextIndex.write(d, "doc_id", "text", pB)
+    assert(asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5)) ==
+      asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", pB, 5)))
   }
 
   test("a half-built index (no conf — build crashed) refuses rather than serves") {

@@ -523,8 +523,12 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(logPath, "started-0"), true).close()
     // the replay must scrub first: a naive re-append would double tf AND
-    // the df/n_docs/avgdl partials, silently skewing every later score
+    // the df/n_docs/avgdl partials, silently skewing every later score.
+    // The scrub tombstones the half-landed copy (O(batch)); compaction
+    // then drops it physically — after which no (doc, token) may remain
+    // twice on disk
     StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", path, logPath)
+    graft.operators.FullTextIndex.compactPostings(spark, path)
     val postCounts = spark.read.parquet(s"$path/postings")
       .filter($"doc_id" >= 10L).groupBy($"doc_id", $"token_id").count()
       .filter($"count" > 1L).count()
@@ -567,13 +571,19 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .groupBy(col("doc_id"), col("token_id"))
       .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
       .localCheckpoint(true)
-    tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"))
+    tf.select(col("token_id"), col("doc_id"), col("tf"), col("dl"),
+        lit(2L).as("gen"))
       .repartition(col("token_id")).sortWithinPartitions("token_id")
       .write.parquet(s"$path/_append/postings")
+    toks.select(col("doc_id"), size(col("__tids")).cast("long").as("dl"),
+        array_distinct(col("__tids")).as("tids"), lit(2L).as("gen"))
+      .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.parquet(s"$path/_append/docs")
     tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
       .write.parquet(s"$path/_append/df")
     toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tids")).cast("long")).as("total_len"))
+      .select(col("n_docs"), col("total_len"), lit(2L).as("gen"))
       .coalesce(1).write.parquet(s"$path/_append/meta")
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_append/READY"), true).close()
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_append/postings"))
@@ -585,6 +595,7 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     logFs.create(new org.apache.hadoop.fs.Path(logPath, "started-0"), true).close()
     StreamingOps.bm25IngestBatch(batch, 0L, "doc_id", "text", path, logPath)
+    graft.operators.FullTextIndex.compactPostings(spark, path)
     val postCounts = spark.read.parquet(s"$path/postings")
       .filter($"doc_id" >= 10L).groupBy($"doc_id", $"token_id").count()
       .filter($"count" > 1L).count()
