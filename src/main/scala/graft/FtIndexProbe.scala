@@ -98,9 +98,17 @@ object FtIndexProbe {
       drain(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5))
     }
     // the deferred physical leg: ONE inverted-file rewrite amortizing
-    // every removal above (the cost removal no longer pays per batch)
-    timed("compact") {
+    // every removal above (the cost removal no longer pays per batch).
+    // Single-pass — a second pass would measure the idle early-return
+    // (tombstones already cleared), not compaction
+    locally {
+      val t0 = System.nanoTime()
       FullTextIndex.compactPostings(spark, path)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      FullTextIndex.compactPostings(spark, path) // idle re-entry: O(1)
+      val idle = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"ftindex_compact","sf":"$sfDir","n":$n,"sec":$sec%.3f,"idle_reentry_sec":$idle%.3f}""")
     }
     spark.stop()
   }

@@ -56,37 +56,58 @@ object SparkEntry {
        |"image_mean": [0.48145466, 0.4578275, 0.40821073],
        |"image_std": [0.26862954, 0.26130258, 0.27577711]}""".stripMargin)
 
+  /** File-source gate harness: drive a streaming sink with `slices` as
+    * ordered, deterministic micro-batches WITHOUT materializing any row
+    * on the driver (the previous harness collected each slice into a
+    * MemoryStream — at sf10 that driver round-trip dominated the gate
+    * cost; SCALING.md). Each slice pre-writes to its own staging subdir
+    * as a DISTRIBUTED job; between `processAllAvailable` barriers only
+    * driver-side file RENAMES move the slice's parts into the watched
+    * directory, so the file source sees exactly one new file-set per
+    * barrier — the same batch seams and the same batch ids (0, 1, …) as
+    * the driver-fed harness, with the data staying executor-side. */
+  private def streamFileBatches(s: SparkSession, slices: Seq[DataFrame])(
+      sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val inDir = s"$stage/in"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+    slices.zipWithIndex.foreach { case (df, i) => df.write.parquet(s"$stage/b$i") }
+    val schema = s.read.parquet(s"$stage/b0").schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fstream_ckpt").toString
+    val q = sink(s.readStream.schema(schema).parquet(inDir))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      slices.indices.foreach { i =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$stage/b$i"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(inDir, s"b$i-${f.getPath.getName}")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   /** The q135 harness: build the dedup index on the `%4==0` slice, then
     * drive the REAL streaming sink ([[graft.streaming.StreamingOps
     * .dedupIngestSink]]) with the other three slices as ordered
-    * micro-batches. Returns (audit table, final corpus ids) — each gate
-    * reads one. The batch rows pass through the driver only because
-    * MemoryStream is driver-fed by construction (the gate harness, not
-    * the operator: the sink itself is distributed per batch). */
+    * micro-batches over the file-source harness (no driver data path).
+    * Returns (audit table, final corpus ids) — each gate reads one. */
   private def streamDedupIngest(s: SparkSession, dir: String,
                                 table: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val d = docs(s, dir)
     DedupIndex.writeMinhash(d.filter(col("doc_id") % 4 === 0),
       "doc_id", "text", table = table)
     val dups = java.nio.file.Files
       .createTempDirectory(s"${table}_dups").toString + "/pairs"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"${table}_ckpt").toString
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamingOps.dedupIngestSink(
-        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
-        threshold = 0.35, dupsPath = dups)
-      .option("checkpointLocation", ckpt).start()
-    try {
-      (1 to 3).foreach { k =>
-        ms.addData(d.filter(col("doc_id") % 4 === k)
-          .collect().toSeq.map(r => (r.getLong(0), r.getString(1))): _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    streamFileBatches(s,
+      (1 to 3).map(k => d.filter(col("doc_id") % 4 === k)
+        .select(col("doc_id"), col("text")))) { src =>
+      graft.streaming.StreamingOps.dedupIngestSink(
+        src, "doc_id", "text", table, threshold = 0.35, dupsPath = dups)
+    }
     (s.read.parquet(dups)
        .select(col("doc_id"), col("dup_of"), col("similarity"), col("scope")),
      s.table(s"${table}_sigs").select(col("doc_id")))
@@ -98,8 +119,6 @@ object SparkEntry {
     * Returns (audit table, final index ids). */
   private def streamSemanticIngest(s: SparkSession, dir: String,
                                    tag: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val e = tbl(s, dir, "embeddings")
     val path = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_idx").toString
@@ -107,21 +126,13 @@ object SparkEntry {
       nCells = 16, m = 8, nCentsPq = 16, path = path, storeVectors = true)
     val dups = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_dups").toString + "/pairs"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_ckpt").toString
-    val rest = e.filter(col("vec_id") >= 250)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Seq[Float])]
-    val q = graft.streaming.StreamingOps.semanticIngestSink(
-        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path,
+    streamFileBatches(s,
+      (0 until 3).map(k => e.filter(col("vec_id") >= 250 && col("vec_id") % 3 === k)
+        .select(col("vec_id"), col("embedding")))) { src =>
+      graft.streaming.StreamingOps.semanticIngestSink(
+        src, "vec_id", "embedding", path,
         dim = K.Dim, threshold = 0.2, dupsPath = dups)
-      .option("checkpointLocation", ckpt).start()
-    try {
-      rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      }
-    } finally q.stop()
+    }
     (s.read.parquet(dups)
        .select(col("vec_id"), col("dup_of"), col("similarity"), col("scope")),
      s.read.parquet(s"$path/codes").select(col("id").as("vec_id")))
@@ -389,25 +400,17 @@ object SparkEntry {
     // still hash-match the full-build oracle — the streamed maintenance
     // path under the same DuckDB gate as the batch one
     "q137_stream_index_ingest" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val e = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_q137_idx").toString
       VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
         nCells = 16, m = 8, nCentsPq = 16, path = path)
-      val rest = e.filter(col("vec_id") >= 250)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Seq[Float])]
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q137_ckpt").toString
-      val sq = graft.streaming.StreamingOps.ivfPqAppendSink(
-          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
-        .option("checkpointLocation", ckpt).start()
-      try {
-        rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
-          ms.addData(b.toSeq); sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s,
+        (0 until 3).map(k =>
+          e.filter(col("vec_id") >= 250 && col("vec_id") % 3 === k)
+            .select(col("vec_id"), col("embedding")))) { src =>
+        graft.streaming.StreamingOps.ivfPqAppendSink(
+          src, "vec_id", "embedding", path)
+      }
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
@@ -573,8 +576,6 @@ object SparkEntry {
     // construction — no marker protocol), and the post-stream search
     // must still hash-match the fresh-full-build oracle
     "q157_stream_upsert" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val e = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_q157_idx").toString
       val staleIds = col("vec_id") >= 100 && col("vec_id") % 5 === 0
@@ -582,20 +583,12 @@ object SparkEntry {
         when(staleIds, reverse(col("embedding"))).otherwise(col("embedding")))
       VectorIndex.writeIvfPq(stale, "vec_id", "embedding", nCells = 16, m = 8,
         nCentsPq = 16, path = path)
-      val updates = e.filter(staleIds)
-        .select(col("vec_id"), col("embedding"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q157_ckpt").toString
-      val sq = graft.streaming.StreamingOps.ivfPqUpsertSink(
-          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
-        .option("checkpointLocation", ckpt).start()
-      try {
-        updates.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
-          ms.addData(b.toSeq); sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s,
+        (0 until 3).map(k => e.filter(staleIds && col("vec_id") % 3 === k)
+          .select(col("vec_id"), col("embedding")))) { src =>
+        graft.streaming.StreamingOps.ivfPqUpsertSink(
+          src, "vec_id", "embedding", path)
+      }
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
@@ -605,8 +598,6 @@ object SparkEntry {
 
     // the lexical twin: q152's re-crawl through bm25UpsertSink
     "q158_stream_bm25_upsert" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val d = docs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q158_idx").toString
       val staleIds = col("doc_id") % 7 === 0
@@ -614,20 +605,11 @@ object SparkEntry {
         when(staleIds, concat_ws(" ", col("text"), lit("zzstalemarker zzstalemarker")))
           .otherwise(col("text")))
       FullTextIndex.write(stale, "doc_id", "text", path)
-      val updates = d.filter(staleIds)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q158_ckpt").toString
-      val sq = graft.streaming.StreamingOps.bm25UpsertSink(
-          ms.toDF().toDF("doc_id", "text"), "doc_id", "text", path)
-        .option("checkpointLocation", ckpt).start()
-      try {
-        updates.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
-          ms.addData(b.toSeq); sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s,
+        (0 until 3).map(k => d.filter(staleIds && col("doc_id") % 3 === k)
+          .select(col("doc_id"), col("text")))) { src =>
+        graft.streaming.StreamingOps.bm25UpsertSink(src, "doc_id", "text", path)
+      }
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
@@ -697,30 +679,26 @@ object SparkEntry {
     // the commutative fixed-point sum — and each tumbling window's drift
     // reading must hash-match the relational fixed-point mean ÷ baseline
     "q140_stream_drift_windows" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val e = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_q140_idx").toString
       VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
         nCentsPq = 16, path = path)
       val epoch = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
-      val rows = e.select(col("vec_id"), col("embedding")).collect()
-        .map(r => (new java.sql.Timestamp(epoch + (r.getLong(0) % 4) * 60000L),
-          r.getSeq[Float](1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Seq[Float])]
-      val out = graft.streaming.StreamingOps.driftScoreStream(
-        ms.toDF().toDF("ts", "embedding"), "embedding", "ts",
-        watermark = "10 seconds", windowLen = "1 minute", indexPath = path)
+      // two micro-batches, each spanning ALL four event-time windows —
+      // the complete-mode window aggregate depends only on the row
+      // multiset, so the id-parity split pins the seam deterministically
+      val slices = (0 until 2).map(k => e.filter(col("vec_id") % 2 === k)
+        .select(timestamp_seconds(lit(epoch / 1000L) +
+          (col("vec_id") % 4) * 60L).as("ts"), col("embedding")))
       val qn = "graft_q140_windows"
       s.sql(s"DROP VIEW IF EXISTS $qn") // re-runs in one session (bench passes)
-      val sq = out.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try {
-        val (b1, b2) = rows.zipWithIndex.partition(_._2 % 2 == 0)
-        ms.addData(b1.map(_._1).toSeq); sq.processAllAvailable()
-        ms.addData(b2.map(_._1).toSeq); sq.processAllAvailable()
-      } finally sq.stop()
+      streamFileBatches(s, slices) { src =>
+        graft.streaming.StreamingOps.driftScoreStream(
+            src, "embedding", "ts",
+            watermark = "10 seconds", windowLen = "1 minute", indexPath = path)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+      }
       s.table(qn).select(
         ((unix_timestamp(col("window.start")) - lit(epoch / 1000L)) / 60L)
           .cast("long").as("win"),
@@ -735,29 +713,21 @@ object SparkEntry {
     // whole-corpus sketch-in-SQL oracle (merge(w0, w1) == sketch(corpus)
     // exactly, because cell counts are linear)
     "q144_stream_cms" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val d = docs(s, dir)
       val epoch = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
-      val rows = d.collect().map(r => (r.getLong(0),
-        new java.sql.Timestamp(epoch + (r.getLong(0) % 2) * 60000L),
-        r.getString(1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, String)]
-      val out = graft.streaming.StreamingOps.cmsSketchStream(
-        ms.toDF().toDF("ts", "text"), "text", "ts",
-        watermark = "10 seconds", windowLen = "1 minute",
-        depth = 3, width = 16)
+      val slices = (0 until 3).map(k => d.filter(col("doc_id") % 3 === k)
+        .select(timestamp_seconds(lit(epoch / 1000L) +
+          (col("doc_id") % 2) * 60L).as("ts"), col("text")))
       val qn = "graft_q144_windows"
       s.sql(s"DROP VIEW IF EXISTS $qn") // re-runs in one session (bench passes)
-      val sq = out.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try {
-        (0 until 3).foreach { k =>
-          ms.addData(rows.collect { case (id, ts, tx) if id % 3 == k => (ts, tx) }.toSeq: _*)
-          sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s, slices) { src =>
+        graft.streaming.StreamingOps.cmsSketchStream(
+            src, "text", "ts",
+            watermark = "10 seconds", windowLen = "1 minute",
+            depth = 3, width = 16)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+      }
       val w = s.table(qn).select(
         ((unix_timestamp(col("window.start")) - lit(epoch / 1000L)) / 60L)
           .cast("long").as("win"),
@@ -778,30 +748,20 @@ object SparkEntry {
     // the merged estimate must equal q114's whole-corpus sketch exactly;
     // the exact leg is the same batch countDistinct the q114 oracle pins
     "q145_stream_hll" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val t = tbl(s, dir, "documents")
       val epoch = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
-      val rows = t.select(col("doc_id"), col("source"), col("text")).collect()
-        .map(r => (r.getLong(0),
-          new java.sql.Timestamp(epoch + (r.getLong(0) % 2) * 60000L),
-          r.getString(1), r.getString(2)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, String, String)]
-      val out = graft.streaming.StreamingOps.hllSketchStream(
-        ms.toDF().toDF("ts", "source", "text"), "source", "text", "ts",
-        watermark = "10 seconds", windowLen = "1 minute", n = 3, p = 6)
+      val slices = (0 until 3).map(k => t.filter(col("doc_id") % 3 === k)
+        .select(timestamp_seconds(lit(epoch / 1000L) +
+          (col("doc_id") % 2) * 60L).as("ts"), col("source"), col("text")))
       val qn = "graft_q145_windows"
       s.sql(s"DROP VIEW IF EXISTS $qn")
-      val sq = out.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try {
-        (0 until 3).foreach { k =>
-          ms.addData(rows.collect {
-            case (id, ts, so, tx) if id % 3 == k => (ts, so, tx) }.toSeq: _*)
-          sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s, slices) { src =>
+        graft.streaming.StreamingOps.hllSketchStream(
+            src, "source", "text", "ts",
+            watermark = "10 seconds", windowLen = "1 minute", n = 3, p = 6)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+      }
       val w = s.table(qn).select(
         ((unix_timestamp(col("window.start")) - lit(epoch / 1000L)) / 60L)
           .cast("long").as("win"),
@@ -940,27 +900,18 @@ object SparkEntry {
     // post-stream search with CURRENT stats must still hash-match the
     // fresh whole-corpus oracle — the q137 pattern, lexical twin
     "q143_stream_bm25_ingest" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val d = docs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q143_idx").toString
       FullTextIndex.write(d.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", path)
-      val rest = d.filter(col("doc_id") % 2 === 1)
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
       val log = java.nio.file.Files.createTempDirectory("graft_q143_log").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q143_ckpt").toString
-      val sq = graft.streaming.StreamingOps.bm25IngestSink(
-          ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          path, logPath = log)
-        .option("checkpointLocation", ckpt).start()
-      try {
-        rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
-          ms.addData(b.toSeq); sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s,
+        (0 until 3).map(k =>
+          d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === k)
+            .select(col("doc_id"), col("text")))) { src =>
+        graft.streaming.StreamingOps.bm25IngestSink(
+          src, "doc_id", "text", path, logPath = log)
+      }
       val q = d.filter(col("doc_id") < 4)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       FullTextIndex.searchTopK(s, q, "qid", "qtext", path, k = 5)
@@ -1511,26 +1462,17 @@ object SparkEntry {
     // lands in its own batch partition — replay-by-overwrite), and the
     // estimates must still answer the whole-corpus oracle
     "q155_stream_cms_ingest" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val d = docs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q155_cms").toString
       SketchStore.writeCms(d.filter(col("doc_id") % 2 === 0), "text",
         depth = 3, width = 16, path = path)
-      val rest = d.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q155_ckpt").toString
-      val sq = graft.streaming.StreamingOps.cmsIngestSink(
-          ms.toDF().toDF("doc_id", "text"), "text", path, streamId = "q155")
-        .option("checkpointLocation", ckpt).start()
-      try {
-        rest.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
-          ms.addData(b.toSeq); sq.processAllAvailable()
-        }
-      } finally sq.stop()
+      streamFileBatches(s,
+        (0 until 3).map(k =>
+          d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === k)
+            .select(col("doc_id"), col("text")))) { src =>
+        graft.streaming.StreamingOps.cmsIngestSink(
+          src, "text", path, streamId = "q155")
+      }
       val cand = d.select(explode(Kernel.tokenIds(col("text"), K.MaxLength))
         .as("token_id")).distinct()
       SketchStore.cmsEstimates(s, cand, path)
