@@ -98,6 +98,38 @@ object RecallProbe {
       println(f"""{"probe":"recall_$label","sf":"$sfDir","n":$n,"k":$k,"nPlanes":$nPlanes,"probes":$probes,"edges":${ann.size},"hit":$hit,"recall":$recall%.4f,"sec":$sec%.3f,$bandJson}""")
     }
 
+    // INDEX-BACKED candidate generation (q161's operator): ADC
+    // proposals from a persisted IVF-PQ index, exact-cosine rescored —
+    // the serving-path answer to the sign-LSH mid-band recall gap. Two
+    // settings: the gate's (nProbe 4/16 cells, overfetch 8) and the
+    // wider serving recommendation (nProbe 8, overfetch 16).
+    if (!plantedOnly) {
+      val path = java.nio.file.Files.createTempDirectory("graft_recall_idx").toString
+      graft.operators.VectorIndex.writeIvfPq(vecs, "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = path, storeVectors = true)
+      val idx = graft.operators.VectorIndex.load(spark, path)
+      for ((label, nProbe, overfetch) <- Seq(
+          ("indexed_gate", 4, 8), ("indexed_serving", 8, 16))) {
+        val t1 = System.nanoTime()
+        val knn = graft.operators.VectorIndex
+          .selfKnnCandidates(spark, idx, nProbe, k, overfetch)
+          .localCheckpoint(false)
+        val ann = edges(knn.as("x").join(knn.as("y"),
+            col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+          .filter(col("x.qid") < col("x.nid"))
+          .select(col("x.qid").as("id_a"), col("x.nid").as("id_b")))
+        val sec = (System.nanoTime() - t1) / 1e9
+        val hit = ann.intersect(exact).size
+        val recall = if (exact.isEmpty) 1.0 else hit.toDouble / exact.size
+        val bandJson = bands.map { case (name, _, _) =>
+          val ex = exactByBand(name)
+          val r = if (ex.isEmpty) 1.0 else ann.intersect(ex).size.toDouble / ex.size
+          f""""$name":{"exact":${ex.size},"recall":$r%.4f}"""
+        }.mkString(",")
+        println(f"""{"probe":"recall_$label","sf":"$sfDir","n":$n,"k":$k,"nProbe":$nProbe,"overfetch":$overfetch,"edges":${ann.size},"hit":$hit,"recall":$recall%.4f,"sec":$sec%.3f,$bandJson}""")
+      }
+    }
+
     // PLANTED near-dup eval: the generator decorrelates replicas by
     // design (ordinary-point |cos| ≈ 0.10), so the corpus's mutual
     // edges are ALL weak ties (cos 0.4–0.6 at sf1) — the regime

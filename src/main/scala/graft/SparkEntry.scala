@@ -628,6 +628,25 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
+    // INDEX-BACKED semantic clustering — the serving-path recall answer
+    // (RECALL probes: auto-sized sign-LSH holds cost linear but recalls
+    // 0.17 on the mid-cosine band carrying this corpus's true-kNN
+    // mass; the IVF geometry + exact-cosine rescore of ADC candidates
+    // recalls what the index proposes, at the same candidate bound).
+    // Candidates come from the PERSISTED index via a cell-key exchange
+    // (queries = corpus — nothing broadcasts), the mutual+CC chain is
+    // exactly q107's; the oracle mirrors the ADC proposal, the
+    // overfetch cut, the cosine re-rank, and the rounds
+    "q161_clusters_indexed" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q161_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path, storeVectors = true)
+      VectorIndex.semanticClustersIndexed(s, VectorIndex.load(s, path),
+        nProbe = 4, k = 4, iterations = 18, overfetch = 8)
+        .select(col("id"), col("cluster"))
+    }),
+
     // the drift reading that decides WHEN to retrain a persisted index:
     // mean nearest-cell distance, fixed-point-exact (min is order-free,
     // the sum is commutative longs) — here the build-baseline form over

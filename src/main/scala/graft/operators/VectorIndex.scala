@@ -462,6 +462,94 @@ object VectorIndex {
       .select(col(idCol), col("id").as("corpus_id"), col("cosine"))
   }
 
+  /** Corpus-scale self-kNN candidates from the persisted index — the
+    * candidate generator for [[semanticClustersIndexed]]. Unlike
+    * [[searchRescored]] (a per-batch serving call that BROADCASTS its
+    * query batch into the probed-cell join), the query side here IS the
+    * corpus, so everything exchanges on the cell key instead: each live
+    * vector explodes to its `nProbe` nearest cells (narrow — the
+    * centroid bank is plan-constant), joins the cell-partitioned codes
+    * by hash-equi shuffle (candidates bounded by probed-cell occupancy,
+    * never all-pairs), ADC proposes `k·overfetch` ids per vector
+    * (partial top-k agg — ≤ k·overfetch rows per vector per map task
+    * reach the exchange), and ONLY those n·k·overfetch pairs fetch raw
+    * vectors for the exact-cosine re-rank — the same [[searchRescored]]
+    * exactness at self-join scale. The rescore evaluates the SAME
+    * `cosinePre` tree and partial top-(k+1) tie rule as the brute
+    * [[Similarity.knnJoin]], so whenever the proposal covers the true
+    * top-(k+1) (measured 1.0 at the RECALL-probe settings; the q161
+    * gate pins it against the exact-cluster oracle) the output is
+    * bit-identical to brute mutual-kNN input pairs. Tombstoned rows
+    * leave both sides before anything is ranked. Output (qid, nid):
+    * top-(k+1) neighbors by exact cosine, self dropped. */
+  def selfKnnCandidates(spark: SparkSession, idx: Loaded, nProbe: Int,
+                        k: Int, overfetch: Int = 4): DataFrame = {
+    import graft.functions.Kernel
+    val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
+      "selfKnnCandidates needs an index built with storeVectors = true (no vecs/ table)"))
+    val bank = graft.functions.CentroidBank.of(spark, idx.cents)
+    val bookBank = graft.functions.CodebookBank.of(spark, idx.books)
+    val live = idx.tombs.fold(vecsDf)(t =>
+      vecsDf.join(t.select(col("id")), Seq("id"), "left_anti"))
+    val q = live.select(col("id").as("__qid"), col("vec").as("__qv"))
+      .withColumn("cell", explode(bridge.column(graft.functions.ProbeCells(
+        bridge.expression(col("__qv")), bank, nProbe))))
+    val codes = {
+      val s0 = idx.codes.withColumn("cell", col("cell").cast("long"))
+      idx.tombs.fold(s0)(t => s0.join(t.select(col("id")), Seq("id"), "left_anti"))
+    }
+    val adcTop = codes
+      .join(q.select(col("__qid"), col("__qv"), col("cell")), Seq("cell"))
+      .withColumn("__negd",
+        -Similarity.adcDistCol(bookBank, col("__qv"), col("codes")))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopKAgg.topK(col("__negd"), col("id"),
+        k * overfetch).as("__top"))
+      .select(col("__qid"), explode(col("__top")).as("__t"))
+      .select(col("__qid"), col("__t.id").as("id"))
+    // exact re-rank over candidate pairs only; norms factor out of the
+    // pair loop exactly as in knnJoin (cosinePre contract)
+    val cn = live.select(col("id"), col("vec"),
+      Kernel.vecNorm(col("vec")).as("__cn"))
+    val qn = live.select(col("id").as("__qid"), col("vec").as("__qv2"),
+      Kernel.vecNorm(col("vec")).as("__qn"))
+    adcTop.join(cn, Seq("id")).join(qn, Seq("__qid"))
+      .withColumn("score", Kernel.cosinePre(
+        col("vec"), col("__qv2"), col("__cn"), col("__qn")))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("id"), k + 1).as("__top"))
+      .select(col("__qid").as("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.id").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+  }
+
+  /** Index-backed semantic clustering — the serving-path answer to the
+    * auto-sized sign-LSH recall gap (RECALL probes: the hyperplane
+    * family holds cost linear but recalls 0.17 on the mid-cosine band
+    * that carries this corpus's true-kNN mass; the IVF geometry +
+    * exact rescore recalls it all at the same candidate bound). The
+    * mutual transpose join and CC labeling are exactly
+    * [[Similarity.mutualKnnPairs]]/[[Similarity.semanticClustersFromKnn]]'s;
+    * only the candidate pass changes — so when the proposal covers the
+    * true top-(k+1), output is BIT-IDENTICAL to the exact
+    * [[Similarity.semanticClusters]] (the q161 gate pins this against
+    * the exact-cluster oracle at gate scale). Scale shape: one
+    * cell-key exchange + candidate-sized rescore, reusing an index the
+    * serving stack already maintains — clustering stops paying its own
+    * candidate infrastructure. */
+  def semanticClustersIndexed(spark: SparkSession, idx: Loaded, nProbe: Int,
+                              k: Int,
+                              iterations: Int = Similarity.DefaultSemanticIterations,
+                              overfetch: Int = 4): DataFrame = {
+    val knn = selfKnnCandidates(spark, idx, nProbe, k, overfetch)
+      .localCheckpoint(false)
+    val mutual = knn.as("x").join(knn.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+      .filter(col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
+    Similarity.semanticClustersFromKnn(mutual, iterations)
+  }
+
   private def adcSearch(spark: SparkSession, queries: DataFrame,
                         qIdCol: String, qVecCol: String, idx: Loaded,
                         nProbe: Int, k: Int,

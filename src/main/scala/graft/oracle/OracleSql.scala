@@ -1200,6 +1200,63 @@ rk AS (SELECT qid, vec_id, dist,
 SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   }
 
+  /** q161: INDEX-BACKED semantic clustering ([[graft.operators
+    * .VectorIndex.semanticClustersIndexed]]) — the serving-path recall
+    * answer for clustering: candidates proposed by the persisted
+    * IVF-PQ index (q49b's assign/probe/ADC machinery with queries =
+    * the WHOLE corpus), widened to k×overfetch (q125's rescore cut),
+    * re-ranked by EXACT cosine (q107's dot/norm chain) to top-(k+1)
+    * with self dropped, then the same mutual filter + CC rounds. Self
+    * is NOT special-cased: it enters the wide candidate set through
+    * its own ADC distance like any row (and drops at the qid != nid
+    * filter), exactly as the Spark side does. */
+  def q161_clusters_indexed(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                            nCentsPq: Int, k: Int, overfetch: Int,
+                            iterations: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE) * ($a[$j*$sub + i]::DOUBLE - $b[$j*$sub + i]::DOUBLE)), (x,y) -> x+y)"
+    val rounds = ccRoundsSql(iterations)
+    s"""WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < $nCentsPq),
+cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT e.vec_id, s.j, cb.c, ${subL2("e.embedding", "cb.cv", "s.j")} AS d
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT e.vec_id AS qid, e.embedding AS qv, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn <= $nProbe),
+cand AS (SELECT qp.qid, qp.qv, a.vec_id FROM assign a JOIN qprobe qp ON a.cell = qp.cell),
+qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qv", "cb.cv", "en.j")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk0 AS (SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk0 FROM adist),
+wide AS (SELECT qid, vec_id FROM rk0 WHERE rnk0 <= ${k * overfetch}),
+v AS MATERIALIZED (SELECT vec_id, embedding,
+  sqrt(list_reduce(list_transform(list_transform(embedding, x -> x::DOUBLE), y -> y*y), (a,b) -> a+b)) AS nrm FROM embeddings),
+ex AS (SELECT w.qid, w.vec_id AS nid,
+  CASE WHEN c.nrm = 0.0 OR q.nrm = 0.0 THEN 0.0 ELSE
+    list_reduce(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (a,b) -> a+b) / (c.nrm * q.nrm) END AS score
+  FROM wide w JOIN v q ON q.vec_id = w.qid JOIN v c ON c.vec_id = w.vec_id),
+kn AS MATERIALIZED (SELECT qid, nid FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM ex) t
+  WHERE rnk <= ${k + 1} AND qid != nid),
+pr AS MATERIALIZED (SELECT x.qid AS id_a, x.nid AS id_b FROM kn x JOIN kn y ON y.qid = x.nid AND y.nid = x.qid WHERE x.qid < x.nid),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b AS s, id_a AS d FROM pr),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS cluster FROM edges),
+$rounds
+SELECT id, cluster FROM l$iterations"""
+  }
+
   /** q129: mean nearest-cell distance ([[graft.operators.VectorIndex
     * .meanCellDist]]) — the drift baseline/score reading. min over the
     * bank is order-free; the per-row double quantizes to a long before
@@ -3768,6 +3825,7 @@ FROM events GROUP BY user_id, event_type"""
     "q134_serving_capstone" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4,
       candFilter = "WHERE a.vec_id % 7 != 0 AND a.vec_id % 3 = 0"),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
+    "q161_clusters_indexed" -> q161_clusters_indexed(Dim, 16, 4, 8, 16, 4, 8, 18),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),

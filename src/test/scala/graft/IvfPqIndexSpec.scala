@@ -451,6 +451,33 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("semanticClustersIndexed == exact semanticClusters (full proposal coverage)") {
+    val path = tmp("graft_ivfpq_clu")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+      nCentsPq = 16, path = path, storeVectors = true)
+    val idx = VectorIndex.load(spark, path)
+    def lbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = lbl(Similarity.semanticClusters(e, "vec_id", "embedding",
+      k = 4, iterations = 12).select(col("id"), col("cluster")))
+    val indexed = lbl(VectorIndex.semanticClustersIndexed(spark, idx,
+      nProbe = 16, k = 4, iterations = 12, overfetch = 128)
+      .select(col("id"), col("cluster")))
+    assert(indexed == exact)
+    assert(indexed.nonEmpty)
+    // deleted rows leave the graph: clusters re-derive over survivors
+    val victims = e.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    VectorIndex.delete(spark, path, victims, "vec_id")
+    val idx2 = VectorIndex.load(spark, path)
+    val exactSurv = lbl(Similarity.semanticClusters(
+      e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+      k = 4, iterations = 12).select(col("id"), col("cluster")))
+    val indexedSurv = lbl(VectorIndex.semanticClustersIndexed(spark, idx2,
+      nProbe = 16, k = 4, iterations = 12, overfetch = 128)
+      .select(col("id"), col("cluster")))
+    assert(indexedSurv == exactSurv)
+  }
+
   test("loadQuantizers round-trips centroids and books exactly") {
     val path = tmp("graft_ivfpq_rt")
     val cents = Similarity.firstKCentroids(e, "vec_id", "embedding", 16)
