@@ -116,7 +116,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+    // Measurement provenance (r16 verdict): in-suite absolutes are upper
+    // bounds — whether THIS run had the machine to itself is a fact the
+    // artifact must carry, not one future readers infer. The runner sets
+    // SPARK_GRAFT_ISOLATED=1 when nothing else shares the box.
+    val isolated = sys.env.get("SPARK_GRAFT_ISOLATED").contains("1")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","isolated":$isolated,"repeat":$repeat,"queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The full line ALSO lands in a file: the driver's log-tail capture
     // truncates long stdout lines (r10's artifact kept only the tail,

@@ -108,11 +108,22 @@ object RecallProbe {
       graft.operators.VectorIndex.writeIvfPq(vecs, "vec_id", "embedding",
         nCells = 16, m = 8, nCentsPq = 16, path = path, storeVectors = true)
       val idx = graft.operators.VectorIndex.load(spark, path)
-      for ((label, nProbe, overfetch) <- Seq(
-          ("indexed_gate", 4, 8), ("indexed_serving", 8, 16))) {
+      // auto-sized build: cells follow the corpus (nCellsFor — the
+      // nPlanesFor analog), Lloyd-trained geometry, occupancy-bounded
+      // probes. The fixed-16-cell variants above measure the carried
+      // small-corpus constant for contrast.
+      val nCellsAuto = graft.operators.VectorIndex.nCellsFor(n)
+      val pathAuto = java.nio.file.Files.createTempDirectory("graft_recall_idxa").toString
+      graft.operators.VectorIndex.writeIvfPqTrained(vecs, "vec_id", "embedding",
+        K.Dim, nCells = nCellsAuto, m = 8, nCentsPq = 16, iterations = 4,
+        path = pathAuto, storeVectors = true)
+      val idxAuto = graft.operators.VectorIndex.load(spark, pathAuto)
+      for ((label, useIdx, nProbe, overfetch) <- Seq(
+          ("indexed_gate", idx, 4, 8), ("indexed_serving", idx, 8, 16),
+          ("indexed_auto", idxAuto, math.max(4, nCellsAuto / 8), 16))) {
         val t1 = System.nanoTime()
         val knn = graft.operators.VectorIndex
-          .selfKnnCandidates(spark, idx, nProbe, k, overfetch)
+          .selfKnnCandidates(spark, useIdx, nProbe, k, overfetch)
           .localCheckpoint(false)
         val ann = edges(knn.as("x").join(knn.as("y"),
             col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
@@ -172,6 +183,28 @@ object RecallProbe {
       val hit = ann.intersect(plantedPairs).size
       val r = hit.toDouble / plantedPairs.size
       println(f"""{"probe":"planted_$label","sf":"$sfDir","n":$nAug,"k":$k,"nPlanes":$nPlanes,"probes":$probes,"planted":${plantedPairs.size},"mean_cos":${plantedCos.sum / plantedCos.size}%.3f,"hit":$hit,"recall":$r%.4f}""")
+    }
+    // the INDEX-BACKED path on the planted near-dup band — the regime
+    // embedding-dedup exists for, and the floor the serving path must
+    // clear: auto-sized Lloyd cells + ADC proposal + exact rescore
+    locally {
+      val nCellsAug = graft.operators.VectorIndex.nCellsFor(nAug)
+      val pathAug = java.nio.file.Files.createTempDirectory("graft_recall_pidx").toString
+      graft.operators.VectorIndex.writeIvfPqTrained(aug, "vec_id", "embedding",
+        K.Dim, nCells = nCellsAug, m = 8, nCentsPq = 16, iterations = 4,
+        path = pathAug, storeVectors = true)
+      val idxAug = graft.operators.VectorIndex.load(spark, pathAug)
+      val nProbe = math.max(4, nCellsAug / 8)
+      val knn = graft.operators.VectorIndex
+        .selfKnnCandidates(spark, idxAug, nProbe, k, overfetch = 16)
+        .localCheckpoint(false)
+      val ann = edges(knn.as("x").join(knn.as("y"),
+          col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+        .filter(col("x.qid") < col("x.nid"))
+        .select(col("x.qid").as("id_a"), col("x.nid").as("id_b")))
+      val hit = ann.intersect(plantedPairs).size
+      val r = hit.toDouble / plantedPairs.size
+      println(f"""{"probe":"planted_indexed_auto","sf":"$sfDir","n":$nAug,"k":$k,"nCells":$nCellsAug,"nProbe":$nProbe,"overfetch":16,"planted":${plantedPairs.size},"hit":$hit,"recall":$r%.4f}""")
     }
     spark.stop()
   }

@@ -462,6 +462,21 @@ object VectorIndex {
       .select(col(idCol), col("id").as("corpus_id"), col("cosine"))
   }
 
+  /** Auto-size the coarse cell count from the corpus — the
+    * [[Similarity.nPlanesFor]] analog for the IVF geometry: the
+    * smallest cell count with expected occupancy ≤ `targetCell`, so a
+    * probed search scans ≈ nProbe·targetCell candidates regardless of
+    * n. Carrying a small-corpus cell constant to a bigger corpus is
+    * the same failure mode as a carried plane constant (RECALL probes:
+    * 16 cells at 20k vectors recalled 0.03 where the auto-sized build
+    * holds the planted near-dup band): occupancy grows with n, ADC
+    * ordering noise swamps the overfetch cut, and recall collapses.
+    * Clamped to [1, n] (a cell needs at least one row). */
+  def nCellsFor(n: Long, targetCell: Long = 256L): Int = {
+    require(n >= 1 && targetCell >= 1, "need n >= 1 and targetCell >= 1")
+    math.min(n, math.max(1L, (n + targetCell - 1) / targetCell)).toInt
+  }
+
   /** Corpus-scale self-kNN candidates from the persisted index — the
     * candidate generator for [[semanticClustersIndexed]]. Unlike
     * [[searchRescored]] (a per-batch serving call that BROADCASTS its
