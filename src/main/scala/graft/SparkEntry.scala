@@ -1251,6 +1251,20 @@ object SparkEntry {
         nMerges = 8).toDF("rnk", "l", "r", "cnt")
     }),
 
+    // the BATCHED trainer at production-shaped depth: 128 requested
+    // rounds exceed this corpus's whole merge space (exhausts at 89),
+    // so the gate hash-pins EVERY merge the vocabulary admits against
+    // the sequential chained-CTE oracle — the batched trainer's claim
+    // IS list-equality with sequential greedy rounds (R1–R3 prefix
+    // proof in the scaladoc), and the oracle deliberately does not
+    // model batches
+    "q162_bpe_merges_batched" -> ((s, dir) => {
+      import s.implicits._
+      TokenizerTrain.trainBpeMergesBatched(
+        TokenizerTrain.wordCounts(docs(s, dir), "text").localCheckpoint(false),
+        nMerges = 128)._1.toDF("rnk", "l", "r", "cnt")
+    }),
+
     // leg 3: train + segment + count composed — corpus token counts
     // under the learned 8-merge vocabulary
     "q148_bpe_tokenize" -> ((s, dir) =>

@@ -41,6 +41,46 @@ object TokTrainProbe {
       if (learned < m)
         println(s"""{"probe":"toktrain_seq_exhausted","merges":$m,"learned":$learned}""")
     }
+    // the batched trainer on the same corpus: same learned list
+    // (gate-pinned), fewer driver-sequenced rounds
+    milestones.foreach { m =>
+      val t0 = System.nanoTime()
+      val (merges, rounds) = TokenizerTrain.trainBpeMergesBatched(wc, m)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"toktrain_batched","sf":"$sfDir","merges":$m,"learned":${merges.size},"rounds":$rounds,"sec":$sec%.3f,"sec_per_merge":${sec / math.max(1, merges.size)}%.4f}""")
+    }
+
+    // SYNTHETIC word table at production diversity: the corpus above
+    // saturates at 176 distinct words / 234 merges, so production merge
+    // counts are unmeasurable on it. Training rounds never touch the
+    // corpus — their cost is a function of the (word, cnt) table alone —
+    // so generate one at realistic diversity (fmix64 letters, Zipf-ish
+    // counts) and measure the round loop there.
+    import spark.implicits._
+    val nWords = 100000
+    val synth = spark.range(nWords.toLong).map { i =>
+      val len = 3 + (ScaleGen.fmix64(i * 0x9e3779b97f4a7c15L) & 7L).toInt
+      val w = new StringBuilder
+      var j = 0
+      while (j < len) {
+        w += ('a' + (ScaleGen.fmix64(i * 31L + j) % 26 + 26) % 26).toChar
+        j += 1
+      }
+      (w.toString, 1L + nWords.toLong / (i + 1L)) // Zipf-ish counts
+    }.toDF("word", "cnt")
+      .groupBy("word").agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    val synthWords = synth.count()
+    Seq(256, 1024).filter(_ <= maxMerges * 4).foreach { m =>
+      val t0 = System.nanoTime()
+      val seq = TokenizerTrain.trainBpeMerges(synth, m)
+      val seqSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (bat, rounds) = TokenizerTrain.trainBpeMergesBatched(synth, m)
+      val batSec = (System.nanoTime() - t1) / 1e9
+      val same = bat == seq
+      println(f"""{"probe":"toktrain_synth","words":$synthWords,"merges":$m,"learned":${seq.size},"seq_sec":$seqSec%.3f,"seq_sec_per_round":${seqSec / math.max(1, seq.size)}%.4f,"batched_rounds":$rounds,"batched_sec":$batSec%.3f,"speedup":${seqSec / batSec}%.2f,"lists_equal":$same}""")
+    }
     spark.stop()
   }
 }

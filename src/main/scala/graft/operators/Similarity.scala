@@ -892,7 +892,14 @@ object Similarity {
     * `probes = Similarity.probesFor(nPlanesFor(n))` (half the planes —
     * see [[probesFor]] for the recovery-vs-cost arithmetic; ScaleProbe
     * measures the auto-sized composition at 22–28× under the carried
-    * fixed constant at 100× even before probing). */
+    * fixed constant at 100× even before probing). When a persisted
+    * IVF-PQ index with stored vectors already exists (the serving
+    * stack maintains one), prefer
+    * [[VectorIndex.semanticClustersIndexed]]: geometric cells + the
+    * exact-cosine rescore recall the planted near-dup band at 0.999
+    * where this family tops out at 0.82 probing all planes
+    * (RECALL_r17_testdata_sf1.jsonl), reusing candidate
+    * infrastructure clustering otherwise pays for separately. */
   def semanticClustersAnnAuto(vecs: DataFrame, idCol: String, vecCol: String,
                               dim: Int, k: Int,
                               iterations: Int = DefaultSemanticIterations,

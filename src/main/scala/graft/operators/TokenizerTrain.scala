@@ -113,6 +113,120 @@ object TokenizerTrain {
     out.toSeq
   }
 
+  /** One greedy-left pass applying a BATCH of merges — sound only for
+    * batches [[trainBpeMergesBatched]] accepts (pairwise
+    * symbol-disjoint, cascade-free), where a position matches at most
+    * one pair and no merged token re-enters any rule, so one combined
+    * fold ≡ the sequential per-pair folds. The batch ships as two
+    * literal maps (left → expected right, left → merged token). */
+  private def applyMergeBatch(syms: Column, ms: Seq[(String, String)]): Column = {
+    val rmap = map(ms.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*)
+    val mmap = map(ms.flatMap { case (l, r) => Seq(lit(l), lit(l + r)) }: _*)
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when((size(acc) > 0)
+            .and(element_at(rmap, element_at(acc, -1)) === x),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(element_at(mmap, element_at(acc, -1)))))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** [[trainBpeMerges]] with PROVABLY-EXACT merge batching — the same
+    * learned list, fewer driver-sequenced rounds. The sequential
+    * trainer's wall at production merge counts (~30k) is not data: the
+    * word table saturates (≈1e8 rows at 100 TB) and each round's jobs
+    * are small — it is the ROUND COUNT × fixed job overhead
+    * (TokTrainProbe: ~0.11 s/round of pure overhead even on a 176-word
+    * table ⇒ ~55 min of driver sequencing for 30k merges). This
+    * variant accepts, per round, the maximal PREFIX of the sorted
+    * candidate pairs that is provably the next run of sequential
+    * argmaxes, and applies it in one pass:
+    *
+    *  - '''R1 (disjoint)''': accepted pairs share no symbol — merging
+    *    one cannot change another's count (a merge only perturbs pairs
+    *    adjacent to its own symbols), so every accepted count is the
+    *    exact sequential count at its step.
+    *  - '''R2 (cascade-free)''': no accepted pair's MERGED token
+    *    equals any accepted pair's symbol — new tokens never re-enter
+    *    a batch rule, making the one-pass fold order-free and ≡ the
+    *    sequential folds.
+    *  - '''R3 (new-pair bound)''': merging (l, r) can create new pairs
+    *    only of the form (x, lr) or (lr, y), with counts bounded by
+    *    count(x, l) resp. count(r, y) — both already in the counts
+    *    table. A candidate is accepted only while its count is
+    *    STRICTLY above every earlier accepted pair's bound
+    *    B = max(maxₓ count(x, l), max_y count(r, y)), so no new pair
+    *    can overtake it (strictness also settles lex ties).
+    *  - '''Prefix rule''': stop at the FIRST candidate failing any
+    *    rule — a skipped candidate's count may have decreased, so
+    *    everything after it is unprovable this round.
+    *
+    * Every batch has length ≥ 1 (the head is the argmax by
+    * construction), so this is never worse than sequential; the spec
+    * pins list-equality against [[trainBpeMerges]] to exhaustion, the
+    * q162 gate pins it against the chained-CTE oracle at 128 rounds
+    * (past the gate corpus's full 89-merge vocabulary). Returns
+    * ((rank, left, right, cnt), roundsUsed). */
+  def trainBpeMergesBatched(wc: DataFrame, nMerges: Int,
+                            topN: Int = 1024): (Seq[(Long, String, String, Long)], Int) = {
+    var syms = withSyms(wc).localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (out.size < nMerges && !exhausted) {
+      val counts = pairCountsOf(syms).localCheckpoint(false)
+      val byRight = counts.groupBy(col("r")).agg(max(col("cnt")).as("bl"))
+        .withColumnRenamed("r", "k1")
+      val byLeft = counts.groupBy(col("l")).agg(max(col("cnt")).as("br"))
+        .withColumnRenamed("l", "k2")
+      val cand = counts
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(topN)
+        .join(broadcast(byRight), col("l") === col("k1"), "left")
+        .join(broadcast(byLeft), col("r") === col("k2"), "left")
+        .select(col("l"), col("r"), col("cnt"),
+          greatest(coalesce(col("bl"), lit(0L)), coalesce(col("br"), lit(0L))).as("b"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var maxB = Long.MinValue
+        var stop = false
+        var i = 0
+        while (!stop && i < cand.length && out.size + batch.size < nMerges) {
+          val (l, r, c, b) =
+            (cand(i).getString(0), cand(i).getString(1), cand(i).getLong(2), cand(i).getLong(3))
+          val m = l + r
+          // `used` holds every accepted pair's symbols AND merged token,
+          // so the three membership tests cover R1 and both directions
+          // of R2 (a candidate whose symbol is an accepted merged token,
+          // and a candidate whose merged token is an accepted symbol).
+          // l == r candidates need no special case: m = l+r is strictly
+          // longer than either symbol, so it can never collide with its
+          // own pair's symbols.
+          val ok = (batch.isEmpty || c > maxB) &&
+            !used.contains(l) && !used.contains(r) && !used.contains(m)
+          if (ok) {
+            batch += ((l, r, c))
+            used += l; used += r; used += m
+            maxB = math.max(maxB, b)
+          } else stop = true
+          i += 1
+        }
+        batch.foreach { case (l, r, c) => out += ((out.size.toLong, l, r, c)) }
+        syms = syms.select(col("word"), col("cnt"),
+          applyMergeBatch(col("syms"), batch.toSeq.map(t => (t._1, t._2))).as("syms"))
+          .localCheckpoint(false)
+        rounds += 1
+        // cand smaller than topN AND nothing accepted → truly no pair
+        if (batch.isEmpty) exhausted = true
+      }
+    }
+    (out.toSeq, rounds)
+  }
+
   /** Per-symbol unigram counts over a (word, cnt, syms) table:
     * (s, ucnt) — symbol-vocabulary sized. */
   private[graft] def symbolCountsOf(syms: DataFrame): DataFrame =

@@ -2051,6 +2051,39 @@ SELECT l, r, cnt FROM p0"""
 mm AS (${(0 until n).map(k => s"SELECT $k::BIGINT AS rnk, l, r, cnt FROM m$k").mkString(" UNION ALL ")})
 SELECT * FROM mm"""
 
+  /** [[bpeMergeCtes]] with MATERIALIZED rounds — required past ~8
+    * rounds: each plain s$k is referenced twice per round, so the
+    * non-materialized chain inlines ~2^n scans of the parquet
+    * (observed as file-handle exhaustion near n=64). DuckDB binds a
+    * materialized 160-round chain inside its default expression-depth
+    * limit; q162 uses 128. */
+  def bpeMergeCtesMat(n: Int): String = {
+    val rounds = (0 until n).map { k =>
+      s"""y$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(seq,'/'), x -> x != '') AS syms FROM s$k),
+p$k AS MATERIALIZED (SELECT struct_extract(z,1) AS l, struct_extract(z,2) AS r, sum(cnt)::BIGINT AS cnt FROM (
+  SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z FROM y$k WHERE len(syms) >= 2) GROUP BY 1, 2),
+m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s${k + 1} AS MATERIALIZED (SELECT word, s.cnt, replace(seq, '/' || m.l || '//' || m.r || '/', '/' || m.l || m.r || '/') AS seq FROM s$k s CROSS JOIN m$k m),"""
+    }.mkString("\n")
+    s"""w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(${toks("text")}) AS word FROM documents) GROUP BY word),
+s0 AS MATERIALIZED (SELECT word, cnt, '//' || array_to_string(string_split(word,''),'//') || '//' AS seq FROM w0),
+$rounds"""
+  }
+
+  /** q162: the BATCHED trainer ([[graft.operators.TokenizerTrain
+    * .trainBpeMergesBatched]]) at 128 rounds — past the gate corpus's
+    * full merge space (exhausts at 89), so this hash-gates every merge
+    * the vocabulary admits. The oracle is the SEQUENTIAL chain: the
+    * batched trainer's whole claim is list-equality with sequential
+    * greedy rounds, so the oracle deliberately does not model batches.
+    * Rounds past exhaustion are empty CTEs (p$$k empty → m$$k empty →
+    * s$${k+1} empty via the cross join), contributing no rows — the
+    * same early stop the Spark trainer takes. */
+  def q162_bpe_merges_batched(n: Int): String =
+    s"""WITH ${bpeMergeCtesMat(n)}
+mm AS (${(0 until n).map(k => s"SELECT $k::BIGINT AS rnk, l, r, cnt FROM m$k").mkString(" UNION ALL ")})
+SELECT * FROM mm"""
+
   /** q148: corpus token counts under the learned vocabulary —
     * train + segment + count, end to end. */
   def q148_bpe_tokenize(n: Int): String =
@@ -3905,6 +3938,7 @@ FROM events GROUP BY user_id, event_type"""
     "q145_stream_hll" -> q114_hll_distinct(3, 6),
     "q146_bpe_pair_counts" -> q146_bpe_pair_counts,
     "q147_bpe_merges" -> q147_bpe_merges(8),
+    "q162_bpe_merges_batched" -> q162_bpe_merges_batched(128),
     "q148_bpe_tokenize" -> q148_bpe_tokenize(8),
     // train → export → load → native BpeIds: the exported artifact's
     // rank-priority encoding answers the trainer's own segmentation SQL

@@ -57,6 +57,31 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(TokenizerTrain.trainBpeMerges(wc, nMerges = 3).isEmpty)
   }
 
+  test("trainBpeMergesBatched == trainBpeMerges to exhaustion (real corpus + fixtures)") {
+    // the provable-prefix batch rule must reproduce the sequential list
+    // EXACTLY, merge for merge, on a real corpus trained to exhaustion
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = TokenizerTrain.wordCounts(d, "text").localCheckpoint(true)
+    val seq = TokenizerTrain.trainBpeMerges(wc, nMerges = 512)
+    val (bat, rounds) = TokenizerTrain.trainBpeMergesBatched(wc, nMerges = 512)
+    assert(bat == seq)
+    assert(rounds < seq.size, s"batching must save rounds: $rounds vs ${seq.size}")
+    // truncation respects the requested count mid-batch
+    val (bat8, _) = TokenizerTrain.trainBpeMergesBatched(wc, nMerges = 8)
+    assert(bat8 == seq.take(8))
+    // fixture where the naive batch WOULD be wrong without R3: merging
+    // the top pair creates a new pair that outcounts the runner-up —
+    // sequential picks it, so the batch must stop after one merge
+    val tricky = TokenizerTrain.wordCounts(
+      corpus(Seq.fill(6)("xab").mkString(" "), Seq.fill(5)("cd").mkString(" "),
+        "ab ab ab"), "text")
+    val seqT = TokenizerTrain.trainBpeMerges(tricky, nMerges = 3)
+    val (batT, _) = TokenizerTrain.trainBpeMergesBatched(tricky, nMerges = 3)
+    assert(batT == seqT)
+    assert(seqT(1)._2 == "x" && seqT(1)._3 == "ab",
+      s"fixture must exercise the new-pair-overtakes case, got ${seqT(1)}")
+  }
+
   test("trainWordPieceMerges: likelihood argmax differs from raw-count argmax") {
     // ab x10 (frequent pair of FREQUENT symbols) vs xy x2 (rare pair of
     // RARE symbols); standalone a/b x20 inflate the unigram counts.
