@@ -647,6 +647,26 @@ object SparkEntry {
         .select(col("id"), col("cluster"))
     }),
 
+    // q161 at its SCALE sizing: nCellsFor(count) picks the cell count
+    // (occupancy ≤ 256 — the nPlanesFor analog; RECALL probes measure
+    // the carried-16-cell constant cratering at sf1) and nProbe stays
+    // FIXED so candidates are nProbe·targetCell per vector — linear in
+    // n where probing a fixed FRACTION of cells would stay quadratic.
+    // The sf0.01 gate corpus (500 embeddings) auto-sizes to 2 cells,
+    // so this row gating green pins the sizing rule itself — the
+    // oracle hardcodes the chain at nCells 2 and any other choice
+    // hash-mismatches (the q121 pattern)
+    "q161b_clusters_indexed_auto" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val nc = VectorIndex.nCellsFor(e.count())
+      val path = java.nio.file.Files.createTempDirectory("graft_q161b_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = nc, m = 8,
+        nCentsPq = 16, path = path, storeVectors = true)
+      VectorIndex.semanticClustersIndexed(s, VectorIndex.load(s, path),
+        nProbe = math.min(nc, 4), k = 4, iterations = 28, overfetch = 8)
+        .select(col("id"), col("cluster"))
+    }),
+
     // the drift reading that decides WHEN to retrain a persisted index:
     // mean nearest-cell distance, fixed-point-exact (min is order-free,
     // the sum is commutative longs) — here the build-baseline form over

@@ -175,7 +175,11 @@ object TokenizerTrain {
     var rounds = 0
     var exhausted = false
     while (out.size < nMerges && !exhausted) {
-      val counts = pairCountsOf(syms).localCheckpoint(false)
+      // EAGER cuts: the batched loop builds two extra plan branches per
+      // round (the byRight/byLeft bound joins); past ~100 lazily-cut
+      // rounds the accumulated closure graph overflowed task
+      // deserialization, so both cuts materialize eagerly here
+      val counts = pairCountsOf(syms).localCheckpoint(true)
       val byRight = counts.groupBy(col("r")).agg(max(col("cnt")).as("bl"))
         .withColumnRenamed("r", "k1")
       val byLeft = counts.groupBy(col("l")).agg(max(col("cnt")).as("br"))
@@ -218,7 +222,7 @@ object TokenizerTrain {
         batch.foreach { case (l, r, c) => out += ((out.size.toLong, l, r, c)) }
         syms = syms.select(col("word"), col("cnt"),
           applyMergeBatch(col("syms"), batch.toSeq.map(t => (t._1, t._2))).as("syms"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         rounds += 1
         // cand smaller than topN AND nothing accepted → truly no pair
         if (batch.isEmpty) exhausted = true

@@ -3859,6 +3859,9 @@ FROM events GROUP BY user_id, event_type"""
       candFilter = "WHERE a.vec_id % 7 != 0 AND a.vec_id % 3 = 0"),
     "q125_ivfpq_rescored" -> q125_ivfpq_rescored(Dim, 16, 4, 8, 16, 5, 4),
     "q161_clusters_indexed" -> q161_clusters_indexed(Dim, 16, 4, 8, 16, 4, 8, 18),
+    // the auto-sized form: nCellsFor(500) = 2 at the gate corpus, fixed
+    // nProbe clamps to 2 — hardcoded here so any other sizing mismatches
+    "q161b_clusters_indexed_auto" -> q161_clusters_indexed(Dim, 2, 2, 8, 16, 4, 8, 28),
     "q50_kmeans_train" -> q50_kmeans_train(8, 2),
     "q50b_ivf_trained" -> q50b_ivf_trained(8, 2, 2, 5),
     "q51_pq_trained" -> q51_pq_trained(Dim, 8, 8, 1, 5),
