@@ -55,7 +55,7 @@ object SketchStore {
     else fs.listStatus(cells).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch="))
-      .filter(_.forall(_.isDigit))
+      .filter(n => n.nonEmpty && n.length <= 18 && n.forall(_.isDigit))
       .map(_.toLong)
       .foldLeft(-1L)(math.max) + 1L
   }
