@@ -290,6 +290,17 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(scanLine.isDefined, s"expected a postings scan with PushedFilters:\n$plan")
     assert(scanLine.get.contains("In(token_id"),
       s"the term set must push down as In(token_id, ...): ${scanLine.get}")
+    // the removal side's O(batch) claim rests on the same property for
+    // the forward table: a batch id set over the doc-sorted docs scan
+    // must land as In(doc_id, ...) (removeDocs builds exactly this frame)
+    val ids = Array(2L, 9L, 44L)
+    val docsScan = spark.read.parquet(s"$path/docs")
+      .filter(col("doc_id").isin(ids: _*))
+      .queryExecution.executedPlan.toString
+    val dLine = docsScan.linesIterator
+      .find(l => l.contains("docs") && l.contains("PushedFilters"))
+    assert(dLine.isDefined && dLine.get.contains("In(doc_id"),
+      s"removal ids must push down as In(doc_id, ...):\n$docsScan")
   }
 
   test("searching a never-written index refuses loudly") {
