@@ -194,17 +194,23 @@ object RecallProbe {
         K.Dim, nCells = nCellsAug, m = 8, nCentsPq = 16, iterations = 4,
         path = pathAug, storeVectors = true)
       val idxAug = graft.operators.VectorIndex.load(spark, pathAug)
-      val nProbe = math.max(4, nCellsAug / 8)
-      val knn = graft.operators.VectorIndex
-        .selfKnnCandidates(spark, idxAug, nProbe, k, overfetch = 16)
-        .localCheckpoint(false)
-      val ann = edges(knn.as("x").join(knn.as("y"),
-          col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
-        .filter(col("x.qid") < col("x.nid"))
-        .select(col("x.qid").as("id_a"), col("x.nid").as("id_b")))
-      val hit = ann.intersect(plantedPairs).size
-      val r = hit.toDouble / plantedPairs.size
-      println(f"""{"probe":"planted_indexed_auto","sf":"$sfDir","n":$nAug,"k":$k,"nCells":$nCellsAug,"nProbe":$nProbe,"overfetch":16,"planted":${plantedPairs.size},"hit":$hit,"recall":$r%.4f}""")
+      // two probe settings: the wide one, and q161b's LINEAR serving
+      // default (fixed nProbe=4 → nProbe·targetCell candidates per
+      // vector regardless of n — the setting the sf10 artifact runs)
+      for ((label, nProbe) <- Seq(
+          ("planted_indexed_auto", math.max(4, nCellsAug / 8)),
+          ("planted_indexed_linear", math.min(nCellsAug, 4)))) {
+        val knn = graft.operators.VectorIndex
+          .selfKnnCandidates(spark, idxAug, nProbe, k, overfetch = 16)
+          .localCheckpoint(false)
+        val ann = edges(knn.as("x").join(knn.as("y"),
+            col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+          .filter(col("x.qid") < col("x.nid"))
+          .select(col("x.qid").as("id_a"), col("x.nid").as("id_b")))
+        val hit = ann.intersect(plantedPairs).size
+        val r = hit.toDouble / plantedPairs.size
+        println(f"""{"probe":"$label","sf":"$sfDir","n":$nAug,"k":$k,"nCells":$nCellsAug,"nProbe":$nProbe,"overfetch":16,"planted":${plantedPairs.size},"hit":$hit,"recall":$r%.4f}""")
+      }
     }
     spark.stop()
   }
