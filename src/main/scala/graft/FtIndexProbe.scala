@@ -18,11 +18,21 @@ import graft.operators.{FullText, FullTextIndex}
   *     stack partial stats.
   *
   * Usage: runMain graft.FtIndexProbe <sfDir> [reps=2]
+  *        runMain graft.FtIndexProbe <sfDir> sustained [nBatches=50]
+  *
+  * The `sustained` mode measures what the single-shot probes skip
+  * (r17 verdict #4): 50 consecutive 1% removal batches with NO manual
+  * compaction call, once under the auto-compaction policy
+  * ([[FullTextIndex.maybeCompact]], fired by every removeDocs) and once
+  * with the policy disabled — the per-batch query-cost curve is the
+  * evidence that the tombstone mask is bounded BY POLICY, not by an
+  * operator remembering the maintenance window.
   */
 object FtIndexProbe {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: FtIndexProbe <sfDir> [reps=2]"); sys.exit(1) }
+    if (args.isEmpty) { System.err.println("usage: FtIndexProbe <sfDir> [reps=2|sustained [nBatches]]"); sys.exit(1) }
     val sfDir = args(0)
+    if (args.contains("sustained")) { sustained(sfDir, args); return }
     val reps = if (args.length > 1) args(1).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
@@ -109,6 +119,45 @@ object FtIndexProbe {
       FullTextIndex.compactPostings(spark, path) // idle re-entry: O(1)
       val idle = (System.nanoTime() - t1) / 1e9
       println(f"""{"probe":"ftindex_compact","sf":"$sfDir","n":$n,"sec":$sec%.3f,"idle_reentry_sec":$idle%.3f}""")
+    }
+    spark.stop()
+  }
+
+  /** Sustained removals, no manual compaction: one leg with the
+    * built-in trigger (production default), one with it disabled (the
+    * unbounded-mask contrast). Per batch: removal wall time; every 5th
+    * batch also times a query and reads the pending-tombstone count. */
+  private def sustained(sfDir: String, args: Array[String]): Unit = {
+    val nBatches = args.drop(1).flatMap(a => scala.util.Try(a.toInt).toOption)
+      .headOption.getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = d.count()
+    val queries = d.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), substring(col("text"), 1, 60).as("qtext"))
+    for (policy <- Seq("auto", "none")) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_ftsust_$policy").toString
+      FullTextIndex.write(d, "doc_id", "text", path)
+      for (b <- 0 until nBatches) {
+        val t0 = System.nanoTime()
+        FullTextIndex.removeDocs(spark,
+          d.filter(col("doc_id") % 100 === b).select(col("doc_id")),
+          "doc_id", path, autoCompact = policy == "auto")
+        val rSec = (System.nanoTime() - t0) / 1e9
+        if (b % 5 == 4 || b == nBatches - 1) {
+          val pend = spark.read.parquet(s"$path/tombstones")
+            .select(col("doc_id")).distinct().count()
+          val t1 = System.nanoTime()
+          FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, 5)
+            .write.format("noop").mode("overwrite").save()
+          val qSec = (System.nanoTime() - t1) / 1e9
+          println(f"""{"probe":"ftindex_sustained","policy":"$policy","sf":"$sfDir","n":$n,"batch":${b + 1},"remove_sec":$rSec%.3f,"query_sec":$qSec%.3f,"pending_tombstones":$pend}""")
+        }
+      }
     }
     spark.stop()
   }

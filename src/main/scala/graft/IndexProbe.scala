@@ -33,8 +33,9 @@ import graft.operators.{Similarity, VectorIndex}
   */
 object IndexProbe {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: IndexProbe <sfDir> [reps=3] [batches=5]"); sys.exit(1) }
+    if (args.isEmpty) { System.err.println("usage: IndexProbe <sfDir> [reps=3] [batches=5] | <sfDir> sustained [nBatches=50]"); sys.exit(1) }
     val sfDir = args(0)
+    if (args.contains("sustained")) { sustained(sfDir, args); return }
     val reps = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
@@ -329,6 +330,49 @@ object IndexProbe {
       VectorIndex.driftScore(spark, driftBatch, "embedding", path)
     }
 
+    spark.stop()
+  }
+
+  /** Sustained 1% deletes with NO manual compaction ([[FtIndexProbe]]'s
+    * sustained mode for the vector index): the auto-trigger leg must
+    * show bounded pending-tombstone counts and flat query cost; the
+    * policy-off leg is the unbounded-mask contrast. */
+  private def sustained(sfDir: String, args: Array[String]): Unit = {
+    val nBatches = args.drop(1).flatMap(a => scala.util.Try(a.toInt).toOption)
+      .headOption.getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.tunedBuilder(sfDir, cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = vecs.count()
+    val nCells = math.max(16, math.min(2000, (n / 512L).toInt))
+    val queries = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    for (policy <- Seq("auto", "none")) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_idxsust_$policy").toString
+      VectorIndex.writeIvfPq(vecs, "vec_id", "embedding", nCells, 8,
+        nCells.min(256), path)
+      for (b <- 0 until nBatches) {
+        val t0 = System.nanoTime()
+        VectorIndex.delete(spark,  path,
+          vecs.filter(col("vec_id") % 100 === b).select(col("vec_id")),
+          "vec_id", autoCompact = policy == "auto")
+        val dSec = (System.nanoTime() - t0) / 1e9
+        if (b % 5 == 4 || b == nBatches - 1) {
+          val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+          val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val pend = if (fs.exists(tombDir))
+            spark.read.parquet(s"$path/tombstones").select(col("id")).distinct().count()
+          else 0L
+          val t1 = System.nanoTime()
+          VectorIndex.search(spark, queries, "qid", "qv", path, 4, 5)
+            .write.format("noop").mode("overwrite").save()
+          val qSec = (System.nanoTime() - t1) / 1e9
+          println(f"""{"probe":"index_sustained","policy":"$policy","sf":"$sfDir","n":$n,"n_cells":$nCells,"batch":${b + 1},"delete_sec":$dSec%.3f,"query_sec":$qSec%.3f,"pending_tombstones":$pend}""")
+        }
+      }
+    }
     spark.stop()
   }
 }

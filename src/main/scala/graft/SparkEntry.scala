@@ -61,11 +61,15 @@ object SparkEntry {
     * on the driver (the previous harness collected each slice into a
     * MemoryStream — at sf10 that driver round-trip dominated the gate
     * cost; SCALING.md). Each slice pre-writes to its own staging subdir
-    * as a DISTRIBUTED job; between `processAllAvailable` barriers only
-    * driver-side file RENAMES move the slice's parts into the watched
-    * directory, so the file source sees exactly one new file-set per
+    * as a DISTRIBUTED job; between `processAllAvailable` barriers ONE
+    * driver-side directory RENAME moves the whole slice into the
+    * watched glob, so the file source sees exactly one new file-set per
     * barrier — the same batch seams and the same batch ids (0, 1, …) as
-    * the driver-fed harness, with the data staying executor-side. */
+    * the driver-fed harness, with the data staying executor-side.
+    * The slice's appearance is ATOMIC (a single rename, asserted): the
+    * earlier per-part-file loop let the source list MID-LOOP and commit
+    * a partial slice as its own micro-batch, which would nondeterminize
+    * the batch-scope labels the dedup-ingest gates hash. */
   private def streamFileBatches(s: SparkSession, slices: Seq[DataFrame])(
       sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row]): Unit = {
@@ -77,14 +81,17 @@ object SparkEntry {
     slices.zipWithIndex.foreach { case (df, i) => df.write.parquet(s"$stage/b$i") }
     val schema = s.read.parquet(s"$stage/b0").schema
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fstream_ckpt").toString
-    val q = sink(s.readStream.schema(schema).parquet(inDir))
+    // the glob matches the not-yet-present b<i> subdirectories; parquet
+    // part files inside a matched directory are listed per micro-batch
+    val q = sink(s.readStream.schema(schema).parquet(s"$inDir/b*"))
       .option("checkpointLocation", ckpt).start()
     try {
       slices.indices.foreach { i =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$stage/b$i"))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach(f => fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(inDir, s"b$i-${f.getPath.getName}")))
+        val src = new org.apache.hadoop.fs.Path(s"$stage/b$i")
+        val dst = new org.apache.hadoop.fs.Path(inDir, s"b$i")
+        // FileSystem.rename reports most failures as `false`, not an
+        // exception — an unasserted miss would silently drop the slice
+        require(fs.rename(src, dst), s"slice rename failed: $src -> $dst")
         q.processAllAvailable()
       }
     } finally q.stop()

@@ -81,6 +81,25 @@ object FullTextIndex {
     * filters via broadcast semi join instead. */
   val PushdownTermLimit: Int = 4096
 
+  /** On-disk format version, written into `conf` and REQUIRED by every
+    * read/maintenance entry point. v2 = the generation-tombstone layout
+    * (gen columns on postings/docs/meta, forward `docs/` table,
+    * `tombstones/`); a v1 directory (no version column) predates the
+    * forward table — serving it would fail mid-flight on an unresolved
+    * `gen` column instead of refusing up front. */
+  val FormatVersion: Int = 2
+
+  /** Auto-compaction floor: below this many tombstoned docs the
+    * broadcast mask is cheaper than any rewrite — never compact. */
+  val AutoCompactMinTombstones: Long = 4096L
+
+  /** Auto-compaction ratio: compact once tombstoned docs exceed this
+    * fraction of the live corpus (and the floor). At 10% the mask
+    * broadcast stays bounded by a corpus-proportional budget while
+    * the amortized rewrite runs at most ~10 times per corpus
+    * turnover. */
+  val AutoCompactFrac: Double = 0.10
+
   /** Build the index over a corpus: one tokenize pass feeds postings,
     * the forward docs table, df partials, and the meta partial. The
     * conf table is written LAST — it is the commit marker every read
@@ -94,7 +113,7 @@ object FullTextIndex {
     val fs = hfs(spark, path)
     fs.delete(new Path(path), true)
     appendInto(spark, corpus, idCol, textCol, path, maxLength)
-    Seq(Tuple1(maxLength)).toDF("max_length")
+    Seq((maxLength, FormatVersion)).toDF("max_length", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
   }
 
@@ -217,8 +236,11 @@ object FullTextIndex {
     val termIds = qTerms.select(col("token_id")).distinct()
     // batch-bounded term set → IN predicate lands in the parquet scan
     // (row-group skipping on the sorted token column); wide batches keep
-    // the broadcast semi join (corpus side still never shuffles)
-    val ids = termIds.collect().map(_.getLong(0)).sorted
+    // the broadcast semi join (corpus side still never shuffles). The
+    // limit+1 collect decides the path without ever pulling an
+    // over-limit term set to the driver
+    val ids = termIds.limit(PushdownTermLimit + 1).collect()
+      .map(_.getLong(0)).sorted
     def prune(t: DataFrame): DataFrame =
       if (ids.length <= PushdownTermLimit) t.filter(col("token_id").isin(ids: _*))
       else t.join(broadcast(termIds), Seq("token_id"), "left_semi")
@@ -270,7 +292,8 @@ object FullTextIndex {
     * deltas and subtracts nothing. Contract: every id was ingested at
     * most once per generation (ids are permanent identities). */
   def removeDocs(spark: SparkSession, ids: DataFrame, idCol: String,
-                 path: String): Unit = {
+                 path: String, autoCompact: Boolean = true): Unit = {
+    conf(spark, path) // format gate — refuse a stale layout up front
     reconcile(spark, path)
     val fs = hfs(spark, path)
     val rm = new Path(s"$path/_removal")
@@ -280,8 +303,11 @@ object FullTextIndex {
       .localCheckpoint(true)
     // batch-bounded id set → In(doc_id, ...) reaches the forward scan
     // (row-group skipping on the sorted doc column); wide batches fall
-    // back to the broadcast semi join
-    val idArr = drop.collect().map(_.getLong(0)).sorted
+    // back to the broadcast semi join. limit+1 decides the path, so a
+    // huge removal batch never round-trips its full id set through the
+    // driver just to learn it won't fit the IN pushdown
+    val idArr = drop.limit(PushdownTermLimit + 1).collect()
+      .map(_.getLong(0)).sorted
     def pruneDocs(t: DataFrame): DataFrame =
       if (idArr.length <= PushdownTermLimit) t.filter(col("doc_id").isin(idArr: _*))
       else t.join(broadcast(drop), Seq("doc_id"), "left_semi")
@@ -303,6 +329,12 @@ object FullTextIndex {
       .coalesce(1).write.parquet(s"$path/_removal/tombstones")
     fs.create(new Path(rm, "READY"), true).close()
     applyRemoval(spark, path)
+    // bounded-mask policy: under sustained removals the tombstone
+    // broadcast must not grow without an operator remembering to call
+    // compactPostings — the trigger fires here, after the removal lands
+    // (autoCompact=false is the probe's no-policy contrast, not a
+    // production setting)
+    if (autoCompact) maybeCompact(spark, path)
   }
 
   /** Roll a READY removal forward: move the staged delta and tombstone
@@ -331,6 +363,7 @@ object FullTextIndex {
     * results are unchanged (q141b/q152/q158 semantics); the wins are
     * scan size and a smaller tombstone broadcast. */
   def compactPostings(spark: SparkSession, path: String): Unit = {
+    conf(spark, path) // format gate
     reconcile(spark, path)
     val fs = hfs(spark, path)
     if (!fs.exists(new Path(s"$path/tombstones"))) return
@@ -356,12 +389,40 @@ object FullTextIndex {
     swapDir(fs, s"$path/tombstones", staged.toString)
   }
 
+  /** The auto-compaction trigger — decide-then-act, the same shape as
+    * the drift trigger ([[VectorIndex.driftScore]] → retrain): compact
+    * iff the tombstoned-doc count exceeds
+    * `max(minTombstones, frac · live docs)`. Called at the end of every
+    * [[removeDocs]] (the only entry point that grows the mask), so the
+    * query-time tombstone broadcast is BOUNDED BY POLICY, not by the
+    * operator's memory of calling [[compactPostings]] manually: under
+    * sustained removals the mask grows to at most the threshold, one
+    * amortized rewrite runs, and the cycle repeats. Results are
+    * unchanged either way (compaction is semantics-preserving —
+    * q141b/q152/q158 pin that); the decide leg costs one count over the
+    * O(removals) tombstone table plus the 1-row meta sum. Returns
+    * whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   minTombstones: Long = AutoCompactMinTombstones,
+                   frac: Double = AutoCompactFrac): Boolean = {
+    val fs = hfs(spark, path)
+    if (!fs.exists(new Path(s"$path/tombstones"))) return false
+    val pending = tombstoneMax(spark, path).count()
+    if (pending < minTombstones) return false
+    val live = spark.read.parquet(s"$path/meta")
+      .agg(coalesce(sum(col("n_docs")), lit(0L))).collect()(0).getLong(0)
+    if (pending.toDouble < frac * live) return false
+    compactPostings(spark, path)
+    true
+  }
+
   /** Maintenance: fold the accumulated df/meta partial rows back to one
     * row per token / one row total. Results are unchanged (the query
     * path sums partials anyway); this bounds the partial-table growth at
     * one row-set per append. Vocab-sized I/O, never corpus-sized; the
     * rewrites swap behind parked directories like every rewrite here. */
   def recapStats(spark: SparkSession, path: String): Unit = {
+    conf(spark, path) // format gate
     reconcile(spark, path)
     val fs = hfs(spark, path)
     def fold(sub: String, agg: DataFrame => DataFrame): Unit = {
@@ -477,7 +538,17 @@ object FullTextIndex {
     val fs = hfs(spark, path)
     require(fs.exists(new Path(s"$path/conf")),
       s"FullTextIndex $path has no conf table — not a written index")
-    spark.read.parquet(s"$path/conf").collect()(0).getAs[Int]("max_length")
+    val row = spark.read.parquet(s"$path/conf").collect()(0)
+    // refuse a stale on-disk layout UP FRONT: an older binary's index
+    // passes the conf existence check but lacks the gen/docs/tombstone
+    // tables, and would otherwise fail mid-maintenance with an
+    // unresolved-column error instead of a diagnosis
+    val v = if (row.schema.fieldNames.contains("format_version"))
+      row.getAs[Int]("format_version") else 1
+    require(v == FormatVersion,
+      s"FullTextIndex $path is on-disk format v$v; this binary reads " +
+        s"v$FormatVersion — rebuild the index (FullTextIndex.write)")
+    row.getAs[Int]("max_length")
   }
 
   private def hfs(spark: SparkSession, path: String): FileSystem =

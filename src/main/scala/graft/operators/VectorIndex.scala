@@ -185,9 +185,49 @@ object VectorIndex {
     * keeps it suppressed (ids are permanent identities here; re-ingest
     * under a deleted id is a pipeline error this masks conservatively). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-             idCol: String): Unit =
+             idCol: String, autoCompact: Boolean = true): Unit = {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    // bounded-mask policy (FullTextIndex.maybeCompact's twin): the
+    // query-time tombstone anti-join must stay bounded under sustained
+    // deletes without an operator remembering the maintenance window
+    // (autoCompact=false is the probe's no-policy contrast)
+    if (autoCompact) maybeCompact(spark, path)
+  }
+
+  /** Auto-compaction floor/ratio — [[maybeCompact]]'s defaults, chosen
+    * like [[FullTextIndex.AutoCompactMinTombstones]]: below the floor
+    * the broadcast mask is cheaper than any rewrite; above 10% of the
+    * indexed rows the amortized affected-cell rewrite runs at most ~10
+    * times per corpus turnover. */
+  val AutoCompactMinTombstones: Long = 4096L
+  val AutoCompactFrac: Double = 0.10
+
+  /** Decide-then-act auto-compaction (the drift trigger's shape —
+    * [[driftScore]] → retrain): [[compact]] iff the distinct tombstoned
+    * ids exceed `max(minTombstones, frac · indexed rows)`. Fired by
+    * every [[delete]]; results are unchanged either way (tombstones
+    * prune candidates pre-ranking identically to physical removal — the
+    * delete/compact lifecycle gates pin that), so the policy only bounds the mask size and
+    * the files-per-cell growth. The decide leg is one count over the
+    * O(deletes) tombstone table plus a metadata-only codes count.
+    * Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   minTombstones: Long = AutoCompactMinTombstones,
+                   frac: Double = AutoCompactFrac): Boolean = {
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombDir)) return false
+    val pending = spark.read.parquet(s"$path/tombstones")
+      .select(col("id")).distinct().count()
+    if (pending < minTombstones) return false
+    // parquet footer row count — no data pages read
+    val indexed = spark.read.parquet(s"$path/codes").count()
+    if (pending.toDouble < frac * indexed) return false
+    compact(spark, path)
+    true
+  }
 
   /** Physical compaction: rewrite ONLY the cells that contain tombstoned
     * rows (found by one narrow join over the codes table — id + m codes

@@ -309,4 +309,54 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
         tmp("graft_ftidx_missing"), k = 5)
     }
   }
+
+  test("auto-compaction trigger: below threshold keeps the mask, above compacts; results unchanged") {
+    val path = tmp("graft_ftidx_auto")
+    FullTextIndex.write(d, "doc_id", "text", path)
+    FullTextIndex.removeDocs(spark, d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), "doc_id", path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    // the default floor (4096) dwarfs this corpus: the removeDocs-fired
+    // trigger must have declined, leaving the mask in place
+    assert(fs.exists(tombs), "default trigger must not fire below the floor")
+    // decide leg alone: under-floor and under-ratio both return false
+    assert(!FullTextIndex.maybeCompact(spark, path, minTombstones = 100000L))
+    assert(!FullTextIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.9))
+    assert(fs.exists(tombs))
+    val before = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5))
+    // act leg: over both bounds → one compaction, mask cleared (the
+    // table persists as an empty rewrite target; its ROWS must be gone)
+    assert(FullTextIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.01))
+    assert(spark.read.parquet(s"$path/tombstones").count() == 0L,
+      "compaction must clear the covered tombstones")
+    val after = asSet(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5))
+    assert(before == after && after.nonEmpty)
+    // idle re-entry: nothing pending → false, no work
+    assert(!FullTextIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.0))
+  }
+
+  test("on-disk format version gates every entry point") {
+    val path = tmp("graft_ftidx_fmt")
+    FullTextIndex.write(d.filter(col("doc_id") < 64), "doc_id", "text", path)
+    // simulate an index written by the pre-gen binary: conf carries only
+    // max_length (v1) — every entry point must refuse with a diagnosis,
+    // not fail mid-flight on an unresolved column
+    import spark.implicits._
+    Seq(Tuple1(512)).toDF("max_length")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
+    val e = intercept[IllegalArgumentException] {
+      FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5)
+    }
+    assert(e.getMessage.contains("format"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      FullTextIndex.appendBatch(spark, d.filter(col("doc_id") === 999),
+        "doc_id", "text", path)
+    }
+    intercept[IllegalArgumentException] {
+      FullTextIndex.removeDocs(spark, d.limit(1).select(col("doc_id")), "doc_id", path)
+    }
+    intercept[IllegalArgumentException] { FullTextIndex.compactPostings(spark, path) }
+  }
 }

@@ -494,4 +494,26 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(b2.zip(books).forall { case (ba, bb) =>
       ba.zip(bb).forall { case (x, y) => x.sameElements(y) } })
   }
+
+  test("auto-compaction trigger: floor and ratio both gate; firing clears the mask, search unchanged") {
+    val path = tmp("graft_ivfpq_auto")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    val gone = col("vec_id") % 9 === 0 && col("vec_id") >= 16
+    VectorIndex.delete(spark, path, e.filter(gone).select(col("vec_id")), "vec_id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    // the default floor (4096) dwarfs this corpus — delete's built-in
+    // trigger must have declined and left the logical mask in place
+    assert(fs.exists(tombs), "default trigger must not fire below the floor")
+    assert(!VectorIndex.maybeCompact(spark, path, minTombstones = 100000L))
+    assert(!VectorIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.9))
+    assert(fs.exists(tombs))
+    val before = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    assert(VectorIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.001))
+    assert(!fs.exists(tombs), "compaction must clear the tombstone set")
+    val after = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    assert(before == after && after.nonEmpty)
+    assert(!VectorIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.0))
+  }
 }
