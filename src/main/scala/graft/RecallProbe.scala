@@ -280,7 +280,14 @@ object RecallProbe {
       // vector regardless of n — the setting the sf10 artifact runs)
       for ((label, nProbe) <- Seq(
           ("planted_indexed_auto", math.max(4, nCellsAug / 8)),
-          ("planted_indexed_linear", math.min(nCellsAug, 4)))) {
+          ("planted_indexed_linear", math.min(nCellsAug, 4)),
+          // the fixed-probe ladder: how the linear serving default's
+          // recall decays as cells outgrow a fixed coverage constant,
+          // and what constant restores the floor at this cell count
+          ("planted_indexed_linear8", math.min(nCellsAug, 8)),
+          ("planted_indexed_linear12", math.min(nCellsAug, 12)),
+          ("planted_indexed_linear16", math.min(nCellsAug, 16)),
+          ("planted_indexed_linear24", math.min(nCellsAug, 24)))) {
         val knn = graft.operators.VectorIndex
           .selfKnnCandidates(spark, idxAug, nProbe, k, overfetch = 16)
           .localCheckpoint(false)

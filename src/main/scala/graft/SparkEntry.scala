@@ -1319,6 +1319,40 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("total"))
     }),
 
+    // Unigram (SentencePiece) trainer — the THIRD vocabulary family's
+    // training leg (BPE q147/q162, WordPiece q149): seed substrings →
+    // EM (distributed Viterbi E-step, the q102 serving kernel) →
+    // quantized-loss prune → EM; the oracle replays the identical loop
+    // as chained recursive Viterbi CTEs (OracleSql.unigramTrainCtes)
+    "q163_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      UnigramTrain.train(
+        TokenizerTrain.wordCounts(docs(s, dir), "text").localCheckpoint(false),
+        vocabSize = 48, seedSize = 64).toDF("piece", "score_q")
+    }),
+
+    // the FULL Unigram loop under the hard gate (q160's pattern): train
+    // on the corpus, EXPORT as tokenizer.json (model.type=Unigram),
+    // load through the production loader, tokenize the corpus with the
+    // serving UnigramIds expression — token counts must hash-match the
+    // oracle's re-derived vocab + word-table segmentation
+    "q164_selftrained_unigram" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      import s.implicits._
+      val d = docs(s, dir)
+      val vocab = UnigramTrain.train(
+        TokenizerTrain.wordCounts(d, "text").localCheckpoint(false),
+        vocabSize = 48, seedSize = 64)
+      val model = graft.model.Unigram.fromTokenizerJson(
+        UnigramTrain.exportTokenizerJson(vocab))
+      val pieces = model.pieces.zipWithIndex.map { case ((p, _), id) => (id.toLong, p) }
+      d.select(bridge.column(graft.functions.UnigramIds(
+          bridge.expression(col("text")), model)).as("__ids"))
+        .select(explode(col("__ids")).as("tid"))
+        .join(broadcast(pieces.toDF("tid", "token")), "tid")
+        .groupBy(col("token")).agg(count(lit(1)).as("total"))
+    }),
+
     // WordPiece-objective training: the argmax scores pairs by
     // cnt·10^12 div (ucnt_l·ucnt_r) — fixed-point-exact likelihood
     // gain — instead of raw count; oracle unrolls the same rounds with

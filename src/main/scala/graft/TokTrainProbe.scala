@@ -13,11 +13,16 @@ import graft.operators.TokenizerTrain
   * times the batched variant against the sequential baseline.
   *
   * Usage: runMain graft.TokTrainProbe <sfDir> [maxMerges=1024]
+  *        runMain graft.TokTrainProbe <sfDir> synthbatched
+  *          — ONLY the synthetic-table batched legs (the iteration
+  *          target when the sequential baseline was already measured
+  *          this session; seq at 1024 merges alone is ~22 min).
   */
 object TokTrainProbe {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: TokTrainProbe <sfDir> [maxMerges=1024]"); sys.exit(1) }
+    if (args.isEmpty) { System.err.println("usage: TokTrainProbe <sfDir> [maxMerges=1024|synthbatched]"); sys.exit(1) }
     val sfDir = args(0)
+    if (args.contains("synthbatched")) { synthBatched(sfDir); return }
     val maxMerges = if (args.length > 1) args(1).toInt else 1024
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Graft.tunedBuilder(sfDir, cpus).getOrCreate()
@@ -80,6 +85,37 @@ object TokTrainProbe {
       val batSec = (System.nanoTime() - t1) / 1e9
       val same = bat == seq
       println(f"""{"probe":"toktrain_synth","words":$synthWords,"merges":$m,"learned":${seq.size},"seq_sec":$seqSec%.3f,"seq_sec_per_round":${seqSec / math.max(1, seq.size)}%.4f,"batched_rounds":$rounds,"batched_sec":$batSec%.3f,"speedup":${seqSec / batSec}%.2f,"lists_equal":$same}""")
+    }
+    spark.stop()
+  }
+
+  /** Just the synthetic-table BATCHED legs — for iterating on the
+    * round constant without re-paying the ~27 min sequential baseline
+    * (compare against the same-session `toktrain_synth` seq_sec). */
+  private def synthBatched(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Graft.tunedBuilder(sfDir, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val nWords = 100000
+    val synth = spark.range(nWords.toLong).map { i =>
+      val len = 3 + (ScaleGen.fmix64(i * 0x9e3779b97f4a7c15L) & 7L).toInt
+      val w = new StringBuilder
+      var j = 0
+      while (j < len) {
+        w += ('a' + (ScaleGen.fmix64(i * 31L + j) % 26 + 26) % 26).toChar
+        j += 1
+      }
+      (w.toString, 1L + nWords.toLong / (i + 1L))
+    }.toDF("word", "cnt")
+      .groupBy("word").agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    val synthWords = synth.count()
+    Seq(256, 1024).foreach { m =>
+      val t1 = System.nanoTime()
+      val (bat, rounds) = TokenizerTrain.trainBpeMergesBatched(synth, m)
+      val batSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"toktrain_synth_batched","words":$synthWords,"merges":$m,"learned":${bat.size},"rounds":$rounds,"sec":$batSec%.3f,"sec_per_round":${batSec / math.max(1, rounds)}%.4f}""")
     }
     spark.stop()
   }

@@ -44,3 +44,32 @@ case class UnigramIds(child: Expression, model: UnigramModel)
   override protected def withNewChildInternal(newChild: Expression): UnigramIds =
     copy(child = newChild)
 }
+
+/** Viterbi piece ids of ONE already-normalized word — no word-stream
+  * normalization, no `<s>`/`</s>` template. The E-step kernel of
+  * [[graft.operators.UnigramTrain]]: the trainer's expected-count pass
+  * runs this over the (word, cnt) table, so the per-word segmentation
+  * semantics (packed-key tie rule included) are EXACTLY
+  * [[graft.model.UnigramModel.tokenizeWord]]'s — the same machinery the
+  * finished model serves with. Codegen like [[UnigramIds]]. */
+case class UnigramWordIds(child: Expression, model: UnigramModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    evalRow(input.asInstanceOf[UTF8String])
+
+  def evalRow(input: UTF8String): GenericArrayData =
+    new GenericArrayData(model.tokenizeWord(input.toString).toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramw", this, classOf[UnigramWordIds].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalRow($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramWordIds =
+    copy(child = newChild)
+}

@@ -407,6 +407,12 @@ object FullTextIndex {
                    frac: Double = AutoCompactFrac): Boolean = {
     val fs = hfs(spark, path)
     if (!fs.exists(new Path(s"$path/tombstones"))) return false
+    // floor gate from parquet FOOTERS on the driver — milliseconds, no
+    // job, so the per-removal decide leg is ~free below the floor (the
+    // common case). Row count ≥ distinct-doc count (a re-removed re-add
+    // writes a second row), so the floor can only fire early, never
+    // late; the ratio decision below the rewrite uses the exact fold.
+    if (footerRowCount(spark, fs, s"$path/tombstones") < minTombstones) return false
     val pending = tombstoneMax(spark, path).count()
     if (pending < minTombstones) return false
     val live = spark.read.parquet(s"$path/meta")
@@ -414,6 +420,20 @@ object FullTextIndex {
     if (pending.toDouble < frac * live) return false
     compactPostings(spark, path)
     true
+  }
+
+  /** Total row count over a parquet directory's part files, summed from
+    * footer metadata on the driver — no Spark job. */
+  private[operators] def footerRowCount(spark: SparkSession, fs: FileSystem,
+                                        dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
   }
 
   /** Maintenance: fold the accumulated df/meta partial rows back to one

@@ -175,23 +175,46 @@ object TokenizerTrain {
     var rounds = 0
     var exhausted = false
     while (out.size < nMerges && !exhausted) {
-      // EAGER cuts: the batched loop builds two extra plan branches per
-      // round (the byRight/byLeft bound joins); past ~100 lazily-cut
-      // rounds the accumulated closure graph overflowed task
-      // deserialization, so both cuts materialize eagerly here
-      val counts = pairCountsOf(syms).localCheckpoint(true)
-      val byRight = counts.groupBy(col("r")).agg(max(col("cnt")).as("bl"))
-        .withColumnRenamed("r", "k1")
-      val byLeft = counts.groupBy(col("l")).agg(max(col("cnt")).as("br"))
-        .withColumnRenamed("l", "k2")
-      val cand = counts
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(topN)
-        .join(broadcast(byRight), col("l") === col("k1"), "left")
-        .join(broadcast(byLeft), col("r") === col("k2"), "left")
-        .select(col("l"), col("r"), col("cnt"),
-          greatest(coalesce(col("bl"), lit(0L)), coalesce(col("br"), lit(0L))).as("b"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .collect()
+      // The round's wall is FIXED JOB OVERHEAD, not data (TokTrainProbe:
+      // ~1.3 s/round across 3 jobs at any word-table size) — so when the
+      // whole pair-count table is small enough to ship, ONE job collects
+      // it and the topN sort + byRight/byLeft new-pair bounds compute on
+      // the driver: identical candidate prefix, a third of the jobs. The
+      // limit+1 collect proves completeness (≤ limit rows ⇒ nothing was
+      // cut) without ever pulling an over-limit table; past the limit —
+      // the true 1e8-word regime where the pair vocabulary is huge —
+      // the distributed path below computes the same bounds with
+      // exchanges. The syms cut stays LAZY here so the re-segmentation
+      // folds into this same job (materializing truncates its lineage
+      // each round, keeping round k's closure one round deep).
+      val whole = pairCountsOf(syms).limit(CollectPairsLimit + 1).collect()
+      val cand: Array[org.apache.spark.sql.Row] =
+      if (whole.length <= CollectPairsLimit) {
+        val rows = whole.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val byRight = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).max }
+        val byLeft = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).max }
+        rows.sortBy { case (l, r, c) => (-c, l, r) }
+          .map { case (l, r, c) =>
+            org.apache.spark.sql.Row(l, r, c,
+              math.max(byRight.getOrElse(l, 0L), byLeft.getOrElse(r, 0L))) }
+      } else {
+        // EAGER cuts on the wide path: the bound joins add two plan
+        // branches per round; past ~100 lazily-cut rounds the
+        // accumulated closure graph overflowed task deserialization
+        val counts = pairCountsOf(syms).localCheckpoint(true)
+        val byRight = counts.groupBy(col("r")).agg(max(col("cnt")).as("bl"))
+          .withColumnRenamed("r", "k1")
+        val byLeft = counts.groupBy(col("l")).agg(max(col("cnt")).as("br"))
+          .withColumnRenamed("l", "k2")
+        counts
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(topN)
+          .join(broadcast(byRight), col("l") === col("k1"), "left")
+          .join(broadcast(byLeft), col("r") === col("k2"), "left")
+          .select(col("l"), col("r"), col("cnt"),
+            greatest(coalesce(col("bl"), lit(0L)), coalesce(col("br"), lit(0L))).as("b"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .collect()
+      }
       if (cand.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
@@ -220,9 +243,19 @@ object TokenizerTrain {
           i += 1
         }
         batch.foreach { case (l, r, c) => out += ((out.size.toLong, l, r, c)) }
+        // lazy cut: the next round's collect job computes this
+        // re-segmentation and truncates its lineage in the same pass —
+        // one fewer driver-sequenced job per round than an eager cut,
+        // and the chain never grows past one round deep. The fold is
+        // the reference-object expression (MergeBatchFold ≡
+        // applyMergeBatch), so the generated source is round-invariant
+        // and codegen compiles ONCE for the whole training run.
+        val bridge = org.apache.spark.sql.graftbridge.Bridge
         syms = syms.select(col("word"), col("cnt"),
-          applyMergeBatch(col("syms"), batch.toSeq.map(t => (t._1, t._2))).as("syms"))
-          .localCheckpoint(true)
+          bridge.column(graft.functions.MergeBatchFold(
+            bridge.expression(col("syms")),
+            batch.toSeq.map(t => (t._1, t._2)))).as("syms"))
+          .localCheckpoint(false)
         rounds += 1
         // cand smaller than topN AND nothing accepted → truly no pair
         if (batch.isEmpty) exhausted = true
@@ -240,6 +273,14 @@ object TokenizerTrain {
   /** Fixed-point quantization scale for the WordPiece score (shared
     * verbatim with the oracle's HUGEINT arithmetic). */
   val WpScale = 1000000000000L // 10^12
+
+  /** Pair-count tables at or below this many rows collect WHOLE per
+    * round ([[trainBpeMergesBatched]]'s one-job fast path — ~6 MB of
+    * (l, r, cnt) rows at the limit). The pair vocabulary saturates with
+    * the word vocabulary, so even 1e8-word corpora usually sit under
+    * it; the limit+1 collect detects the exception and falls back to
+    * the distributed bound computation. */
+  val CollectPairsLimit: Int = 1 << 17
 
   /** WordPiece-objective training: per round the merged pair maximizes
     * `count(pair) / (count(left) · count(right))` — the likelihood-gain

@@ -219,6 +219,11 @@ object VectorIndex {
     val fs = tombDir
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombDir)) return false
+    // floor gate from parquet footers — driver-side, no job (see
+    // FullTextIndex.maybeCompact): row count ≥ distinct ids, so the
+    // floor only ever fires early, and the exact fold decides below
+    if (FullTextIndex.footerRowCount(spark, fs, s"$path/tombstones") < minTombstones)
+      return false
     val pending = spark.read.parquet(s"$path/tombstones")
       .select(col("id")).distinct().count()
     if (pending < minTombstones) return false
@@ -445,7 +450,20 @@ object VectorIndex {
     * flat in nProbe because coverage is already 1.0 — see SCALING.md),
     * and rescoring buys the ordering back for candidate-sized I/O.
     * Requires an index built with `storeVectors = true`.
-    * Output (qIdCol, id, rank, dist) with exact squared-L2 dist. */
+    * Output (qIdCol, id, rank, dist) with exact squared-L2 dist.
+    *
+    * '''Serving defaults by neighbor band''' (planted-band probes,
+    * `RECALL_BAND_r18_*.jsonl` / `RECALL_r18_testdata_sf10.jsonl`;
+    * SCALING.md "what the mid/high band gets"): near-dup grade
+    * (cos ≥ 0.95) clears 0.95+ recall at fixed nProbe 16, overfetch 16
+    * at every measured cell count (nProbe 4 decays with cell growth:
+    * 0.96 at 82 cells → 0.88 at 821); strong neighbors (cos ≈ 0.8)
+    * reach 0.94 at the same setting; the cos ≈ 0.7 band gets 0.75–0.80
+    * and the 0.6 band ~0.55 — a caller needing 0.6-band completeness
+    * should probe nProbe ≥ nCells/4 (recall ≈ 1.0 measured) or use the
+    * exact path. Fixed nProbe keeps the candidate bound LINEAR in
+    * corpus size; the band floor it buys depends on cells-per-angular-
+    * radius, which is why the constant is 16, not 4. */
   def searchRescored(spark: SparkSession, queries: DataFrame,
                      qIdCol: String, qVecCol: String, idx: Loaded,
                      nProbe: Int, k: Int, overfetch: Int = 4,
@@ -591,7 +609,17 @@ object VectorIndex {
     * the exact-cluster oracle at gate scale). Scale shape: one
     * cell-key exchange + candidate-sized rescore, reusing an index the
     * serving stack already maintains — clustering stops paying its own
-    * candidate infrastructure. */
+    * candidate infrastructure.
+    *
+    * '''Choosing nProbe''' (planted-band probes, SCALING.md): the
+    * linear-cost fixed-4 setting recalls 0.96 of planted cos≈0.95
+    * near-dups at 82 cells but decays to 0.88 at 821 (coverage is
+    * nProbe/nCells of the cell space) — fixed 16 restores ≥ 0.95 at
+    * every measured cell count while keeping the candidate bound
+    * linear; the auto setting (nCells/8) recalls 0.999–1.0 with a
+    * candidate bound that grows with the corpus. Pick by the band the
+    * dedup threshold lives in: near-dup thresholds (≥ 0.9) are safe at
+    * fixed 16; mid-band thresholds want the auto setting. */
   def semanticClustersIndexed(spark: SparkSession, idx: Loaded, nProbe: Int,
                               k: Int,
                               iterations: Int = Similarity.DefaultSemanticIterations,

@@ -3677,6 +3677,134 @@ perdoc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS body FROM fin GROU
 sq2 AS (SELECT doc_id, list_concat(list_concat([CAST(${um.bosId} AS BIGINT)], body), [CAST(${um.eosId} AS BIGINT)]) AS s2 FROM perdoc)"""
   }
 
+  /** Unigram-training CTE chain ([[graft.operators.UnigramTrain.train]]
+    * unrolled): seed substring counts → quantized-log seed scores → EM
+    * round 1 (recursive Viterbi E-step over the word table, exactly the
+    * q102 DP with the vocab coming from a CTE instead of a literal) →
+    * M-step (zero-count drop, alphabet floor, re-score) → prune by
+    * quantized loss (a second, score-only recursive DP segments each
+    * multi-char piece WITHOUT itself) → EM round 2 → final vocab
+    * `ugk3(p, n, u, sc, id)`. All arithmetic is the trainer's: exact
+    * int64 DP keys, counts as BIGINTs, scores floor(ln(u/U)·1024+0.5)
+    * — the 2^-10 grid both engines land on identically (idf-grid
+    * argument, OracleSql header). */
+  def unigramTrainCtes(vocabSize: Int, seedSize: Int, maxPieceLen: Int): String = {
+    val bias = graft.model.UnigramModel.Bias
+    // one full-backtrack Viterbi E-step: words × current vocab list →
+    // per-piece expected counts (the q102 recursion, parameterized)
+    def estep(tag: String, vl: String): String =
+      s"""ugvt$tag AS (
+  SELECT word, cnt, 0 AS i, [{'sc': CAST(0 AS BIGINT), 'ids': CAST([] AS BIGINT[])}] AS dp
+  FROM ugwc
+  UNION ALL
+  SELECT word, cnt, i + 1,
+    list_append(dp, {
+      'sc': bk // 33554432 - $bias,
+      'ids': list_append(dp[i + 2 - ((bk % 33554432) // 262144)].ids, CAST(bk % 262144 AS BIGINT))}) AS dp
+  FROM (
+    SELECT word, cnt, i, dp,
+      list_aggregate(list_transform($vl.v, p ->
+        CASE WHEN p.n <= i + 1 AND substr(word, i + 2 - p.n, p.n) = p.p
+             THEN (dp[i + 2 - p.n].sc + p.sc + $bias) * 33554432 + p.n * 262144 + p.id
+             ELSE NULL END), 'max') AS bk
+    FROM ugvt$tag, $vl WHERE i < len(word)) s),
+ugu$tag AS MATERIALIZED (SELECT id, sum(cnt)::BIGINT AS u FROM (
+  SELECT cnt, unnest(dp[len(word) + 1].ids) AS id FROM ugvt$tag WHERE i = len(word)) GROUP BY id)"""
+    def qlog(u: String, totalFrom: String): String =
+      s"CAST(floor(ln($u::DOUBLE / (SELECT sum(u) FROM $totalFrom)::DOUBLE) * 1024 + 0.5) AS BIGINT)"
+    def vlist(from: String): String =
+      s"(SELECT list({'p': p, 'n': n, 'sc': sc, 'id': id} ORDER BY id) AS v FROM $from)"
+    s"""ugwc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(${toks("text")}) AS word FROM documents) GROUP BY word),
+ugsc AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS c FROM (
+  SELECT cnt, unnest(flatten(list_transform(range(0, len(word)), s ->
+    list_transform(range(1, 1 + least($maxPieceLen, len(word) - s)), l -> substr(word, s + 1, l))))) AS piece
+  FROM ugwc) GROUP BY piece),
+ugseed AS MATERIALIZED (
+  SELECT piece, c FROM ugsc WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (SELECT piece, c FROM ugsc WHERE len(piece) > 1 ORDER BY c DESC, piece ASC LIMIT $seedSize)),
+ugv0 AS MATERIALIZED (SELECT piece AS p, len(piece) AS n,
+  CAST(floor(ln(c::DOUBLE / (SELECT sum(c) FROM ugseed)::DOUBLE) * 1024 + 0.5) AS BIGINT) AS sc,
+  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id FROM ugseed),
+ugvl0 AS ${vlist("ugv0")},
+${estep("0", "ugvl0")},
+ugk1a AS MATERIALIZED (
+  SELECT v.p, v.n, CASE WHEN v.n = 1 THEN greatest(COALESCE(u.u, 0), 1) ELSE COALESCE(u.u, 0) END AS u
+  FROM ugv0 v LEFT JOIN ugu0 u ON v.id = u.id
+  WHERE v.n = 1 OR COALESCE(u.u, 0) > 0),
+ugk1 AS MATERIALIZED (SELECT p, n, u, ${qlog("u", "ugk1a")} AS sc,
+  CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT) AS id FROM ugk1a),
+ugvl1 AS ${vlist("ugk1")},
+ugalt AS (
+  SELECT p AS word, 0 AS i, [CAST(0 AS BIGINT)] AS dp FROM ugk1 WHERE n > 1
+  UNION ALL
+  SELECT word, i + 1, list_append(dp, bs) FROM (
+    SELECT word, i, dp, list_aggregate(list_transform(ugvl1.v, p ->
+      CASE WHEN p.n <= i + 1 AND p.p <> word AND substr(word, i + 2 - p.n, p.n) = p.p
+           THEN dp[i + 2 - p.n] + p.sc ELSE NULL END), 'max') AS bs
+    FROM ugalt, ugvl1 WHERE i < len(word)) s),
+ugaltf AS MATERIALIZED (SELECT word AS p, dp[len(word) + 1] AS alt FROM ugalt WHERE i = len(word)),
+ugloss AS MATERIALIZED (SELECT k.p, k.n, k.u, k.u * (k.sc - a.alt) AS loss
+  FROM ugk1 k JOIN ugaltf a ON a.p = k.p),
+ugk2a AS MATERIALIZED (
+  SELECT p, n, u FROM ugk1 WHERE n = 1
+  UNION ALL
+  SELECT p, n, u FROM (
+    SELECT l.p, l.n, l.u, row_number() OVER (ORDER BY l.loss DESC, l.p ASC) AS rk FROM ugloss l)
+  WHERE rk <= $vocabSize - (SELECT count(*) FROM ugk1 WHERE n = 1)),
+ugk2 AS MATERIALIZED (SELECT p, n, u, ${qlog("u", "ugk2a")} AS sc,
+  CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT) AS id FROM ugk2a),
+ugvl2 AS ${vlist("ugk2")},
+${estep("2", "ugvl2")},
+ugk3a AS MATERIALIZED (
+  SELECT v.p, v.n, CASE WHEN v.n = 1 THEN greatest(COALESCE(u.u, 0), 1) ELSE COALESCE(u.u, 0) END AS u
+  FROM ugk2 v LEFT JOIN ugu2 u ON v.id = u.id
+  WHERE v.n = 1 OR COALESCE(u.u, 0) > 0),
+ugk3 AS MATERIALIZED (SELECT p, n, u, ${qlog("u", "ugk3a")} AS sc,
+  CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT) AS id FROM ugk3a)"""
+  }
+
+  /** q163: the trained Unigram vocabulary itself — (piece, score_q)
+    * after seed → EM → loss-prune → EM. */
+  def q163_unigram_train(vocabSize: Int, seedSize: Int, maxPieceLen: Int): String =
+    s"""WITH RECURSIVE ${unigramTrainCtes(vocabSize, seedSize, maxPieceLen)}
+SELECT p AS piece, sc AS score_q FROM ugk3"""
+
+  /** q164: train → export tokenizer.json → load through the production
+    * Unigram loader → tokenize the corpus with the serving expression —
+    * corpus token counts under the self-trained vocabulary. The oracle
+    * re-derives the vocab (the CTE chain), Viterbi-segments the word
+    * table with it, scales by word counts, and adds the `<s>`/`</s>`
+    * template rows (one per document — every gate doc has ≥ 1 word). */
+  def q164_selftrained_unigram(vocabSize: Int, seedSize: Int, maxPieceLen: Int): String = {
+    val bias = graft.model.UnigramModel.Bias
+    s"""WITH RECURSIVE ${unigramTrainCtes(vocabSize, seedSize, maxPieceLen)},
+ugvlf AS (SELECT list({'p': p, 'n': n, 'sc': sc, 'id': id} ORDER BY id) AS v FROM ugk3),
+ugvtf AS (
+  SELECT word, cnt, 0 AS i, [{'sc': CAST(0 AS BIGINT), 'ids': CAST([] AS BIGINT[])}] AS dp
+  FROM ugwc
+  UNION ALL
+  SELECT word, cnt, i + 1,
+    list_append(dp, {
+      'sc': bk // 33554432 - $bias,
+      'ids': list_append(dp[i + 2 - ((bk % 33554432) // 262144)].ids, CAST(bk % 262144 AS BIGINT))}) AS dp
+  FROM (
+    SELECT word, cnt, i, dp,
+      list_aggregate(list_transform(ugvlf.v, p ->
+        CASE WHEN p.n <= i + 1 AND substr(word, i + 2 - p.n, p.n) = p.p
+             THEN (dp[i + 2 - p.n].sc + p.sc + $bias) * 33554432 + p.n * 262144 + p.id
+             ELSE NULL END), 'max') AS bk
+    FROM ugvtf, ugvlf WHERE i < len(word)) s),
+uguf AS (SELECT id, sum(cnt)::BIGINT AS total FROM (
+  SELECT cnt, unnest(dp[len(word) + 1].ids) AS id FROM ugvtf WHERE i = len(word)) GROUP BY id),
+body AS (SELECT k.p AS token, u.total FROM uguf u JOIN ugk3 k ON k.id = u.id)
+SELECT token, total FROM body
+UNION ALL
+SELECT '<s>' AS token, (SELECT count(*) FROM documents)::BIGINT AS total
+UNION ALL
+SELECT '</s>' AS token, (SELECT count(*) FROM documents)::BIGINT AS total"""
+  }
+
   /** q79: the tokenizer-swap composition — the flagship dense chain
     * (hash projection → exact integer mean → l2 normalize, the q01
     * tail) running over WORDPIECE ids instead of hashing ids, specials
@@ -3946,6 +4074,8 @@ FROM events GROUP BY user_id, event_type"""
     // train → export → load → native BpeIds: the exported artifact's
     // rank-priority encoding answers the trainer's own segmentation SQL
     "q160_selftrained_bpe" -> q148_bpe_tokenize(8),
+    "q163_unigram_train" -> q163_unigram_train(48, 64, 8),
+    "q164_selftrained_unigram" -> q164_selftrained_unigram(48, 64, 8),
     "q149_wordpiece_merges" -> q149_wordpiece_merges(8),
     "q150_wordpiece_tokenize" -> q150_wordpiece_tokenize(8),
     "q115_bloom_decontam" -> q115_bloom_decontam(3, 2, 1 << 14),
