@@ -231,7 +231,9 @@ object RecallProbe {
         K.Dim, nCells = nCellsB, m = 8, nCentsPq = 16, iterations = 4,
         path = pathB, storeVectors = true)
       val idxB = graft.operators.VectorIndex.load(spark, pathB)
-      for (nProbe <- Seq(2, 4, 8, 16).filter(_ <= nCellsB);
+      val bandProbes = (Seq(2, 4, 8, 16) ++
+        Seq(nCellsB / 4, nCellsB / 2, nCellsB)).distinct.filter(p => p > 0 && p <= nCellsB).sorted
+      for (nProbe <- bandProbes;
            overfetch <- Seq(8, 16, 32)) {
         val t1 = System.nanoTime()
         val knn = graft.operators.VectorIndex

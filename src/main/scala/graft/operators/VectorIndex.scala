@@ -458,12 +458,16 @@ object VectorIndex {
     * (cos ≥ 0.95) clears 0.95+ recall at fixed nProbe 16, overfetch 16
     * at every measured cell count (nProbe 4 decays with cell growth:
     * 0.96 at 82 cells → 0.88 at 821); strong neighbors (cos ≈ 0.8)
-    * reach 0.94 at the same setting; the cos ≈ 0.7 band gets 0.75–0.80
-    * and the 0.6 band ~0.55 — a caller needing 0.6-band completeness
-    * should probe nProbe ≥ nCells/4 (recall ≈ 1.0 measured) or use the
-    * exact path. Fixed nProbe keeps the candidate bound LINEAR in
-    * corpus size; the band floor it buys depends on cells-per-angular-
-    * radius, which is why the constant is 16, not 4. */
+    * reach 0.94 at the same setting and 0.99 at nProbe nCells/2,
+    * overfetch 32. The cos ≈ 0.7 band gets 0.75–0.88 and the 0.6 band
+    * 0.46–0.62 — and the mid-band loss is PQ-ORDERING-bound, not
+    * probe-bound: probing ALL cells moves 0.6-band recall only with
+    * overfetch (0.47 at 16 → 0.59 at 32, flat in nProbe beyond ~8), so
+    * a caller needing mid-band completeness must raise the candidate
+    * budget (overfetch ≥ 32 and beyond) or use the exact path — more
+    * probes cannot buy it. Fixed nProbe keeps the candidate bound
+    * LINEAR in corpus size; the band floor it buys depends on
+    * cells-per-angular-radius, which is why the constant is 16, not 4. */
   def searchRescored(spark: SparkSession, queries: DataFrame,
                      qIdCol: String, qVecCol: String, idx: Loaded,
                      nProbe: Int, k: Int, overfetch: Int = 4,
