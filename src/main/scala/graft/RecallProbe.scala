@@ -231,10 +231,16 @@ object RecallProbe {
         K.Dim, nCells = nCellsB, m = 8, nCentsPq = 16, iterations = 4,
         path = pathB, storeVectors = true)
       val idxB = graft.operators.VectorIndex.load(spark, pathB)
-      val bandProbes = (Seq(2, 4, 8, 16) ++
-        Seq(nCellsB / 4, nCellsB / 2, nCellsB)).distinct.filter(p => p > 0 && p <= nCellsB).sorted
+      // env overrides for targeted follow-ups (comma lists), e.g. the
+      // overfetch-saturation question at a fixed probe count
+      def envList(name: String, dflt: Seq[Int]): Seq[Int] =
+        sys.env.get(name).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
+      val bandProbes = envList("GRAFT_BAND_PROBES", (Seq(2, 4, 8, 16) ++
+        Seq(nCellsB / 4, nCellsB / 2, nCellsB)).distinct)
+        .filter(p => p > 0 && p <= nCellsB).sorted
+      val bandOverfetch = envList("GRAFT_BAND_OVERFETCH", Seq(8, 16, 32))
       for (nProbe <- bandProbes;
-           overfetch <- Seq(8, 16, 32)) {
+           overfetch <- bandOverfetch) {
         val t1 = System.nanoTime()
         val knn = graft.operators.VectorIndex
           .selfKnnCandidates(spark, idxB, nProbe, k, overfetch)

@@ -462,10 +462,11 @@ object VectorIndex {
     * overfetch 32. The cos ≈ 0.7 band gets 0.75–0.88 and the 0.6 band
     * 0.46–0.62 — and the mid-band loss is PQ-ORDERING-bound, not
     * probe-bound: probing ALL cells moves 0.6-band recall only with
-    * overfetch (0.47 at 16 → 0.59 at 32, flat in nProbe beyond ~8), so
-    * a caller needing mid-band completeness must raise the candidate
-    * budget (overfetch ≥ 32 and beyond) or use the exact path — more
-    * probes cannot buy it. Fixed nProbe keeps the candidate bound
+    * overfetch (0.59 / 0.72 / 0.82 at overfetch 32 / 64 / 128; the
+    * 0.7 band reaches 0.97 and the 0.8 band 1.0 at 128), so a caller
+    * needing mid-band completeness must budget overfetch — cost is
+    * linear in candidates, ~8× the default at overfetch 128 — or use
+    * the exact path; more probes cannot buy it. Fixed nProbe keeps the candidate bound
     * LINEAR in corpus size; the band floor it buys depends on
     * cells-per-angular-radius, which is why the constant is 16, not 4. */
   def searchRescored(spark: SparkSession, queries: DataFrame,
