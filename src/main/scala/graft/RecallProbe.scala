@@ -193,7 +193,7 @@ object RecallProbe {
     // augmented corpus, and sweep (nProbe, overfetch) on the indexed
     // candidate path. Per row: per-band recall + candidate-edge count
     // (the serving cost the sweep trades against).
-    if (args.contains("band")) {
+    if (args.contains("band") || args.contains("bandenc")) {
       val bandTargets = Seq(0.6, 0.7, 0.8)
       val bandStep = vecMap.keys.max + 1L
       val bandPlants = bandTargets.zipWithIndex.map { case (c, bi) =>
@@ -239,6 +239,7 @@ object RecallProbe {
         Seq(nCellsB / 4, nCellsB / 2, nCellsB)).distinct)
         .filter(p => p > 0 && p <= nCellsB).sorted
       val bandOverfetch = envList("GRAFT_BAND_OVERFETCH", Seq(8, 16, 32))
+      if (args.contains("band"))
       for (nProbe <- bandProbes;
            overfetch <- bandOverfetch) {
         val t1 = System.nanoTime()
@@ -257,9 +258,58 @@ object RecallProbe {
         }.mkString(",")
         println(f"""{"probe":"band_indexed","sf":"$sfDir","n":$nB,"k":$k,"nCells":$nCellsB,"nProbe":$nProbe,"overfetch":$overfetch,"candidates":$nCand,"sec":$sec%.3f,$bandJson}""")
       }
+      // ENCODE-VARIANT sweep (r18 verdict #1): the 0.6-band ceiling is
+      // PQ-ORDERING-bound — more probes cannot buy it — so attack the
+      // quantizer itself: subspace count m (code granularity), per-
+      // subspace centroid count kPq (code alphabet; 16 = 4-bit codes,
+      // 256 = the standard 8-bit IVFPQ books), and the residual frame
+      // (codes spend their budget on within-cell offsets). ADC search
+      // work is O(dim) regardless of m, and the candidate bound is
+      // unchanged — the sweep's cost axis is encode+storage, its win
+      // axis is mid-band ordering. Variants as m:kPq:res triples.
+      if (args.contains("bandenc")) {
+        val variants = sys.env.get("GRAFT_BANDENC_VARIANTS")
+          .map(_.split(",").toSeq.map { v =>
+            val Array(m, kp, res) = v.trim.split(":"); (m.toInt, kp.toInt, res == "1")
+          })
+          .getOrElse(Seq((8, 16, false), (8, 16, true), (16, 16, true),
+            (8, 64, true), (8, 256, false), (8, 256, true), (16, 256, true)))
+        val encProbes = envList("GRAFT_BANDENC_PROBES", Seq(16, nCellsB / 8))
+          .filter(p => p > 0 && p <= nCellsB).distinct.sorted
+        val encOverfetch = envList("GRAFT_BANDENC_OVERFETCH", Seq(16))
+        for ((m, kPq, res) <- variants) {
+          val t0 = System.nanoTime()
+          val pathV = java.nio.file.Files.createTempDirectory(
+            s"graft_recall_enc_${m}_${kPq}_$res").toString
+          graft.operators.VectorIndex.writeIvfPqTrained(augB, "vec_id", "embedding",
+            K.Dim, nCells = nCellsB, m = m, nCentsPq = kPq, iterations = 4,
+            path = pathV, storeVectors = true, residual = res)
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val idxV = graft.operators.VectorIndex.load(spark, pathV)
+          for (nProbe <- encProbes; overfetch <- encOverfetch) {
+            val t1 = System.nanoTime()
+            val knn = graft.operators.VectorIndex
+              .selfKnnCandidates(spark, idxV, nProbe, k, overfetch)
+              .localCheckpoint(false)
+            val nCand = knn.count()
+            val ann = edges(knn.as("x").join(knn.as("y"),
+                col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+              .filter(col("x.qid") < col("x.nid"))
+              .select(col("x.qid").as("id_a"), col("x.nid").as("id_b")))
+            val sec = (System.nanoTime() - t1) / 1e9
+            val bandJson = bandPairs.map { case (c, pairs) =>
+              val hit = ann.intersect(pairs).size
+              f""""band_$c":{"planted":${pairs.size},"mean_cos":${bandMeanCos(c)}%.3f,"recall":${hit.toDouble / pairs.size}%.4f}"""
+            }.mkString(",")
+            println(f"""{"probe":"band_encoded","sf":"$sfDir","n":$nB,"k":$k,"nCells":$nCellsB,"m":$m,"kPq":$kPq,"residual":$res,"nProbe":$nProbe,"overfetch":$overfetch,"candidates":$nCand,"build_sec":$buildSec%.3f,"sec":$sec%.3f,$bandJson}""")
+          }
+        }
+      }
+
       // the sign-LSH contrast at the same bands: the production
       // mutualAnnPairs path the indexed sweep is measured against
       val autoB = Similarity.nPlanesFor(nB)
+      if (args.contains("band"))
       for ((label, probes) <- Seq(("probes0", 0), ("probesFor", Similarity.probesFor(autoB)))) {
         val t1 = System.nanoTime()
         val ann = edges(Similarity.mutualAnnPairs(augB, "vec_id", "embedding",

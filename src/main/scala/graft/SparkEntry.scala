@@ -97,6 +97,33 @@ object SparkEntry {
     } finally q.stop()
   }
 
+  /** Audit/corpus GATE PAIRS share one harness run: both gates of a
+    * family hash different outputs of the SAME pipeline (the audit
+    * table and the final corpus), so running the sink twice per pass
+    * was pure duplication — at sf10 the streamed families were 6 of
+    * the 8 most expensive queries, dominated by slice staging +
+    * `processAllAvailable` barriers, not by the sinks under test
+    * (r18 verdict #7). The memo is PASS-SCOPED, not global: when a
+    * gate name re-requests a key it already consumed, a new bench
+    * pass has started and the pipeline re-runs — so per-pass totals
+    * still pay the family exactly once, each gate's hash is
+    * unchanged, and the family's real cost stays visible on the gate
+    * that ran it. */
+  private val streamShared = scala.collection.mutable.Map
+    .empty[(String, String), ((DataFrame, DataFrame), Set[String])]
+  private def sharedStream(dir: String, family: String, gate: String)(
+      run: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = synchronized {
+    streamShared.get((dir, family)) match {
+      case Some((res, consumers)) if !consumers(gate) =>
+        streamShared((dir, family)) = (res, consumers + gate)
+        res
+      case _ =>
+        val res = run
+        streamShared((dir, family)) = (res, Set(gate))
+        res
+    }
+  }
+
   /** The q135 harness: build the dedup index on the `%4==0` slice, then
     * drive the REAL streaming sink ([[graft.streaming.StreamingOps
     * .dedupIngestSink]]) with the other three slices as ordered
@@ -249,10 +276,12 @@ object SparkEntry {
     // table the sink wrote; q135b gates the final accumulated corpus —
     // the one surface class (streaming sinks) the batch gates never saw
     "q135_stream_dedup_audit" -> ((s, dir) =>
-      streamDedupIngest(s, dir, "graft_q135_idx")._1),
+      sharedStream(dir, "dedup_ingest", "q135")(
+        streamDedupIngest(s, dir, "graft_q135_idx"))._1),
 
     "q135b_stream_dedup_corpus" -> ((s, dir) =>
-      streamDedupIngest(s, dir, "graft_q135b_idx")._2),
+      sharedStream(dir, "dedup_ingest", "q135b")(
+        streamDedupIngest(s, dir, "graft_q135_idx"))._2),
 
     // legacy 32-bit form (explicit bits: the operator default is now the
     // scale-safe 60-bit signature, exercised by q15b via the defaults)
@@ -463,10 +492,12 @@ object SparkEntry {
     // cosine verdict against the ACCUMULATED index, clean rows appended
     // with vectors) — q139 gates the audit, q139b the final index
     "q139_stream_semantic_ingest" -> ((s, dir) =>
-      streamSemanticIngest(s, dir, "q139")._1),
+      sharedStream(dir, "semantic_ingest", "q139")(
+        streamSemanticIngest(s, dir, "q139"))._1),
 
     "q139b_stream_semantic_corpus" -> ((s, dir) =>
-      streamSemanticIngest(s, dir, "q139b")._2),
+      sharedStream(dir, "semantic_ingest", "q139b")(
+        streamSemanticIngest(s, dir, "q139"))._2),
 
     // predicated serving search: the allow-set (every third id — in
     // production a filtered dimension table) semi-joins the candidate
@@ -500,8 +531,13 @@ object SparkEntry {
       VectorIndex.writeWith(e.filter(col("vec_id") >= 250), "vec_id", "embedding",
         cents, books, pB, storeVectors = true)
       VectorIndex.merge(s, pB, pA)
+      // autoCompact off (the delete-scaladoc rule): this script ends
+      // with an explicit compact, so the policy's decide jobs + an early
+      // rewrite would be paid twice at scales where the %7 batch crosses
+      // the 10% trigger (the r18 sf10 q134 2× signature)
       VectorIndex.delete(s, pA,
-        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id",
+        autoCompact = false)
       VectorIndex.compact(s, pA)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -633,6 +669,72 @@ object SparkEntry {
       Similarity.ivfPqResidual(q, "qid", "qv", e, "vec_id", "embedding",
         nCells = 16, nProbe = 4, m = 8, nCentsPq = 16, k = 5)
         .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // q130's residual frame through the PERSISTED lifecycle: a
+    // residual-encoded index (meta carries the frame; codes quantize
+    // vec − centroid[cell], queries compare in the probed cell's
+    // residual frame) must hash-match the one-shot residual oracle —
+    // the build-once/query-many form of the recall-lifting encode path
+    "q165_ivfpq_index_residual" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q165_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path, residual = true)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // the residual frame must survive MAINTENANCE: append reads the
+    // persisted frame from meta and encodes the new rows' residuals
+    // with the saved quantizers — split build + append hash-matches the
+    // full-build residual oracle exactly (q123b's contract, residual)
+    "q165b_ivfpq_index_residual_append" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q165b_idx").toString
+      VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        nCells = 16, m = 8, nCentsPq = 16, path = path, residual = true)
+      VectorIndex.append(e.filter(col("vec_id") >= 250), "vec_id", "embedding", path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, nProbe = 4, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // the SERVING form of the residual path: residual ADC proposes
+    // k×overfetch candidates, exact L2 over the stored raw vectors
+    // re-ranks — the q125 rescore contract under the residual frame
+    "q166_ivfpq_residual_rescored" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q166_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path, storeVectors = true, residual = true)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.searchRescored(s, q, "qid", "qv", VectorIndex.load(s, path),
+          nProbe = 4, k = 5, overfetch = 4)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
+    }),
+
+    // the probe-count law as the API default: nProbe omitted resolves
+    // via nProbeFor(nCells) — at this gate's 16 cells that is 16 (the
+    // near-dup-band constant, clamped), so the oracle is the full-probe
+    // q49b form; the RECALL probes pin the law at measured cell counts
+    "q167_ivfpq_default_probe" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q167_idx").toString
+      VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+        nCentsPq = 16, path = path)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorIndex.search(s, q, "qid", "qv", path, k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"), col("dist"))
     }),
 
     // INDEX-BACKED semantic clustering — the serving-path recall answer
@@ -1290,6 +1392,17 @@ object SparkEntry {
       TokenizerTrain.trainBpeMergesBatched(
         TokenizerTrain.wordCounts(docs(s, dir), "text").localCheckpoint(false),
         nMerges = 128)._1.toDF("rnk", "l", "r", "cnt")
+    }),
+
+    // the DISTRIBUTED batched rounds under the same sequential oracle:
+    // gate corpora fit the driver (q162 now takes the incremental
+    // path), so this leg forces driverWords = 0 to keep the R1–R3
+    // exchange path itself under the DuckDB gate at every sf
+    "q162b_bpe_merges_distributed" -> ((s, dir) => {
+      import s.implicits._
+      TokenizerTrain.trainBpeMergesBatched(
+        TokenizerTrain.wordCounts(docs(s, dir), "text").localCheckpoint(false),
+        nMerges = 128, driverWords = 0)._1.toDF("rnk", "l", "r", "cnt")
     }),
 
     // leg 3: train + segment + count composed — corpus token counts

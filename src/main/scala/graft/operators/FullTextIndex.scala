@@ -84,9 +84,11 @@ object FullTextIndex {
   /** On-disk format version, written into `conf` and REQUIRED by every
     * read/maintenance entry point. v2 = the generation-tombstone layout
     * (gen columns on postings/docs/meta, forward `docs/` table,
-    * `tombstones/`); a v1 directory (no version column) predates the
-    * forward table — serving it would fail mid-flight on an unresolved
-    * `gen` column instead of refusing up front. */
+    * `tombstones/`); a directory WITHOUT the forward `docs/` table is v1
+    * — serving it would fail mid-flight on an unresolved `gen` column
+    * instead of refusing up front. (The version column itself is newer
+    * than the v2 layout, so its absence alone is not a verdict: conf()
+    * sniffs `docs/` before refusing.) */
   val FormatVersion: Int = 2
 
   /** Auto-compaction floor: below this many tombstoned docs the
@@ -562,9 +564,16 @@ object FullTextIndex {
     // refuse a stale on-disk layout UP FRONT: an older binary's index
     // passes the conf existence check but lacks the gen/docs/tombstone
     // tables, and would otherwise fail mid-maintenance with an
-    // unresolved-column error instead of a diagnosis
+    // unresolved-column error instead of a diagnosis. A missing version
+    // column does NOT by itself mean v1: the gen/docs/tombstones layout
+    // predates the version stamp, so indexes written between those two
+    // binaries have the full v2 layout with no column — sniff the layout
+    // (the forward `docs/` table is v2's distinguishing artifact) instead
+    // of forcing a rebuild of a compatible index.
     val v = if (row.schema.fieldNames.contains("format_version"))
-      row.getAs[Int]("format_version") else 1
+      row.getAs[Int]("format_version")
+    else if (fs.exists(new Path(s"$path/docs"))) 2
+    else 1
     require(v == FormatVersion,
       s"FullTextIndex $path is on-disk format v$v; this binary reads " +
         s"v$FormatVersion — rebuild the index (FullTextIndex.write)")

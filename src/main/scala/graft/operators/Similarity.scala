@@ -384,6 +384,45 @@ object Similarity {
         (col("__r") + 1).as("rank"), (-col("__t.score")).as("dist"))
   }
 
+  /** The deterministic residual codebook rows [[ivfPqResidual]] and the
+    * persisted [[VectorIndex]] residual builds share: the residuals of
+    * corpus rows [nCells, nCells+nCentsPq) — offset PAST the
+    * centroid-coincident rows, whose residuals are zero vectors (a
+    * degenerate codebook). Collect is nCentsPq rows (codebook-sized). */
+  private[operators] def residualBookRows(corpus: DataFrame, cIdCol: String,
+      cVecCol: String, cents: Array[(Long, Array[Double])],
+      nCentsPq: Int): Array[Array[Double]] = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val bank = graft.functions.CentroidBank.of(corpus.sparkSession, cents)
+    val nCells = cents.length
+    corpus
+      .filter(col(cIdCol) >= nCells && col(cIdCol) < nCells + nCentsPq)
+      .select(col(cIdCol).cast("long"),
+        bridge.column(graft.functions.ResidualVec(
+          bridge.expression(col(cVecCol)),
+          graft.functions.NearestCell(bridge.expression(col(cVecCol)), bank),
+          bank)).as("__res"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** A residual VIEW of the corpus — each row's `vec − centroid[cell]`
+    * under the given coarse centroids, with ids preserved — so every
+    * raw-frame quantizer trainer ([[trainPqCodebooks]]) trains residual
+    * books without a residual-specific twin: PQ training is frame-blind,
+    * only its input changes. One narrow in-plan transform, no action. */
+  private[operators] def residualView(corpus: DataFrame, cIdCol: String,
+      cVecCol: String, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val bank = graft.functions.CentroidBank.of(corpus.sparkSession, cents)
+    corpus.select(col(cIdCol),
+      bridge.column(graft.functions.ResidualVec(
+        bridge.expression(col(cVecCol)),
+        graft.functions.NearestCell(bridge.expression(col(cVecCol)), bank),
+        bank)).as(cVecCol))
+  }
+
   /** [[ivfPq]] with RESIDUAL encoding (Jégou et al. 2011, the standard
     * IVF-ADC formulation): each corpus row's PQ codes quantize
     * `vec − centroid[cell]` instead of the raw vector, and each query
@@ -410,19 +449,8 @@ object Similarity {
       bridge.column(graft.functions.ResidualVec(
         bridge.expression(v), bridge.expression(cell), bank))
 
-    // deterministic first-k book — but offset PAST the centroid rows:
-    // with first-k coarse centroids, rows 0..nCells-1 ARE the centroids
-    // and their residuals are zero vectors (a degenerate codebook);
-    // rows nCells..nCells+nCentsPq-1 carry real within-cell offsets
-    val resBookRows = corpus
-      .filter(col(cIdCol) >= nCells && col(cIdCol) < nCells + nCentsPq)
-      .select(col(cIdCol).cast("long"),
-        residual(col(cVecCol), cellOf(col(cVecCol))).as("__res"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
     val books = graft.functions.CodebookBank.of(spark,
-      subBooks(resBookRows, m))
+      subBooks(residualBookRows(corpus, cIdCol, cVecCol, cents, nCentsPq), m))
 
     // one narrow pass: coarse cell + residual PQ codes per corpus row
     val indexed = corpus

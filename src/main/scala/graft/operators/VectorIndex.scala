@@ -59,11 +59,15 @@ object VectorIndex {
     * form, matching [[Similarity.ivfPq]]'s internals). */
   def writeIvfPq(corpus: DataFrame, cIdCol: String, cVecCol: String,
                  nCells: Int, m: Int, nCentsPq: Int, path: String,
-                 storeVectors: Boolean = false): Unit = {
+                 storeVectors: Boolean = false,
+                 residual: Boolean = false): Unit = {
     val cents = Similarity.collectCentroids(corpus, cIdCol, cVecCol, nCells)
-    val books = Similarity.subBooks(
-      Similarity.pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m)
-    writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors)
+    val books =
+      if (residual) Similarity.subBooks(
+        Similarity.residualBookRows(corpus, cIdCol, cVecCol, cents, nCentsPq), m)
+      else Similarity.subBooks(
+        Similarity.pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m)
+    writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors, residual)
   }
 
   /** Build with TRAINED quantizers (Lloyd coarse cells + per-subspace PQ
@@ -71,17 +75,25 @@ object VectorIndex {
   def writeIvfPqTrained(corpus: DataFrame, cIdCol: String, cVecCol: String,
                         dim: Int, nCells: Int, m: Int, nCentsPq: Int,
                         iterations: Int, path: String,
-                        storeVectors: Boolean = false): Unit = {
+                        storeVectors: Boolean = false,
+                        residual: Boolean = false): Unit = {
     val cents = Similarity.trainKmeans(corpus, cIdCol, cVecCol, nCells, iterations)
-    val books = Similarity.trainPqCodebooks(corpus, cIdCol, cVecCol,
+    // residual books train on the residual VIEW of the corpus (PQ
+    // training is frame-blind — only its input changes), so within-cell
+    // offsets get the whole code budget
+    val trainSrc =
+      if (residual) Similarity.residualView(corpus, cIdCol, cVecCol, cents)
+      else corpus
+    val books = Similarity.trainPqCodebooks(trainSrc, cIdCol, cVecCol,
       dim, m, nCentsPq, iterations)
-    writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors)
+    writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors, residual)
   }
 
   /** Persist explicit quantizers + the encoded corpus. Layout:
     * `path/centroids` (cell, vec), `path/books` (j, code, vec),
     * `path/meta` (dim, m, n_cells, k_pq, mean_cell_dist — the
-    * [[driftScore]] baseline), `path/codes` partitioned by
+    * [[driftScore]] baseline — and `residual`, the encode frame every
+    * later [[append]]/[[search]] must honor), `path/codes` partitioned by
     * `cell` with columns (id, codes), and — when `storeVectors` — a
     * `path/vecs` table (id, vec) partitioned by cell for
     * [[searchRescored]]. Sidecars are driver-small (k×dim); codes is
@@ -91,7 +103,8 @@ object VectorIndex {
   def writeWith(corpus: DataFrame, cIdCol: String, cVecCol: String,
                 cents: Array[(Long, Array[Double])],
                 books: Array[Array[Array[Double]]], path: String,
-                storeVectors: Boolean = false): Unit = {
+                storeVectors: Boolean = false,
+                residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = cents.head._2.length
@@ -108,8 +121,8 @@ object VectorIndex {
       s"writeIvfPq($path): drift baseline is 0 (every corpus vector coincides " +
         "with a centroid — a degenerate corpus/quantizer pairing); driftScore " +
         "would divide by zero")
-    Seq((dim, books.length, cents.length, books.head.length, baseline))
-      .toDF("dim", "m", "n_cells", "k_pq", "mean_cell_dist")
+    Seq((dim, books.length, cents.length, books.head.length, baseline, residual))
+      .toDF("dim", "m", "n_cells", "k_pq", "mean_cell_dist", "residual")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "vec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
@@ -118,7 +131,7 @@ object VectorIndex {
     }.toDF("j", "code", "vec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/books")
     encodeInto(corpus, cIdCol, cVecCol, cents, books, path, SaveMode.Overwrite,
-      storeVectors)
+      storeVectors, residual)
   }
 
   /** Fixed-point-exact mean nearest-cell distance of a vector set
@@ -183,7 +196,16 @@ object VectorIndex {
     * A tombstoned id stays hidden until a [[compact]] clears the
     * tombstone set — re-[[append]]ing the same id before compaction
     * keeps it suppressed (ids are permanent identities here; re-ingest
-    * under a deleted id is a pipeline error this masks conservatively). */
+    * under a deleted id is a pipeline error this masks conservatively).
+    *
+    * '''Rule''': a maintenance script that ENDS with an explicit
+    * [[compact]] should pass `autoCompact = false` — the explicit call
+    * does the same rewrite the policy would, and suppressing the policy
+    * skips its decide jobs (tombstone distinct + codes count) plus a
+    * possible rewrite fired one statement early ([[upsert]] follows
+    * this rule; the explicit [[compact]] is already a no-op when the
+    * policy got there first, so the composition is safe either way —
+    * just not free). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String, autoCompact: Boolean = true): Unit = {
     ids.select(col(idCol).cast("long").as("id")).distinct()
@@ -355,7 +377,10 @@ object VectorIndex {
   def upsert(batch: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
     val spark = batch.sparkSession
-    delete(spark, path, batch.select(col(idCol)), idCol)
+    // autoCompact off: the explicit compact below does the rewrite
+    // unconditionally (the tombstones MUST clear before the re-append),
+    // so the policy's decide jobs would be pure overhead here
+    delete(spark, path, batch.select(col(idCol)), idCol, autoCompact = false)
     compact(spark, path)
     append(batch, idCol, vecCol, path)
   }
@@ -374,7 +399,8 @@ object VectorIndex {
       .getFileSystem(newRows.sparkSession.sparkContext.hadoopConfiguration)
       .exists(vecsDir)
     encodeInto(newRows, cIdCol, cVecCol, cents, books, path, SaveMode.Append,
-      storeVectors = hasVecs)
+      storeVectors = hasVecs,
+      residual = isResidual(newRows.sparkSession, path))
   }
 
   /** A session-lifetime handle on one index: the k-sized quantizer
@@ -386,7 +412,8 @@ object VectorIndex {
                           books: Array[Array[Array[Double]]],
                           codes: DataFrame,
                           vecs: Option[DataFrame] = None,
-                          tombs: Option[DataFrame] = None)
+                          tombs: Option[DataFrame] = None,
+                          residual: Boolean = false)
 
   /** Load an index once per serving session ([[search]] per batch would
     * re-read both sidecars AND re-list every partition directory).
@@ -404,7 +431,14 @@ object VectorIndex {
         Some(spark.read.parquet(s"$path/$sub"))
       else None
     Loaded(cents, books, spark.read.parquet(s"$path/codes"),
-      opt("vecs"), opt("tombstones"))
+      opt("vecs"), opt("tombstones"), residual = isResidual(spark, path))
+  }
+
+  /** The encode frame persisted at build time — meta's `residual`
+    * column; absent (a pre-residual layout) means raw-frame. */
+  def isResidual(spark: SparkSession, path: String): Boolean = {
+    val row = spark.read.parquet(s"$path/meta").collect()(0)
+    row.schema.fieldNames.contains("residual") && row.getAs[Boolean]("residual")
   }
 
   /** ANN search against a prebuilt index. Loads the k-sized sidecars,
@@ -414,7 +448,7 @@ object VectorIndex {
     * [[Similarity.ivfPq]]. Output (qIdCol, id, rank, dist). */
   def search(spark: SparkSession, queries: DataFrame,
              qIdCol: String, qVecCol: String,
-             path: String, nProbe: Int, k: Int): DataFrame =
+             path: String, nProbe: Int = AutoNProbe, k: Int): DataFrame =
     searchLoaded(spark, queries, qIdCol, qVecCol, load(spark, path), nProbe, k)
 
   /** [[search]] against a PRELOADED index — the steady-state serving
@@ -422,7 +456,7 @@ object VectorIndex {
     * batch the session runs. */
   def searchLoaded(spark: SparkSession, queries: DataFrame,
                    qIdCol: String, qVecCol: String, idx: Loaded,
-                   nProbe: Int, k: Int): DataFrame =
+                   nProbe: Int = AutoNProbe, k: Int): DataFrame =
     adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k)._2
 
   /** Predicated ANN search: [[searchLoaded]] restricted to an allow-set
@@ -436,7 +470,7 @@ object VectorIndex {
     * tombstones (both prune pre-ranking). */
   def searchFiltered(spark: SparkSession, queries: DataFrame,
                      qIdCol: String, qVecCol: String, idx: Loaded,
-                     nProbe: Int, k: Int,
+                     nProbe: Int = AutoNProbe, k: Int,
                      allowed: DataFrame, allowedIdCol: String): DataFrame =
     adcSearch(spark, queries, qIdCol, qVecCol, idx, nProbe, k,
       restrict = Some(allowed.select(col(allowedIdCol).cast("long").as("id"))))._2
@@ -471,7 +505,7 @@ object VectorIndex {
     * cells-per-angular-radius, which is why the constant is 16, not 4. */
   def searchRescored(spark: SparkSession, queries: DataFrame,
                      qIdCol: String, qVecCol: String, idx: Loaded,
-                     nProbe: Int, k: Int, overfetch: Int = 4,
+                     nProbe: Int = AutoNProbe, k: Int, overfetch: Int = 4,
                      allowed: Option[DataFrame] = None,
                      allowedIdCol: String = "id"): DataFrame = {
     val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
@@ -509,8 +543,8 @@ object VectorIndex {
     * (idCol, corpus_id, cosine) — self-pairs excluded (ingest ids are
     * new by contract; the guard keeps replay states conservative). */
   def semanticDups(spark: SparkSession, batch: DataFrame, idCol: String,
-                   vecCol: String, idx: Loaded, nProbe: Int, k: Int,
-                   threshold: Double): DataFrame = {
+                   vecCol: String, idx: Loaded, nProbe: Int = AutoNProbe,
+                   k: Int, threshold: Double): DataFrame = {
     val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
       "semanticDups needs an index built with storeVectors = true (no vecs/ table)"))
     val (probedCells, cands) =
@@ -540,6 +574,41 @@ object VectorIndex {
     math.min(n, math.max(1L, (n + targetCell - 1) / targetCell)).toInt
   }
 
+  /** Sentinel accepted wherever `nProbe` defaults: resolve via
+    * [[nProbeFor]] against the loaded index's own cell count. */
+  val AutoNProbe: Int = 0
+
+  /** The measured probe-count law as code — [[nCellsFor]]/
+    * [[Similarity.nPlanesFor]]'s serving sibling, so a caller following
+    * the API gets the recall the probes measured instead of a guess.
+    * `band` is the cosine of the neighbors the caller needs back:
+    *
+    *   - '''near-dup band (cos ≥ 0.9)''': a FIXED constant holds —
+    *     recall there is coverage-bound, and the planted-band probes
+    *     (`RECALL_r18_testdata_sf10.jsonl`, re-swept r19) put the floor
+    *     at nProbe 16: ≥ 0.95 recall of planted cos≈0.95 pairs at every
+    *     measured cell count (82 → 821 cells), where the old habit of 4
+    *     decays with cell growth (0.96 → 0.8807) because fixed coverage
+    *     is nProbe/nCells of the cell space. Fixed 16 keeps the
+    *     candidate bound LINEAR in corpus size (nProbe · targetCell
+    *     rows per query).
+    *   - '''mid band (cos < 0.9)''': no constant survives cell growth —
+    *     the probes' auto setting `nCells/8` recalls 0.999–1.0 of the
+    *     covered mass with a candidate bound that grows with the corpus
+    *     (the documented trade; note the 0.6-band ceiling is
+    *     PQ-ordering-bound, so past this probe count the lever is
+    *     overfetch or the residual/m encode knobs, not more probes).
+    *
+    * Clamped to [1, nCells]. */
+  def nProbeFor(nCells: Int, band: Double = 0.95): Int = {
+    require(nCells >= 1, "need nCells >= 1")
+    val p = if (band >= 0.9) 16 else math.max(16, (nCells + 7) / 8)
+    math.min(nCells, math.max(1, p))
+  }
+
+  private def resolveProbe(nProbe: Int, nCells: Int): Int =
+    if (nProbe > 0) nProbe else nProbeFor(nCells)
+
   /** Corpus-scale self-kNN candidates from the persisted index — the
     * candidate generator for [[semanticClustersIndexed]]. Unlike
     * [[searchRescored]] (a per-batch serving call that BROADCASTS its
@@ -560,8 +629,9 @@ object VectorIndex {
     * bit-identical to brute mutual-kNN input pairs. Tombstoned rows
     * leave both sides before anything is ranked. Output (qid, nid):
     * top-(k+1) neighbors by exact cosine, self dropped. */
-  def selfKnnCandidates(spark: SparkSession, idx: Loaded, nProbe: Int,
-                        k: Int, overfetch: Int = 4): DataFrame = {
+  def selfKnnCandidates(spark: SparkSession, idx: Loaded,
+                        nProbe: Int = AutoNProbe, k: Int,
+                        overfetch: Int = 4): DataFrame = {
     import graft.functions.Kernel
     val vecsDf = idx.vecs.getOrElse(throw new IllegalArgumentException(
       "selfKnnCandidates needs an index built with storeVectors = true (no vecs/ table)"))
@@ -571,15 +641,19 @@ object VectorIndex {
       vecsDf.join(t.select(col("id")), Seq("id"), "left_anti"))
     val q = live.select(col("id").as("__qid"), col("vec").as("__qv"))
       .withColumn("cell", explode(bridge.column(graft.functions.ProbeCells(
-        bridge.expression(col("__qv")), bank, nProbe))))
+        bridge.expression(col("__qv")), bank, resolveProbe(nProbe, idx.cents.length)))))
+      .withColumn("__qd",
+        if (idx.residual) bridge.column(graft.functions.ResidualVec(
+          bridge.expression(col("__qv")), bridge.expression(col("cell")), bank))
+        else col("__qv"))
     val codes = {
       val s0 = idx.codes.withColumn("cell", col("cell").cast("long"))
       idx.tombs.fold(s0)(t => s0.join(t.select(col("id")), Seq("id"), "left_anti"))
     }
     val adcTop = codes
-      .join(q.select(col("__qid"), col("__qv"), col("cell")), Seq("cell"))
+      .join(q.select(col("__qid"), col("__qd"), col("cell")), Seq("cell"))
       .withColumn("__negd",
-        -Similarity.adcDistCol(bookBank, col("__qv"), col("codes")))
+        -Similarity.adcDistCol(bookBank, col("__qd"), col("codes")))
       .groupBy(col("__qid"))
       .agg(graft.functions.TopKAgg.topK(col("__negd"), col("id"),
         k * overfetch).as("__top"))
@@ -625,8 +699,8 @@ object VectorIndex {
     * candidate bound that grows with the corpus. Pick by the band the
     * dedup threshold lives in: near-dup thresholds (≥ 0.9) are safe at
     * fixed 16; mid-band thresholds want the auto setting. */
-  def semanticClustersIndexed(spark: SparkSession, idx: Loaded, nProbe: Int,
-                              k: Int,
+  def semanticClustersIndexed(spark: SparkSession, idx: Loaded,
+                              nProbe: Int = AutoNProbe, k: Int,
                               iterations: Int = Similarity.DefaultSemanticIterations,
                               overfetch: Int = 4): DataFrame = {
     val knn = selfKnnCandidates(spark, idx, nProbe, k, overfetch)
@@ -642,13 +716,22 @@ object VectorIndex {
                         qIdCol: String, qVecCol: String, idx: Loaded,
                         nProbe: Int, k: Int,
                         restrict: Option[DataFrame] = None): (Array[Long], DataFrame) = {
+    val np = resolveProbe(nProbe, idx.cents.length)
     val bank = graft.functions.CentroidBank.of(spark, idx.cents)
     val bookBank = graft.functions.CodebookBank.of(spark, idx.books)
 
+    // the dist input per (query, probed cell): the raw query vector, or
+    // — residual layouts — the query expressed in the PROBED cell's
+    // residual frame, computed HERE (|Q|·nProbe rows, before the
+    // broadcast), never per candidate inside the hot ADC scan
     val probes = queries.withColumn("cell",
         explode(bridge.column(graft.functions.ProbeCells(
-          bridge.expression(col(qVecCol)), bank, nProbe))))
-      .select(col(qIdCol), col(qVecCol), col("cell"))
+          bridge.expression(col(qVecCol)), bank, np))))
+      .withColumn("__qd",
+        if (idx.residual) bridge.column(graft.functions.ResidualVec(
+          bridge.expression(col(qVecCol)), bridge.expression(col("cell")), bank))
+        else col(qVecCol))
+      .select(col(qIdCol), col("__qd"), col("cell"))
     // union of probed cells: bounded by nCells (bank-sized), never by data
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -670,7 +753,7 @@ object VectorIndex {
     val codes = restrict.fold(afterTombs)(a =>
       afterTombs.join(a, Seq("id"), "left_semi"))
 
-    val dist = Similarity.adcDistCol(bookBank, col(qVecCol), col("codes"))
+    val dist = Similarity.adcDistCol(bookBank, col("__qd"), col("codes"))
     val ranked = codes.join(broadcast(probes), Seq("cell"))
       .withColumn("__negd", -dist)
       .groupBy(col(qIdCol))
@@ -688,16 +771,27 @@ object VectorIndex {
                          cents: Array[(Long, Array[Double])],
                          books: Array[Array[Array[Double]]],
                          path: String, mode: SaveMode,
-                         storeVectors: Boolean = false): Unit = {
+                         storeVectors: Boolean = false,
+                         residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val bank = graft.functions.CentroidBank.of(spark, cents)
     val bookBank = graft.functions.CodebookBank.of(spark, books)
-    val assigned = corpus.select(
+    // residual layouts PQ-encode vec − centroid[cell] (Jégou et al.'s
+    // IVF-ADC form — within a cell only the residual energy remains for
+    // the same m codes to resolve); the cell assignment is shared
+    val withCell = corpus.select(
         col(cIdCol).cast("long").as("id"),
         bridge.column(graft.functions.NearestCell(
           bridge.expression(col(cVecCol)), bank)).as("cell"),
-        Similarity.pqCodesCol(bookBank, col(cVecCol)).as("codes"),
         col(cVecCol).as("vec"))
+    val encSrc =
+      if (residual) bridge.column(graft.functions.ResidualVec(
+        bridge.expression(col("vec")), bridge.expression(col("cell")), bank))
+      else col("vec")
+    val assigned = withCell.select(
+        col("id"), col("cell"),
+        Similarity.pqCodesCol(bookBank, encSrc).as("codes"),
+        col("vec"))
       // cluster by cell BEFORE the partitioned write: unordered input
       // would make every task write a file into every cell directory
       // (tasks × cells tiny files — measured 2.6× slower to SEARCH than
@@ -740,6 +834,9 @@ object VectorIndex {
       bs.zip(bd).forall { case (ba, bb) =>
         ba.length == bb.length && ba.zip(bb).forall { case (x, y) => x.sameElements(y) } },
       "merge requires bit-identical PQ codebooks")
+    require(isResidual(spark, srcPath) == isResidual(spark, dstPath),
+      "merge requires matching encode frames (raw vs residual codes are " +
+        "different code spaces under identical books)")
     val fs = new org.apache.hadoop.fs.Path(dstPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcVecs = fs.exists(new org.apache.hadoop.fs.Path(s"$srcPath/vecs"))

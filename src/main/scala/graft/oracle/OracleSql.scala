@@ -1157,6 +1157,54 @@ rk AS (SELECT qid, vec_id, dist,
 SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
   }
 
+  /** q166: [[q130_ivfpq_residual]]'s residual-frame ADC widened to
+    * k×overfetch candidates, then exact-L2 re-ranked over the raw
+    * vectors — the rescored serving search under the residual encode
+    * frame (the q125 rescore contract with q130's candidate stage). */
+  def q166_ivfpq_residual_rescored(dim: Int, nCells: Int, nProbe: Int, m: Int,
+                                   nCentsPq: Int, k: Int, overfetch: Int): String = {
+    val sub = dim / m
+    def subL2(a: String, b: String, j: String): String =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[$j*$sub + i] - $b[$j*$sub + i]) * ($a[$j*$sub + i] - $b[$j*$sub + i])), (x,y) -> x+y)"
+    def resid(v: String, cv: String): String =
+      s"list_transform(range(1, ${dim + 1}), i -> $v[i]::DOUBLE - $cv[i]::DOUBLE)"
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2sqSql("e.embedding", "c.cvec")}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+resid AS (SELECT a.vec_id, a.cell, ${resid("e.embedding", "c.cvec")} AS rv
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell),
+cb AS (SELECT vec_id AS c, rv AS cv FROM resid
+  WHERE vec_id >= $nCells AND vec_id < ${nCells + nCentsPq}),
+sub AS (SELECT unnest(range(0, $m)) AS j),
+dd AS (SELECT r.vec_id, s.j, cb.c, ${subL2("r.rv", "cb.cv", "s.j")} AS d
+  FROM resid r CROSS JOIN sub s CROSS JOIN cb),
+enc AS (SELECT vec_id, j, c AS code FROM (
+  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM dd) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qprobe AS (SELECT qid, qv, cell FROM (
+  SELECT q.qid, q.qv, c.cell,
+    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("q.qv", "c.cvec")}, c.cell) AS rn
+  FROM q CROSS JOIN cents c) t WHERE rn <= $nProbe),
+qres AS (SELECT qp.qid, qp.cell, ${resid("qp.qv", "c.cvec")} AS qr
+  FROM qprobe qp JOIN cents c ON c.cell = qp.cell),
+cand AS (SELECT qr.qid, qr.qr, a.vec_id FROM assign a JOIN qres qr ON a.cell = qr.cell),
+qd AS (SELECT ca.qid, ca.vec_id, en.j, ${subL2("ca.qr", "cb.cv", "en.j")} AS d
+  FROM cand ca JOIN enc en ON en.vec_id = ca.vec_id JOIN cb ON cb.c = en.code),
+adist AS (SELECT qid, vec_id, list_reduce(list(d ORDER BY j), (x,y) -> x+y) AS dist
+  FROM qd GROUP BY qid, vec_id),
+rk0 AS (SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk0 FROM adist),
+wide AS (SELECT qid, vec_id FROM rk0 WHERE rnk0 <= ${k * overfetch}),
+ex AS (SELECT w.qid, w.vec_id, ${l2sqSql("q.qv", "e.embedding")} AS dist
+  FROM wide w JOIN q ON q.qid = w.qid JOIN embeddings e ON e.vec_id = w.vec_id),
+rk AS (SELECT qid, vec_id, dist,
+  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk FROM ex)
+SELECT qid, vec_id, rnk, dist FROM rk WHERE rnk <= $k"""
+  }
+
   /** q125: q49b's IVF-PQ candidates widened to k×overfetch, then exact-L2
     * re-ranked — the rescored serving search (candidate-sized vector
     * fetch buys back the PQ ordering loss). */
@@ -3979,6 +4027,15 @@ FROM events GROUP BY user_id, event_type"""
     "q136_drift_retrain" -> q136_drift_retrain(Dim, 16, 8, 8, 8, 1, 4, 5),
     "q140_stream_drift_windows" -> q140_stream_drift_windows(16, 4),
     "q130_ivfpq_residual" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
+    // persisted residual lifecycle: search (q165) and append (q165b)
+    // are bit-identical to the one-shot residual form from the same
+    // quantizers, so both share q130's oracle; the rescored serving
+    // form (q166) adds the exact-L2 re-rank stage; the default-probe
+    // gate (q167) resolves nProbeFor(16) = 16 → the full-probe oracle
+    "q165_ivfpq_index_residual" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
+    "q165b_ivfpq_index_residual_append" -> q130_ivfpq_residual(Dim, 16, 4, 8, 16, 5),
+    "q166_ivfpq_residual_rescored" -> q166_ivfpq_residual_rescored(Dim, 16, 4, 8, 16, 5, 4),
+    "q167_ivfpq_default_probe" -> q49b_ivf_pq(Dim, 16, 16, 8, 16, 5),
     "q131_pack_stats" -> q131_pack_stats(256L, 8),
     "q132_ivfpq_merged" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5),
     "q133_ivfpq_filtered" -> q49b_ivf_pq(Dim, 16, 4, 8, 16, 5,
@@ -4070,6 +4127,9 @@ FROM events GROUP BY user_id, event_type"""
     "q146_bpe_pair_counts" -> q146_bpe_pair_counts,
     "q147_bpe_merges" -> q147_bpe_merges(8),
     "q162_bpe_merges_batched" -> q162_bpe_merges_batched(128),
+    // the distributed-rounds leg trains the same list (R1–R3 prefix
+    // proof), so it shares q162's sequential chained-CTE oracle
+    "q162b_bpe_merges_distributed" -> q162_bpe_merges_batched(128),
     "q148_bpe_tokenize" -> q148_bpe_tokenize(8),
     // train → export → load → native BpeIds: the exported artifact's
     // rank-priority encoding answers the trainer's own segmentation SQL

@@ -341,11 +341,15 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val path = tmp("graft_ftidx_fmt")
     FullTextIndex.write(d.filter(col("doc_id") < 64), "doc_id", "text", path)
     // simulate an index written by the pre-gen binary: conf carries only
-    // max_length (v1) — every entry point must refuse with a diagnosis,
-    // not fail mid-flight on an unresolved column
+    // max_length AND the forward docs/ table is absent (a true v1
+    // layout) — every entry point must refuse with a diagnosis, not
+    // fail mid-flight on an unresolved column
     import spark.implicits._
     Seq(Tuple1(512)).toDF("max_length")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
+    new org.apache.hadoop.fs.Path(s"$path/docs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/docs"), true)
     val e = intercept[IllegalArgumentException] {
       FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5)
     }
@@ -358,5 +362,28 @@ class FullTextIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       FullTextIndex.removeDocs(spark, d.limit(1).select(col("doc_id")), "doc_id", path)
     }
     intercept[IllegalArgumentException] { FullTextIndex.compactPostings(spark, path) }
+  }
+
+  test("a v2 layout without the version column is sniffed, not refused") {
+    // indexes written between the gen/docs layout and the version stamp
+    // have the full v2 layout but no format_version column — forcing a
+    // rebuild of those is wasted work; conf() sniffs the forward docs/
+    // table and serves them
+    val path = tmp("graft_ftidx_sniff")
+    FullTextIndex.write(d.filter(col("doc_id") < 64), "doc_id", "text", path)
+    val before = FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5)
+      .collect().map(_.toString).toSet
+    val maxLen = spark.read.parquet(s"$path/conf")
+      .collect()(0).getAs[Int]("max_length")
+    import spark.implicits._
+    Seq(Tuple1(maxLen)).toDF("max_length")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
+    val after = FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5)
+      .collect().map(_.toString).toSet
+    assert(after == before && after.nonEmpty)
+    // maintenance entry points accept it too
+    FullTextIndex.compactPostings(spark, path)
+    assert(FullTextIndex.searchTopK(spark, queries, "qid", "qtext", path, k = 5)
+      .collect().map(_.toString).toSet == before)
   }
 }

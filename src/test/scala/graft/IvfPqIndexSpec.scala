@@ -516,4 +516,155 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(before == after && after.nonEmpty)
     assert(!VectorIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.0))
   }
+
+  test("residual index == in-plan ivfPqResidual; frame persists through meta") {
+    val path = tmp("graft_ivfpq_res")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", nCells = 16, m = 8,
+      nCentsPq = 16, path = path, residual = true)
+    assert(VectorIndex.isResidual(spark, path))
+    val indexed = asSet(VectorIndex.search(spark, q, "qid", "qv", path,
+      nProbe = 4, k = 5).select(col("qid"), col("id"), col("rank"), col("dist")))
+    val inPlan = asSet(Similarity.ivfPqResidual(q, "qid", "qv", e, "vec_id",
+      "embedding", nCells = 16, nProbe = 4, m = 8, nCentsPq = 16, k = 5)
+      .select(col("qid"), col("vec_id").cast("long"), col("rank"), col("dist")))
+    assert(indexed == inPlan)
+    assert(indexed.nonEmpty)
+    // the frame changes the ranking: a raw-frame build from the same
+    // corpus must NOT be accidentally equal (the codes differ)
+    val pRaw = tmp("graft_ivfpq_rawc")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pRaw)
+    assert(!VectorIndex.isResidual(spark, pRaw))
+    val raw = asSet(VectorIndex.search(spark, q, "qid", "qv", pRaw, 4, 5))
+    assert(raw != indexed, "residual and raw frames must rank differently here")
+  }
+
+  test("residual append reads the frame from meta == full residual rebuild") {
+    val pHalf = tmp("graft_ivfpq_res_half")
+    val pFull = tmp("graft_ivfpq_res_full")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, pHalf, residual = true)
+    VectorIndex.append(e.filter(col("vec_id") >= 250), "vec_id", "embedding", pHalf)
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, pFull,
+      residual = true)
+    val a = asSet(VectorIndex.search(spark, q, "qid", "qv", pHalf, 4, 5))
+    val b = asSet(VectorIndex.search(spark, q, "qid", "qv", pFull, 4, 5))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("residual lifecycle: delete+compact, rescored search, selfKnn all honor the frame") {
+    val path = tmp("graft_ivfpq_res_life")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path,
+      storeVectors = true, residual = true)
+    val gone = col("vec_id") % 9 === 0 && col("vec_id") >= 16
+    VectorIndex.delete(spark, path, e.filter(gone).select(col("vec_id")), "vec_id",
+      autoCompact = false)
+    val masked = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    VectorIndex.compact(spark, path)
+    val compacted = asSet(VectorIndex.search(spark, q, "qid", "qv", path, 4, 5))
+    assert(masked == compacted && compacted.nonEmpty)
+    // rescored: exact L2 re-rank happens in the RAW frame over stored
+    // vectors — every returned dist must equal the true squared L2
+    val idx = VectorIndex.load(spark, path)
+    assert(idx.residual)
+    val resc = VectorIndex.searchRescored(spark, q, "qid", "qv", idx,
+      nProbe = 4, k = 3, overfetch = 4)
+    val vecMap = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    resc.collect().foreach { r =>
+      val (qid, id, d) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val (x, y) = (vecMap(qid), vecMap(id))
+      val exact = x.indices.map(i => (x(i) - y(i)) * (x(i) - y(i))).sum
+      assert(math.abs(exact - d) < 1e-9, s"rescored dist must be exact L2 ($qid,$id)")
+    }
+    // selfKnn candidate path runs under the residual ADC without error
+    // and proposes non-self neighbors
+    val knn = VectorIndex.selfKnnCandidates(spark, idx, nProbe = 4, k = 3)
+    assert(knn.filter(col("qid") === col("nid")).isEmpty)
+    assert(knn.count() > 0)
+  }
+
+  test("merge refuses mixed encode frames") {
+    val pA = tmp("graft_ivfpq_mixa")
+    val pB = tmp("graft_ivfpq_mixb")
+    VectorIndex.writeIvfPq(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      16, 8, 16, pA, residual = true)
+    // same coarse centroids; books differ by frame — build B raw but
+    // with A's quantizers so the centroid/book equality checks pass and
+    // ONLY the frame check can catch the mismatch
+    val (cents, books) = VectorIndex.loadQuantizers(spark, pA)
+    VectorIndex.writeWith(e.filter(col("vec_id") >= 250), "vec_id", "embedding",
+      cents, books, pB, residual = false)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.merge(spark, pB, pA)
+    }
+    assert(ex.getMessage.contains("encode frames"))
+  }
+
+  test("nProbeFor encodes the measured law; defaults resolve through it") {
+    // near-dup band: fixed 16, clamped to nCells
+    assert(VectorIndex.nProbeFor(821) == 16)
+    assert(VectorIndex.nProbeFor(82) == 16)
+    assert(VectorIndex.nProbeFor(8) == 8)
+    assert(VectorIndex.nProbeFor(1) == 1)
+    // mid band: nCells/8 with a floor of 16 (never below the near-dup
+    // constant — fewer probes can only lose coverage)
+    assert(VectorIndex.nProbeFor(821, band = 0.7) == 103)
+    assert(VectorIndex.nProbeFor(64, band = 0.6) == 16)
+    assert(VectorIndex.nProbeFor(4096, band = 0.8) == 512)
+    // a defaulted search equals the explicit nProbeFor probe count
+    val path = tmp("graft_ivfpq_npdef")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    val dflt = asSet(VectorIndex.search(spark, q, "qid", "qv", path, k = 5))
+    val expl = asSet(VectorIndex.search(spark, q, "qid", "qv", path,
+      nProbe = VectorIndex.nProbeFor(16), k = 5))
+    assert(dflt == expl && dflt.nonEmpty)
+  }
+
+  test("TRAINED residual build (Lloyd cells + residual-trained books) serves exactly") {
+    // the bandenc probe's production path: trained coarse cells, books
+    // trained on the residual VIEW, larger code alphabet. No oracle at
+    // trained quantizers — pin the exactness contract instead: probing
+    // every cell with overfetch past the corpus, rescored search IS
+    // brute-force L2 (the ADC stage can propose but never lose)
+    val path = tmp("graft_ivfpq_res_tr")
+    VectorIndex.writeIvfPqTrained(e, "vec_id", "embedding", graft.functions.K.Dim,
+      nCells = 16, m = 8, nCentsPq = 64, iterations = 2, path = path,
+      storeVectors = true, residual = true)
+    assert(VectorIndex.isResidual(spark, path))
+    val idx = VectorIndex.load(spark, path)
+    val rescored = VectorIndex.searchRescored(spark, q, "qid", "qv", idx,
+        nProbe = 16, k = 5, overfetch = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = e.crossJoin(broadcast(q))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        (-Similarity.l2sq(col("embedding"), col("qv"))).cast("double"),
+        col("vec_id").cast("long"), 5).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), col("__t.id"), (col("__r") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rescored == brute)
+    assert(rescored.nonEmpty)
+  }
+
+  test("explicit compact after an auto-compacting delete leaves cell files untouched") {
+    val path = tmp("graft_ivfpq_dblcmp")
+    VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
+    val gone = col("vec_id") % 7 === 0 && col("vec_id") >= 16
+    // force the trigger so delete's policy does the rewrite
+    VectorIndex.delete(spark, path, e.filter(gone).select(col("vec_id")), "vec_id",
+      autoCompact = false)
+    assert(VectorIndex.maybeCompact(spark, path, minTombstones = 1L, frac = 0.001))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshot(): Set[(String, Long, Long)] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath).map(f =>
+        (f.getPath.toString, f.getLen, f.getModificationTime)))
+      .toSet
+    val before = snapshot()
+    VectorIndex.compact(spark, path) // mask is clear — must be a cheap no-op
+    assert(snapshot() == before, "a clear-mask compact must not rewrite any cell")
+  }
 }

@@ -63,12 +63,22 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val wc = TokenizerTrain.wordCounts(d, "text").localCheckpoint(true)
     val seq = TokenizerTrain.trainBpeMerges(wc, nMerges = 512)
+    // default resolves to the driver-incremental path on this table;
+    // driverWords = 0 forces the DISTRIBUTED batched rounds — both must
+    // reproduce the sequential list exactly
     val (bat, rounds) = TokenizerTrain.trainBpeMergesBatched(wc, nMerges = 512)
     assert(bat == seq)
-    assert(rounds < seq.size, s"batching must save rounds: $rounds vs ${seq.size}")
-    // truncation respects the requested count mid-batch
+    val (batDist, roundsDist) = TokenizerTrain.trainBpeMergesBatched(wc,
+      nMerges = 512, driverWords = 0)
+    assert(batDist == seq)
+    assert(rounds <= roundsDist)
+    assert(roundsDist < seq.size, s"batching must save rounds: $roundsDist vs ${seq.size}")
+    // truncation respects the requested count mid-batch (both paths)
     val (bat8, _) = TokenizerTrain.trainBpeMergesBatched(wc, nMerges = 8)
     assert(bat8 == seq.take(8))
+    val (bat8d, _) = TokenizerTrain.trainBpeMergesBatched(wc, nMerges = 8,
+      driverWords = 0)
+    assert(bat8d == seq.take(8))
     // fixture where the naive batch WOULD be wrong without R3: merging
     // the top pair creates a new pair that outcounts the runner-up —
     // sequential picks it, so the batch must stop after one merge
@@ -76,8 +86,11 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSessionTestWrapper {
       corpus(Seq.fill(6)("xab").mkString(" "), Seq.fill(5)("cd").mkString(" "),
         "ab ab ab"), "text")
     val seqT = TokenizerTrain.trainBpeMerges(tricky, nMerges = 3)
-    val (batT, _) = TokenizerTrain.trainBpeMergesBatched(tricky, nMerges = 3)
+    val (batT, _) = TokenizerTrain.trainBpeMergesBatched(tricky, nMerges = 3,
+      driverWords = 0)
     assert(batT == seqT)
+    val (batTi, _) = TokenizerTrain.trainBpeMergesBatched(tricky, nMerges = 3)
+    assert(batTi == seqT)
     assert(seqT(1)._2 == "x" && seqT(1)._3 == "ab",
       s"fixture must exercise the new-pair-overtakes case, got ${seqT(1)}")
   }
