@@ -593,18 +593,44 @@ object VectorIndex {
     *     candidate bound LINEAR in corpus size (nProbe · targetCell
     *     rows per query).
     *   - '''mid band (cos < 0.9)''': no constant survives cell growth —
-    *     the probes' auto setting `nCells/8` recalls 0.999–1.0 of the
-    *     covered mass with a candidate bound that grows with the corpus
-    *     (the documented trade; note the 0.6-band ceiling is
-    *     PQ-ordering-bound, so past this probe count the lever is
-    *     overfetch or the residual/m encode knobs, not more probes).
+    *     half the cells does, under the [[KPqRecommended]] 8-bit books
+    *     (`RECALL_BAND_r19_*.jsonl`): at `nCells/2` the 0.7-band reads
+    *     0.98 at 90 cells (sf1) and 0.944–0.971 at 899 cells (sf10),
+    *     the 0.8-band ≥ 0.9998 at both, at ~2× the fixed-16 serving
+    *     cost; the old `nCells/8` reads 0.86 at 899 cells. The
+    *     candidate bound is `nCells/2 · targetCell ≈ half the corpus`
+    *     per query — the documented mid-band trade. The 0.6-band stays
+    *     ordering/overfetch-bound (0.54 → 0.61 moving overfetch 16 →
+    *     32 at full probes): past `nCells/2` the lever is overfetch,
+    *     not more probes.
     *
     * Clamped to [1, nCells]. */
   def nProbeFor(nCells: Int, band: Double = 0.95): Int = {
     require(nCells >= 1, "need nCells >= 1")
-    val p = if (band >= 0.9) 16 else math.max(16, (nCells + 7) / 8)
+    val p = if (band >= 0.9) 16 else math.max(16, nCells / 2)
     math.min(nCells, math.max(1, p))
   }
+
+  /** The measured code-alphabet recommendation for NEW index builds:
+    * 256 centroids per subspace (standard 8-bit IVFPQ books, Jégou et
+    * al. 2011) under the RAW encode frame. The r19 quantizer sweep
+    * (`RECALL_BAND_r19_testdata_sf1.jsonl`, 7 variants × probe ×
+    * overfetch) measured, vs the 4-bit default the oracle gates pin:
+    * 0.7-band mutual-kNN recall 0.75 → 0.98 and 0.6-band 0.50 → 0.83
+    * at `nCells/2` probes / overfetch 32 — at 1.8× the default-probe
+    * serving cost, where the r18 escape hatch (overfetch 128) paid 8×
+    * for less. Residual encoding adds NOTHING over 8-bit raw books on
+    * an unclustered corpus (0.748 vs 0.751 at equal settings) and costs
+    * ~3× serving time (the per-(query,cell) residual is recomputed per
+    * probe), so raw is the default frame; residual remains the right
+    * frame when the corpus has real cluster structure to spend the
+    * coarse quantizer on. Finer splits are NOT monotone: m=16 with
+    * 256-cent books COLLAPSES the 0.6-band (0.83 → 0.33–0.49 — 4-dim
+    * subspaces overfit the corpus manifold and misrank off-manifold
+    * queries), which is why this is a constant, not a knob to crank.
+    * Gates stay at 4-bit books only because their DuckDB oracle
+    * enumerates codebook training in SQL. */
+  val KPqRecommended: Int = 256
 
   private def resolveProbe(nProbe: Int, nCells: Int): Int =
     if (nProbe > 0) nProbe else nProbeFor(nCells)

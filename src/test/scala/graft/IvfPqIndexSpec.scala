@@ -606,11 +606,14 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(VectorIndex.nProbeFor(82) == 16)
     assert(VectorIndex.nProbeFor(8) == 8)
     assert(VectorIndex.nProbeFor(1) == 1)
-    // mid band: nCells/8 with a floor of 16 (never below the near-dup
-    // constant — fewer probes can only lose coverage)
-    assert(VectorIndex.nProbeFor(821, band = 0.7) == 103)
-    assert(VectorIndex.nProbeFor(64, band = 0.6) == 16)
-    assert(VectorIndex.nProbeFor(4096, band = 0.8) == 512)
+    // mid band: nCells/2 with a floor of 16 (never below the near-dup
+    // constant — fewer probes can only lose coverage; the factor is the
+    // r19 band-sweep law: nCells/8 reads 0.86 on the 0.7-band at 899
+    // cells, nCells/2 reads 0.94-0.97)
+    assert(VectorIndex.nProbeFor(821, band = 0.7) == 410)
+    assert(VectorIndex.nProbeFor(64, band = 0.6) == 32)
+    assert(VectorIndex.nProbeFor(24, band = 0.6) == 16)
+    assert(VectorIndex.nProbeFor(4096, band = 0.8) == 2048)
     // a defaulted search equals the explicit nProbeFor probe count
     val path = tmp("graft_ivfpq_npdef")
     VectorIndex.writeIvfPq(e, "vec_id", "embedding", 16, 8, 16, path)
