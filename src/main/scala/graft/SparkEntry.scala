@@ -78,7 +78,29 @@ object SparkEntry {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
-    slices.zipWithIndex.foreach { case (df, i) => df.write.parquet(s"$stage/b$i") }
+    // ONE staging job for all slices (guide §1.2: fewer passes/jobs —
+    // the per-slice loop paid one full job schedule + commit per slice):
+    // the tagged union writes every slice's rows in a single action,
+    // partitioned by slice ordinal; the b<i> directories the barrier
+    // loop renames are the partition dirs, so each micro-batch sees
+    // exactly the rows the per-slice writes produced (same filters, same
+    // values — only part-file grouping differs, which no sink observes).
+    slices.zipWithIndex
+      .map { case (df, i) => df.withColumn("__slice", lit(i)) }
+      .reduce(_ unionByName _)
+      .write.partitionBy("__slice").parquet(s"$stage/staged")
+    slices.indices.foreach { i =>
+      val part = new org.apache.hadoop.fs.Path(s"$stage/staged/__slice=$i")
+      // a slice with zero rows writes no partition dir — stage an empty
+      // dir so the rename below still presents the (empty) micro-batch,
+      // exactly as an empty per-slice write did
+      if (!fs.exists(part)) fs.mkdirs(part)
+      require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$stage/b$i")),
+        s"slice staging rename failed: $part")
+    }
+    // the leaf dir read lists only b0's part files (no partition
+    // discovery), so the schema is the written file schema — what the
+    // old per-slice staging read, without re-reading data
     val schema = s.read.parquet(s"$stage/b0").schema
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fstream_ckpt").toString
     // the glob matches the not-yet-present b<i> subdirectories; parquet

@@ -201,6 +201,21 @@ object Similarity {
                  k: Int): Array[Array[Double]] =
     collectCentroids(corpus, cIdCol, cVecCol, k).map(_._2)
 
+  /** Both build-time first-k quantizers from ONE collect (guide §1.2:
+    * fewer passes — the coarse centroids and the PQ codebook are prefix
+    * filters of the same corpus head, and collecting them separately
+    * paid two scan jobs for one row set). Returns exactly what
+    * [[collectCentroids]](nCells) and [[pqCodebook]](nCentsPq) return:
+    * rows with id < nCells, and the vectors of rows with id < nCentsPq
+    * — value-identical (same rows, same sort), gate-pinned by every
+    * IVF-PQ oracle. */
+  private[operators] def collectQuantizers(corpus: DataFrame, cIdCol: String,
+      cVecCol: String, nCells: Int, nCentsPq: Int)
+      : (Array[(Long, Array[Double])], Array[Array[Double]]) = {
+    val both = collectCentroids(corpus, cIdCol, cVecCol, math.max(nCells, nCentsPq))
+    (both.filter(_._1 < nCells), both.filter(_._1 < nCentsPq).map(_._2))
+  }
+
   /** A full-dim (k × dim) codebook as per-subspace books (m × k × sub). */
   private[operators] def subBooks(codebook: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
     val sub = codebook.head.length / m
@@ -356,10 +371,10 @@ object Similarity {
             k: Int): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val spark = corpus.sparkSession
-    val cents = collectCentroids(corpus, cIdCol, cVecCol, nCells)
+    // one collect feeds BOTH quantizers (guide §1.2 — was two jobs)
+    val (cents, book) = collectQuantizers(corpus, cIdCol, cVecCol, nCells, nCentsPq)
     val bank = graft.functions.CentroidBank.of(spark, cents)
-    val books = graft.functions.CodebookBank.of(spark,
-      subBooks(pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m))
+    val books = graft.functions.CodebookBank.of(spark, subBooks(book, m))
 
     // one narrow pass: coarse cell + PQ codes per corpus row
     val indexed = corpus.select(

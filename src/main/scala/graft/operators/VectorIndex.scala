@@ -61,12 +61,20 @@ object VectorIndex {
                  nCells: Int, m: Int, nCentsPq: Int, path: String,
                  storeVectors: Boolean = false,
                  residual: Boolean = false): Unit = {
-    val cents = Similarity.collectCentroids(corpus, cIdCol, cVecCol, nCells)
-    val books =
-      if (residual) Similarity.subBooks(
-        Similarity.residualBookRows(corpus, cIdCol, cVecCol, cents, nCentsPq), m)
-      else Similarity.subBooks(
-        Similarity.pqCodebook(corpus, cIdCol, cVecCol, nCentsPq), m)
+    val (cents, books) =
+      if (residual) {
+        // residual books need the centroid bank in-plan, so their
+        // collect stays a second job; the raw frame merges both below
+        val cs = Similarity.collectCentroids(corpus, cIdCol, cVecCol, nCells)
+        (cs, Similarity.subBooks(
+          Similarity.residualBookRows(corpus, cIdCol, cVecCol, cs, nCentsPq), m))
+      } else {
+        // one collect feeds BOTH first-k quantizers (guide §1.2 — was
+        // two jobs per build, and the suite builds ~20 indexes per pass)
+        val (cs, book) = Similarity.collectQuantizers(
+          corpus, cIdCol, cVecCol, nCells, nCentsPq)
+        (cs, Similarity.subBooks(book, m))
+      }
     writeWith(corpus, cIdCol, cVecCol, cents, books, path, storeVectors, residual)
   }
 
