@@ -394,6 +394,9 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint()
+    // the REAL edge size (the eager checkpoint captured actual stats):
+    // the constant estimate every label cut below is stamped with
+    val edgeSize = edges.queryExecution.optimizedPlan.stats.sizeInBytes
     var labels = edges.groupBy(col("s")).agg(min(col("d")).as("__mn"))
       .select(col("s").as("id"), least(col("s"), col("__mn")).as("cluster"))
     for (i <- 1 to iterations) {
@@ -409,14 +412,27 @@ object Dedup {
       // checkpoint blocks still materialize once despite the three
       // references per round. Eager checkpoints here cost a scheduled
       // job per round, which dominated wall time on small label tables.
-      // `checkpointEvery` trades plan-tree growth against barrier
-      // count: an UNCUT round's 3 label references re-derive it (tiny
-      // tables — cheap), while each cut is a materialization barrier
-      // on the critical path. Few-round callers (q38's 5) keep the
-      // default 1; many-round callers (semantic clustering's 12+) use
-      // 2 and halve the barriers — labels are identical either way.
+      // `checkpointEvery` trades plan-tree growth against cut count.
+      // The r19 A/B settled it: since the cuts are lazy (blocks
+      // materialize inside the final action, no scheduled round jobs),
+      // an uncut round saves nothing and its 3 label references
+      // re-derive the round plan — every-round cuts measured 0.70–0.85×
+      // of every-2 on the 12-round clustering gates, and every-4 ran
+      // 1.25–1.66× (OPTIMIZATION_r19.md). All callers now use the
+      // default 1; labels are identical at any cadence.
+      // replaceOriginStats: the cut snapshots the round plan's
+      // Statistics, and this loop's self-join SQUARES sizeInBytes every
+      // round — a BigInt whose bit length doubles per cut (measured:
+      // 19 → 147M bits in 24 rounds; java.math.BigInteger overflows at
+      // ~31 cuts, and the giant-number arithmetic costs real per-round
+      // time well before). Stamping each cut with the CONSTANT edge
+      // size keeps static planning exactly as healthy early rounds had
+      // it (labels ≤ the doubled edge list's endpoints, so a small
+      // graph keeps its broadcast round joins and a 100 TB one keeps
+      // shuffling) while the estimate no longer compounds.
       if (i % checkpointEvery == 0 || i == iterations)
-        labels = labels.localCheckpoint(false)
+        labels = org.apache.spark.sql.graftbridge.Bridge
+          .replaceOriginStats(labels.localCheckpoint(false), Some(edgeSize))
     }
     labels
   }
@@ -453,6 +469,8 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint()
+    // constant stats estimate for the label cuts (see duplicateClusters)
+    val edgeSize = edges.queryExecution.optimizedPlan.stats.sizeInBytes
     var labels = edges.groupBy(col("s")).agg(min(col("d")).as("__mn"))
       .select(col("s").as("id"), least(col("s"), col("__mn")).as("cluster"))
     var prevSum: Option[java.math.BigDecimal] = None
@@ -466,7 +484,11 @@ object Dedup {
       labels = labels.union(looked)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       if (i % checkEvery == 0 || i == maxIterations) {
-        labels = labels.localCheckpoint() // eager: materialize once, agg reads blocks
+        // eager: materialize once, agg reads blocks; replaceOriginStats
+        // as in [[duplicateClusters]] — without it the self-join stats
+        // double per cut and a deep graph overflows BigInteger
+        labels = org.apache.spark.sql.graftbridge.Bridge
+          .replaceOriginStats(labels.localCheckpoint(), Some(edgeSize))
         val s = Option(labels
           .agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
           .head().getDecimal(0))

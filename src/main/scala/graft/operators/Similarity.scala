@@ -989,14 +989,16 @@ object Similarity {
     semanticClustersFromKnn(mutualKnnPairs(vecs, idCol, vecCol, k), iterations)
 
   /** CC labeling over any precomputed mutual-pair frame (id_a, id_b) —
-    * the hook for ANN-candidate graphs at scale. Checkpoints every 2
-    * rounds: clustering runs more rounds than the dedup CC (mutual-kNN
-    * components are deeper than near-dup cliques), so halving the
-    * materialization barriers matters more than the uncut rounds' tiny
-    * label-plan re-derivation. */
+    * the hook for ANN-candidate graphs at scale. Checkpoints every
+    * round: the cuts are LAZY (no per-round job — blocks materialize
+    * inside the final action), so an uncut round buys nothing and costs
+    * the 3-way re-derivation of its label plan; the r19 A/B at sf0.1
+    * measured every-round cuts at 0.70–0.85× of every-2 and every-4 at
+    * 1.25–1.66× (OPTIMIZATION_r19.md) — labels are identical at any
+    * cut cadence, so this is purely a physical-plan knob. */
   def semanticClustersFromKnn(pairs: DataFrame,
                               iterations: Int = DefaultSemanticIterations): DataFrame =
-    Dedup.duplicateClusters(pairs, iterations, checkpointEvery = 2)
+    Dedup.duplicateClusters(pairs, iterations, checkpointEvery = 1)
 
   /** Topic-balanced selection: cap any one semantic cluster at
     * `maxPerCluster` members, chosen by the deterministic id-hash

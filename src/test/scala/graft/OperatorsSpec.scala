@@ -383,6 +383,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got4.values.forall(_ == 0L))
   }
 
+  test("duplicateClusters: 40 every-round cuts neither overflow stats nor change labels") {
+    import spark.implicits._
+    // r19 regression: each lazy localCheckpoint snapshots the round
+    // plan's Statistics, and the loop's self-join SQUARES sizeInBytes —
+    // bit length doubled per cut, so ~31+ cuts threw "BigInteger would
+    // overflow supported range" (and giant-BigInt stats arithmetic
+    // dominated rounds well before). The fix stamps each cut with the
+    // constant edge size. 40 rounds at checkpointEvery=1 is past the
+    // old overflow point; labels must equal the 6-round fixpoint.
+    val chain = (0L until 20L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val deep = Dedup.duplicateClusters(chain, iterations = 40, checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep.size == 21 && deep.values.forall(_ == 0L))
+    val stamped = Dedup.duplicateClusters(chain, iterations = 6)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stamped.bitLength < 64,
+      s"label stats must stay constant-sized, got ${stamped.bitLength} bits")
+  }
+
   test("Graft.tuneForScale: sets the hash-agg fallback threshold on a user session") {
     // snapshot the confs this test mutates on the SHARED session and
     // restore them afterwards — leaving them set would make the rest
