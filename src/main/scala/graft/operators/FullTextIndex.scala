@@ -560,7 +560,11 @@ object FullTextIndex {
     val fs = hfs(spark, path)
     require(fs.exists(new Path(s"$path/conf")),
       s"FullTextIndex $path has no conf table — not a written index")
-    val row = spark.read.parquet(s"$path/conf").collect()(0)
+    // driver-side sidecar read (SidecarIO): this 1-row gate runs at the
+    // top of every search/append/upsert/remove — as a Spark collect it
+    // cost a full job schedule per call
+    val row = SidecarIO.readGroups(
+      spark.sparkContext.hadoopConfiguration, s"$path/conf").head
     // refuse a stale on-disk layout UP FRONT: an older binary's index
     // passes the conf existence check but lacks the gen/docs/tombstone
     // tables, and would otherwise fail mid-maintenance with an
@@ -570,14 +574,14 @@ object FullTextIndex {
     // binaries have the full v2 layout with no column — sniff the layout
     // (the forward `docs/` table is v2's distinguishing artifact) instead
     // of forcing a rebuild of a compatible index.
-    val v = if (row.schema.fieldNames.contains("format_version"))
-      row.getAs[Int]("format_version")
+    val v = if (SidecarIO.has(row, "format_version"))
+      row.getInteger("format_version", 0)
     else if (fs.exists(new Path(s"$path/docs"))) 2
     else 1
     require(v == FormatVersion,
       s"FullTextIndex $path is on-disk format v$v; this binary reads " +
         s"v$FormatVersion — rebuild the index (FullTextIndex.write)")
-    row.getAs[Int]("max_length")
+    row.getInteger("max_length", 0)
   }
 
   private def hfs(spark: SparkSession, path: String): FileSystem =

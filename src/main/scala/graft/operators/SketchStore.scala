@@ -122,8 +122,12 @@ object SketchStore {
   }
 
   private def cmsConf(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/conf").collect()(0)
-    (r.getAs[Int]("depth"), r.getAs[Int]("width"), r.getAs[Int]("max_length"))
+    // driver-side sidecar read (SidecarIO): per-batch conf fetch was a
+    // full Spark job for one row
+    val r = SidecarIO.readGroups(
+      spark.sparkContext.hadoopConfiguration, s"$path/conf").head
+    (r.getInteger("depth", 0), r.getInteger("width", 0),
+      r.getInteger("max_length", 0))
   }
 
   /** The store's current whole-history grid: cell-wise sum over every
@@ -178,7 +182,8 @@ object SketchStore {
   }
 
   private def hllConf(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/conf").collect()(0).getAs[Int]("p")
+    SidecarIO.readGroups(
+      spark.sparkContext.hadoopConfiguration, s"$path/conf").head.getInteger("p", 0)
 
   /** Per-group distinct estimates over everything ingested so far:
     * per-(group, bucket) max across batch partials (idempotent — batch

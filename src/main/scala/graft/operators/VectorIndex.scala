@@ -174,7 +174,8 @@ object VectorIndex {
 
   /** The drift denominator persisted at build time (`meta.mean_cell_dist`). */
   def loadBaseline(spark: SparkSession, path: String): Double =
-    spark.read.parquet(s"$path/meta").collect()(0).getAs[Double]("mean_cell_dist")
+    SidecarIO.readGroups(spark.sparkContext.hadoopConfiguration, s"$path/meta")
+      .head.getDouble("mean_cell_dist", 0)
 
   /** Quantization-drift score for an ingest batch: the batch's mean
     * nearest-cell distance over the index's build-time baseline (stored
@@ -445,8 +446,9 @@ object VectorIndex {
   /** The encode frame persisted at build time — meta's `residual`
     * column; absent (a pre-residual layout) means raw-frame. */
   def isResidual(spark: SparkSession, path: String): Boolean = {
-    val row = spark.read.parquet(s"$path/meta").collect()(0)
-    row.schema.fieldNames.contains("residual") && row.getAs[Boolean]("residual")
+    val g = SidecarIO.readGroups(
+      spark.sparkContext.hadoopConfiguration, s"$path/meta").head
+    SidecarIO.has(g, "residual") && g.getBoolean("residual", 0)
   }
 
   /** ANN search against a prebuilt index. Loads the k-sized sidecars,
@@ -935,14 +937,17 @@ object VectorIndex {
   /** Load the driver-small sidecars back into the bank contracts. */
   def loadQuantizers(spark: SparkSession, path: String)
       : (Array[(Long, Array[Double])], Array[Array[Array[Double]]]) = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val books = spark.read.parquet(s"$path/books")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toArray.sortBy(_._1)
+    // driver-side sidecar reads (SidecarIO): the two collect jobs these
+    // k-sized tables cost before were 250–410 ms of pure job overhead
+    // per call — and append/search pay this per batch
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cents = SidecarIO.readGroups(hconf, s"$path/centroids")
+      .map(g => (g.getLong("cell", 0), SidecarIO.doubles(g, "vec")))
+      .toArray.sortBy(_._1)
+    val books = SidecarIO.readGroups(hconf, s"$path/books")
+      .map(g => (g.getInteger("j", 0), g.getInteger("code", 0),
+        SidecarIO.doubles(g, "vec")))
+      .toArray.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
     (cents, books)
   }
