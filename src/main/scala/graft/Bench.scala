@@ -137,8 +137,15 @@ object Bench {
     // Repeat the total on its own short line (distinct metric name so a
     // line-oriented consumer selecting on "total" matches exactly once):
     // round-5 artifact capture kept only the tail of long lines,
-    // truncating the total off the big one.
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // truncating the total off the big one. The per-query MEDIANS ride on
+    // this final line too (r19 verdict #2: the driver's round-over-round
+    // comparator parses only this line, and the big line's tail-captured
+    // copy truncates) — compact 3-decimal values keep the line ~6 KB;
+    // existing keys are unchanged, "queries" is purely additive.
+    val qsShort = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsShort,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -95,6 +95,35 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"fixture must exercise the new-pair-overtakes case, got ${seqT(1)}")
   }
 
+  test("distributed delta maintenance: pair table == per-round recount, list == sequential") {
+    // verifyDeltas recounts pairCountsOf(syms) after EVERY round and
+    // requires exact equality with the delta-maintained driver table —
+    // the r20 incremental regime's correctness pin, exercised on a real
+    // corpus to exhaustion and on the R3 fixture where a merge CREATES
+    // new pairs (the delta's + side) while consuming old ones (the −)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = TokenizerTrain.wordCounts(d, "text").localCheckpoint(true)
+    val seq = TokenizerTrain.trainBpeMerges(wc, nMerges = 512)
+    val (bat, _) = TokenizerTrain.trainBpeMergesBatched(wc, nMerges = 512,
+      driverWords = 0, verifyDeltas = true)
+    assert(bat == seq)
+    val tricky = TokenizerTrain.wordCounts(
+      corpus(Seq.fill(6)("xab").mkString(" "), Seq.fill(5)("cd").mkString(" "),
+        "ab ab ab"), "text")
+    val seqT = TokenizerTrain.trainBpeMerges(tricky, nMerges = 8)
+    val (batT, _) = TokenizerTrain.trainBpeMergesBatched(tricky, nMerges = 8,
+      driverWords = 0, verifyDeltas = true)
+    assert(batT == seqT)
+    // a pair must VANISH from the maintained table when its count hits
+    // zero: merging (a,a) on "aaaa" leaves [aa,aa] — (a,a) drops from 3
+    // to 0 and (aa,aa) appears; exhaustion then walks the new pairs down
+    val vanish = TokenizerTrain.wordCounts(corpus("aaaa aaaa"), "text")
+    val seqV = TokenizerTrain.trainBpeMerges(vanish, nMerges = 8)
+    val (batV, _) = TokenizerTrain.trainBpeMergesBatched(vanish, nMerges = 8,
+      driverWords = 0, verifyDeltas = true)
+    assert(batV == seqV)
+  }
+
   test("trainWordPieceMerges: likelihood argmax differs from raw-count argmax") {
     // ab x10 (frequent pair of FREQUENT symbols) vs xy x2 (rare pair of
     // RARE symbols); standalone a/b x20 inflate the unigram counts.
