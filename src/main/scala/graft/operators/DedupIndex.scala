@@ -92,11 +92,20 @@ object DedupIndex {
                             numHashes: Int, bands: Int,
                             n: Option[Int] = None): Unit =
     if (spark.catalog.tableExists(s"${table}_meta")) {
-      val m = spark.table(s"${table}_meta").collect()(0)
-      require(m.getAs[Int]("num_hashes") == numHashes && m.getAs[Int]("bands") == bands &&
-        n.forall(_ == m.getAs[Int]("n")),
-        s"index $table was built with (n=${m.getAs[Int]("n")}, numHashes=${m.getAs[Int]("num_hashes")}, " +
-          s"bands=${m.getAs[Int]("bands")}); called with " +
+      // driver-side sidecar read of the 1-row meta table (SidecarIO):
+      // this gate runs at the top of every index call — per MICRO-BATCH
+      // on the streamed gates — and as a Spark collect it cost a full
+      // job schedule each time. Managed-table location is the warehouse
+      // convention this module already relies on (prepareManagedTable,
+      // swapMarker).
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${table}_meta".toLowerCase)
+      val m = SidecarIO.readGroups(
+        spark.sparkContext.hadoopConfiguration, loc.toString).head
+      val (mn, mh, mb) = (m.getInteger("n", 0),
+        m.getInteger("num_hashes", 0), m.getInteger("bands", 0))
+      require(mh == numHashes && mb == bands && n.forall(_ == mn),
+        s"index $table was built with (n=$mn, numHashes=$mh, bands=$mb); called with " +
           s"(${n.map(v => s"n=$v, ").getOrElse("")}numHashes=$numHashes, bands=$bands) — " +
           "mismatched parameters hash into different band key spaces and silently match nothing")
     }

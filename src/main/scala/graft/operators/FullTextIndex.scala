@@ -115,8 +115,14 @@ object FullTextIndex {
     val fs = hfs(spark, path)
     fs.delete(new Path(path), true)
     appendInto(spark, corpus, idCol, textCol, path, maxLength)
-    Seq((maxLength, FormatVersion)).toDF("max_length", "format_version")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/conf")
+    // driver-side 1-row conf write (SidecarIO) — the commit marker is
+    // two ints; a coalesce(1) Spark write paid a full job for it
+    SidecarIO.writeGroups(spark.sparkContext.hadoopConfiguration,
+      s"$path/conf", SidecarIO.schemaOf(
+        """message conf { optional int32 max_length;
+          |optional int32 format_version; }""".stripMargin),
+      f => Seq(f.newGroup().append("max_length", maxLength)
+        .append("format_version", FormatVersion)))
   }
 
   /** Grow the index with an ingest batch (new ids by contract): one
@@ -191,19 +197,28 @@ object FullTextIndex {
         lit(gen).as("gen"))
       .repartition(col("token_id")).sortWithinPartitions("token_id")
       .write.parquet(s"$path/_append/postings")
-    // the forward index clusters + sorts on doc_id for the same
-    // reason: a removal batch's id set pushes down as In(doc_id, ...)
-    toks.select(col("doc_id"), size(col("__tids")).cast("long").as("dl"),
-        array_distinct(col("__tids")).as("tids"), lit(gen).as("gen"))
-      .repartition(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.parquet(s"$path/_append/docs")
-    tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
-      .write.parquet(s"$path/_append/df")
-    toks
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__tids")).cast("long")).as("total_len"))
-      .select(col("n_docs"), col("total_len"), lit(gen).as("gen"))
-      .coalesce(1).write.parquet(s"$path/_append/meta")
+    // the postings write above materialized the toks and tf checkpoint
+    // blocks, so the three remaining staged writes are independent pure
+    // block reads — overlap them (guide §2.6) instead of paying three
+    // driver-sequenced job latencies per append/micro-batch. All four
+    // complete before READY commits, so the crash story is unchanged.
+    Par.run(Seq(
+      () =>
+        // the forward index clusters + sorts on doc_id for the same
+        // reason: a removal batch's id set pushes down as In(doc_id, ...)
+        toks.select(col("doc_id"), size(col("__tids")).cast("long").as("dl"),
+            array_distinct(col("__tids")).as("tids"), lit(gen).as("gen"))
+          .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+          .write.parquet(s"$path/_append/docs"),
+      () =>
+        tf.groupBy(col("token_id")).agg(count(lit(1)).as("df"))
+          .write.parquet(s"$path/_append/df"),
+      () =>
+        toks
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("__tids")).cast("long")).as("total_len"))
+          .select(col("n_docs"), col("total_len"), lit(gen).as("gen"))
+          .coalesce(1).write.parquet(s"$path/_append/meta")))
     fs.create(new Path(ap, "READY"), true).close()
     applyAppend(spark, path)
   }
@@ -301,8 +316,12 @@ object FullTextIndex {
     val rm = new Path(s"$path/_removal")
     fs.delete(rm, true)
     val gen = maxGen(spark, path)
+    // LAZY cuts here and on victims below (r20): eager checkpoints cost
+    // one driver-sequenced job each; lazy ones materialize inside the
+    // next action (the limit+1 collect / the first staged write), which
+    // all complete before READY commits the removal — same crash story
     val drop = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // batch-bounded id set → In(doc_id, ...) reaches the forward scan
     // (row-group skipping on the sorted doc column); wide batches fall
     // back to the broadcast semi join. limit+1 decides the path, so a
@@ -315,20 +334,26 @@ object FullTextIndex {
       else t.join(broadcast(drop), Seq("doc_id"), "left_semi")
     val victims = liveRows(spark, path,
         pruneDocs(spark.read.parquet(s"$path/docs")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // stage EVERYTHING the apply step will do, deltas included, BEFORE
     // touching any live table — after READY the removal is decided and
     // every later step is a rename
     victims.select(explode(col("tids")).as("token_id"))
       .groupBy(col("token_id")).agg((-count(lit(1))).as("df"))
       .coalesce(1).write.parquet(s"$path/_removal/df")
-    victims
-      .agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("dl")), lit(0L))).as("total_len"))
-      .select(col("n_docs"), col("total_len"), lit(0L).as("gen"))
-      .coalesce(1).write.parquet(s"$path/_removal/meta")
-    victims.select(col("doc_id"), lit(gen).as("gen"))
-      .coalesce(1).write.parquet(s"$path/_removal/tombstones")
+    // the df write materialized the victims checkpoint; the remaining
+    // two staged writes are independent block reads — overlap them
+    // (guide §2.6; both land before READY, crash story unchanged)
+    Par.run(Seq(
+      () =>
+        victims
+          .agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("total_len"))
+          .select(col("n_docs"), col("total_len"), lit(0L).as("gen"))
+          .coalesce(1).write.parquet(s"$path/_removal/meta"),
+      () =>
+        victims.select(col("doc_id"), lit(gen).as("gen"))
+          .coalesce(1).write.parquet(s"$path/_removal/tombstones")))
     fs.create(new Path(rm, "READY"), true).close()
     applyRemoval(spark, path)
     // bounded-mask policy: under sustained removals the tombstone

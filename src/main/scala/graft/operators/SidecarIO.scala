@@ -3,10 +3,13 @@ package graft.operators
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
 
 /** Driver-side parquet reads for the K-SIZED index sidecars (IVF-PQ
   * meta/centroids/books, BM25 conf) — guide §1.2 "per-task work" at the
@@ -61,4 +64,40 @@ object SidecarIO {
   }
 
   def has(g: Group, field: String): Boolean = g.getType.containsField(field)
+
+  /** Write driver-resident rows as ONE part file under `dir` (replacing
+    * the directory) — the write-side twin of [[readGroups]], for the
+    * same k-sized sidecars: a `coalesce(1).write.parquet` of 1–256
+    * driver rows pays a full job schedule + task commit (measured
+    * 100–250 ms each in local[32]; a build writes three), where the
+    * same bytes through parquet-mr on the driver are ~milliseconds.
+    * The file is Spark-readable (standard 3-level lists, snappy) and
+    * named `part-*.parquet` so [[readGroups]] and `spark.read` both
+    * pick it up. Same scope guard as the reads: driver-small tables
+    * ONLY — corpus-shaped tables stay behind Spark writes. */
+  def writeGroups(hconf: Configuration, dir: String, schema: MessageType,
+                  fill: SimpleGroupFactory => Seq[Group]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(hconf)
+    fs.delete(d, true)
+    fs.mkdirs(d)
+    val file = new Path(d,
+      s"part-00000-${java.util.UUID.randomUUID().toString}.parquet")
+    val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(file, hconf))
+      .withConf(hconf)
+      .withType(schema)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try fill(new SimpleGroupFactory(schema)).foreach(w.write)
+    finally w.close()
+  }
+
+  def schemaOf(ddl: String): MessageType = MessageTypeParser.parseMessageType(ddl)
+
+  /** Append an `array<double>` value in Spark's 3-level list encoding —
+    * the shape [[doubles]] reads back. */
+  def addDoubles(g: Group, field: String, v: Array[Double]): Unit = {
+    val lst = g.addGroup(field)
+    v.foreach(x => lst.addGroup("list").add("element", x))
+  }
 }

@@ -96,8 +96,14 @@ object SketchStore {
     hfs(spark, path).delete(new Path(s"$path/cells"), true)
     writePartition(Sketch.cmsSketch(df, textCol, depth, width, maxLength),
       path, "0")
-    Seq((depth, width, maxLength)).toDF("depth", "width", "max_length")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/conf")
+    // driver-side 1-row conf write (SidecarIO) — a coalesce(1) Spark
+    // write paid a full job for three ints
+    SidecarIO.writeGroups(spark.sparkContext.hadoopConfiguration,
+      s"$path/conf", SidecarIO.schemaOf(
+        """message conf { optional int32 depth; optional int32 width;
+          |optional int32 max_length; }""".stripMargin),
+      f => Seq(f.newGroup().append("depth", depth).append("width", width)
+        .append("max_length", maxLength)))
   }
 
   /** Fold an ingest batch into the store: ONE narrow tokenize over just
@@ -159,8 +165,11 @@ object SketchStore {
     writePartition(
       Sketch.hllSketchTable(df, groupCol, valueCol, p)
         .withColumnRenamed(groupCol, "group"), path, "0")
-    Seq(Tuple2(p, groupCol)).toDF("p", "group_col")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/conf")
+    SidecarIO.writeGroups(spark.sparkContext.hadoopConfiguration,
+      s"$path/conf", SidecarIO.schemaOf(
+        """message conf { optional int32 p;
+          |optional binary group_col (UTF8); }""".stripMargin),
+      f => Seq(f.newGroup().append("p", p).append("group_col", groupCol)))
   }
 
   /** Fold an ingest batch in. Replay here is DOUBLY safe: the batch

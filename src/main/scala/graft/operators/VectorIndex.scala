@@ -129,15 +129,37 @@ object VectorIndex {
       s"writeIvfPq($path): drift baseline is 0 (every corpus vector coincides " +
         "with a centroid — a degenerate corpus/quantizer pairing); driftScore " +
         "would divide by zero")
-    Seq((dim, books.length, cents.length, books.head.length, baseline, residual))
-      .toDF("dim", "m", "n_cells", "k_pq", "mean_cell_dist", "residual")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "vec")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    books.zipWithIndex.toSeq.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (v, code) => (j, code, v.toSeq) }
-    }.toDF("j", "code", "vec")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/books")
+    // driver-side sidecar writes (SidecarIO.writeGroups): these three
+    // tables are driver arrays already — a coalesce(1) Spark write per
+    // table paid a full job schedule + commit each (3 jobs per build;
+    // the suite builds ~20 indexes per pass)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    SidecarIO.writeGroups(hconf, s"$path/meta", SidecarIO.schemaOf(
+      """message meta { optional int32 dim; optional int32 m;
+        |optional int32 n_cells; optional int32 k_pq;
+        |optional double mean_cell_dist; optional boolean residual; }""".stripMargin),
+      f => Seq(f.newGroup()
+        .append("dim", dim).append("m", books.length)
+        .append("n_cells", cents.length).append("k_pq", books.head.length)
+        .append("mean_cell_dist", baseline).append("residual", residual)))
+    SidecarIO.writeGroups(hconf, s"$path/centroids", SidecarIO.schemaOf(
+      """message centroids { optional int64 cell;
+        |optional group vec (LIST) { repeated group list { optional double element; } } }""".stripMargin),
+      f => cents.toSeq.map { case (c, v) =>
+        val g = f.newGroup().append("cell", c)
+        SidecarIO.addDoubles(g, "vec", v)
+        g
+      })
+    SidecarIO.writeGroups(hconf, s"$path/books", SidecarIO.schemaOf(
+      """message books { optional int32 j; optional int32 code;
+        |optional group vec (LIST) { repeated group list { optional double element; } } }""".stripMargin),
+      f => books.zipWithIndex.toSeq.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (v, code) =>
+          val g = f.newGroup().append("j", j).append("code", code)
+          SidecarIO.addDoubles(g, "vec", v)
+          g
+        }
+      })
     encodeInto(corpus, cIdCol, cVecCol, cents, books, path, SaveMode.Overwrite,
       storeVectors, residual)
   }
@@ -276,7 +298,19 @@ object VectorIndex {
     * `mergeAll = true` additionally rewrites every cell (file-merge-only
     * compaction for an index that accumulated many appends). */
   def compact(spark: SparkSession, path: String,
-              mergeAll: Boolean = false): Unit = {
+              mergeAll: Boolean = false): Unit =
+    compactWith(spark, path, None, mergeAll)
+
+  /** [[compact]] with an optional in-memory set of EXTRA ids to drop —
+    * [[upsert]]'s fused first leg: writing the batch's ids to the
+    * tombstone table only for the very next statement to read and clear
+    * them was a pure disk round-trip (one distinct+write job plus the
+    * read-back, per upsert/micro-batch). The pending on-disk tombstones
+    * still fold in and still clear, so the final state is identical to
+    * delete-then-compact. */
+  private def compactWith(spark: SparkSession, path: String,
+                          extraIds: Option[DataFrame],
+                          mergeAll: Boolean): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tombDir.getFileSystem(hconf)
@@ -287,11 +321,13 @@ object VectorIndex {
     reconcile(fs, s"$path/codes")
     reconcile(fs, s"$path/vecs")
     val hasTombs = fs.exists(tombDir)
-    if (!hasTombs && !mergeAll) return
+    if (!hasTombs && !mergeAll && extraIds.isEmpty) return
     import spark.implicits._
-    val tombs =
-      if (hasTombs) spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
+    val pending =
+      if (hasTombs) spark.read.parquet(s"$path/tombstones").select(col("id"))
       else spark.emptyDataset[Long].toDF("id")
+    val tombs = extraIds.fold(pending)(e =>
+      pending.unionByName(e.select(col("id")))).distinct()
     val codes = spark.read.parquet(s"$path/codes")
     // bounded by nCells (the partition-column cardinality), never by data
     val affected =
@@ -299,9 +335,16 @@ object VectorIndex {
        else codes.join(tombs, Seq("id")).select(col("cell").cast("long")))
         .distinct().collect().map(_.getLong(0)).sorted
     if (affected.nonEmpty) {
-      rewriteCells(spark, s"$path/codes", affected, tombs)
+      // the codes and vecs rewrites read disjoint tables — overlap them
+      // (guide §2.6). The affected-cells collect above already
+      // materialized nothing shared; tombs re-evaluates per leg but is
+      // O(deletes). Each leg's stage-then-swap stays self-contained.
       val vecsDir = new org.apache.hadoop.fs.Path(s"$path/vecs")
-      if (fs.exists(vecsDir)) rewriteCells(spark, s"$path/vecs", affected, tombs)
+      val legs = Seq(() => rewriteCells(spark, s"$path/codes", affected, tombs)) ++
+        (if (fs.exists(vecsDir))
+          Seq(() => rewriteCells(spark, s"$path/vecs", affected, tombs))
+         else Seq.empty)
+      Par.run(legs)
     }
     if (hasTombs) fs.delete(tombDir, true)
   }
@@ -372,25 +415,29 @@ object VectorIndex {
   /** Upsert: replace the indexed vectors for `batch`'s ids with the
     * batch's vectors — the document-UPDATE path ([[append]] covers
     * inserts, [[delete]] removals; real corpora also re-crawl and
-    * re-embed). Composes the existing legs in the only order the
-    * tombstone contract allows: [[delete]] the ids, [[compact]] the
-    * affected cells (clearing the tombstones — a re-append under a
-    * live tombstone would stay suppressed), then [[append]] the new
-    * encodings with the SAVED quantizers.
+    * re-embed). Compacts the batch's ids out of their cells (the fused
+    * form of delete-then-compact — r20: the tombstone table was written
+    * only for the very next statement to read and clear, one
+    * distinct+write job of pure disk round-trip per upsert), then
+    * [[append]]s the new encodings with the SAVED quantizers. Any
+    * pending tombstones from earlier [[delete]]s fold into the same
+    * rewrite and clear, exactly as delete-then-compact did.
     *
-    * Cost at 100 TB: O(batch) tombstone write + a rewrite of only the
-    * cells the stale rows live in + one narrow encode pass over the
-    * batch — never a corpus pass. Ids absent from the index upsert as
-    * plain inserts (their tombstones prune nothing and compaction of
-    * their cells is skipped). */
+    * Replay-idempotent with no marker protocol, as before: a crashed
+    * attempt leaves the pre-upsert state (stale versions still serving
+    * — what was being served before the upsert began), a compacted-out
+    * state, or the full result; the redelivered batch's compact sweeps
+    * whatever version is present before the single live append.
+    *
+    * Cost at 100 TB: a rewrite of only the cells the stale rows live in
+    * + one narrow encode pass over the batch — never a corpus pass. Ids
+    * absent from the index upsert as plain inserts (they match no codes
+    * row, so compaction of their cells is skipped). */
   def upsert(batch: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
     val spark = batch.sparkSession
-    // autoCompact off: the explicit compact below does the rewrite
-    // unconditionally (the tombstones MUST clear before the re-append),
-    // so the policy's decide jobs would be pure overhead here
-    delete(spark, path, batch.select(col(idCol)), idCol, autoCompact = false)
-    compact(spark, path)
+    compactWith(spark, path,
+      Some(batch.select(col(idCol).cast("long").as("id"))), mergeAll = false)
     append(batch, idCol, vecCol, path)
   }
 
